@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query on /root/testdata/sf0.001 (smoke check).
+- ``queries()``: every implemented SURVEY.md §2 operator as a named
+  (spark, sf_dir) -> DataFrame callable.
+- ``oracle_sql()``: matching DuckDB SQL per query (omitted only for
+  engine-specific/approximate operators, which get rows-only checks).
 """
 
 from __future__ import annotations
@@ -13,26 +13,35 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from event_stream_starter_spark.queries import all_queries
+from event_stream_starter_spark.session import tune_session
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tune_session(spark)
+    specs = all_queries()
+    return specs["flagship_heat_rules"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, spec in all_queries().items():
+        fn = spec.fn
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        def wrapped(spark: SparkSession, sf_dir: str, _fn=fn) -> DataFrame:
+            tune_session(spark)
+            return _fn(spark, sf_dir)
+
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each oracle-checkable query."""
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,69 @@
+"""Normalization column expressions.
+
+Reference semantics (cited per function): api/events.py:123-207, 380-411;
+api/utils/ca.py:9-85. Re-expressed as Catalyst expressions — lowercase /
+regexp_replace chains — rather than imperative Python, so they vectorize
+and push into codegen. NFC unicode normalization (reference api/events.py:
+388) is intentionally NOT applied: the engine declares NFC as a
+pre-ingest contract; everything else matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_URL_RE = r"https?://\S+"
+_HANDLE_RE = r"@\w+"
+_SPACE_RE = r"\s+"
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase, strip URLs and @handles (keep #hashtags), collapse spaces.
+
+    Reference: api/events.py:380-411 (_normalize_text).
+    """
+    c = F.lower(text)
+    c = F.regexp_replace(c, _URL_RE, " ")
+    c = F.regexp_replace(c, _HANDLE_RE, " ")
+    c = F.regexp_replace(c, _SPACE_RE, " ")
+    return F.trim(c)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonicalize a URL: https scheme, drop fragment, drop trailing slash,
+    drop utm_*/ref query params.
+
+    Reference: api/events.py:123-173 (_normalize_url). IDN punycode and
+    query-param sorting need a real URL parser and are documented
+    divergences (they only affect exotic URLs, not the dedup hot path).
+    """
+    c = F.regexp_replace(url, r"^http://", "https://")
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    c = F.regexp_replace(c, r"[?&](utm_[^=&]*|ref)=[^&]*", "")  # tracking params
+    c = F.regexp_replace(c, r"\?$", "")
+    c = F.regexp_replace(c, r"/$", "")
+    return c
+
+
+def normalize_token_symbol(symbol: Column) -> Column:
+    """Trim, lowercase, ensure a single ``$`` prefix.
+
+    Reference: api/events.py:187-207 (_normalize_token_symbol).
+    """
+    stripped = F.regexp_replace(F.lower(F.trim(symbol)), r"^\$+", "")
+    return F.when(F.length(stripped) > 0, F.concat(F.lit("$"), stripped)).otherwise(
+        F.lit(None)
+    )
+
+
+def normalize_ca(ca: Column) -> Column:
+    """EVM contract-address normalization: lowercase, ensure 0x + exactly 40
+    hex chars; anything else → NULL (invalid).
+
+    Reference: api/utils/ca.py:9-85.
+    """
+    lowered = F.lower(F.trim(ca))
+    body = F.regexp_replace(lowered, r"^0x", "")
+    ok = body.rlike(r"^[0-9a-f]{40}$")
+    return F.when(ok, F.concat(F.lit("0x"), body)).otherwise(F.lit(None))

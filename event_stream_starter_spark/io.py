@@ -1,0 +1,45 @@
+"""Testdata / table loaders.
+
+All loads are plain columnar parquet scans so Catalyst gets predicate
+pushdown + column pruning for free. At cluster scale the same API would
+point at date-partitioned tables; nothing here assumes local mode.
+
+The driver's events.parquet stores TIMESTAMP(NANOS), which Spark does not
+read natively: we read it via the nanosAsLong legacy conf and normalize
+to TimestampType by integer-dividing to microseconds — the same
+truncation DuckDB applies when it coerces ns→µs, so oracle comparisons
+see identical instants.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(path)
+    # Normalize TIMESTAMP_NTZ → TIMESTAMP_LTZ (session tz is UTC, so the
+    # instant is unchanged); keeps epoch extraction uniform regardless of
+    # the host session's NTZ-inference setting.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    from .schemas import TESTDATA_TABLES
+
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}

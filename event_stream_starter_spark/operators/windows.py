@@ -1,0 +1,131 @@
+"""Window-function operators (SURVEY.md §2.6 W1-W9).
+
+Scale notes: all windows partition by a key (bounded per-partition state);
+the single global window in `global_share_topn` (reference
+top_holders_snapshot.sql) computes the global total with a scalar agg +
+broadcast instead of `Window.partitionBy()` — an empty partitionBy pulls
+every row into ONE task, which would not survive 100TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame, keys: Sequence[str], order_col: str, tiebreak: Sequence[str] = ()
+) -> DataFrame:
+    """W7: latest row per key — row_number over desc(order) == 1.
+
+    Reference: api/signals/heat.py:405-425 (ORDER BY ts DESC LIMIT 1 per key).
+    Deterministic via explicit tiebreak columns.
+    """
+    order = [F.col(order_col).desc()] + [F.col(t).desc() for t in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """T1/T3: top-k rows per group via row_number (shuffle once on keys)."""
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return df.withColumn(rank_name, F.row_number().over(w)).filter(
+        F.col(rank_name) <= k
+    )
+
+
+def growth_ratio(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "growth_ratio",
+) -> DataFrame:
+    """W2: (cur - prev) / prev vs previous row within key, ordered by time.
+
+    Reference: api/jobs/onchain/enrich_features.py:60-106. `lag` replaces
+    the reference's correlated LIMIT-1 self-lookup (SURVEY J6) — one
+    shuffle on the key instead of N point queries.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    prev = F.lag(F.col(value_col)).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            (F.col(value_col) - prev) / prev,
+        ),
+    )
+
+
+def global_share_topn(
+    df: DataFrame, value_col: str, id_cols: Sequence[str], top_n: int
+) -> DataFrame:
+    """W1: share = value / global_total, keep top-N by value.
+
+    Reference: templates/sql/eth/top_holders_snapshot.sql:7-17
+    (SUM OVER (), SAFE_DIVIDE, QUALIFY ROW_NUMBER <= n).
+
+    Implementation: global total via cross-join of a 1-row aggregate
+    (broadcast by AQE), global top-N via orderBy+limit (Spark's TakeOrdered
+    — per-partition top-N then merge on driver, no full sort shuffle).
+    """
+    total = df.agg(F.sum(F.col(value_col)).alias("__total"))
+    ranked = (
+        df.orderBy(F.col(value_col).desc(), *[F.col(c) for c in id_cols])
+        .limit(top_n)
+        .crossJoin(F.broadcast(total))
+    )
+    return ranked.withColumn(
+        "share", F.try_divide(F.col(value_col), F.col("__total"))
+    ).drop("__total")
+
+
+def endpoint_slope(counts: Column, window_minutes: Column | int) -> Column:
+    """W3: (last - first) / window_minutes over an ordered count array.
+
+    Reference: api/services/topic_analyzer.py:107-117.
+    """
+    n = F.size(counts)
+    last = F.element_at(counts, n)
+    first = F.element_at(counts, 1)
+    wm = F.lit(window_minutes) if isinstance(window_minutes, int) else window_minutes
+    return (last - first).cast("double") / wm.cast("double")
+
+
+def ema_last(values: Column, alpha: float) -> Column:
+    """W6: exponential moving average of an ordered array, returning the
+    final EMA value. ema_0 = x_0; ema_t = alpha*x_t + (1-alpha)*ema_{t-1}.
+
+    Reference: api/signals/heat.py:81-95. Expressed with the higher-order
+    `aggregate` — no UDF, no driver loop. Streaming keeps the same scalar
+    as keyed state.
+    """
+    return F.aggregate(
+        values,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x.cast("double")).otherwise(
+            F.lit(alpha) * x.cast("double") + F.lit(1.0 - alpha) * acc
+        ),
+    )
+
+
+def slope_trend(slope: Column, theta: float = 0.2) -> Column:
+    """W5 trend label: up/down/flat at ±theta (reference heat.py:264-303)."""
+    return (
+        F.when(slope > theta, F.lit("up"))
+        .when(slope < -theta, F.lit("down"))
+        .otherwise(F.lit("flat"))
+    )

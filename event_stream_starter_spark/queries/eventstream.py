@@ -1,0 +1,413 @@
+"""Event-stream queries over the `events` table (SURVEY.md §2.3 hashing,
+§2.4 dedup, §2.5 A2-A4 aggregation, §2.6 time-series W2-W7, §2.9 set ops).
+
+These are the batch (oracle-checkable) forms of the streaming pipeline
+stages; the streaming shell reuses the same column expressions.
+
+`now` is always derived from the data (max ts) — never wall-clock —
+per SURVEY §7.4 determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import ts_bucket
+from ..io import load_table
+from ..operators.windows import ema_last, growth_ratio, latest_per_key, slope_trend
+from . import query
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@query(
+    "c4_event_key_dedup",
+    """
+    WITH keyed AS (
+        SELECT event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               user_id, event_type, value,
+               substring(sha256(CAST(user_id AS VARCHAR) || '|' || event_type || '|' ||
+                         CAST(CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS VARCHAR)), 1, 40)
+                   AS event_key
+        FROM events
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_key
+                                     ORDER BY ts_us ASC, event_id ASC) AS rn
+        FROM keyed
+    )
+    SELECT event_id, ts_us, user_id, event_type, event_key
+    FROM ranked WHERE rn = 1
+    """,
+    survey_ids="C4,C6 (event key + ts bucket), D1/D3 (keyed dedup keep-first)",
+)
+def c4_event_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # Event key: sha256(user|type|10-min bucket)[:40] — the C4 key shape
+    # over the driver's events table (FIXTURES.md §B mapping).
+    key = F.substring(
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                ts_bucket(F.col("ts")).cast("string"),
+            ),
+            256,
+        ),
+        1,
+        40,
+    )
+    keyed = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        key.alias("event_key"),
+    )
+    w = Window.partitionBy("event_key").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "a1_event_upsert_merge",
+    """
+    SELECT substring(sha256(CAST(user_id AS VARCHAR) || '|' || event_type), 1, 40) AS event_key,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_ts_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us,
+           COUNT(*) AS evidence_count,
+           ROUND(MAX(value), 6) AS max_weight,
+           arg_max(value, ts) AS last_value
+    FROM events
+    GROUP BY substring(sha256(CAST(user_id AS VARCHAR) || '|' || event_type), 1, 40)
+    """,
+    survey_ids="A1 (keyed upsert-merge laws: greatest last_ts, evidence count, last non-null)",
+)
+def a1_event_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    key = F.substring(
+        F.sha2(F.concat_ws("|", F.col("user_id").cast("string"), F.col("event_type")), 256),
+        1,
+        40,
+    )
+    # Batch form of the streaming keyed upsert (reference api/events.py:
+    # 1139-1256): last_ts = greatest(old,new) ≡ max(ts); evidence_count;
+    # "replace with latest non-null" ≡ max_by(value, ts). One shuffle on key.
+    return ev.groupBy(key.alias("event_key")).agg(
+        F.unix_micros(F.min("ts")).alias("start_ts_us"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        F.count(F.lit(1)).alias("evidence_count"),
+        F.round(F.max("value"), 6).alias("max_weight"),
+        F.max_by("value", "ts").alias("last_value"),
+    )
+
+
+@query(
+    "d4_evidence_merge",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, ts, value, props,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY len(props) DESC, props DESC) AS rn
+        FROM events
+    ), agg AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_ts_us,
+               ROUND(MAX(value), 6) AS max_weight,
+               COUNT(*) AS merged_count
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT a.user_id, a.event_type, a.first_ts_us, a.max_weight,
+           r.props AS longest_summary, a.merged_count
+    FROM agg a JOIN ranked r
+      ON a.user_id = r.user_id AND a.event_type = r.event_type AND r.rn = 1
+    """,
+    survey_ids="D4 (evidence merge-dedup laws: earliest ts, max weight, longest summary)",
+)
+def d4_evidence_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # One shuffle: max_by on a (length, value) struct = argmax-by-length
+    # with deterministic lexicographic tiebreak (reference api/events.py:682-875).
+    return ev.groupBy("user_id", "event_type").agg(
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.round(F.max("value"), 6).alias("max_weight"),
+        F.max(
+            F.struct(F.length("props").alias("l"), F.col("props").alias("v"))
+        )["v"].alias("longest_summary"),
+        F.count(F.lit(1)).alias("merged_count"),
+    )
+
+
+@query(
+    "a2_topic_aggregate",
+    """
+    WITH topics AS (
+        SELECT substring(sha256(CAST(user_id % 50 AS VARCHAR)), 1, 12) AS topic_hash,
+               event_type, ts
+        FROM events
+    )
+    SELECT topic_hash,
+           COUNT(*) AS mention_count,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS entities
+    FROM topics
+    GROUP BY topic_hash
+    """,
+    survey_ids="A2 (topic aggregation: count, max ts, entity set union+sort), E1, C7",
+)
+def a2_topic_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    topic = F.substring(F.sha2((F.col("user_id") % 50).cast("string"), 256), 1, 12)
+    return ev.groupBy(topic.alias("topic_hash")).agg(
+        F.count(F.lit(1)).alias("mention_count"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("entities"),
+    )
+
+
+@query(
+    "a3_w5_heat_slope",
+    """
+    WITH now_t AS (SELECT MAX(ts) AS now_ts FROM events),
+    counts AS (
+        SELECT e.event_type,
+               SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS cnt_10m,
+               SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS cnt_30m,
+               SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 20 MINUTE
+                         AND e.ts <= n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS prev_10m
+        FROM events e CROSS JOIN now_t n
+        GROUP BY e.event_type
+    )
+    SELECT event_type, cnt_10m, cnt_30m, prev_10m,
+           ROUND((cnt_10m - prev_10m) / 10.0, 6) + 0 AS slope,
+           CASE WHEN (cnt_10m - prev_10m) / 10.0 > 0.2 THEN 'up'
+                WHEN (cnt_10m - prev_10m) / 10.0 < -0.2 THEN 'down'
+                ELSE 'flat' END AS trend
+    FROM counts
+    """,
+    survey_ids="A3 (trailing 10m/30m/prev-10m heat counts), W5 (slope+trend), ST2",
+)
+def a3_w5_heat_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # `now` = max event time (injected, not wall-clock). The 1-row agg is
+    # broadcast; counts are conditional sums in ONE pass over the fact
+    # table — not three separate scans like the reference (heat.py:225-295).
+    now_t = ev.agg(F.max("ts").alias("now_ts"))
+    e = ev.crossJoin(F.broadcast(now_t))
+    in_10 = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 10 MINUTES")
+    in_30 = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 30 MINUTES")
+    in_prev = (F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 20 MINUTES")) & (
+        F.col("ts") <= F.col("now_ts") - F.expr("INTERVAL 10 MINUTES")
+    )
+    counts = e.groupBy("event_type").agg(
+        F.sum(F.when(in_10, 1).otherwise(0)).alias("cnt_10m"),
+        F.sum(F.when(in_30, 1).otherwise(0)).alias("cnt_30m"),
+        F.sum(F.when(in_prev, 1).otherwise(0)).alias("prev_10m"),
+    )
+    slope = (F.col("cnt_10m") - F.col("prev_10m")) / F.lit(10.0)
+    return counts.select(
+        "event_type",
+        "cnt_10m",
+        "cnt_30m",
+        "prev_10m",
+        (F.round(slope, 6) + F.lit(0)).alias("slope"),
+        slope_trend(slope, theta=0.2).alias("trend"),
+    )
+
+
+@query(
+    "w2_growth_ratio",
+    """
+    WITH hourly AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_bucket,
+               COUNT(*) AS tx_count
+        FROM events GROUP BY user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+    )
+    SELECT user_id, hour_bucket, tx_count,
+           ROUND(CAST(tx_count - LAG(tx_count) OVER w AS DOUBLE)
+                 / NULLIF(LAG(tx_count) OVER w, 0), 6) + 0 AS growth_ratio
+    FROM hourly
+    WINDOW w AS (PARTITION BY user_id ORDER BY hour_bucket)
+    """,
+    survey_ids="W2 (lag-based growth_ratio), J6 (as-of prev row via lag, no join)",
+)
+def w2_growth_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id", ts_bucket(F.col("ts"), 3600).alias("hour_bucket")
+    ).agg(F.count(F.lit(1)).alias("tx_count"))
+    out = growth_ratio(hourly, ["user_id"], "hour_bucket", "tx_count")
+    return out.select(
+        "user_id",
+        "hour_bucket",
+        "tx_count",
+        (F.round("growth_ratio", 6) + F.lit(0)).alias("growth_ratio"),
+    )
+
+
+@query(
+    "w4_regr_slope",
+    """
+    WITH per_min AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 60) AS BIGINT) - 28401120 AS minute_idx,
+               COUNT(*) AS cnt
+        FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 60) AS BIGINT) - 28401120
+    )
+    SELECT event_type,
+           ROUND(regr_slope(cnt, minute_idx), 6) + 0 AS slope,
+           COUNT(*) AS n_buckets
+    FROM per_min GROUP BY event_type
+    """,
+    survey_ids="W4 (regression slope over minute buckets)",
+)
+def w4_regr_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    # minute_idx is re-based to 2024-01-01 (epoch-minute 28401120) so the
+    # regression runs on small x values — avoids catastrophic cancellation
+    # and keeps float results stable across engines.
+    per_min = ev.groupBy(
+        "event_type",
+        (F.floor(F.col("ts").cast("long") / 60).cast("long") - 28401120).alias(
+            "minute_idx"
+        ),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_min.groupBy("event_type").agg(
+        (F.round(F.regr_slope(F.col("cnt").cast("double"), F.col("minute_idx").cast("double")), 6) + F.lit(0)).alias("slope"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+@query(
+    "w3_w6_endpoint_slope_ema",
+    """
+    WITH now_t AS (SELECT MAX(ts) AS now_ts FROM events),
+    per_min AS (
+        SELECT e.event_type,
+               CAST(floor(epoch(e.ts) / 60) * 60 AS BIGINT) AS minute_bucket,
+               COUNT(*) AS cnt
+        FROM events e CROSS JOIN now_t n
+        WHERE e.ts > n.now_ts - INTERVAL 30 MINUTE
+        GROUP BY e.event_type, CAST(floor(epoch(e.ts) / 60) * 60 AS BIGINT)
+    ),
+    series AS (
+        SELECT event_type,
+               list(cnt ORDER BY minute_bucket ASC) AS counts,
+               COUNT(*) AS n_buckets
+        FROM per_min GROUP BY event_type
+    )
+    SELECT event_type, n_buckets,
+           ROUND(CAST(counts[-1] - counts[1] AS DOUBLE) / 30.0, 6) + 0 AS endpoint_slope,
+           ROUND(list_reduce(list_transform(counts, x -> CAST(x AS DOUBLE)),
+                             (acc, x) -> 0.3 * x + 0.7 * acc), 6) + 0 AS ema
+    FROM series
+    """,
+    survey_ids="W3 (endpoint slope), W6 (EMA via ordered fold), A3 minute buckets",
+)
+def w3_w6_endpoint_slope_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    now_t = ev.agg(F.max("ts").alias("now_ts"))
+    e = ev.crossJoin(F.broadcast(now_t)).filter(
+        F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 30 MINUTES")
+    )
+    per_min = e.groupBy(
+        "event_type", ts_bucket(F.col("ts"), 60).alias("minute_bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    series = per_min.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("minute_bucket"), F.col("cnt")))
+            ),
+            lambda s: s["cnt"],
+        ).alias("counts"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    counts = F.col("counts")
+    endpoint = (
+        F.element_at(counts, F.size(counts)) - F.element_at(counts, 1)
+    ).cast("double") / F.lit(30.0)
+    return series.select(
+        "event_type",
+        "n_buckets",
+        (F.round(endpoint, 6) + F.lit(0)).alias("endpoint_slope"),
+        (F.round(ema_last(counts, alpha=0.3), 6) + F.lit(0)).alias("ema"),
+    )
+
+
+@query(
+    "w7_latest_per_key",
+    """
+    SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           event_type, ROUND(value, 6) AS value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    survey_ids="W7 (latest-row-per-key)",
+)
+def w7_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = latest_per_key(ev, ["user_id"], "ts", tiebreak=["event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+@query(
+    "e2_jaccard_user_pairs",
+    """
+    WITH sets AS (
+        SELECT user_id, user_id % 20 AS cohort,
+               list_sort(list_distinct(list(event_type))) AS types
+        FROM events GROUP BY user_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           ROUND(CAST(len(list_intersect(a.types, b.types)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.types, b.types))), 6) AS jaccard_sim
+    FROM sets a JOIN sets b ON a.cohort = b.cohort AND a.user_id < b.user_id
+    WHERE CAST(len(list_intersect(a.types, b.types)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.types, b.types))) >= 0.6
+    """,
+    survey_ids="E2/D8 (Jaccard set similarity self-join with cohort blocking), J7",
+)
+def e2_jaccard_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    sets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    ).withColumn("cohort", F.col("user_id") % 20)
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.types"), F.col("b.types")))
+    union = F.size(F.array_union(F.col("a.types"), F.col("b.types")))
+    jac = inter.cast("double") / union.cast("double")
+    # Blocking on cohort bounds the self-join (SURVEY §7.4: blocking keys
+    # for the similarity join at scale).
+    return (
+        a.join(
+            b,
+            (F.col("a.cohort") == F.col("b.cohort"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .filter(jac >= 0.6)
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.round(jac, 6).alias("jaccard_sim"),
+        )
+    )

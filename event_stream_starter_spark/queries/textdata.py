@@ -1,0 +1,207 @@
+"""Text-analysis + deduplication queries over the documents table:
+filters F1-F3, the training-data dedup family (exact, n-gram Jaccard,
+MinHash-LSH, SimHash), language ID, quality scoring, token counting,
+fingerprinting (SURVEY.md §2.2, §2.4 + the 100TB training-pipeline ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import textan
+from ..operators.dedup import jaccard, minhash_lsh_pairs, simhash_pairs, token_shingles
+from . import query
+
+_KEYWORDS = ("spark", "join", "stream")
+
+# DuckDB token expr (regexp_replace needs the 'g' flag there; Spark's
+# replaces all matches by default).
+_TOKS_DUCK = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+@query(
+    "f1_keyword_filter",
+    f"""
+    SELECT doc_id,
+           regexp_extract(text, '(spark|join|stream)', 1) AS first_keyword,
+           lang, source
+    FROM documents
+    WHERE regexp_matches(text, '(spark|join|stream)')
+      AND NOT contains(text, 'slow')
+    """,
+    survey_ids="F1 (keyword filter), F2 (negation filter), F3 (extraction projection)",
+)
+def f1_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pat = "|".join(_KEYWORDS)
+    return (
+        docs.filter(F.col("text").rlike(f"({pat})"))
+        .filter(~F.col("text").contains("slow"))
+        .select(
+            "doc_id",
+            F.regexp_extract("text", f"({pat})", 1).alias("first_keyword"),
+            "lang",
+            "source",
+        )
+    )
+
+
+def _lang_score_duck(words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter({_TOKS_DUCK}, x -> x IN ({in_list}))) AS DOUBLE)"
+        f" / greatest(len({_TOKS_DUCK}), 1)"
+    )
+
+
+def _detect_lang_duck() -> str:
+    # Mirrors textan.detect_lang: running strict-greater argmax in
+    # LANG_STOPWORDS iteration order, 'und' when all scores are 0.
+    expr_lang = "'und'"
+    expr_score = "CAST(0.0 AS DOUBLE)"
+    for lang, words in textan.LANG_STOPWORDS.items():
+        s = _lang_score_duck(words)
+        expr_lang = f"CASE WHEN {s} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {s} > {expr_score} THEN {s} ELSE {expr_score} END"
+    return expr_lang
+
+
+def _quality_duck() -> str:
+    en = ", ".join(f"'{w}'" for w in textan.LANG_STOPWORDS["en"])
+    n_toks = f"CAST(greatest(len({_TOKS_DUCK}), 1) AS DOUBLE)"
+    length_score = f"least({n_toks} / 100.0, 1.0)"
+    n_chars = "CAST(greatest(length(text), 1) AS DOUBLE)"
+    n_punct = (
+        "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+    )
+    sw = (
+        f"least(CAST(len(list_filter({_TOKS_DUCK}, x -> x IN ({en}))) AS DOUBLE)"
+        f" / {n_toks} * 5.0, 1.0)"
+    )
+    return (
+        f"0.4 * {length_score} + 0.3 * (1.0 - {n_punct} / {n_chars}) + 0.3 * {sw}"
+    )
+
+
+@query(
+    "x_text_stats",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_DUCK}) END AS n_tokens,
+           len(regexp_extract_all(lower(text), '([a-z]{{1,8}}|[0-9]{{1,3}}|[^a-z0-9\\s])')) AS bpe_tokens,
+           ROUND({_quality_duck()}, 6) AS quality,
+           {_detect_lang_duck()} AS lang_detected,
+           substring(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint
+    FROM documents
+    """,
+    survey_ids="text analysis: token count, BPE-ish count, quality score, language ID, C1-style fingerprint",
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textan.token_count(t).alias("n_tokens"),
+        textan.bpe_ish_token_count(t).alias("bpe_tokens"),
+        F.round(textan.quality_score(t), 6).alias("quality"),
+        textan.detect_lang(t).alias("lang_detected"),
+        textan.doc_fingerprint(t).alias("fingerprint"),
+    )
+
+
+@query(
+    "dd_exact_dedup",
+    """
+    SELECT substring(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+               AS fingerprint,
+           COUNT(*) AS dup_count,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY substring(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+    """,
+    survey_ids="dedup: exact (hash-groupBy) over normalized text",
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        textan.doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_SHINGLE_DUCK = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_TOKS_DUCK}) - 2, 1) + 1), "
+    f"i -> array_to_string(list_slice({_TOKS_DUCK}, i, i + 2), ' ')))"
+)
+
+
+@query(
+    "dd_ngram_jaccard",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, lang, source, {_SHINGLE_DUCK} AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_sim
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    survey_ids="dedup: n-gram Jaccard near-dup with (lang,source) blocking; D8/E2/J7",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "lang", "source", token_shingles(F.col("text"), 3).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard_sim"),
+        )
+    )
+
+
+@query(
+    "dd_minhash_lsh",
+    None,  # LSH candidate generation is engine-specific (xxhash64); the
+    # exact-Jaccard verification step makes precision 1.0 — tested against
+    # the exact pair set in tests/test_dedup.py.
+    survey_ids="dedup: MinHash+LSH (shingle→minhash→band→bucket-join→verify)",
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=64, bands=16, shingle_n=5
+    ).select(
+        "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
+    )
+
+
+@query(
+    "dd_simhash",
+    None,  # xxhash64-based SimHash has no DuckDB analog; rows-only check +
+    # property tests (identical text → distance 0).
+    survey_ids="dedup: SimHash banding near-dup",
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)

@@ -1,0 +1,100 @@
+"""Similarity-search queries over the embeddings table (array<float>):
+brute-force cosine top-k (exact baseline), LSH-bucketed ANN (scale path),
+embedding-cosine near-dup pairs. SURVEY.md U3/D8 + the 100TB
+training-pipeline similarity ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from . import query
+
+_N_QUERIES = 10
+_TOP_K = 5
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.qid, e.vec_id AS cid,
+               list_cosine_similarity(list_transform(q.qvec, x -> CAST(x AS DOUBLE)), list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS cos_raw
+        FROM embeddings e CROSS JOIN q
+        WHERE q.qid <> e.vec_id
+    ), ranked AS (
+        SELECT qid, cid, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_raw DESC, cid ASC) AS rank
+        FROM scored
+    )
+    SELECT qid AS vec_id_q, cid AS vec_id_c, ROUND(cos_raw, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+    survey_ids="similarity search: exact brute-force cosine top-k (U3 baseline)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", k=_TOP_K)
+    return out.select(
+        "vec_id_q", "vec_id_c", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+@query(
+    "dd_embed_near_dup",
+    """
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.3
+    """,
+    survey_ids="dedup: embedding-cosine near-dup with label blocking (D8 embedding path)",
+)
+def dd_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, block_col=F.col("label")
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def _fixed_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG; no numpy dep
+    at query-definition time, stable across runs/machines)."""
+    state = 42
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            row.append((state / 2**31) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+@query(
+    "ann_lsh_topk",
+    None,  # approximate by construction; recall vs the exact top-k is
+    # asserted in tests/test_similarity.py.
+    survey_ids="similarity search: LSH-bucketed ANN (scale path)",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = lsh_topk(
+        q, emb, "vec_id", "vec_id", _fixed_planes(8, 64), "embedding", k=_TOP_K
+    )
+    return out.select(
+        "vec_id_q", "vec_id_c", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )

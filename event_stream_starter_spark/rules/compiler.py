@@ -1,0 +1,317 @@
+"""Rules-YAML → SQL expression compiler (SURVEY.md §2.10 R1-R4).
+
+Grammar (reference api/rules/eval_event.py:213-519, rules/rules.yml):
+- conditions are boolean expressions over a whitelisted field set with
+  comparisons (> >= < <= == !=), string equality, `is null` /
+  `is not null`, and/or/not, parentheses, numeric + quoted-string
+  literals, and `${ENV:default}` substitution (folded at compile time —
+  reference eval_event.py:102-125).
+- each rule: {id, condition, score, reason, priority}; groups carry a
+  priority; total_score = sum of matched scores; level thresholds
+  (>= opportunity_threshold → 'opportunity', <= caution_threshold →
+  'caution', else 'observe'); missing-source detection appends reasons at
+  priority 100 (eval_event.py:423-448).
+
+The compiler emits ANSI SQL usable verbatim by BOTH Spark SQL and DuckDB;
+anything outside the token whitelist is rejected at compile time (the
+AST-safety analog of eval_event.py:213-260). NULL comparisons are false
+under SQL three-valued logic, matching the reference's "null field →
+rule does not match" behavior (eval_event.py:467-493).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+try:
+    import yaml  # type: ignore
+
+    _HAVE_YAML = True
+except Exception:  # pragma: no cover
+    _HAVE_YAML = False
+
+# Whitelisted rule fields (reference eval_event.py:267-276).
+DEFAULT_FIELDS = frozenset(
+    {
+        "goplus_risk",
+        "buy_tax",
+        "sell_tax",
+        "lp_lock_days",
+        "dex_liquidity",
+        "dex_volume_1h",
+        "heat_slope",
+        "last_sentiment_score",
+        "honeypot",
+        "last_sentiment",
+        "candidate_score",
+        "evidence_count",
+    }
+)
+
+_ENV_RE = re.compile(r"\$\{([A-Z0-9_]+):([^}]*)\}")
+
+_TOKEN_RE = re.compile(
+    r"""
+    \s*(
+        is\s+not\s+null
+      | is\s+null
+      | >=|<=|==|!=|>|<
+      | \(|\)
+      | and\b|or\b|not\b
+      | true\b|false\b
+      | '[^']*'
+      | -?\d+(?:\.\d+)?
+      | [A-Za-z_][A-Za-z0-9_]*
+    )""",
+    re.VERBOSE | re.IGNORECASE,
+)
+
+_KEYWORD_MAP = {
+    "and": "AND",
+    "or": "OR",
+    "not": "NOT",
+    "true": "TRUE",
+    "false": "FALSE",
+}
+
+
+class RuleCompileError(ValueError):
+    pass
+
+
+# Array-function name table: semantics are identical, names differ.
+# slice_first(arr, 1, k) must mean "first k elements" in both dialects
+# (Spark slice is (start, length); DuckDB list_slice is (begin, end),
+# which coincide when start == 1).
+_DIALECTS: dict[str, dict[str, str]] = {
+    "spark": {
+        "array": "array",
+        "filter": "filter",
+        "sort": "array_sort",
+        "reverse": "reverse",
+        "slice_first": "slice",
+        "transform": "transform",
+        "join": "array_join",
+    },
+    "duckdb": {
+        "array": "list_value",
+        "filter": "list_filter",
+        "sort": "list_sort",
+        "reverse": "list_reverse",
+        "slice_first": "list_slice",
+        "transform": "list_transform",
+        "join": "array_to_string",
+    },
+}
+
+
+def substitute_env(cond: str, env: dict[str, str] | None = None) -> str:
+    """Fold ``${ENV:default}`` placeholders (reference eval_event.py:102-125)."""
+    env = dict(os.environ) if env is None else env
+
+    def repl(m: re.Match[str]) -> str:
+        return env.get(m.group(1), m.group(2))
+
+    return _ENV_RE.sub(repl, cond)
+
+
+def compile_condition(
+    cond: str,
+    fields: frozenset[str] | set[str] = DEFAULT_FIELDS,
+    env: dict[str, str] | None = None,
+) -> str:
+    """Compile one Python-dialect condition to an ANSI-SQL boolean expr.
+
+    Raises RuleCompileError on any token outside the whitelist grammar.
+    """
+    cond = substitute_env(cond, env)
+    out: list[str] = []
+    pos = 0
+    while pos < len(cond):
+        if cond[pos].isspace():
+            pos += 1
+            continue
+        m = _TOKEN_RE.match(cond, pos)
+        if not m:
+            raise RuleCompileError(f"illegal token at {pos!r} in condition: {cond!r}")
+        tok = m.group(1)
+        low = re.sub(r"\s+", " ", tok.lower())
+        if low == "is null":
+            out.append("IS NULL")
+        elif low == "is not null":
+            out.append("IS NOT NULL")
+        elif low in _KEYWORD_MAP:
+            out.append(_KEYWORD_MAP[low])
+        elif tok == "==":
+            out.append("=")
+        elif tok == "!=":
+            out.append("<>")
+        elif tok in {">", ">=", "<", "<=", "(", ")"}:
+            out.append(tok)
+        elif tok.startswith("'"):
+            out.append(tok)
+        elif re.fullmatch(r"-?\d+(?:\.\d+)?", tok):
+            out.append(tok)
+        else:
+            if tok not in fields:
+                raise RuleCompileError(
+                    f"field {tok!r} not in whitelist {sorted(fields)}"
+                )
+            out.append(tok)
+        pos = m.end()
+    return " ".join(out)
+
+
+@dataclass
+class Rule:
+    rule_id: str
+    condition: str  # compiled SQL
+    score: float
+    reason: str
+    priority: int
+    group: str
+
+
+@dataclass
+class RuleSet:
+    rules: list[Rule]
+    opportunity_threshold: float = 15.0
+    caution_threshold: float = -5.0
+    # source name -> list of fields; all-null => missing-source reason
+    missing_map: dict[str, list[str]] = field(default_factory=dict)
+    missing_priority: int = 100
+    version: str = "v1"
+
+    # ---- compiled SQL fragments (shared by Spark and the DuckDB oracle) ----
+
+    def score_sql(self) -> str:
+        """total_score = sum of matched rule scores (eval_event.py:322-365)."""
+        parts = [
+            f"(CASE WHEN {r.condition} THEN {r.score} ELSE 0 END)" for r in self.rules
+        ]
+        return " + ".join(parts) if parts else "0"
+
+    def hit_count_sql(self) -> str:
+        parts = [
+            f"(CASE WHEN {r.condition} THEN 1 ELSE 0 END)" for r in self.rules
+        ]
+        return " + ".join(parts) if parts else "0"
+
+    def level_sql(self, score_expr: str | None = None) -> str:
+        """opportunity / caution / observe thresholds (rules.yml:105-118)."""
+        s = score_expr or f"({self.score_sql()})"
+        return (
+            f"CASE WHEN {s} >= {self.opportunity_threshold} THEN 'opportunity' "
+            f"WHEN {s} <= {self.caution_threshold} THEN 'caution' "
+            f"ELSE 'observe' END"
+        )
+
+    def _reason_tag(self, r: Rule) -> str:
+        # Sortable tag: zero-padded (priority, |score|*10) so lexicographic
+        # DESC sort == (priority DESC, abs(score) DESC) — T6 semantics.
+        return f"{r.priority:03d}:{int(abs(r.score) * 10):05d}:{r.reason}"
+
+    def reasons_sql(self, top_k: int = 3, joiner: str = ";", dialect: str = "spark") -> str:
+        """Top-k reasons by (priority DESC, abs(score) DESC), joined.
+
+        Reference: eval_event.py:521-548 (T6). Emitted per dialect (Spark
+        SQL vs DuckDB list-function names; identical semantics): build
+        string-tagged array → drop nulls → sort desc → take k → strip
+        tags → join.
+        """
+        d = _DIALECTS[dialect]
+        elems = ", ".join(
+            f"CASE WHEN {r.condition} THEN '{self._reason_tag(r)}' END"
+            for r in self.rules
+        )
+        missing = [
+            (
+                " AND ".join(f"{f} IS NULL" for f in fields),
+                f"{self.missing_priority:03d}:00000:missing {src} data",
+            )
+            for src, fields in sorted(self.missing_map.items())
+        ]
+        for cond_sql, tag in missing:
+            elems += f", CASE WHEN {cond_sql} THEN '{tag}' END"
+        arr = f"{d['filter']}({d['array']}({elems}), x -> x IS NOT NULL)"
+        sorted_desc = f"{d['reverse']}({d['sort']}({arr}))"
+        sliced = f"{d['slice_first']}({sorted_desc}, 1, {top_k})"
+        stripped = f"{d['transform']}({sliced}, x -> substring(x, 11))"
+        return f"COALESCE({d['join']}({stripped}, '{joiner}'), '')"
+
+    def missing_sources_sql(self, joiner: str = ",", dialect: str = "spark") -> str:
+        """Comma-joined missing-source names (eval_event.py:423-448)."""
+        d = _DIALECTS[dialect]
+        elems = ", ".join(
+            f"CASE WHEN {' AND '.join(f'{f} IS NULL' for f in fields)} THEN '{src}' END"
+            for src, fields in sorted(self.missing_map.items())
+        )
+        if not elems:
+            return "''"
+        return (
+            f"COALESCE({d['join']}({d['filter']}({d['array']}({elems}), "
+            f"x -> x IS NOT NULL), '{joiner}'), '')"
+        )
+
+
+def load_ruleset(
+    source: str | dict,
+    fields: frozenset[str] | set[str] = DEFAULT_FIELDS,
+    env: dict[str, str] | None = None,
+) -> RuleSet:
+    """Load + compile a ruleset from a YAML path or a parsed dict.
+
+    YAML shape::
+
+        version: v1
+        thresholds: {opportunity: 15, caution: -5}
+        missing_map: {dex: [dex_liquidity, dex_volume_1h], hf: [last_sentiment_score]}
+        groups:
+          - name: liquidity
+            priority: 10
+            rules:
+              - id: LQ01
+                condition: "dex_liquidity is not null and dex_liquidity >= 500000"
+                score: 8
+                reason: "deep liquidity"
+    """
+    if isinstance(source, str):
+        if not _HAVE_YAML:  # pragma: no cover
+            raise RuleCompileError("pyyaml unavailable; pass a dict")
+        with open(source) as f:
+            doc = yaml.safe_load(f)
+    else:
+        doc = source
+
+    thresholds = doc.get("thresholds", {})
+    rules: list[Rule] = []
+    for group in doc.get("groups", []):
+        gname = group.get("name", "default")
+        gprio = int(group.get("priority", 0))
+        for r in group.get("rules", []):
+            rules.append(
+                Rule(
+                    rule_id=str(r["id"]),
+                    condition=compile_condition(r["condition"], fields, env),
+                    score=float(r.get("score", 0)),
+                    reason=str(r.get("reason", r["id"])),
+                    priority=int(r.get("priority", gprio)),
+                    group=gname,
+                )
+            )
+    missing_map = {
+        str(k): [str(f) for f in v] for k, v in (doc.get("missing_map") or {}).items()
+    }
+    for fields_list in missing_map.values():
+        for f_ in fields_list:
+            if f_ not in fields:
+                raise RuleCompileError(f"missing_map field {f_!r} not whitelisted")
+    return RuleSet(
+        rules=rules,
+        opportunity_threshold=float(thresholds.get("opportunity", 15)),
+        caution_threshold=float(thresholds.get("caution", -5)),
+        missing_map=missing_map,
+        version=str(doc.get("version", "v1")),
+    )

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs ``local[N]``; the configs below are chosen so the same
+logical plans scale to a multi-executor cluster: AQE handles skew/join
+re-planning at runtime, shuffle partition count is sized to cores locally
+(and should be ~2-3x total cores on a real cluster), and Arrow makes any
+pandas-UDF boundary cheap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "event-stream-starter-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-provided session.
+
+    The correctness driver owns its own SparkSession; queries must behave
+    identically there, so anything correctness-critical (UTC timestamps,
+    ANSI-off arithmetic) is set here via runtime confs, while anything that
+    is merely a performance default is best-effort.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP_LTZ so
+    # epoch extraction (unix_micros) works uniformly; with a UTC session
+    # the instants are identical either way.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    return spark
