@@ -91,15 +91,18 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(shingle, i). Returns array<long> of length num_hashes.
+    """MinHash signature: hash every shingle ONCE over its string bytes,
+    then derive the num_hashes permutations by re-hashing the resulting
+    8-byte long with a per-permutation seed column. Returns array<long>.
 
-    Pure JVM expression — per-row cost O(|shingles| * num_hashes) with no
-    shuffle; at 100TB this is a map-only stage.
+    Pure JVM expressions, map-only — the expensive variable-length string
+    hash runs once per shingle; the per-permutation hashes operate on a
+    fixed-width long (cheap). ANSI-safe (no overflowing arithmetic).
     """
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
@@ -145,24 +148,25 @@ def minhash_lsh_pairs(
         char_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # Candidate generation carries ONLY (id, band-key): the wide shingle
+    # arrays never enter the self-join shuffle. Shingles re-attach to the
+    # (small) deduped candidate set for exact verification.
     banded = sig.select(
-        "id", "sh", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
+        "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(right, on="bk")
+        banded.alias("a")
+        .join(banded.alias("b"), on="bk")
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )

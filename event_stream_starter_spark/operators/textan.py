@@ -47,8 +47,8 @@ def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def lang_scores(text: Column) -> list[tuple[str, Column]]:
-    t = tokens(text)
+def lang_scores(text: Column, toks: Column | None = None) -> list[tuple[str, Column]]:
+    t = tokens(text) if toks is None else toks
     n = F.greatest(F.size(t), F.lit(1)).cast("double")
     return [
         (lang, stopword_hits(t, words).cast("double") / n)
@@ -56,13 +56,16 @@ def lang_scores(text: Column) -> list[tuple[str, Column]]:
     ]
 
 
-def detect_lang(text: Column, min_score: float = 0.0) -> Column:
+def detect_lang(
+    text: Column, min_score: float = 0.0, toks: Column | None = None
+) -> Column:
     """Language with max stopword-ratio score; 'und' when all zero.
 
     Ties break by language-code order (deterministic): the comparison is
     strict-greater, so the first language in LANG_STOPWORDS order wins.
+    Pass a precomputed ``toks`` column to avoid re-tokenizing per language.
     """
-    scores = lang_scores(text)
+    scores = lang_scores(text, toks)
     best_lang = F.lit("und")
     best_score = F.lit(min_score)
     for lang, s in scores:
@@ -72,13 +75,13 @@ def detect_lang(text: Column, min_score: float = 0.0) -> Column:
     return best_lang
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Deterministic doc-quality heuristic in [0,1]:
     0.4*length_score + 0.3*(1 - punct_ratio) + 0.3*stopword_ratio_en.
 
     length_score = min(n_tokens/100, 1); punct_ratio = punct chars / chars.
     """
-    toks = tokens(text)
+    toks = tokens(text) if toks is None else toks
     n_toks = F.greatest(F.size(toks), F.lit(1)).cast("double")
     length_score = F.least(n_toks / F.lit(100.0), F.lit(1.0))
     n_chars = F.greatest(F.length(text), F.lit(1)).cast("double")

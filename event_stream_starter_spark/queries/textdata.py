@@ -101,12 +101,17 @@ def _quality_duck() -> str:
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    # Tokenize once; every downstream metric reuses the column.
+    with_toks = docs.withColumn("__toks", textan.tokens(t))
+    toks = F.col("__toks")
+    return with_toks.select(
         "doc_id",
-        textan.token_count(t).alias("n_tokens"),
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .alias("n_tokens"),
         textan.bpe_ish_token_count(t).alias("bpe_tokens"),
-        F.round(textan.quality_score(t), 6).alias("quality"),
-        textan.detect_lang(t).alias("lang_detected"),
+        F.round(textan.quality_score(t, toks), 6).alias("quality"),
+        textan.detect_lang(t, toks=toks).alias("lang_detected"),
         textan.doc_fingerprint(t).alias("fingerprint"),
     )
 
