@@ -67,20 +67,32 @@ def windowed_dedup(
 
 
 def char_shingles(text: Column, n: int = 5) -> Column:
-    """Distinct character n-gram shingles of a normalized text column."""
+    """Distinct character n-gram shingles of a normalized text column.
+
+    Overlapping n-grams come from ONE regex pass (`(?=(.{n}))` lookahead
+    capture) instead of a per-index `transform`+`substring` — inside a
+    higher-order-function lambda every referenced subexpression (here the
+    whitespace-normalizing regexp_replace) re-evaluates per element, which
+    measured ~17x slower at sf0.1.
+    """
     norm = F.regexp_replace(F.lower(text), r"\s+", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+    return F.array_distinct(F.regexp_extract_all(norm, F.lit(f"(?=(.{{{n}}}))"), 1))
 
 
 def token_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles."""
+    """Distinct word n-gram shingles.
+
+    The token array is bound ONCE via a single-element-array transform
+    (lambda variables are evaluated once; free subexpressions inside a
+    higher-order-function lambda re-evaluate per element).
+    """
     toks = F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), cnt)
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+
+    def grams(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(tk, i, n), " "))
+
+    return F.array_distinct(F.get(F.transform(F.array(toks), grams), 0))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -90,19 +102,19 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: hash every shingle ONCE over its string bytes,
-    then derive the num_hashes permutations by re-hashing the resulting
-    8-byte long with a per-permutation seed column. Returns array<long>.
+def minhash_signature(shingle_hashes: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature over PRE-HASHED shingles (array<long>): the i-th
+    permutation is xxhash64(h, i) over the fixed-width long. Returns
+    array<long> of length num_hashes.
 
-    Pure JVM expressions, map-only — the expensive variable-length string
-    hash runs once per shingle; the per-permutation hashes operate on a
-    fixed-width long (cheap). ANSI-safe (no overflowing arithmetic).
+    Callers hash each shingle's string bytes ONCE into a materialized
+    column (`transform(sh, s -> xxhash64(s))`) so the expensive
+    variable-length hash isn't re-inlined per permutation. Pure JVM
+    expressions, map-only, ANSI-safe (no overflowing arithmetic).
     """
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i))))
+            F.array_min(F.transform(shingle_hashes, lambda h: F.xxhash64(h, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
@@ -143,30 +155,66 @@ def minhash_lsh_pairs(
     on the band key, never the full cross product.
     """
     rows_per_band = num_hashes // bands
+    # The signature map stage is CPU-bound (|shingles| * num_hashes hash
+    # evals per row) — spread it across all cores even when the source is
+    # a single small parquet split. At cluster scale the input already has
+    # many splits and this round-robin shuffle is noise vs. the map cost.
+    par = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col).alias("id"),
         char_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).repartition(par)
+    # hh = 64-bit hashes of the (distinct) shingles. Downstream verify
+    # computes Jaccard over hh, not the strings: identical set sizes
+    # barring 64-bit collisions, and the wide string arrays never leave
+    # this stage. The signature frame is consumed by THREE branches
+    # (banding, and both sides of the verify attach) — persist it so the
+    # shingle+signature map runs once (same pattern as MLlib's LSH).
+    sig = (
+        base.select(
+            "id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hh")
+        )
+        .withColumn("sig", minhash_signature(F.col("hh"), num_hashes))
+        .persist()
     )
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     # Candidate generation carries ONLY (id, band-key): the wide shingle
-    # arrays never enter the self-join shuffle. Shingles re-attach to the
-    # (small) deduped candidate set for exact verification.
+    # arrays never enter the shuffle, and grouping by bucket computes the
+    # signature ONCE (a band-key self-join would evaluate the whole
+    # upstream twice). In-bucket pair expansion is quadratic per bucket —
+    # LSH buckets are tiny by construction; a pathological mega-bucket
+    # (thousands of byte-identical docs) should be collapsed by exact
+    # dedup upstream first.
     banded = sig.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
     )
+    buckets = (
+        banded.groupBy("bk")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+    def pair_structs(ids: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+
     cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), on="bk")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(pair_structs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sh_a = sig.select(F.col("id").alias("id_a"), F.col("hh").alias("hh_a"))
+    sh_b = sig.select(F.col("id").alias("id_b"), F.col("hh").alias("hh_b"))
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("jaccard_sim", jaccard(F.col("hh_a"), F.col("hh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -179,21 +227,30 @@ def simhash64(tokens: Column) -> Column:
     the vote is positive. Pure expressions (bitwise ops + aggregate).
     """
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    bit_cols = []
-    for bit in range(64):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << bit) if bit < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
-        )
-        bit_cols.append(
-            F.when(votes > 0, F.lit(1).cast("long") * F.lit(2 ** bit if bit < 63 else -(2**63))).otherwise(F.lit(0).cast("long"))
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out.bitwiseXOR(c)
-    return out
+    # ONE aggregate pass accumulating all 64 per-bit votes (a free
+    # subexpression referenced from 64 separate aggregates would
+    # re-evaluate the token hashing 64x per row).
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.transform(
+            acc, lambda v, i: v + F.when(F.getbit(h, i) == 1, 1).otherwise(-1)
+        ),
+    )
+
+    def pack(vs: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for bit in range(64):
+            weight = F.lit(2**bit if bit < 63 else -(2**63)).cast("long")
+            out = out.bitwiseXOR(
+                F.when(F.element_at(vs, bit + 1) > 0, weight).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return out
+
+    # Bind the vote array once; 64 element_at reads are then cheap.
+    return F.get(F.transform(F.array(votes), pack), 0)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -213,7 +270,15 @@ def simhash_pairs(
     block), self-join per block, verify Hamming distance.
     """
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
-    base = df.select(F.col(id_col).alias("id"), simhash64(toks).alias("sh"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # CPU-bound map stage: spread across cores even from one parquet
+    # split; the (id, simhash) frame is tiny — persist it so the hash is
+    # computed once across banding and verification.
+    base = (
+        df.repartition(par)
+        .select(F.col(id_col).alias("id"), simhash64(toks).alias("sh"))
+        .persist()
+    )
     width = 64 // bands
     block_keys = F.array(
         *[
@@ -227,23 +292,37 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    banded = base.withColumn("bk", F.explode(block_keys))
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), on="bk")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    banded = base.select(
+        "id", "sh", F.explode(block_keys).alias("bk")
     )
+    # Pairs are generated within each block bucket (no self-join → the
+    # upstream hash map runs once; same skew caveat as minhash_lsh_pairs).
+    buckets = (
+        banded.groupBy("bk")
+        .agg(F.array_sort(F.collect_set(F.struct("id", "sh"))).alias("rs"))
+        .filter(F.size("rs") > 1)
+    )
+
+    def pair_structs(rs: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                rs,
+                lambda x, i: F.transform(
+                    F.slice(rs, i + F.lit(2), F.size(rs)),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        hamming64(x["sh"], y["sh"]).alias("hamming"),
+                    ),
+                ),
+            )
+        )
+
     return (
-        cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        buckets.select(F.explode(pair_structs(F.col("rs"))).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -164,8 +164,17 @@ _SHINGLE_DUCK = (
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Jaccard over 64-bit hashes of the shingles, not the strings: the
+    # intersect/union sizes are identical (modulo negligible xxhash64
+    # collisions) and fixed-width long comparisons are far cheaper inside
+    # the quadratic block-join than variable-length strings.
     sh = docs.select(
-        "doc_id", "lang", "source", token_shingles(F.col("text"), 3).alias("sh")
+        "doc_id",
+        "lang",
+        "source",
+        F.transform(token_shingles(F.col("text"), 3), lambda s: F.xxhash64(s)).alias(
+            "sh"
+        ),
     )
     a, b = sh.alias("a"), sh.alias("b")
     jac = jaccard(F.col("a.sh"), F.col("b.sh"))
