@@ -46,8 +46,11 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         eventstream,
         flagship,
+        mmedia,
+        ops,
         relational,
         rules_q,
+        scalars,
         textdata,
         vectors,
     )

@@ -1,0 +1,486 @@
+"""Scalar-function queries (SURVEY.md §2.2 F6-F10, §2.3 C1-C18): each
+certifies a family of column expressions against a DuckDB oracle.
+
+Deterministic inputs are synthesized from the driver tables (FIXTURES.md)
+— e.g. CA candidates derived from sha256(text) — so every branch of each
+normalizer is exercised without external fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import (
+    normalize_ca,
+    normalize_text,
+    normalize_token_symbol,
+    normalize_url,
+)
+from ..functions.scoring import (
+    NEGATIVE_WORDS,
+    POSITIVE_WORDS,
+    candidate_score,
+    clamp01,
+    lexicon_sentiment_label,
+    lexicon_sentiment_score,
+    quantize3,
+)
+from ..io import load_table
+from . import query
+
+# ---------------------------------------------------------------------------
+# C1 / C3 / C9(F9): text, symbol, contract-address normalization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c1_c3_normalize",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               text,
+               'HTTP://x.co/a b @user ' || text AS raw_text,
+               '  $$' || source || '  '        AS raw_symbol,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '0X' || upper(substring(sha256(text), 1, 40))
+                    WHEN doc_id % 3 = 1 THEN substring(text, 1, 10)
+                    ELSE NULL END              AS raw_ca
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(lower(raw_text),
+                'https?://\\S+', ' ', 'g'), '@\\w+', ' ', 'g'), '\\s+', ' ', 'g'))
+               AS text_norm,
+           CASE WHEN length(regexp_replace(lower(trim(raw_symbol)), '^\\$+', '')) > 0
+                THEN '$' || regexp_replace(lower(trim(raw_symbol)), '^\\$+', '')
+                ELSE NULL END AS symbol_norm,
+           CASE WHEN regexp_matches(
+                    regexp_replace(lower(trim(raw_ca)), '^0x', ''),
+                    '^[0-9a-f]{40}$')
+                THEN '0x' || regexp_replace(lower(trim(raw_ca)), '^0x', '')
+                ELSE NULL END AS ca_norm
+    FROM base
+    """,
+    survey_ids="C1 (_normalize_text), C3 (_normalize_token_symbol), F9 (CA normalization)",
+)
+def c1_c3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw_text = F.concat(F.lit("HTTP://x.co/a b @user "), F.col("text"))
+    raw_symbol = F.concat(F.lit("  $$"), F.col("source"), F.lit("  "))
+    raw_ca = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("0X"), F.upper(F.substring(F.sha2(F.col("text"), 256), 1, 40))),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.substring(F.col("text"), 1, 10))
+        .otherwise(F.lit(None))
+    )
+    return docs.select(
+        "doc_id",
+        normalize_text(raw_text).alias("text_norm"),
+        normalize_token_symbol(raw_symbol).alias("symbol_norm"),
+        normalize_ca(raw_ca).alias("ca_norm"),
+    )
+
+
+@query(
+    "c2_url_normalize",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               'http://example.com/p/' || source || '/?utm_source=x&q=' ||
+                   CAST(doc_id AS VARCHAR) || '&ref=y#frag' || CAST(doc_id % 7 AS VARCHAR)
+                   AS raw_url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               raw_url,
+               '^http://', 'https://'),
+               '#.*$', ''),
+               '[?&](utm_[^=&]*|ref)=[^&]*', '', 'g'),
+               '\\?$', ''),
+               '/$', '') AS url_norm
+    FROM base
+    """,
+    survey_ids="C2 (_normalize_url: https, drop fragment/tracking params/trailing slash)",
+)
+def c2_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("http://example.com/p/"),
+        F.col("source"),
+        F.lit("/?utm_source=x&q="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref=y#frag"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return docs.select("doc_id", normalize_url(raw).alias("url_norm"))
+
+
+# ---------------------------------------------------------------------------
+# C9 / C15: candidate score + 3-dp HALF_UP quantize/clamp
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c9_c15_scores",
+    """
+    WITH base AS (
+        SELECT event_id, value,
+               least(greatest(value / 50.0 - 1.0, -1.0), 1.0) AS sent,
+               CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 6 AS INTEGER)
+                   AS n_keywords
+        FROM events
+    )
+    SELECT event_id,
+           ROUND(sent, 6) + 0 AS sentiment,
+           ROUND(least(greatest(
+               0.6 * ((sent + 1.0) / 2.0)
+               + 0.4 * least(CAST(n_keywords AS DOUBLE) / 5.0, 1.0),
+               0.0), 1.0), 6) + 0 AS cand_score,
+           CAST(ROUND(CAST(least(greatest(value / 100.0, 0.0), 1.0)
+                AS DECIMAL(18,9)), 3) AS DECIMAL(18,3)) AS conf_q3
+    FROM base
+    """,
+    survey_ids="C9 (_compute_candidate_score), C15 (3-dp HALF_UP quantize + clamp_ratio)",
+)
+def c9_c15_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sent = F.least(F.greatest(F.col("value") / 50.0 - 1.0, F.lit(-1.0)), F.lit(1.0))
+    n_kw = (F.get_json_object("props", "$.k").cast("int") % 6).cast("int")
+    return ev.select(
+        "event_id",
+        (F.round(sent, 6) + 0).alias("sentiment"),
+        (F.round(candidate_score(sent, n_kw), 6) + 0).alias("cand_score"),
+        quantize3(clamp01(F.col("value") / 100.0)).alias("conf_q3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C11: lexicon sentiment (U1 deterministic fallback)
+# ---------------------------------------------------------------------------
+
+
+def _words_sql(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "c11_lexicon_sentiment",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               least(greatest(
+                   CAST(len(list_filter(t, x -> list_contains({_words_sql(POSITIVE_WORDS)}, x)))
+                        - len(list_filter(t, x -> list_contains({_words_sql(NEGATIVE_WORDS)}, x)))
+                        AS DOUBLE)
+                   / greatest(len(t), 1) * 3.0, -1.0), 1.0) AS score
+        FROM toks
+    )
+    SELECT doc_id,
+           ROUND(score, 6) + 0 AS sentiment_score,
+           CASE WHEN score >= 0.1 THEN 'pos'
+                WHEN score <= -0.1 THEN 'neg'
+                ELSE 'neu' END AS sentiment_label
+    FROM scored
+    """,
+    survey_ids="C11 (lexicon sentiment score+label), U1 deterministic fallback",
+)
+def c11_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    score = lexicon_sentiment_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        (F.round(score, 6) + 0).alias("sentiment_score"),
+        lexicon_sentiment_label(score).alias("sentiment_label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C13: rules keyphrase extractor (U2 deterministic fallback)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "and", "for", "with", "from", "that", "this", "a")
+
+
+@query(
+    "c13_keyphrases",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '\\$\\w+|[a-z]{{2,}}') AS t
+        FROM documents
+    ), flat AS (
+        SELECT doc_id,
+               unnest(t) AS tok,
+               unnest(generate_series(1, len(t))) AS ord
+        FROM toks
+    ), firsts AS (
+        SELECT doc_id, tok, MIN(ord) AS first_pos
+        FROM flat
+        WHERE NOT list_contains({_words_sql(_STOPWORDS)}, tok)
+        GROUP BY doc_id, tok
+    )
+    SELECT doc_id, list(tok ORDER BY first_pos)[:5] AS keyphrases
+    FROM firsts
+    GROUP BY doc_id
+    """,
+    survey_ids="C13 (regex keyphrases: tokens, stopword filter, order-preserving dedup, top-5), U2 fallback",
+)
+def c13_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in _STOPWORDS])
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\$\w+|[a-z]{2,}"), 0)
+    # array_distinct preserves first occurrence (order-preserving dedup,
+    # reference api/keyphrases.py:80-90), then top-5.
+    phrases = F.slice(
+        F.array_distinct(F.filter(toks, lambda t: ~F.array_contains(stop, t))), 1, 5
+    )
+    return docs.filter(F.size(phrases) > 0).select(
+        "doc_id", phrases.alias("keyphrases")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C17 / C18: JSON access + message formatting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c17_c18_json_format",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           printf('user %d %s k=%d', user_id, event_type,
+                  CAST(json_extract(props, '$.k') AS INTEGER)) AS message
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INTEGER) % 5 = 0
+    """,
+    survey_ids="C17 (JSONB path access), C18 (message format string); jsonb read path",
+)
+def c17_c18_json_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") % 5 == 0)
+        .select(
+            "event_id",
+            "k",
+            F.format_string("user %d %s k=%d", F.col("user_id"), F.col("event_type"), F.col("k")).alias(
+                "message"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6 / F7: entity blacklist/whitelist + synonym normalization
+# ---------------------------------------------------------------------------
+
+_BLACKLIST = ("the", "a", "and")
+_WHITELIST = ("spark", "stream")
+_SYNONYMS = {"big": "large", "fast": "quick"}
+
+
+@query(
+    "f6_f7_entity_filter",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z]{{2,}}') AS t
+        FROM documents
+    ), flat AS (
+        SELECT doc_id, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS ord
+        FROM toks
+    ), mapped AS (
+        SELECT doc_id,
+               CASE tok WHEN 'big' THEN 'large' WHEN 'fast' THEN 'quick'
+                        ELSE tok END AS tok,
+               ord
+        FROM flat
+        WHERE NOT list_contains({_words_sql(_BLACKLIST)}, tok)
+    ), firsts AS (
+        SELECT doc_id, tok, MIN(ord) AS first_pos
+        FROM mapped GROUP BY doc_id, tok
+    ), ents AS (
+        SELECT doc_id, list(tok ORDER BY first_pos)[:8] AS entities
+        FROM firsts GROUP BY doc_id
+    )
+    SELECT doc_id, entities,
+           ROUND(least(0.5 + CASE WHEN list_has_any(entities, {_words_sql(_WHITELIST)})
+                                  THEN 0.05 ELSE 0.0 END, 1.0), 6) AS confidence
+    FROM ents
+    """,
+    survey_ids="F6 (blacklist drop + whitelist boost), F7 (synonym map, stop-term removal, order-preserving dedup)",
+)
+def f6_f7_entity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    black = F.array(*[F.lit(w) for w in _BLACKLIST])
+    white = F.array(*[F.lit(w) for w in _WHITELIST])
+    syn_map = F.create_map(
+        *[F.lit(x) for kv in _SYNONYMS.items() for x in kv]
+    )
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]{2,}"), 0)
+    kept = F.filter(toks, lambda t: ~F.array_contains(black, t))
+    mapped = F.transform(kept, lambda t: F.coalesce(syn_map[t], t))
+    entities = F.slice(F.array_distinct(mapped), 1, 8)
+    boost = F.when(F.arrays_overlap(entities, white), F.lit(0.05)).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        entities.alias("entities"),
+        F.round(F.least(F.lit(0.5) + boost, F.lit(1.0)), 6).alias("confidence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 / F10 / F11: key-format guard, chain detection, evidence grading
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f8_f10_f11_guards",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN substring(sha256(text), 1, 40)
+                    ELSE substring(text, 1, 12) END AS key_candidate,
+               'https://' || CASE CAST(doc_id % 5 AS INTEGER)
+                    WHEN 0 THEN 'etherscan.io'
+                    WHEN 1 THEN 'bscscan.com'
+                    WHEN 2 THEN 'basescan.org'
+                    WHEN 3 THEN 'solscan.io'
+                    ELSE 'example.com' END || '/tx/' || CAST(doc_id AS VARCHAR)
+                   AS evidence_url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_matches(key_candidate, '^[0-9a-fA-F]{40}$') AS key_ok,
+           CASE WHEN contains(evidence_url, 'etherscan.io') THEN 'eth'
+                WHEN contains(evidence_url, 'bscscan.com') THEN 'bsc'
+                WHEN contains(evidence_url, 'basescan.org') THEN 'base'
+                WHEN contains(evidence_url, 'solscan.io') THEN 'sol'
+                ELSE NULL END AS chain,
+           CASE WHEN contains(evidence_url, 'etherscan.io')
+                  OR contains(evidence_url, 'solscan.io') THEN 'strong'
+                WHEN contains(evidence_url, 'bscscan.com')
+                  OR contains(evidence_url, 'basescan.org') THEN 'medium'
+                ELSE 'weak' END AS evidence_strength
+    FROM base
+    """,
+    survey_ids="F8 (event-key format guard), F10 (chain detection from URLs), F11 (evidence-strength grading)",
+)
+def f8_f10_f11_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key_cand = F.when(
+        F.col("doc_id") % 2 == 0, F.substring(F.sha2(F.col("text"), 256), 1, 40)
+    ).otherwise(F.substring(F.col("text"), 1, 12))
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("etherscan.io"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("bscscan.com"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("basescan.org"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("solscan.io"))
+        .otherwise(F.lit("example.com"))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/tx/"), F.col("doc_id").cast("string"))
+    chain = (
+        F.when(url.contains("etherscan.io"), F.lit("eth"))
+        .when(url.contains("bscscan.com"), F.lit("bsc"))
+        .when(url.contains("basescan.org"), F.lit("base"))
+        .when(url.contains("solscan.io"), F.lit("sol"))
+        .otherwise(F.lit(None))
+    )
+    strength = (
+        F.when(url.contains("etherscan.io") | url.contains("solscan.io"), F.lit("strong"))
+        .when(url.contains("bscscan.com") | url.contains("basescan.org"), F.lit("medium"))
+        .otherwise(F.lit("weak"))
+    )
+    return docs.select(
+        "doc_id",
+        key_cand.rlike("^[0-9a-fA-F]{40}$").alias("key_ok"),
+        chain.alias("chain"),
+        strength.alias("evidence_strength"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W9: time-proximity score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w9_time_proximity",
+    """
+    WITH mx AS (SELECT MAX(ts) AS now_ts FROM events)
+    SELECT event_id,
+           ROUND(least(greatest(
+               1.0 - (epoch_us(now_ts) - epoch_us(ts)) / 60000000.0 / 90.0, 0.0), 1.0), 6) + 0
+               AS time_score,
+           ROUND(0.6 * least(greatest(
+                     1.0 - (epoch_us(now_ts) - epoch_us(ts)) / 60000000.0 / 90.0, 0.0), 1.0)
+                 + 0.4 * CASE WHEN value >= 10 THEN 1.0 ELSE 0.0 END, 6) + 0
+               AS blended
+    FROM events, mx
+    WHERE ts >= now_ts - INTERVAL 3 HOUR
+    """,
+    survey_ids="W9 (time-proximity score, lp-gate blend 0.6/0.4)",
+)
+def w9_time_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    now_ts = ev.select(F.max("ts").alias("now_ts"))
+    j = ev.crossJoin(F.broadcast(now_ts))
+    minutes = (F.unix_micros("now_ts") - F.unix_micros("ts")) / 60000000.0
+    t_score = clamp01(F.lit(1.0) - minutes / 90.0)
+    lp_gate = F.when(F.col("value") >= 10, F.lit(1.0)).otherwise(F.lit(0.0))
+    return j.filter(
+        F.col("ts") >= F.col("now_ts") - F.expr("INTERVAL 3 HOUR")
+    ).select(
+        "event_id",
+        (F.round(t_score, 6) + 0).alias("time_score"),
+        (F.round(F.lit(0.6) * t_score + F.lit(0.4) * lp_gate, 6) + 0).alias("blended"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U5: memeable-topic detector (deterministic regex core)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u5_memeable_detector",
+    """
+    WITH pat AS (
+        SELECT doc_id,
+               CAST(regexp_matches(text, 'moon|pump') AS INTEGER)
+                 + CAST(regexp_matches(text, 'inu|dog|pepe') AS INTEGER)
+                 + CAST(regexp_matches(text, '\\$[A-Za-z]{2,10}') AS INTEGER)
+                   AS n_patterns
+        FROM documents
+    )
+    SELECT doc_id, n_patterns,
+           ROUND(least(0.3 * n_patterns, 1.0), 6) AS confidence,
+           n_patterns >= 1 AS is_memeable
+    FROM pat
+    """,
+    survey_ids="U5 (memeable-topic detector: regex patterns, confidence=0.3*n)",
+)
+def u5_memeable_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = (
+        F.col("text").rlike("moon|pump").cast("int")
+        + F.col("text").rlike("inu|dog|pepe").cast("int")
+        + F.col("text").rlike(r"\$[A-Za-z]{2,10}").cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_patterns"),
+        F.round(F.least(F.lit(0.3) * n, F.lit(1.0)), 6).alias("confidence"),
+        (n >= 1).alias("is_memeable"),
+    )
