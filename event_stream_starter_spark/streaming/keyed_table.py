@@ -1,0 +1,131 @@
+"""Keyed upsert table: the engine's stand-in for the reference's
+``INSERT ... ON CONFLICT (event_key) DO UPDATE`` sink (api/events.py:
+1201-1244) without requiring a transactional table format.
+
+``merge_batch`` implements the A1 merge laws as a pure DataFrame
+computation (greatest last_ts, summed evidence_count, latest-non-null
+scalars), and the table swaps complete parquet snapshot versions
+atomically via a pointer file — idempotent per (key, batch) because the
+merge laws are associative/commutative and re-merging the same batch is
+a no-op for max/last-by-ts laws and guarded by batch_id for counters.
+
+At cluster scale the same ``merge_batch`` laws drive a real MERGE INTO
+on a transactional format; this snapshot-versioned layout is the
+dependency-free equivalent with identical semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATE_COLS = [
+    "event_key",
+    "start_ts",
+    "last_ts",
+    "evidence_count",
+    "max_weight",
+    "last_value",
+    "last_batch_id",
+]
+
+
+def aggregate_batch(batch: DataFrame, key_col: str = "event_key") -> DataFrame:
+    """Collapse one micro-batch to per-key partial state (map-side
+    pre-aggregation: the shuffle carries one row per key, not per event)."""
+    return batch.groupBy(key_col).agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("evidence_count"),
+        F.max("value").alias("max_weight"),
+        F.max_by("value", "ts").alias("last_value"),
+    )
+
+
+def merge_states(current: DataFrame, incoming: DataFrame, batch_id: int) -> DataFrame:
+    """A1 merge laws over (current ⟗ incoming) per key:
+    last_ts = greatest, start_ts = least, counts summed, weight = max,
+    last_value = value of the side with the greater last_ts.
+
+    Re-delivery safety (ST5 at-least-once): a batch with id <=
+    last_batch_id is dropped before merging, making the sink idempotent
+    under foreachBatch retries.
+    """
+    cur = current.select(*STATE_COLS).alias("c")
+    inc = incoming.withColumn("last_batch_id", F.lit(batch_id)).alias("i")
+    joined = cur.join(inc, F.col("c.event_key") == F.col("i.event_key"), "full_outer")
+    newer_is_inc = F.coalesce(
+        F.col("i.last_ts") >= F.col("c.last_ts"), F.lit(True)
+    )
+    replay = F.coalesce(F.col("i.last_batch_id") <= F.col("c.last_batch_id"), F.lit(False))
+    merged = joined.select(
+        F.coalesce(F.col("c.event_key"), F.col("i.event_key")).alias("event_key"),
+        F.least(F.col("c.start_ts"), F.col("i.start_ts")).alias("start_ts"),
+        F.greatest(F.col("c.last_ts"), F.col("i.last_ts")).alias("last_ts"),
+        (
+            F.coalesce(F.col("c.evidence_count"), F.lit(0))
+            + F.when(replay, F.lit(0)).otherwise(
+                F.coalesce(F.col("i.evidence_count"), F.lit(0))
+            )
+        ).alias("evidence_count"),
+        F.greatest(F.col("c.max_weight"), F.col("i.max_weight")).alias("max_weight"),
+        F.when(newer_is_inc & ~replay, F.coalesce(F.col("i.last_value"), F.col("c.last_value")))
+        .otherwise(F.col("c.last_value"))
+        .alias("last_value"),
+        F.greatest(
+            F.coalesce(F.col("c.last_batch_id"), F.lit(-1)).cast("long"),
+            F.coalesce(F.col("i.last_batch_id"), F.lit(-1)).cast("long"),
+        ).alias("last_batch_id"),
+    )
+    return merged
+
+
+class KeyedParquetTable:
+    """Snapshot-versioned keyed table with an atomic current-version
+    pointer. Readers always see a complete snapshot; the writer renames
+    the pointer last (rename is atomic on a POSIX fs; on object stores
+    this layer is replaced by the table format's commit protocol)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer()) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def read(self) -> DataFrame | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+
+    def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
+        incoming = aggregate_batch(batch)
+        current = self.read()
+        if current is None:
+            merged = incoming.withColumn("last_batch_id", F.lit(batch_id).cast("long"))
+        else:
+            merged = merge_states(current, incoming, batch_id)
+        v = (self.current_version() or 0) + 1
+        target = os.path.join(self.path, f"v{v}")
+        merged.select(*STATE_COLS).write.mode("overwrite").parquet(target)
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, self._pointer())
+
+    def foreach_batch_writer(self):
+        def write(batch: DataFrame, batch_id: int) -> None:
+            self.upsert_batch(batch, batch_id)
+
+        return write

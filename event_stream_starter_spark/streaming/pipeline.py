@@ -1,0 +1,88 @@
+"""The streaming pipeline stages (SURVEY.md §3.1 re-expressed;
+§7.2's slice in streaming form).
+
+Each stage is a function (streaming DF → streaming DF / query) reusing
+the batch column expressions, so streamed results equal batch results
+on the same input — asserted by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import ts_bucket
+
+
+def with_event_key(df: DataFrame) -> DataFrame:
+    """C4 key shape over the events stream (same expression as the batch
+    c4_event_key_dedup query)."""
+    key = F.substring(
+        F.sha2(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                ts_bucket(F.col("ts")).cast("string"),
+            ),
+            256,
+        ),
+        1,
+        40,
+    )
+    return df.withColumn("event_key", key)
+
+
+def deduped_stream(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """D1/D3 streaming dedup: watermark bounds state (ST3 — the
+    reference's TTL windows), dropDuplicatesWithinWatermark keeps the
+    first arrival per key within it."""
+    return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_key"]
+    )
+
+
+def heat_counts_stream(df: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """A3 streaming form: tumbling 10-minute event-time windows per
+    event_type (the batch query derives trailing 10m/30m sums from these
+    buckets; streaming emits the buckets incrementally)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, sink_writer, checkpoint_dir: str) -> None:
+    """Drain all available input through foreachBatch (availableNow — the
+    batch-parity test harness; production uses trigger(processingTime))."""
+    q = (
+        stream_df.writeStream.foreachBatch(sink_writer)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_to_memory_table(
+    stream_df: DataFrame, table_name: str, checkpoint_dir: str, output_mode: str
+) -> None:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,69 @@
+"""Streaming sources (SURVEY.md §2.1 S1-S3, S12).
+
+The reference's X poller keeps a per-handle ``since_id`` cursor in Redis
+(worker/jobs/x_kol_poll.py:120-143); Spark's checkpointed source offsets
+are the same contract, managed by the engine. A file-stream over a
+landing directory is the default ingest: each micro-batch picks up new
+files exactly once per checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def events_file_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Parquet landing-dir stream with an explicit schema (never inferred
+    on the hot path, SURVEY §1.4) and bounded per-trigger intake
+    (maxFilesPerTrigger ≈ the reference's batch LIMIT knobs, §4)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic rate source shaped like the events table — used for
+    soak/throughput testing of the pipeline without files."""
+    from pyspark.sql import functions as F
+
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 50).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("click", "view", "purchase", "error", "signup")]),
+            (F.col("value") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 100).cast("double").alias("value"),
+        F.concat(F.lit('{"k": '), (F.col("value") % 100).cast("string"), F.lit("}")).alias(
+            "props"
+        ),
+    )

@@ -1,0 +1,193 @@
+"""Streaming shell tests: batch/stream parity on the sf0.001 events
+parquet, keyed-table upsert idempotence, state-machine goldens, and
+outbox policy checks. Streams use availableNow so runs terminate."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from event_stream_starter_spark.streaming import outbox as ob
+from event_stream_starter_spark.streaming.keyed_table import (
+    KeyedParquetTable,
+    aggregate_batch,
+)
+from event_stream_starter_spark.streaming.pipeline import (
+    deduped_stream,
+    heat_counts_stream,
+    run_to_completion,
+    run_to_memory_table,
+    with_event_key,
+)
+from event_stream_starter_spark.streaming.source import events_file_stream
+from event_stream_starter_spark.streaming.state_machine import (
+    apply_state_machine,
+    replay_batch,
+)
+
+
+@pytest.fixture()
+def landing(spark, sf_dir, tmp_path):
+    """Copy the events parquet into a landing dir split so several
+    micro-batches fire (maxFilesPerTrigger=4 over N files)."""
+    from event_stream_starter_spark.io import load_table
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    # Re-write as multiple files so the file stream produces >1 batch
+    # (load_table normalizes the nanos-timestamp to TimestampType).
+    load_table(spark, sf_dir, "events").repartition(8).write.mode("overwrite").parquet(
+        str(land / "split")
+    )
+    return str(land / "split")
+
+
+def test_heat_counts_stream_equals_batch(spark, landing, tmp_path):
+    stream = heat_counts_stream(events_file_stream(spark, landing))
+    run_to_memory_table(stream, "heat_tbl", str(tmp_path / "ck1"), "complete")
+    streamed = {
+        (r["bucket_start"], r["event_type"]): (r["cnt"], r["total_value"])
+        for r in spark.table("heat_tbl").collect()
+    }
+    batch = (
+        spark.read.parquet(landing)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "cnt", "total_value")
+    )
+    expected = {
+        (r["bucket_start"], r["event_type"]): (r["cnt"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert streamed == expected
+
+
+def test_dedup_stream_subset_and_key_unique(spark, landing, tmp_path):
+    stream = deduped_stream(with_event_key(events_file_stream(spark, landing)))
+    run_to_memory_table(stream, "dedup_tbl", str(tmp_path / "ck2"), "append")
+    out = spark.table("dedup_tbl")
+    n = out.count()
+    n_keys = out.select("event_key").distinct().count()
+    batch_keys = with_event_key(spark.read.parquet(landing)).select("event_key").distinct().count()
+    # Exactly one survivor per key, and every key survives.
+    assert n == n_keys == batch_keys
+
+
+def test_keyed_table_upsert_equals_batch_agg(spark, landing, tmp_path):
+    table = KeyedParquetTable(spark, str(tmp_path / "events_state"))
+    stream = with_event_key(events_file_stream(spark, landing))
+    run_to_completion(stream, table.foreach_batch_writer(), str(tmp_path / "ck3"))
+
+    result = table.read().drop("last_batch_id")
+    batch = aggregate_batch(with_event_key(spark.read.parquet(landing)))
+    got = {tuple(r) for r in result.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    # Idempotence: re-applying the last batch must be a no-op for counts.
+    last_v = table.current_version()
+    df = spark.read.parquet(landing)
+    table.upsert_batch(with_event_key(df), batch_id=0)  # replayed batch_id
+    replayed = table.read()
+    assert replayed.agg(F.sum("evidence_count")).first()[0] == result.agg(
+        F.sum("evidence_count")
+    ).first()[0]
+    assert table.current_version() == last_v + 1
+
+
+def test_state_machine_stream_matches_python_replay(spark, tmp_path):
+    rows = [
+        # key A: two errors, hold, error → cooldown; upgrade inside cooldown ignored
+        {"event_key": "A", "ts_us": 1, "verdict": "error"},
+        {"event_key": "A", "ts_us": 2, "verdict": "error"},
+        {"event_key": "A", "ts_us": 3, "verdict": "hold"},
+        {"event_key": "A", "ts_us": 4, "verdict": "error"},
+        {"event_key": "A", "ts_us": 5, "verdict": "error"},
+        {"event_key": "A", "ts_us": 6, "verdict": "error"},
+        {"event_key": "A", "ts_us": 7, "verdict": "upgrade"},  # in cooldown → ignored
+        # key B: straight upgrade then downgrade attempt (sticky terminal)
+        {"event_key": "B", "ts_us": 1, "verdict": "upgrade"},
+        {"event_key": "B", "ts_us": 2, "verdict": "downgrade"},
+        # key C: downgrade wins
+        {"event_key": "C", "ts_us": 1, "verdict": "hold"},
+        {"event_key": "C", "ts_us": 2, "verdict": "downgrade"},
+    ]
+    src_dir = tmp_path / "verdicts"
+    spark.createDataFrame(
+        rows, "event_key string, ts_us long, verdict string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema("event_key string, ts_us long, verdict string")
+        .parquet(str(src_dir))
+    )
+    out = apply_state_machine(stream)
+    run_to_memory_table(out, "sm_tbl", str(tmp_path / "ck4"), "update")
+    got = {
+        r["event_key"]: (r["state"], r["fail_count"])
+        for r in spark.table("sm_tbl").collect()
+    }
+    want = {k: (v[0], v[1]) for k, v in replay_batch(rows).items()}
+    assert got == want
+    assert got["B"][0] == "verified"
+    assert got["C"][0] == "downgraded"
+    assert got["A"][0] == "candidate"
+
+
+def test_outbox_policies(spark):
+    now = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
+    rows = [
+        # id, event_key, payload, created_at, attempt, status, next_try_at, ok, status_code, retry_after
+        (1, "k1", "{}", "2024-01-01 00:00:00", 0, "pending", None, True, 200, None),
+        (2, "k2", "{}", "2024-01-01 00:00:01", 5, "retry", None, False, 500, None),
+        (3, "k3", "{}", "2024-01-01 00:00:02", 0, "retry", None, False, 429, 7),
+        (4, "k4", "{}", "2024-01-01 00:00:03", 0, "pending", None, False, 404, None),
+        (5, "k5", "{}", "2024-01-01 00:00:04", 19, "retry", None, False, 500, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, event_key string, payload_json string, created_at string, "
+        "attempt int, status string, next_try_at timestamp, ok boolean, "
+        "status_code int, retry_after int",
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+
+    out = {r["id"]: r for r in ob.apply_delivery_result(df, now).collect()}
+    assert out[1]["status"] == "done" and out[1]["next_try_at"] is None
+    assert out[2]["status"] == "retry"
+    # 5xx backoff: 2^6=64s with ±30% jitter → [44.8, 83.2] sec after now
+    delta2 = (out[2]["next_try_at"] - out[2]["next_try_at"].min) if False else None
+    import datetime
+
+    base = datetime.datetime(2024, 1, 2, 0, 0, 0)
+    d2 = (out[2]["next_try_at"] - base).total_seconds()
+    assert 44 <= d2 <= 84
+    # 429 honors Retry-After exactly
+    d3 = (out[3]["next_try_at"] - base).total_seconds()
+    assert d3 == 7
+    # permanent 4xx → dlq
+    assert out[4]["status"] == "dlq"
+    # attempt cap → dlq
+    assert out[5]["status"] == "dlq"
+
+    # due/order policy
+    pend = spark.createDataFrame(
+        [
+            (1, None, "2024-01-01 00:00:05", "retry"),
+            (2, "2024-01-01 00:00:01", "2024-01-01 00:00:06", "retry"),
+            (3, "2025-01-01 00:00:00", "2024-01-01 00:00:07", "retry"),
+            (4, None, "2024-01-01 00:00:01", "done"),
+        ],
+        "id long, next_try_at string, created_at string, status string",
+    ).select(
+        "id",
+        F.to_timestamp("next_try_at").alias("next_try_at"),
+        F.to_timestamp("created_at").alias("created_at"),
+        "status",
+    )
+    due = pend.filter(ob.due_filter(now))
+    ordered = [r["id"] for r in ob.delivery_order(due).collect()]
+    assert ordered == [1, 2]  # 3 not due yet, 4 done; NULL next_try first
