@@ -1,0 +1,79 @@
+"""SWR dimension cache + rules hot-reload behavior tests."""
+
+from __future__ import annotations
+
+import pytest
+import yaml
+
+from event_stream_starter_spark.rules.hotreload import HotReloadRegistry
+from event_stream_starter_spark.sources.dimensions import DimensionCache
+
+
+class FakeClock:
+    def __init__(self, t0: float = 1000.0):
+        self.t = t0
+
+    def __call__(self) -> float:
+        return self.t
+
+
+def test_swr_serves_stale_on_failed_refresh(spark):
+    clock = FakeClock()
+    calls = {"n": 0}
+
+    def fetch():
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("provider down")
+        return spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+
+    cache = DimensionCache(fetch, ttl_sec=10, clock=clock)
+    snap1 = cache.current()
+    assert snap1.version == 1 and not snap1.degraded
+
+    clock.t += 60  # TTL expired → refresh fires and fails
+    snap2 = cache.current()
+    assert snap2.version == 1 and snap2.degraded
+    assert snap2.df.count() == 2  # stale data still served
+
+    facts = spark.createDataFrame([(1,), (3,)], "k int")
+    out = cache.enrich(facts, on=["k"])
+    rows = {r["k"]: (r["v"], r["dim_degraded"]) for r in out.collect()}
+    assert rows[1] == ("a", True)
+    assert rows[3][0] is None  # left join keeps unmatched facts
+
+
+def test_swr_first_fetch_failure_raises(spark):
+    cache = DimensionCache(lambda: (_ for _ in ()).throw(RuntimeError("x")))
+    with pytest.raises(RuntimeError):
+        cache.current()
+
+
+def test_hotreload_ttl_mtime_and_version(tmp_path):
+    path = tmp_path / "rules.yml"
+    path.write_text(yaml.safe_dump({"rules": [{"id": "R1", "score": 5}]}))
+    clock = FakeClock()
+    reg = HotReloadRegistry(
+        str(path), lambda p: yaml.safe_load(open(p)), ttl_sec=5, clock=clock
+    )
+
+    r1 = reg.current()
+    assert r1.value["rules"][0]["score"] == 5
+    assert reg.reload_count == 1
+
+    # Within TTL: no stat, no reload even if the file changed.
+    path.write_text(yaml.safe_dump({"rules": [{"id": "R1", "score": 9}]}))
+    assert reg.current().value["rules"][0]["score"] == 5
+
+    # Past TTL: mtime differs → atomic swap to new value, version advances.
+    clock.t += 10
+    r2 = reg.current()
+    assert r2.value["rules"][0]["score"] == 9
+    assert r2.version != r1.version
+    assert reg.reload_count == 2
+
+    # Past TTL again with unchanged file: TTL refreshed, no reload.
+    clock.t += 10
+    r3 = reg.current()
+    assert r3.version == r2.version
+    assert reg.reload_count == 2
