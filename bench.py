@@ -41,7 +41,15 @@ HEADLINE = [
     "x_text_stats",
     "dd_exact_dedup",
     "dd_minhash_lsh",
+    "dd_ngram_jaccard",
     "ann_cosine_topk",
+    "c13_keyphrases",
+    "w8_series_split",
+    "a10_t7_batch_scan",
+    "d6_cooldown_emit",
+    "u4_u6_rules_refiner",
+    "t8_mmr_keyphrases",
+    "mm_media_features",
     "flagship_heat_rules",
 ]
 
@@ -56,8 +64,11 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
-    # Warm the JVM + parquet footers once with the cheapest query.
+    # Warm the JVM + parquet footers + Python UDF workers once.
     specs["a3_w5_heat_slope"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    specs["mm_media_features"].fn(spark, SF_DIR).limit(10).write.format("noop").mode(
         "overwrite"
     ).save()
 

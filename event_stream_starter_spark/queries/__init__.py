@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         rules_q,
         scalars,
         textdata,
+        udf_fallbacks,
         vectors,
     )
 

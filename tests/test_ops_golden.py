@@ -31,3 +31,26 @@ def test_d6_cooldown_matches_python_greedy(spark, sf_dir):
     df = all_queries()["d6_cooldown_emit"].fn(spark, sf_dir)
     actual = {(r["user_id"], r["emit_ts_us"]) for r in df.collect()}
     assert actual == expected
+
+
+def test_t8_mmr_matches_python_core(spark, sf_dir):
+    from event_stream_starter_spark.operators.mmr import mmr_select
+
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            "SELECT doc_id, text FROM "
+            f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}') LIMIT 50"
+        ).fetchall()
+    )
+    con.close()
+    df = all_queries()["t8_mmr_keyphrases"].fn(spark, sf_dir)
+    got = {
+        r["doc_id"]: list(r["mmr_phrases"])
+        for r in df.filter(df.doc_id.isin(*texts.keys())).collect()
+    }
+    for doc_id, text in texts.items():
+        assert got[doc_id] == mmr_select(text), doc_id
+    # MMR must diversify: selected phrases are distinct.
+    for phrases in got.values():
+        assert len(phrases) == len(set(phrases))
