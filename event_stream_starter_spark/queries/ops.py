@@ -170,26 +170,66 @@ def t4_top3_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids="W8 (series re-bucket {h24,d7}x{w30,w60} grid), ST2 window grid",
 )
 def w8_series_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rollup-reuse (hypertable style): ONE shuffle builds the finest grid
+    # (user, 30-min bucket) with per-span conditional partials; every
+    # {span}×{win} series derives from that small rollup — w60 buckets are
+    # epoch-aligned pairs of w30 buckets (floor(b30/2)), so no second pass
+    # over the events. A naive plan (events × 4 configs) shuffles 4x the
+    # fact table; this shuffles it once.
     ev = _events(spark, sf_dir)
-    spark_cfg = spark.createDataFrame(
-        [("h24", 86400, "w30", 1800), ("h24", 86400, "w60", 3600),
-         ("d7", 604800, "w30", 1800), ("d7", 604800, "w60", 3600)],
-        "span string, span_sec long, win string, win_sec long",
-    )
     now_us = ev.select(F.unix_micros(F.max("ts")).alias("now_us"))
-    j = ev.crossJoin(F.broadcast(now_us)).crossJoin(F.broadcast(spark_cfg))
-    bucket = F.floor(F.unix_micros("ts") / (F.col("win_sec") * 1000000.0)).cast("long")
-    return (
-        j.filter(F.unix_micros("ts") >= F.col("now_us") - F.col("span_sec") * F.lit(1000000).cast("long"))
-        .select("user_id", "span", "win", bucket.alias("bucket"), "value")
-        .groupBy("user_id", "span", "win")
+    us = F.unix_micros("ts")
+    b30 = F.floor(us / F.lit(1800 * 1000000)).cast("long")
+    in_h24 = us >= F.col("now_us") - F.lit(86400) * F.lit(1000000).cast("long")
+    in_d7 = us >= F.col("now_us") - F.lit(604800) * F.lit(1000000).cast("long")
+    dec = F.col("value").cast("decimal(18,6)")
+    grid = (
+        ev.crossJoin(F.broadcast(now_us))
+        .filter(in_d7)
+        .groupBy("user_id", b30.alias("b30"))
         .agg(
-            F.countDistinct("bucket").alias("n_buckets"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.max("bucket").alias("last_bucket"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+            F.count(F.lit(1)).alias("cnt_d7"),
+            F.count_if(in_h24).alias("cnt_h24"),
+            F.sum(dec).alias("sum_d7"),
+            F.sum(F.when(in_h24, dec)).alias("sum_h24"),
         )
     )
+
+    # Melt span into a row dimension over the (tiny) rollup so each window
+    # width is ONE aggregation, not one per span.
+    melted = grid.select(
+        "user_id",
+        "b30",
+        F.expr(
+            "stack(2, 'h24', cnt_h24, sum_h24, 'd7', cnt_d7, sum_d7) AS (span, cnt, tot)"
+        ),
+    )
+
+    def series(src: DataFrame, bucket_col: str, win: str) -> DataFrame:
+        return (
+            src.filter(F.col("cnt") > 0)
+            .groupBy("user_id", "span")
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum("cnt").alias("n_events"),
+                F.max(bucket_col).alias("last_bucket"),
+                F.sum("tot").alias("total_value"),
+            )
+            .select(
+                "user_id",
+                "span",
+                F.lit(win).alias("win"),
+                "n_buckets",
+                "n_events",
+                "last_bucket",
+                F.col("total_value").cast("decimal(38,6)").alias("total_value"),
+            )
+        )
+
+    g60 = melted.groupBy(
+        "user_id", "span", F.floor(F.col("b30") / 2).alias("b60")
+    ).agg(F.sum("cnt").alias("cnt"), F.sum("tot").alias("tot"))
+    return series(melted, "b30", "w30").unionAll(series(g60, "b60", "w60"))
 
 
 # ---------------------------------------------------------------------------
