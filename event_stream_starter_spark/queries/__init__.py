@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         eventstream,
         flagship,
+        keys_limits,
         mmedia,
         ops,
         relational,

