@@ -1,0 +1,90 @@
+"""Scale-posture operators: salted aggregation equivalence, partitioned
+sink pruning (the plan must show partition filters and touch fewer
+files), bucketed keyed layout."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from event_stream_starter_spark.io import load_table
+from event_stream_starter_spark.operators.skew import salted_agg
+from event_stream_starter_spark.sinks import (
+    key_bucket,
+    write_events_partitioned,
+    write_keyed_bucketed,
+)
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        r["event_type"]: (r["cnt"], r["total"], r["vmin"], r["vmax"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["cnt"], r["total"], r["vmin"], r["vmax"])
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {
+                "cnt": ("count", "value"),
+                "total": ("sum", "value"),
+                "vmin": ("min", "value"),
+                "vmax": ("max", "value"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0]
+        assert abs(plain[k][1] - salted[k][1]) < 1e-6 * max(1.0, abs(plain[k][1]))
+        assert plain[k][2] == salted[k][2]
+        assert plain[k][3] == salted[k][3]
+
+
+def test_partitioned_sink_prunes(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_part")
+    write_events_partitioned(ev, path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+
+    one_day = back.filter(F.col("dt") == "2024-01-02")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # Partition pruning: the dt predicate must land in PartitionFilters,
+    # not in a post-scan Filter over all data.
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:200]
+    n_total_files = back.select(F.input_file_name()).distinct().count()
+    n_read_files = one_day.select(F.input_file_name()).distinct().count()
+    assert 0 < n_read_files < n_total_files
+
+
+def test_bucketed_keyed_layout_lookup_touches_one_bucket(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("k"), (F.col("user_id") % 50).cast("string")).alias("event_key"),
+        "value",
+    )
+    path = str(tmp_path / "keyed")
+    write_keyed_bucketed(ev, path, "event_key", n_buckets=16)
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+
+    target_bucket = back.filter(F.col("event_key") == "k7").select("bucket").first()[0]
+    # The reader recomputes the bucket from the key → one partition read.
+    lookup = back.filter(
+        (F.col("bucket") == key_bucket(F.lit("k7"), 16)) & (F.col("event_key") == "k7")
+    )
+    assert lookup.count() == ev.filter(F.col("event_key") == "k7").count()
+    assert target_bucket == lookup.select("bucket").first()[0]
+    n_files = lookup.select(F.input_file_name()).distinct().count()
+    total_files = back.select(F.input_file_name()).distinct().count()
+    assert n_files <= max(1, total_files // 8)

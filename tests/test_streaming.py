@@ -173,6 +173,55 @@ def test_metrics_listener_collects_progress(spark, landing, tmp_path):
         spark.streams.removeListener(listener)
 
 
+def test_ema_stream_matches_batch_fold(spark, sf_dir, tmp_path):
+    """Ordered landing (one ts-range file per batch) → streamed EMA must
+    equal the batch fold over the ts-ordered series."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.streaming.ema import ema_fold, ema_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("key"),
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    land = tmp_path / "ema_land"
+    land.mkdir()
+    step = (hi - lo) // 4 + 1
+    import time as _t
+
+    for i in range(4):  # sequential ts-range slices, increasing mtimes
+        part = ev.filter(
+            (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(str(land / f"slice{i}"))
+        _t.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("key string, ts_us long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "slice*"))
+    )
+    run_to_memory_table(ema_stream(stream), "ema_tbl", str(tmp_path / "ck_ema"), "update")
+    # update mode: last row per key wins
+    final = {}
+    for r in spark.table("ema_tbl").collect():
+        cur = final.get(r["key"])
+        if cur is None or r["last_ts_us"] >= cur[0]:
+            final[r["key"]] = (r["last_ts_us"], r["ema"])
+
+    batch = ev.orderBy("ts_us").collect()
+    series: dict[str, list[float]] = {}
+    for r in batch:
+        series.setdefault(r["key"], []).append(r["value"])
+    for key, vals in series.items():
+        expect = ema_fold(None, vals, 0.3)
+        assert abs(final[key][1] - expect) < 1e-9, key
+
+
 def test_outbox_policies(spark):
     now = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
     rows = [
