@@ -317,6 +317,61 @@ def d6_cooldown_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S4: avatar-change monitor (lag-compare change detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s4_change_monitor",
+    """
+    WITH snaps AS (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               substring(sha256('avatar' || CAST(user_id AS VARCHAR) || '|' ||
+                        CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 3 AS VARCHAR)), 1, 16)
+                   AS avatar_hash
+        FROM events WHERE event_type = 'view'
+    ), lagged AS (
+        SELECT *, LAG(avatar_hash) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id) AS prev_hash
+        FROM snaps
+    )
+    SELECT user_id, ts_us, prev_hash, avatar_hash
+    FROM lagged
+    WHERE prev_hash IS NOT NULL AND prev_hash <> avatar_hash
+    """,
+    survey_ids="S4 (avatar-change monitor: lag(hash) != hash change rows)",
+)
+def s4_change_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "view")
+    avatar = F.substring(
+        F.sha2(
+            F.concat(
+                F.lit("avatar"),
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                (F.get_json_object("props", "$.k").cast("int") % 3).cast("string"),
+            ),
+            256,
+        ),
+        1,
+        16,
+    )
+    snaps = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        avatar.alias("avatar_hash"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        snaps.withColumn("prev_hash", F.lag("avatar_hash").over(w))
+        .filter(F.col("prev_hash").isNotNull() & (F.col("prev_hash") != F.col("avatar_hash")))
+        .select("user_id", "ts_us", "prev_hash", "avatar_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
 # R4: market-risk tagging
 # ---------------------------------------------------------------------------
 

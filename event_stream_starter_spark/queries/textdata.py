@@ -175,15 +175,22 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(token_shingles(F.col("text"), 3), lambda s: F.xxhash64(s)).alias(
             "sh"
         ),
-    )
+    ).withColumn("n_sh", F.size("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     jac = jaccard(F.col("a.sh"), F.col("b.sh"))
+    # Size-bound prune inside the join condition: J(A,B) <= min/max of the
+    # set sizes, so pairs with min < t*max can never reach the threshold —
+    # the O(|A|+|B|) intersect runs only on size-compatible pairs.
+    size_ok = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= F.lit(0.5) * F.greatest(
+        F.col("a.n_sh"), F.col("b.n_sh")
+    )
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .filter(jac >= 0.5)
         .select(

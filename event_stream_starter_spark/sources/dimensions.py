@@ -22,6 +22,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fetch_with_failover(
+    backends: list[tuple[str, Callable[[], DataFrame]]],
+) -> Callable[[], DataFrame]:
+    """S2 multi-backend source failover: try backends in configured order,
+    first success wins (reference api/clients/x_client.py:96-110 —
+    ``X_BACKENDS_TWEETS="apify,graphql"``). The winning backend's name is
+    stamped on every row so degradation is observable downstream.
+
+    Composes with :class:`DimensionCache`: all backends failing raises,
+    which the cache turns into stale-while-revalidate (ST7)."""
+
+    def fetch() -> DataFrame:
+        errors: list[str] = []
+        for name, fn in backends:
+            try:
+                df = fn()
+                return df.withColumn("source_backend", F.lit(name))
+            except Exception as exc:  # noqa: BLE001 - policy: next backend
+                errors.append(f"{name}: {exc}")
+        raise RuntimeError("all backends failed: " + "; ".join(errors))
+
+    return fetch
+
+
 @dataclass
 class DimensionSnapshot:
     df: DataFrame

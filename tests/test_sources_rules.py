@@ -49,6 +49,44 @@ def test_swr_first_fetch_failure_raises(spark):
         cache.current()
 
 
+def test_backend_failover_order_and_stamp(spark):
+    from event_stream_starter_spark.sources.dimensions import fetch_with_failover
+
+    def broken():
+        raise RuntimeError("primary down")
+
+    def ok():
+        return spark.createDataFrame([(1, "x")], "k int, v string")
+
+    fetch = fetch_with_failover([("apify", broken), ("graphql", ok)])
+    df = fetch()
+    rows = df.collect()
+    assert rows[0]["source_backend"] == "graphql"
+
+    fetch_all_fail = fetch_with_failover([("a", broken), ("b", broken)])
+    with pytest.raises(RuntimeError, match="all backends failed"):
+        fetch_all_fail()
+
+
+def test_outbox_channel_routing_broadcast(spark):
+    """J8: outbox payloads route to channel config via broadcast join."""
+    import pyspark.sql.functions as F
+
+    outbox = spark.createDataFrame(
+        [(1, "k1", 100), (2, "k2", 200), (3, "k3", 999)],
+        "id long, event_key string, channel_id long",
+    )
+    channels = spark.createDataFrame(
+        [(100, "tg", 2), (200, "slack", 5)],
+        "channel_id long, transport string, rate_per_sec int",
+    )
+    routed = outbox.join(F.broadcast(channels), "channel_id", "left")
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = {r["id"]: r["transport"] for r in routed.collect()}
+    assert rows == {1: "tg", 2: "slack", 3: None}
+
+
 def test_hotreload_ttl_mtime_and_version(tmp_path):
     path = tmp_path / "rules.yml"
     path.write_text(yaml.safe_dump({"rules": [{"id": "R1", "score": 5}]}))
