@@ -92,29 +92,45 @@ def lsh_topk(
     corpus: DataFrame,
     query_id: str,
     corpus_id: str,
-    planes: list[list[float]],
+    planes: list[list[float]] | list[list[list[float]]],
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """Approximate top-k: join only within matching hyperplane buckets,
-    then exact-cosine rank. Recall depends on #planes; at scale, use
-    multiple plane tables OR'd together (union) to boost recall.
+    """Approximate top-k: candidates meet only inside a matching
+    hyperplane bucket, then exact-cosine rank.
+
+    ``planes`` is one plane table or a LIST of tables (multi-probe OR):
+    recall = 1-(1-p^b)^L for per-plane agreement p — more/smaller tables
+    trade candidate volume for recall. Recall is only meaningful when the
+    corpus HAS neighbor structure; on isotropic noise every sublinear
+    method degenerates to chance (validated on a planted-cluster corpus
+    in tests/test_neardup_golden.py).
     """
+    tables: list[list[list[float]]] = (
+        planes if isinstance(planes[0][0], list) else [planes]  # type: ignore[index]
+    )
+    bucket_keys = F.array(
+        *[
+            F.concat(F.lit(f"{i}:"), hyperplane_bucket(F.col(vec_col), tbl))
+            for i, tbl in enumerate(tables)
+        ]
+    )
     q = queries.select(
         F.col(query_id).alias("qid"),
         F.col(vec_col).alias("qvec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(bucket_keys).alias("bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("cid"),
         F.col(vec_col).alias("cvec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.explode(bucket_keys).alias("bucket"),
     )
-    scored = (
+    cand = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos_sim", cosine(F.col("qvec"), F.col("cvec")))
+        .dropDuplicates(["qid", "cid"])  # pair may share several tables
     )
+    scored = cand.withColumn("cos_sim", cosine(F.col("qvec"), F.col("cvec")))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

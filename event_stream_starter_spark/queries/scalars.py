@@ -484,3 +484,121 @@ def u5_memeable_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.least(F.lit(0.3) * n, F.lit(1.0)), 6).alias("confidence"),
         (n >= 1).alias("is_memeable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C10: topic-keyword extractor (3-pass priority)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c10_topic_keywords",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '\\$\\w+|[a-z]{2,}') AS t
+        FROM documents
+    ), flat AS (
+        SELECT doc_id, unnest(t) AS kw,
+               unnest(generate_series(1, len(t))) AS ord
+        FROM toks
+    ), firsts AS (
+        SELECT doc_id, kw,
+               CASE WHEN kw LIKE '$%' THEN 1
+                    WHEN length(kw) BETWEEN 2 AND 3 THEN 2
+                    ELSE 3 END AS pri,
+               MIN(ord) AS first_pos
+        FROM flat
+        GROUP BY doc_id, kw
+    ), ranked AS (
+        SELECT doc_id, kw,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pri, first_pos) AS rn
+        FROM firsts
+    )
+    SELECT doc_id, list(kw ORDER BY kw) AS topic_keywords
+    FROM ranked WHERE rn <= 5
+    GROUP BY doc_id
+    """,
+    survey_ids=(
+        "C10 (_extract_topic_keywords: 3-pass priority $tokens -> 2-3-char "
+        "-> rest, order-preserving dedup, sorted top-K)"
+    ),
+)
+def c10_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference api/events.py:244-310: prioritize $token symbols, then
+    2-3-char words, then everything else; first-occurrence dedup; stop at
+    top-K; emit sorted. The pass-with-break loop is equivalent to
+    slice(array_distinct(p1 ++ p2 ++ p3), topk) because priority class is
+    a pure function of the keyword."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\$\w+|[a-z]{2,}"), 0)
+    p1 = F.filter(toks, lambda k: k.startswith("$"))
+    p2 = F.filter(toks, lambda k: (~k.startswith("$")) & F.length(k).between(2, 3))
+    p3 = F.filter(toks, lambda k: (~k.startswith("$")) & ~F.length(k).between(2, 3))
+    top = F.array_sort(F.slice(F.array_distinct(F.concat(p1, p2, p3)), 1, 5))
+    return docs.filter(F.size(top) > 0).select("doc_id", top.alias("topic_keywords"))
+
+
+# ---------------------------------------------------------------------------
+# C12: HF sentiment probability normalization (deterministic shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c12_prob_sentiment",
+    """
+    WITH probs AS (
+        SELECT event_id,
+               GREATEST((event_id % 100) / 100.0, (event_id % 61) / 100.0) AS pos,
+               (user_id % 100) / 100.0 AS neg,
+               ((event_id + user_id) % 100) / 100.0 AS neu0
+        FROM events
+    ), norm AS (
+        SELECT event_id, pos, neg,
+               CASE WHEN pos = 0 AND neg = 0 AND neu0 = 0
+                    THEN 1.0 ELSE neu0 END AS neu
+        FROM probs
+    )
+    SELECT event_id,
+           ROUND(pos, 6) AS prob_pos,
+           ROUND(neg, 6) AS prob_neg,
+           ROUND(neu, 6) AS prob_neu,
+           ROUND(GREATEST(-1.0, LEAST(1.0, pos - neg)), 6) AS sentiment_score,
+           CASE WHEN pos - neg >= 0.25 THEN 'pos'
+                WHEN pos - neg <= -0.25 THEN 'neg'
+                ELSE 'neu' END AS sentiment_label
+    FROM norm
+    """,
+    survey_ids=(
+        "C12 (HF sentiment prob-norm: max-prob per label, all-zero -> "
+        "neutral fallback, score = clamp(pos-neg), +-0.25 thresholds)"
+    ),
+)
+def c12_prob_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference api/hf_sentiment.py:29-62 (_norm_probs/_score_from_probs):
+    per-label max over response triples (two pos candidates here), neutral
+    fallback when every prob is zero, score = clamp(pos-neg, -1, 1),
+    label at +-0.25. Model inference itself is U1's pluggable backend;
+    this certifies the deterministic normalization layer."""
+    ev = load_table(spark, sf_dir, "events")
+    pos = F.greatest(
+        (F.col("event_id") % 100) / F.lit(100.0),
+        (F.col("event_id") % 61) / F.lit(100.0),
+    )
+    neg = (F.col("user_id") % 100) / F.lit(100.0)
+    neu0 = ((F.col("event_id") + F.col("user_id")) % 100) / F.lit(100.0)
+    neu = F.when((pos == 0) & (neg == 0) & (neu0 == 0), F.lit(1.0)).otherwise(neu0)
+    score = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), pos - neg))
+    label = (
+        F.when(pos - neg >= 0.25, "pos")
+        .when(pos - neg <= -0.25, "neg")
+        .otherwise("neu")
+    )
+    return ev.select(
+        "event_id",
+        F.round(pos, 6).alias("prob_pos"),
+        F.round(neg, 6).alias("prob_neg"),
+        F.round(neu, 6).alias("prob_neu"),
+        F.round(score, 6).alias("sentiment_score"),
+        label.alias("sentiment_label"),
+    )

@@ -205,7 +205,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_minhash_lsh",
     None,  # LSH candidate generation is engine-specific (xxhash64); the
     # exact-Jaccard verification step makes precision 1.0 — tested against
-    # the exact pair set in tests/test_dedup.py.
+    # the exact pair set in tests/test_neardup_golden.py.
     survey_ids="dedup: MinHash+LSH (shingle→minhash→band→bucket-join→verify)",
 )
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

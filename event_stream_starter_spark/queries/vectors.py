@@ -69,10 +69,12 @@ def dd_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
-def _fixed_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+def _fixed_planes(
+    n_planes: int = 8, dim: int = 64, seed: int = 42
+) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seeded LCG; no numpy dep
     at query-definition time, stable across runs/machines)."""
-    state = 42
+    state = seed
     planes = []
     for _ in range(n_planes):
         row = []
@@ -83,17 +85,21 @@ def _fixed_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     return planes
 
 
+def _plane_tables(n_tables: int = 4, n_planes: int = 6, dim: int = 64):
+    return [_fixed_planes(n_planes, dim, seed=42 + 97 * i) for i in range(n_tables)]
+
+
 @query(
     "ann_lsh_topk",
     None,  # approximate by construction; recall vs the exact top-k is
-    # asserted in tests/test_similarity.py.
+    # asserted in tests/test_neardup_golden.py.
     survey_ids="similarity search: LSH-bucketed ANN (scale path)",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = lsh_topk(
-        q, emb, "vec_id", "vec_id", _fixed_planes(8, 64), "embedding", k=_TOP_K
+        q, emb, "vec_id", "vec_id", _plane_tables(4, 6, 64), "embedding", k=_TOP_K
     )
     return out.select(
         "vec_id_q", "vec_id_c", F.round("cos_sim", 6).alias("cos_sim"), "rank"

@@ -1,0 +1,139 @@
+"""Golden tests for the approximate near-dup family: candidates are
+verified exactly in-engine, so precision must be 1.0 against a
+brute-force recomputation; recall is measured and bounded."""
+
+from __future__ import annotations
+
+import itertools
+import os
+import re
+
+import duckdb
+
+from event_stream_starter_spark.queries import all_queries
+
+
+def _exact_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5):
+    """Brute-force char-5-gram Jaccard over all doc pairs (python)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    ).fetchall()
+    con.close()
+    shingles = {}
+    for doc_id, text in rows:
+        norm = re.sub(r"\s+", " ", text.lower())
+        shingles[doc_id] = {norm[i : i + n] for i in range(max(len(norm) - n + 1, 1))}
+    out = {}
+    for a, b in itertools.combinations(sorted(shingles), 2):
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        j = inter / len(sa | sb)
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+def test_minhash_lsh_precision_1_and_high_recall(spark, sf_dir):
+    exact = _exact_pairs(sf_dir, threshold=0.5, n=5)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_sim"]
+        for r in all_queries()["dd_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    # Precision 1.0: every emitted pair is a true >=0.5 pair with the
+    # exact Jaccard value (hash-collision probability negligible).
+    for pair, sim in got.items():
+        assert pair in exact, f"false positive {pair}"
+        assert abs(sim - exact[pair]) < 1e-6
+    # Recall: 16 bands x 4 rows at t=0.5 -> P(candidate) = 1-(1-J^4)^16,
+    # ~0.92 at J=0.5 and ->1 fast above; demand >=80% on this data.
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_simhash_banding_finds_exact_hamming_pair_set(spark, sf_dir):
+    """Pigeonhole guarantee: with 4 bands of 16 bits, any pair within
+    hamming<=3 shares at least one identical band — so the banded result
+    must EQUAL the brute-force all-pairs result, not approximate it."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators.dedup import hamming64, simhash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    base = docs.select(F.col("doc_id").alias("id"), simhash64(toks).alias("sh"))
+    a, b = base.alias("a"), base.alias("b")
+    brute = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", hamming64(F.col("a.sh"), F.col("b.sh")))
+        .filter(F.col("hamming") <= 3)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )
+    want = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in all_queries()["dd_simhash"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ann_lsh_recall_on_planted_clusters(spark):
+    """The driver embeddings are isotropic noise (no ANN method beats
+    chance there); recall is validated on a PLANTED clustered corpus:
+    20 centroids x 25 jittered members — a query's true top-k are its
+    cluster siblings, and multi-table hyperplane LSH must find them."""
+    import random
+
+    from event_stream_starter_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+    from event_stream_starter_spark.queries.vectors import _plane_tables
+
+    rng = random.Random(7)
+    dim, rows = 16, []
+    for c in range(20):
+        centroid = [rng.gauss(0, 1) for _ in range(dim)]
+        for m in range(25):
+            vec = [x + rng.gauss(0, 0.15) for x in centroid]
+            rows.append((c * 25 + m, [float(v) for v in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(emb.vec_id % 25 == 0).limit(10)
+
+    exact = {
+        (r["vec_id_q"], r["vec_id_c"])
+        for r in brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["vec_id_q"], r["vec_id_c"])
+        for r in lsh_topk(
+            q, emb, "vec_id", "vec_id", _plane_tables(4, 6, dim), "embedding", k=5
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"ANN recall on clustered corpus {recall:.2f}"
+
+
+def test_ann_lsh_driver_data_is_subset_ranked(spark, sf_dir):
+    """On the driver's noise embeddings: results must still be correctly
+    scored and ranked (subset of the brute-force score table)."""
+    exact_scores = {
+        (r["vec_id_q"], r["vec_id_c"]): r["cos_sim"]
+        for r in all_queries()["ann_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    approx = all_queries()["ann_lsh_topk"].fn(spark, sf_dir).collect()
+    assert approx
+    by_q: dict = {}
+    for r in approx:
+        by_q.setdefault(r["vec_id_q"], []).append((r["rank"], r["cos_sim"]))
+        if (r["vec_id_q"], r["vec_id_c"]) in exact_scores:
+            assert abs(r["cos_sim"] - exact_scores[(r["vec_id_q"], r["vec_id_c"])]) < 1e-9
+    for ranks in by_q.values():
+        ranks.sort()
+        sims = [s for _, s in ranks]
+        assert sims == sorted(sims, reverse=True)  # rank order == score order
