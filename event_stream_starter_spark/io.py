@@ -21,6 +21,33 @@ from pyspark.sql import functions as F
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_SPLIT_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+_SPREAD_MIN_BYTES = 64 * 1024
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scan-parallelism floor for low-split inputs.
+
+    A parquet file splits into at most (bytes / maxPartitionBytes) tasks —
+    and only at row-group boundaries, so a single-row-group file is ONE
+    task no matter what. Every per-row expression projected before the
+    first shuffle (regex shingling, sha2 keys, tokenizing) then runs
+    serially. When the scan can't yield at least `defaultParallelism`
+    splits, spread rows across cores right after the scan; predicate
+    pushdown and column pruning still reach the scan through the exchange
+    (asserted in tests/test_plans.py). On a real cluster the file count
+    times splits-per-file exceeds core count and this is a no-op.
+    """
+    try:
+        est_splits = max(1, os.path.getsize(path) // _SPLIT_BYTES)
+    except OSError:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if est_splits >= par or os.path.getsize(path) < _SPREAD_MIN_BYTES:
+        return df
+    return df.repartition(par)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -36,7 +63,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
-    return df
+    return _spread(spark, df, path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -102,16 +102,118 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def minhash_signature(shingle_hashes: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature over PRE-HASHED shingles (array<long>): the i-th
-    permutation is xxhash64(h, i) over the fixed-width long. Returns
-    array<long> of length num_hashes.
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    threshold: float,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """All-pairs Jaccard >= threshold via a prefix-filtered inverted-index
+    self-join (AllPairs/PPJoin family) — the 100TB-scale replacement for a
+    block-nested-loop self-join.
+
+    Lossless: J(A,B) >= t implies |A∩B| >= t*max(|A|,|B|), and two sets
+    with overlap >= a must collide within their first |X|-a+1 elements
+    under any shared total order (here: hashed shingles ascending). So
+    candidates come from an equi-join on prefix elements — parallelism
+    scales with DISTINCT SHINGLES, not with the number of blocks, and the
+    quadratic per-block pair loop disappears. Candidate volume is bounded
+    by the shingle document-frequency distribution (near-dup corpora:
+    df is tiny except for boilerplate, which the prefix filter mostly
+    skips since high-df shingles land outside short prefixes ~half the
+    time; a df-ordered prefix is the standard refinement if needed).
+
+    Input shingles must be array<long> (pre-hashed). Output:
+    (id_a, id_b, jaccard_sim double, *block_cols) with id_a < id_b.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    blocks = [F.col(c) for c in block_cols]
+    base = (
+        df.select(
+            *block_cols,
+            F.col(id_col).alias("__id"),
+            F.array_sort(F.col(shingles_col)).alias("__sh"),
+        )
+        .withColumn("__n", F.size("__sh"))
+        .persist()
+    )
+    # Prefix length |A| - ceil(t*|A|) + 1 over ascending hash order.
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    postings = base.select(
+        *block_cols,
+        "__id",
+        "__n",
+        F.explode(F.slice("__sh", 1, prefix_len.cast("int"))).alias("__g"),
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    # Size-compat prune inside the join: J <= min(|A|,|B|)/max(|A|,|B|).
+    size_ok = F.least(F.col("a.__n"), F.col("b.__n")) >= F.lit(
+        threshold
+    ) * F.greatest(F.col("a.__n"), F.col("b.__n"))
+    join_cond = (F.col("a.__g") == F.col("b.__g")) & (
+        F.col("a.__id") < F.col("b.__id")
+    ) & size_ok
+    for c in block_cols:
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, join_cond)
+        .select(
+            *[F.col(f"a.{c}") for c in block_cols],
+            F.col("a.__id").alias("__id_a"),
+            F.col("b.__id").alias("__id_b"),
+        )
+        # Pin verify parallelism: candidate rows are bytes-tiny but each
+        # verify is O(|A|+|B|); AQE would coalesce on size alone. Before
+        # the dedup so its distribution requirement is already satisfied.
+        .repartition(par, "__id_a", "__id_b")
+        .dropDuplicates(["__id_a", "__id_b"])
+    )
+    verify = (
+        cand.join(
+            base.select(F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a")),
+            "__id_a",
+        )
+        .join(
+            base.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
+            "__id_b",
+        )
+        .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+    return verify.select(
+        F.col("__id_a").alias("id_a"),
+        F.col("__id_b").alias("id_b"),
+        "jaccard_sim",
+        *block_cols,
+    )
+
+
+def minhash_signature_sql(col_name: str, num_hashes: int = 64) -> str:
+    """SQL for a MinHash signature over PRE-HASHED shingles (array<long>):
+    the i-th permutation is xxhash64(h, i) over the fixed-width long.
+    Evaluates to array<long> of length num_hashes.
 
     Callers hash each shingle's string bytes ONCE into a materialized
     column (`transform(sh, s -> xxhash64(s))`) so the expensive
     variable-length hash isn't re-inlined per permutation. Pure JVM
     expressions, map-only, ANSI-safe (no overflowing arithmetic).
+
+    Returned as a SQL string (callers wrap in F.expr): building this
+    64-wide tree through the per-node Column API costs hundreds of py4j
+    round trips PER QUERY CONSTRUCTION (~1s of driver latency measured);
+    one expr() parse is a single round trip for the identical plan.
     """
+    mins = ", ".join(
+        f"array_min(transform({col_name}, h -> xxhash64(h, {i})))"
+        for i in range(num_hashes)
+    )
+    return f"array({mins})"
+
+
+def minhash_signature(shingle_hashes: Column, num_hashes: int = 64) -> Column:
+    """Column-API wrapper of minhash_signature_sql for callers that hold
+    an unnamed Column (tests, ad-hoc); query paths use the SQL form."""
     return F.array(
         *[
             F.array_min(F.transform(shingle_hashes, lambda h: F.xxhash64(h, F.lit(i))))
@@ -120,22 +222,22 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 64) -> Column:
     )
 
 
-def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """Band the signature: array of (band_id, hash(band slice)) strings."""
-    return F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(str(b)),
-                F.xxhash64(
-                    F.array_join(
-                        F.slice(signature, b * rows_per_band + 1, rows_per_band), ","
-                    )
-                ).cast("string"),
-            )
-            for b in range(bands)
-        ]
+def lsh_band_keys_sql(col_name: str, bands: int, rows_per_band: int) -> str:
+    """SQL for banding a signature into (band_id:hash-of-slice) strings
+    (one expr() parse — see minhash_signature_sql for why)."""
+    keys = ", ".join(
+        f"concat_ws(':', '{b}', cast(xxhash64(array_join("
+        f"slice({col_name}, {b * rows_per_band + 1}, {rows_per_band}), ',')) as string))"
+        for b in range(bands)
     )
+    return f"array({keys})"
+
+
+_PAIR_STRUCTS_SQL = (
+    "flatten(transform({col}, (x, i) -> "
+    "transform(slice({col}, i + 2, size({col})), "
+    "y -> named_struct('id_a', x, 'id_b', y))))"
+)
 
 
 def minhash_lsh_pairs(
@@ -171,10 +273,8 @@ def minhash_lsh_pairs(
     # (banding, and both sides of the verify attach) — persist it so the
     # shingle+signature map runs once (same pattern as MLlib's LSH).
     sig = (
-        base.select(
-            "id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hh")
-        )
-        .withColumn("sig", minhash_signature(F.col("hh"), num_hashes))
+        base.select("id", F.expr("transform(sh, s -> xxhash64(s))").alias("hh"))
+        .withColumn("sig", F.expr(minhash_signature_sql("hh", num_hashes)))
         .persist()
     )
     # Candidate generation carries ONLY (id, band-key): the wide shingle
@@ -184,29 +284,27 @@ def minhash_lsh_pairs(
     # LSH buckets are tiny by construction; a pathological mega-bucket
     # (thousands of byte-identical docs) should be collapsed by exact
     # dedup upstream first.
+    # repartition(N) pins: bucket rows are bytes-tiny but pair expansion
+    # and Jaccard verify are compute-dense — AQE coalesces shuffle
+    # partitions on SIZE alone and would serialize these stages onto one
+    # core (measured 3.4x on the full pipeline). AQE never coalesces an
+    # explicit user repartition(N), and placing the pin BEFORE the
+    # aggregation satisfies its required distribution, so no second
+    # exchange is inserted.
     banded = sig.select(
-        "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk")
-    )
+        "id",
+        F.explode(F.expr(lsh_band_keys_sql("sig", bands, rows_per_band))).alias("bk"),
+    ).repartition(par, "bk")
     buckets = (
         banded.groupBy("bk")
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
 
-    def pair_structs(ids: Column) -> Column:
-        return F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + F.lit(2), F.size(ids)),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        )
-
     cand = (
-        buckets.select(F.explode(pair_structs(F.col("ids"))).alias("p"))
+        buckets.select(F.explode(F.expr(_PAIR_STRUCTS_SQL.format(col="ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
+        .repartition(par, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     sh_a = sig.select(F.col("id").alias("id_a"), F.col("hh").alias("hh_a"))
@@ -294,7 +392,7 @@ def simhash_pairs(
     )
     banded = base.select(
         "id", "sh", F.explode(block_keys).alias("bk")
-    )
+    ).repartition(par, "bk")  # same AQE-coalesce pin as minhash_lsh_pairs
     # Pairs are generated within each block bucket (no self-join → the
     # upstream hash map runs once; same skew caveat as minhash_lsh_pairs).
     buckets = (

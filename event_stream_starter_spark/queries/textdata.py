@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators import textan
-from ..operators.dedup import jaccard, minhash_lsh_pairs, simhash_pairs, token_shingles
+from ..operators.dedup import (
+    jaccard_prefix_join,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    token_shingles,
+)
 from . import query
 
 _KEYWORDS = ("spark", "join", "stream")
@@ -166,8 +171,11 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Jaccard over 64-bit hashes of the shingles, not the strings: the
     # intersect/union sizes are identical (modulo negligible xxhash64
-    # collisions) and fixed-width long comparisons are far cheaper inside
-    # the quadratic block-join than variable-length strings.
+    # collisions) and fixed-width longs are far cheaper to join/compare
+    # than variable-length strings. Candidates come from a prefix-filtered
+    # inverted-index self-join (jaccard_prefix_join): parallelism scales
+    # with distinct shingles instead of distinct (lang,source) blocks, and
+    # nothing ever enumerates a per-block cross product.
     sh = docs.select(
         "doc_id",
         "lang",
@@ -175,30 +183,10 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(token_shingles(F.col("text"), 3), lambda s: F.xxhash64(s)).alias(
             "sh"
         ),
-    ).withColumn("n_sh", F.size("sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    jac = jaccard(F.col("a.sh"), F.col("b.sh"))
-    # Size-bound prune inside the join condition: J(A,B) <= min/max of the
-    # set sizes, so pairs with min < t*max can never reach the threshold —
-    # the O(|A|+|B|) intersect runs only on size-compatible pairs.
-    size_ok = F.least(F.col("a.n_sh"), F.col("b.n_sh")) >= F.lit(0.5) * F.greatest(
-        F.col("a.n_sh"), F.col("b.n_sh")
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & size_ok,
-        )
-        .filter(jac >= 0.5)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(jac, 6).alias("jaccard_sim"),
-        )
-    )
+    return jaccard_prefix_join(
+        sh, "doc_id", "sh", threshold=0.5, block_cols=("lang", "source")
+    ).select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
 @query(
