@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import ts_bucket
+from ..functions.hashing import fingerprint, ts_bucket
+from ..operators.dedup import exact_dedup
 from ..io import load_table
 from ..operators.windows import ema_last, growth_ratio, latest_per_key, slope_trend
 from . import query
@@ -410,4 +411,116 @@ def e2_jaccard_user_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.user_id").alias("user_b"),
             F.round(jac, 6).alias("jaccard_sim"),
         )
+    )
+
+
+@query(
+    "d2_fingerprint_dedup",
+    """
+    WITH fp AS (
+        SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+               substring(sha256(
+                   COALESCE(event_type, '') || '|' ||
+                   CAST(user_id AS VARCHAR) || '|' ||
+                   CAST(CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS VARCHAR) || '|' ||
+                   COALESCE(substring(props, 1, 30), '')
+               ), 1, 40) AS fp
+        FROM events
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+                                     ORDER BY ts_us ASC, event_id ASC) AS rn
+        FROM fp
+    )
+    SELECT event_id, ts_us, user_id, fp FROM ranked WHERE rn = 1
+    """,
+    survey_ids="D2 (soft fingerprint sha256(source|author|ts_sec|text[:30])[:40], keep-first)",
+)
+def d2_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 soft dedup: fingerprint column + keep-first survivor.
+
+    Reference: worker/jobs/x_kol_poll.py:82-117 — `dedup:fp:{hash}` Redis
+    SETEX re-expressed as one hash-shuffle on the computed fingerprint
+    (sha256 per hash policy, functions/hashing.py). At 100TB this is a
+    single exchange on a high-cardinality key — no skew by construction.
+    """
+    ev = _events(spark, sf_dir)
+    fp = fingerprint(
+        F.col("event_type"), F.col("user_id").cast("string"), F.col("ts"), F.col("props")
+    )
+    keyed = ev.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", fp.alias("fp")
+    )
+    return exact_dedup(keyed, ["fp"], "ts_us", tiebreak=["event_id"])
+
+
+@query(
+    "j4_rules_context_merge",
+    """
+    WITH sig AS (
+        SELECT * FROM (
+            SELECT user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   ROUND(value, 6) AS value,
+                   event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE event_type = 'purchase'
+        ) WHERE rn = 1
+    ), ev AS (
+        SELECT * FROM (
+            SELECT user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   ROUND(value, 6) AS value,
+                   event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(e.user_id, s.user_id) AS user_id,
+           COALESCE(e.ts_us, s.ts_us) AS ts_us,
+           COALESCE(e.value, s.value) AS value,
+           COALESCE(e.event_type, s.event_type) AS event_type,
+           s.ts_us AS signal_ts_us,
+           s.value AS signal_value,
+           (s.user_id IS NOT NULL) AS has_signal
+    FROM ev e FULL OUTER JOIN sig s ON e.user_id = s.user_id
+    """,
+    survey_ids="J4 (rules eval context merge: latest-per-key per table, {**signals,**events} override)",
+)
+def j4_rules_context_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: the `{**signals_row, **events_row}` eval context.
+
+    Reference: api/rules/eval_event.py:311, api/routes/rules.py:50-115 —
+    latest row per key from each table (W7), then a full-outer merge where
+    the events side wins on shared columns (dict-update law). Both sides
+    derive from one scan here; at scale these are two table scans joined
+    on the same key with identical partitioning.
+    """
+    ev = _events(spark, sf_dir)
+
+    def latest_side(df: DataFrame) -> DataFrame:
+        return latest_per_key(df, ["user_id"], "ts", tiebreak=["event_id"]).select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round("value", 6).alias("value"),
+            "event_type",
+        )
+
+    sig = latest_side(ev.filter(F.col("event_type") == "purchase")).select(
+        "user_id",
+        F.col("ts_us").alias("signal_ts_us"),
+        F.col("value").alias("signal_value"),
+        F.col("event_type").alias("signal_event_type"),
+    )
+    evl = latest_side(ev)
+    merged = evl.join(sig, "user_id", "full_outer")
+    return merged.select(
+        "user_id",
+        F.col("ts_us").alias("ts_us"),
+        F.col("value").alias("value"),
+        F.col("event_type").alias("event_type"),
+        "signal_ts_us",
+        "signal_value",
+        F.col("signal_event_type").isNotNull().alias("has_signal"),
     )

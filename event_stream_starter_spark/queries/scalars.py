@@ -602,3 +602,75 @@ def c12_prob_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("sentiment_score"),
         label.alias("sentiment_label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E3 / E4 / E5: entity set algebra (order-preserving union, blacklist
+# subtraction, source-domain intersection)
+# ---------------------------------------------------------------------------
+
+_E_KEYWORDS = ("spark", "join", "stream", "data")
+_E_BLACK = ("the", "and", "data")
+_E_ALLOWED_SRC = ("web", "wiki", "news")
+
+
+@query(
+    "e3_e5_entity_setops",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z]{{2,}}') AS t
+        FROM documents
+    ), built AS (
+        SELECT doc_id, source,
+               list_concat(
+                   list_filter(t, x -> list_contains({_words_sql(_E_KEYWORDS)}, x)),
+                   t[:6]
+               ) AS cat
+        FROM toks
+    ), merged_t AS (
+        SELECT doc_id, source,
+               list_filter(cat, (x, i) -> list_position(cat, x) = i) AS merged
+        FROM built
+    )
+    SELECT doc_id, merged,
+           list_filter(merged, x -> NOT list_contains({_words_sql(_E_BLACK)}, x))
+               AS kept,
+           list_filter([source, 'web', source || '-mirror'],
+                       s -> list_contains({_words_sql(_E_ALLOWED_SRC)}, s))
+               AS allowed_sources
+    FROM merged_t
+    """,
+    survey_ids="E3 (keyword ∪ entities order-preserving union), E4 (blacklist subtraction), E5 (source-domain intersection)",
+)
+def e3_e5_entity_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3-E5 entity set algebra, all JVM array expressions (no shuffle).
+
+    Reference: api/services/topic_analyzer.py:41-69, 375-379 —
+    keyword ∪ entities preserving first-seen order (E3: array_distinct
+    over concat, which keeps first occurrence), blacklist subtraction
+    (E4: array_except, order-preserving on the left arg), and
+    source-domain intersection (E5: filter(sources, s IN allowed)).
+    Map-side only: at 100TB this is a pure projection pipeline inside
+    whole-stage codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kw = F.array(*[F.lit(w) for w in _E_KEYWORDS])
+    black = F.array(*[F.lit(w) for w in _E_BLACK])
+    allowed = F.array(*[F.lit(w) for w in _E_ALLOWED_SRC])
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]{2,}"), 0)
+    keywords = F.filter(toks, lambda t: F.array_contains(kw, t))
+    entities = F.slice(toks, 1, 6)
+    merged = F.array_distinct(F.concat(keywords, entities))
+    kept = F.array_except(merged, black)
+    sources = F.array(
+        F.col("source"), F.lit("web"), F.concat(F.col("source"), F.lit("-mirror"))
+    )
+    return docs.select(
+        "doc_id",
+        merged.alias("merged"),
+        kept.alias("kept"),
+        F.filter(sources, lambda s: F.array_contains(allowed, s)).alias(
+            "allowed_sources"
+        ),
+    )
