@@ -307,10 +307,33 @@ def minhash_lsh_pairs(
         .repartition(par, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Two-phase verify. Phase 1 joins only the fixed-width signatures
+    # (64 longs/side) and filters on the MinHash ESTIMATE of Jaccard —
+    # matching components / num_hashes, an unbiased Binomial(k, J)
+    # estimator. Candidates from banding are dominated by moderately
+    # similar pairs (boilerplate families) whose exact verification is
+    # O(|A|+|B|) set work; the estimate is 64 integer compares and kills
+    # most of them before the wide shingle arrays are ever shuffled.
+    # The cut sits 3 sigma (sigma = sqrt(J(1-J)/k) ~= 0.0625) below the
+    # threshold, so the extra recall loss on true pairs is <1%; emitted
+    # pairs are still exactly verified, so precision stays 1.0.
+    est_cut = max(0.0, threshold - 3 * (0.25 / num_hashes) ** 0.5)
+    sg_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sg_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)),"
+        " 0, (a, x) -> a + x)"
+    ) / F.lit(float(num_hashes))
+    survivors = (
+        cand.join(sg_a, "id_a")
+        .join(sg_b, "id_b")
+        .filter(est >= est_cut)
+        .select("id_a", "id_b")
+    )
     sh_a = sig.select(F.col("id").alias("id_a"), F.col("hh").alias("hh_a"))
     sh_b = sig.select(F.col("id").alias("id_b"), F.col("hh").alias("hh_b"))
     return (
-        cand.join(sh_a, "id_a")
+        survivors.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard_sim", jaccard(F.col("hh_a"), F.col("hh_b")))
         .filter(F.col("jaccard_sim") >= threshold)

@@ -37,7 +37,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs every task inside the driver JVM: size the heap for
+        # N concurrent shuffle tasks or GC pauses dominate the measurement
+        # (an 8g heap showed multi-second full-GC stalls under 32 threads).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
