@@ -177,3 +177,128 @@ def embedding_near_dup_pairs(
             "cos_sim",
         )
     )
+
+
+def _centroid_literal(centroids: list[list[float]]) -> Column:
+    """array<array<double>> literal for a (small) centroid table."""
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_clusters: int,
+    iters: int = 2,
+    id_col: str | None = None,
+) -> list[list[float]]:
+    """Deterministic distributed Lloyd iterations for an IVF coarse
+    quantizer. Returns the centroid table (n_clusters x dim floats).
+
+    Seeds are the first n_clusters rows in id order (deterministic across
+    runs/partitionings). Each iteration is: map-side assign (argmax cosine
+    against the broadcast centroid literal) -> posexplode dims ->
+    groupBy(cluster, dim) avg -> collect n_clusters*dim aggregated cells.
+    The collect is bounded by the MODEL size (k x dim), never the data
+    size — the same contract as MLlib's KMeans driver loop. Empty
+    clusters keep their previous centroid.
+    """
+    vec = F.col(vec_col)
+    order = [F.col(id_col)] if id_col else [F.col(vec_col).cast("string")]
+    seeds = [
+        [float(v) for v in r[0]]
+        for r in corpus.select(vec.alias("v")).orderBy(*order).limit(n_clusters).collect()
+    ]
+    centroids = seeds
+    for _ in range(iters):
+        lit = _centroid_literal(centroids)
+        scores = F.transform(lit, lambda c: cosine(vec, c))
+        assigned = corpus.select(
+            (F.array_position(scores, F.array_max(scores)) - 1).alias("cluster"),
+            vec.alias("v"),
+        )
+        cells = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in cells:
+            new[r["cluster"]][r["dim"]] = r["m"]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into n_clusters
+    inverted lists, probe the n_probe closest lists per query, exact-rank
+    inside them.
+
+    Scale shape: the centroid table is k x dim floats (a broadcast
+    literal); corpus assignment is MAP-ONLY; the probe is an equi-join on
+    cluster id, so each query scores ~n_probe/n_clusters of the corpus
+    instead of all of it. Corpus lists can be written bucketed-by-cluster
+    once and reused across query batches (the assignment is a pure
+    column expression of the centroid table).
+    """
+    centroids = kmeans_centroids(
+        corpus, vec_col, n_clusters, iters=kmeans_iters, id_col=corpus_id
+    )
+    lit = _centroid_literal(centroids)
+
+    def cluster_scores(vec: Column) -> Column:
+        return F.transform(lit, lambda c: cosine(vec, c))
+
+    # Alias to fresh columns FIRST, then derive cluster expressions from
+    # the aliased columns: queries and corpus usually share lineage (a
+    # filter of the same table), and nested lambda expressions over the
+    # original attribute can bind to the wrong self-join instance.
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cvec")
+    ).withColumn(
+        "cluster",
+        F.array_position(
+            cluster_scores(F.col("cvec")), F.array_max(cluster_scores(F.col("cvec")))
+        )
+        - 1,
+    )
+    # Query side: top n_probe clusters by centroid cosine — sort the
+    # (score, cluster_id) structs descending, take n_probe, explode.
+    qscores = F.transform(
+        cluster_scores(F.col("qvec")),
+        lambda s, i: F.struct(s.alias("s"), i.alias("cl")),
+    )
+    probes = F.slice(F.reverse(F.array_sort(qscores)), 1, n_probe)
+    q = (
+        queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec"))
+        .withColumn("p", F.explode(probes))
+        .select("qid", "qvec", F.col("p.cl").cast("long").alias("cluster"))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cluster")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos_sim", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id + "_q"),
+            F.col("cid").alias(corpus_id + "_c"),
+            "cos_sim",
+            "rank",
+        )
+    )

@@ -214,3 +214,87 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing / rolling-hash document fingerprints
+# ---------------------------------------------------------------------------
+
+_RH_BASE = 257
+_RH_MOD = 1_000_000_007
+_WIN_K = 5  # k-gram length
+_WIN_W = 8  # winnowing window (guarantee: any match >= w+k-1 chars shares a print)
+
+
+@query(
+    "x_winnow_fingerprints",
+    f"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ), codes AS (
+        SELECT doc_id, nt,
+               list_transform(list_filter(split(nt, ''), c -> c <> ''),
+                              c -> unicode(c)::BIGINT) AS cs
+        FROM norm
+    ), grams AS (
+        SELECT doc_id, cs,
+               CASE WHEN len(cs) >= {_WIN_K} THEN
+                   list_transform(generate_series(1, len(cs) - {_WIN_K} + 1),
+                       i -> list_reduce(list_prepend(0::BIGINT, cs[i:i+{_WIN_K}-1]),
+                                        (a, c) -> (a * {_RH_BASE} + c) % {_RH_MOD}))
+               ELSE [] END AS gh
+        FROM codes
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT, cs),
+                       (a, c) -> (a * {_RH_BASE} + c) % {_RH_MOD}) AS doc_hash,
+           CASE WHEN len(gh) >= {_WIN_W} THEN
+               list_sort(list_distinct(
+                   list_transform(generate_series(1, len(gh) - {_WIN_W} + 1),
+                                  j -> list_min(gh[j:j+{_WIN_W}-1]))))
+           ELSE list_sort(list_distinct(gh)) END AS winnow_fp
+    FROM grams
+    """,
+    survey_ids="text analysis: rolling-hash doc fingerprint + winnowing fingerprint set",
+)
+def x_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints, all inside whole-stage codegen.
+
+    doc_hash: polynomial Rabin-Karp fold over the normalized char stream
+    (base 257 mod 1e9+7 — cross-engine-deterministic, unlike xxhash64).
+    winnow_fp: the winnowing fingerprint set (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-gram, slide a w-window over the hash
+    sequence, keep each window's min, dedup+sort. Guarantees any shared
+    substring of length >= w+k-1 contributes a common fingerprint —
+    the standard sublinear document-similarity sketch. Map-only: at
+    100TB this is a projection feeding an explode+groupBy(print) join
+    for plagiarism/overlap detection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", nt.alias("nt")).withColumn(
+        "cs",
+        F.expr("transform(filter(split(nt, ''), c -> c <> ''), c -> cast(ascii(c) as bigint))"),
+    )
+    fold = f"(a, c) -> (a * {_RH_BASE} + c) % {_RH_MOD}"
+    grams = base.withColumn(
+        "gh",
+        F.expr(
+            f"case when size(cs) >= {_WIN_K} then "
+            f"transform(sequence(1, size(cs) - {_WIN_K} + 1), "
+            f"i -> aggregate(slice(cs, i, {_WIN_K}), 0L, {fold})) "
+            "else array() end"
+        ),
+    )
+    return grams.select(
+        "doc_id",
+        F.expr(f"aggregate(cs, 0L, {fold})").alias("doc_hash"),
+        F.expr(
+            f"case when size(gh) >= {_WIN_W} then "
+            f"array_sort(array_distinct(transform(sequence(1, size(gh) - {_WIN_W} + 1), "
+            f"j -> array_min(slice(gh, j, {_WIN_W}))))) "
+            "else array_sort(array_distinct(gh)) end"
+        ).alias("winnow_fp"),
+    )

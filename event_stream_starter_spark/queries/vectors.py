@@ -13,6 +13,7 @@ from ..io import load_table
 from ..operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from . import query
@@ -100,6 +101,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = lsh_topk(
         q, emb, "vec_id", "vec_id", _plane_tables(4, 6, 64), "embedding", k=_TOP_K
+    )
+    return out.select(
+        "vec_id_q", "vec_id_c", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    None,  # approximate by construction (IVF probes a cluster subset);
+    # recall vs exact top-k asserted in tests/test_neardup_golden.py.
+    survey_ids="similarity search: IVF coarse-quantized ANN (scale path)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (2 Lloyd
+    iterations, model-sized driver collect), inverted lists keyed by
+    cluster id, n_probe=4 of 16 lists probed per query. At 100TB the
+    corpus assignment is map-only against a broadcast centroid literal
+    and the probe join shuffles only cluster-matched candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = ivf_topk(
+        q, emb, "vec_id", "vec_id", "embedding",
+        k=_TOP_K, n_clusters=16, n_probe=4, kmeans_iters=2,
     )
     return out.select(
         "vec_id_q", "vec_id_c", F.round("cos_sim", 6).alias("cos_sim"), "rank"

@@ -137,3 +137,42 @@ def test_ann_lsh_driver_data_is_subset_ranked(spark, sf_dir):
         ranks.sort()
         sims = [s for _, s in ranks]
         assert sims == sorted(sims, reverse=True)  # rank order == score order
+
+
+def test_ann_ivf_recall_on_planted_clusters(spark):
+    """IVF with a deterministic k-means quantizer on a planted clustered
+    corpus: probing 4 of 16 lists must recover >=80% of the exact top-k
+    (cluster siblings dominate the true neighbors)."""
+    import random
+
+    from event_stream_starter_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = random.Random(11)
+    dim, rows = 16, []
+    for c in range(20):
+        centroid = [rng.gauss(0, 1) for _ in range(dim)]
+        for m in range(25):
+            vec = [x + rng.gauss(0, 0.15) for x in centroid]
+            rows.append((c * 25 + m, [float(v) for v in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(emb.vec_id % 25 == 0).limit(10)
+
+    exact = {
+        (r["vec_id_q"], r["vec_id_c"])
+        for r in brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["vec_id_q"], r["vec_id_c"])
+        for r in ivf_topk(
+            q, emb, "vec_id", "vec_id", "embedding",
+            k=5, n_clusters=16, n_probe=4, kmeans_iters=2,
+        ).collect()
+    }
+    assert approx <= {
+        (a, b) for a in {p[0] for p in exact} for b in range(500) if a != b
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall:.2f}"
