@@ -1,0 +1,146 @@
+"""Read-path API facade — the engine-side answers to the reference's HTTP
+query surface (SURVEY.md §2.13, api/main.py:184-211 endpoint table).
+
+The reference serves these via FastAPI over Postgres; here each endpoint
+is a method returning a DataFrame (callers collect or serve it — the
+HTTP layer itself is out of engine scope, like any Spark deployment).
+What IS in scope, and mirrored here, is the QUERY each endpoint runs and
+its scale posture:
+
+- point lookups (`signals/{event_key}`) are key-predicate filters that
+  push down to the scan (asserted in tests/test_api.py via the optimized
+  plan) — at 100TB these hit partition/bucket pruning, not a full scan;
+- list endpoints reuse the registered query builders verbatim, so the
+  facade can never drift from the oracle-checked semantics;
+- the reference's per-endpoint caches (120 s summary cache, SWR dim
+  snapshots) map to Spark-side snapshot reuse: `cache()` on a bounded
+  result, refreshed by the caller's cadence (see sources/dimensions.py
+  for the SWR contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .queries import all_queries
+
+
+class ReadApi:
+    """One instance per (spark, sf_dir) — the reference's app state.
+
+    Reference: api/main.py:184-211 (endpoint registry); each method
+    docstring cites the route it re-expresses.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._q = all_queries()
+
+    def _run(self, name: str) -> DataFrame:
+        return self._q[name].fn(self.spark, self.sf_dir)
+
+    # -- signals ----------------------------------------------------------
+
+    def signals_heat(self, event_type: str | None = None) -> DataFrame:
+        """GET /signals/heat?token — A3 trailing counts + W5 slope/trend.
+
+        Reference: api/routes/signals_heat.py:28-142. The token filter is
+        a pushed-down predicate on the group key.
+        """
+        df = self._run("a3_w5_heat_slope")
+        return df.filter(F.col("event_type") == event_type) if event_type else df
+
+    def signals_summary(self, event_id: int) -> DataFrame:
+        """GET /signals/{event_key} — point lookup + R6 verdict.
+
+        Reference: api/routes/signals_summary.py:65-253 (120s cache —
+        callers cache() the bounded result and re-call on expiry). The
+        driver events table keys rows by event_id; the reference's
+        event_key is the same point-lookup shape (C4/C5 derived key).
+        """
+        return self._run("r6_onchain_verdict").filter(F.col("event_id") == event_id)
+
+    def signals_topic(self, topic_hash: str | None = None) -> DataFrame:
+        """GET /signals/topic — A2 topic aggregate (mentions, entities).
+
+        Reference: api/routes/signals_topic.py:17-50.
+        """
+        df = self._run("a2_topic_aggregate")
+        return df.filter(F.col("topic_hash") == topic_hash) if topic_hash else df
+
+    # -- rules ------------------------------------------------------------
+
+    def rules_eval(self, event_id: int | None = None) -> DataFrame:
+        """GET /rules/eval?event_key — J4 context merge + R1-R3 scoring.
+
+        Reference: api/routes/rules.py:24-205. The J4 merge itself is the
+        oracle-checked j4_rules_context_merge; scoring is r1_rules_eval.
+        """
+        df = self._run("r1_rules_eval")
+        return df.filter(F.col("event_id") == event_id) if event_id is not None else df
+
+    # -- onchain ----------------------------------------------------------
+
+    def onchain_features(self, user_id: int | None = None) -> DataFrame:
+        """GET /onchain/features — W7 latest row per key.
+
+        Reference: api/routes/onchain.py:51-160.
+        """
+        df = self._run("w7_latest_per_key")
+        return df.filter(F.col("user_id") == user_id) if user_id is not None else df
+
+    def onchain_freshness(self) -> DataFrame:
+        """GET /onchain/freshness — max ingested timestamp (the reference's
+        max-block probe). Reference: api/routes/onchain.py:163-295."""
+        ev = load_table(self.spark, self.sf_dir, "events")
+        return ev.agg(F.unix_micros(F.max("ts")).alias("latest_ts_us"))
+
+    def expert_onchain(self) -> DataFrame:
+        """GET /expert/onchain — W8 windowed series grid.
+
+        Reference: api/routes_expert_onchain.py:338-463.
+        """
+        return self._run("w8_series_split")
+
+    # -- cards ------------------------------------------------------------
+
+    def cards_preview(self) -> DataFrame:
+        """GET /cards/preview — J3 multiway card merge with degrade flags.
+
+        Reference: api/routes/cards.py:19.
+        """
+        return self._run("j3_card_merge")
+
+    # -- security / sentiment ---------------------------------------------
+
+    def security_token(self) -> DataFrame:
+        """GET /security/token — R7 GoPlus risk labeling.
+
+        Reference: api/routes/security.py:50-142.
+        """
+        return self._run("r7_risk_label")
+
+    def sentiment(self) -> DataFrame:
+        """GET /sentiment — U1/C11 lexicon sentiment.
+
+        Reference: api/sentiment/router.py:18-31.
+        """
+        return self._run("c11_lexicon_sentiment")
+
+    # -- health -----------------------------------------------------------
+
+    def healthz(self) -> dict:
+        """GET /healthz — session liveness. Reference: routes/health.py:16-28."""
+        alive = self.spark.sparkContext._jsc is not None
+        return {"status": "ok" if alive else "down"}
+
+    def readyz(self) -> dict:
+        """GET /readyz — storage reachability (one metadata-only read)."""
+        try:
+            load_table(self.spark, self.sf_dir, "region").limit(1).collect()
+            return {"status": "ready"}
+        except Exception as exc:  # pragma: no cover - storage failure path
+            return {"status": "not_ready", "error": str(exc)}

@@ -1,0 +1,53 @@
+"""ReadApi facade: every §2.13 read endpoint answers from the engine,
+point lookups push their key predicate into the scan."""
+
+from __future__ import annotations
+
+from event_stream_starter_spark.api import ReadApi
+from event_stream_starter_spark.plans import plan_features
+
+
+def test_point_lookup_pushes_key_predicate(spark, sf_dir):
+    api = ReadApi(spark, sf_dir)
+    df = api.rules_eval(event_id=7)
+    f = plan_features(df)
+    # The event_id filter must reach the parquet scan (at 100TB this is
+    # what partition/bucket pruning hangs off), not sit above the plan.
+    assert any("event_id" in p for p in f.pushed_filters), f.pushed_filters
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["event_id"] == 7
+
+
+def test_signals_endpoints_shapes(spark, sf_dir):
+    api = ReadApi(spark, sf_dir)
+    heat = api.signals_heat().collect()
+    assert heat and {"event_type", "cnt_10m", "slope", "trend"} <= set(heat[0].asDict())
+    one_type = heat[0]["event_type"]
+    filtered = api.signals_heat(event_type=one_type).collect()
+    assert len(filtered) == 1 and filtered[0]["event_type"] == one_type
+
+    summary = api.signals_summary(event_id=1).collect()
+    assert len(summary) == 1 and "verdict" in summary[0].asDict()
+
+    topics = api.signals_topic().collect()
+    assert topics and "mention_count" in topics[0].asDict()
+
+
+def test_onchain_and_cards_endpoints(spark, sf_dir):
+    api = ReadApi(spark, sf_dir)
+    fresh = api.onchain_freshness().collect()[0]
+    assert fresh["latest_ts_us"] > 0
+
+    feats = api.onchain_features(user_id=1).collect()
+    assert len(feats) == 1  # W7: exactly one latest row per key
+
+    assert api.expert_onchain().count() > 0
+    assert api.cards_preview().count() > 0
+    assert api.security_token().count() > 0
+    assert api.sentiment().count() > 0
+
+
+def test_health_endpoints(spark, sf_dir):
+    api = ReadApi(spark, sf_dir)
+    assert api.healthz()["status"] == "ok"
+    assert api.readyz()["status"] == "ready"
