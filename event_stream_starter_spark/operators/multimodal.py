@@ -122,3 +122,87 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit("application/octet-stream").alias("mime"),
         F.length(payload).cast("long").alias("n_bytes"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_len", LongType(), True),
+        StructField("frame_hex8", StringType(), True),
+    ]
+)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("out_w", IntegerType(), False),
+        StructField("out_h", IntegerType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+_FRAME_BYTES = 1024  # fake codec: one 'frame' per 1KiB of payload
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling over video-like payloads: emit one row per SAMPLED
+    frame (row-expanding mapInPandas — the 1→N batch shape a real
+    frame extractor needs). The fake codec treats each 1KiB block as a
+    frame; a real one decodes the container instead — same schema,
+    same batch iteration, same partitioning.
+
+    Output: (media_id, frame_idx, frame_len, frame_hex8) where
+    frame_hex8 is the hex of the frame's first 8 bytes (cheap,
+    deterministic, oracle-checkable).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_len": [], "frame_hex8": []
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                n_frames = len(p) // _FRAME_BYTES + 1
+                for idx in range(0, n_frames, every):
+                    frame = p[idx * _FRAME_BYTES : (idx + 1) * _FRAME_BYTES]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_len"].append(len(frame))
+                    out["frame_hex8"].append(frame[:8].hex().upper())
+            yield pd.DataFrame(out, columns=list(FRAME_SCHEMA.fieldNames()))
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Image resize plumbing: decode → resample → re-encode, stubbed with
+    a deterministic stride resampler (every len/(w*h)-th payload byte) so
+    the output is a pure function of the input. A real implementation
+    swaps the per-payload function for a codec call (see decode_image);
+    batch shape, schema and memory profile are identical.
+    """
+    target = out_w * out_h
+
+    def one(p: bytes | None) -> bytes | None:
+        if p is None:
+            return None
+        if len(p) <= target:
+            return bytes(p)
+        stride = len(p) / target
+        return bytes(p[int(i * stride)] for i in range(target))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "payload": [one(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)

@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
-from ..operators.multimodal import extract_features, media_from_documents
+from ..operators.multimodal import (
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
 from . import query
 
 
@@ -29,3 +33,31 @@ from . import query
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter("text IS NOT NULL")
     return extract_features(media_from_documents(docs))
+
+
+@query(
+    "mm_frame_sample",
+    """
+    WITH m AS (
+        -- driver text is ASCII, so char ops == byte ops (same assumption
+        -- the mm_media_features oracle already relies on)
+        SELECT doc_id AS media_id, text, octet_length(encode(text)) AS nb
+        FROM documents WHERE text IS NOT NULL
+    ), frames AS (
+        SELECT media_id, text, nb,
+               unnest(generate_series(0, nb // 1024, 2)) AS frame_idx
+        FROM m
+    )
+    SELECT media_id, frame_idx,
+           CAST(least(nb - frame_idx * 1024, 1024) AS BIGINT) AS frame_len,
+           upper(hex(substring(text, frame_idx * 1024 + 1, 8))) AS frame_hex8
+    FROM frames
+    """,
+    survey_ids="multimodal: frame sampling (row-expanding mapInPandas, 1→N batch shape)",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sample over the synthesized media table; the fake
+    codec frames the payload in 1KiB blocks, so DuckDB recomputes every
+    output cell from the utf-8 text bytes (full value-hash oracle)."""
+    docs = load_table(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    return sample_frames(media_from_documents(docs), every=2)

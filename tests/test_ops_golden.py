@@ -54,3 +54,27 @@ def test_t8_mmr_matches_python_core(spark, sf_dir):
     # MMR must diversify: selected phrases are distinct.
     for phrases in got.values():
         assert len(phrases) == len(set(phrases))
+
+
+def test_resize_images_matches_python_stride(spark, sf_dir):
+    """Fake stride resize is a pure function of the payload: recompute it
+    in plain Python and demand byte equality (the plumbing contract a
+    real codec would inherit)."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators.multimodal import (
+        media_from_documents,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter("text IS NOT NULL").limit(50)
+    media = media_from_documents(docs)
+    got = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 8).collect()}
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert got.keys() == src.keys()
+    for mid, p in src.items():
+        if len(p) <= 64:
+            want = p
+        else:
+            stride = len(p) / 64
+            want = bytes(p[int(i * stride)] for i in range(64))
+        assert got[mid] == want, mid
