@@ -241,6 +241,7 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     kmeans_iters: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into n_clusters
     inverted lists, probe the n_probe closest lists per query, exact-rank
@@ -253,9 +254,10 @@ def ivf_topk(
     once and reused across query batches (the assignment is a pure
     column expression of the centroid table).
     """
-    centroids = kmeans_centroids(
-        corpus, vec_col, n_clusters, iters=kmeans_iters, id_col=corpus_id
-    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, vec_col, n_clusters, iters=kmeans_iters, id_col=corpus_id
+        )
     lit = _centroid_literal(centroids)
 
     def cluster_scores(vec: Column) -> Column:

