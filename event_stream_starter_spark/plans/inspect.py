@@ -50,6 +50,10 @@ def plan_features(df: DataFrame) -> PlanFeatures:
         n_shuffle_exchanges=n_ex - n_bc,
         pushed_filters=pushed,
         read_schemas=reads,
-        n_codegen_stages=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # formatted mode tags operators with "[codegen id : N]"; simple
+        # mode uses "WholeStageCodegen (N)" — count either.
+        n_codegen_stages=len(
+            set(re.findall(r"codegen id : (\d+)|WholeStageCodegen \((\d+)\)", plan))
+        ),
         has_cartesian="CartesianProduct" in plan,
     )
