@@ -67,3 +67,61 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
             "props"
         ),
     )
+
+
+def events_jsonl_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """JSON-lines landing-dir stream — the reference's webhook/replay
+    ingest bodies (POST /ingest/x/replay, api/routes/ingest_x.py:50-70)
+    land as JSONL; schema is DECLARED (never inferred on the hot path),
+    `ts` parsed from epoch micros or ISO-8601 by Spark's JSON reader,
+    and malformed lines are quarantined to `_corrupt` (PERMISSIVE mode)
+    instead of failing the stream — the reference returns 422 per bad
+    record, same contract.
+    """
+    schema = StructType(
+        list(EVENTS_STREAM_SCHEMA.fields)
+        + [StructField("_corrupt", StringType(), True)]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(landing_dir)
+    )
+
+
+def events_csv_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """CSV landing-dir stream with the same declared schema + corrupt
+    quarantine (bulk export/import path)."""
+    schema = StructType(
+        list(EVENTS_STREAM_SCHEMA.fields)
+        + [StructField("_corrupt", StringType(), True)]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(landing_dir)
+    )
+
+
+def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_rows, quarantined) — good rows drop the _corrupt column;
+    quarantined rows keep the raw line for a dead-letter sink (the
+    engine-side analog of the reference's per-record 422 response)."""
+    good = df.filter(df["_corrupt"].isNull()).drop("_corrupt")
+    # Keep the full row on the quarantine leg: Spark refuses a query that
+    # references ONLY the corrupt-record column of a raw-file scan.
+    bad = df.filter(df["_corrupt"].isNotNull())
+    return good, bad

@@ -75,37 +75,72 @@ def transition(
     return state, 0, cooldown_until_us  # hold
 
 
-def _apply_group(
-    key: tuple[str],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        st, fails, cd = state.get
-    else:
-        st, fails, cd = "candidate", 0, 0
-    last_ts = 0
-    rows = []
-    for pdf in batches:
-        for _, r in pdf.sort_values("ts_us").iterrows():
-            st, fails, cd = transition(st, fails, cd, r["verdict"], int(r["ts_us"]))
-            last_ts = int(r["ts_us"])
-    state.update((st, fails, cd))
-    rows.append(
-        {"event_key": key[0], "state": st, "fail_count": fails, "last_ts_us": last_ts}
-    )
-    yield pd.DataFrame(rows)
+def _make_apply_group(ttl_ms: int | None):
+    def _apply_group(
+        key: tuple[str],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # State TTL (SURVEY §7.4): the reference expires keyed state
+        # implicitly via its 24h/14d scan windows; here an idle key's
+        # state times out and is dropped, emitting a tombstone row so
+        # downstream sinks can clear it. Without this, event_key state
+        # grows without bound at 100TB.
+        if ttl_ms is not None and state.hasTimedOut:
+            st, fails, cd = state.get if state.exists else ("candidate", 0, 0)
+            state.remove()
+            yield pd.DataFrame(
+                [{"event_key": key[0], "state": "expired", "fail_count": fails,
+                  "last_ts_us": 0}]
+            )
+            return
+        if state.exists:
+            st, fails, cd = state.get
+        else:
+            st, fails, cd = "candidate", 0, 0
+        last_ts = 0
+        rows = []
+        for pdf in batches:
+            for _, r in pdf.sort_values("ts_us").iterrows():
+                st, fails, cd = transition(st, fails, cd, r["verdict"], int(r["ts_us"]))
+                last_ts = int(r["ts_us"])
+        state.update((st, fails, cd))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        rows.append(
+            {"event_key": key[0], "state": st, "fail_count": fails, "last_ts_us": last_ts}
+        )
+        yield pd.DataFrame(rows)
+
+    return _apply_group
 
 
-def apply_state_machine(verdicts: DataFrame) -> DataFrame:
+_apply_group = _make_apply_group(None)  # batch-parity default (golden test)
+
+
+def apply_state_machine(verdicts: DataFrame, ttl_sec: int | None = None) -> DataFrame:
     """verdicts: streaming DF (event_key, ts_us, verdict) →
-    per-key current state after each micro-batch."""
+    per-key current state after each micro-batch.
+
+    ttl_sec: idle-key state TTL (processing-time timeout). None keeps
+    state forever — only for bounded tests; production mirrors the
+    reference's 24h/14d windows (verify_signal.py scan cutoffs).
+
+    Caveat: with ProcessingTimeTimeout the engine schedules micro-batches
+    continuously to fire timers, so run the query with a processingTime
+    trigger cadence; trigger(availableNow) will not terminate while
+    timers are registered (observed: unbounded empty epochs).
+    """
     return verdicts.groupBy("event_key").applyInPandasWithState(
-        _apply_group,
+        _make_apply_group(None if ttl_sec is None else ttl_sec * 1000),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_sec is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

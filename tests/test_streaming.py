@@ -275,3 +275,60 @@ def test_outbox_policies(spark):
     due = pend.filter(ob.due_filter(now))
     ordered = [r["id"] for r in ob.delivery_order(due).collect()]
     assert ordered == [1, 2]  # 3 not due yet, 4 done; NULL next_try first
+
+
+def test_state_machine_ttl_timeout_branch_emits_tombstone():
+    """Deterministic unit test of the TTL expiry path: a timed-out key's
+    state is removed and an 'expired' tombstone row is emitted (the
+    contract that bounds state size at scale)."""
+    from event_stream_starter_spark.streaming.state_machine import _make_apply_group
+
+    class FakeState:
+        def __init__(self):
+            self.exists = True
+            self.hasTimedOut = True
+            self.get = ("candidate", 2, 0)
+            self.removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    out = list(_make_apply_group(60_000)(("K",), iter([]), st))
+    assert st.removed
+    assert len(out) == 1 and out[0].iloc[0]["state"] == "expired"
+    assert out[0].iloc[0]["fail_count"] == 2
+
+
+
+def test_jsonl_stream_ingests_and_quarantines(spark, tmp_path):
+    """JSONL replay ingest: good lines become typed rows, malformed lines
+    land in the quarantine leg instead of failing the stream."""
+    from event_stream_starter_spark.streaming.source import (
+        events_jsonl_stream,
+        quarantine_split,
+    )
+
+    land = tmp_path / "jsonl"
+    land.mkdir()
+    (land / "a.jsonl").write_text(
+        '{"event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 7,'
+        ' "event_type": "view", "value": 1.5, "props": "{}"}\n'
+        "this is not json\n"
+        '{"event_id": 2, "ts": "2024-01-01T00:01:00Z", "user_id": 8,'
+        ' "event_type": "click", "value": 2.0, "props": "{}"}\n'
+    )
+    good, bad = quarantine_split(events_jsonl_stream(spark, str(land)))
+    qg = (
+        good.writeStream.format("memory").queryName("jl_good")
+        .option("checkpointLocation", str(tmp_path / "ckg")).start()
+    )
+    qb = (
+        bad.writeStream.format("memory").queryName("jl_bad")
+        .option("checkpointLocation", str(tmp_path / "ckb")).start()
+    )
+    qg.processAllAvailable(); qb.processAllAvailable()
+    qg.stop(); qb.stop()
+    rows = {r["event_id"]: r["event_type"] for r in spark.table("jl_good").collect()}
+    assert rows == {1: "view", 2: "click"}
+    assert spark.table("jl_bad").count() == 1
