@@ -524,3 +524,34 @@ def j4_rules_context_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signal_value",
         F.col("signal_event_type").isNotNull().alias("has_signal"),
     )
+
+
+@query(
+    "st9_latency_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ids="ST9/§6 (P50/P95/P99 SLA percentiles per stage — alerts.yml latency gates)",
+)
+def st9_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline SLA metrics (P50=45s / P95=110s,
+    alerts.yml:31-43 P95>2000ms gate) as a grouped percentile query over
+    the value column. Exact interpolated percentile here (matches
+    quantile_cont bit-for-bit); the 100TB path swaps in
+    approx_percentile — same plan shape, sketch-mergeable partials
+    instead of a per-group sort (see a5_approx_distinct for the
+    approx-sketch posture).
+    """
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.50), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

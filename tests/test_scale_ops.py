@@ -88,3 +88,33 @@ def test_bucketed_keyed_layout_lookup_touches_one_bucket(spark, sf_dir, tmp_path
     n_files = lookup.select(F.input_file_name()).distinct().count()
     total_files = back.select(F.input_file_name()).distinct().count()
     assert n_files <= max(1, total_files // 8)
+
+
+def test_results_invariant_to_partition_count(spark, sf_dir):
+    """Determinism at scale: re-running key aggregate/join/percentile
+    queries with shuffle parallelism 2 vs 27 must produce IDENTICAL
+    results (decimal-native money sums, explicit tiebreaks and
+    interpolated percentiles are all partition-order-independent by
+    design — this is the proof)."""
+    from event_stream_starter_spark.queries import all_queries
+
+    names = [
+        "q1_pricing_summary",
+        "a1_event_upsert_merge",
+        "st9_latency_percentiles",
+        "w7_latest_per_key",
+        "d4_evidence_merge",
+    ]
+    specs = all_queries()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("2", "27"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                rows = sorted(map(str, specs[n].fn(spark, sf_dir).collect()))
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} differs across partition counts"
