@@ -1,0 +1,72 @@
+"""As-of join: for each left row, the latest right row with
+right_ts <= left_ts per key (J6 family — the reference answers
+"state as of event time" with per-key latest-snapshot SQL,
+api/signals/heat.py:405-425 / features_snapshot reads; this is the
+general two-table operator).
+
+Spark has no ASOF JOIN physical operator. The scalable composition is
+union+window, NOT a range join: tag both inputs, union them, and carry
+the right payload forward with last(ignorenulls) over
+(key ORDER BY ts, side). One shuffle on the key, linear in
+|L|+|R|, no candidate-pair explosion — a range-condition join would
+rewrite to a broadcast-nested-loop (quadratic) or need interval
+bucketing. At equal timestamps the right row sorts first, so the match
+is inclusive (l.ts >= r.ts), matching DuckDB's ASOF semantics — the
+oracle for the registered query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of join. Output: all left columns + right_cols (null when
+    no right row at-or-before the left timestamp exists for the key).
+
+    `right` must be unique per (keys, right_ts) — pre-aggregate ties
+    (e.g. max_by) so the carried value is deterministic.
+    """
+    left_cols = left.columns
+    l_tag = left.select(
+        *left_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c not in keys
+            else F.col(c)
+            for c in left_cols
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *left_cols,
+        "__side",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")

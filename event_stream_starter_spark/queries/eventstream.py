@@ -555,3 +555,46 @@ def st9_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", 0.99), 6).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "j6_asof_snapshot_enrich",
+    """
+    WITH l AS (
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               event_type
+        FROM events
+    ), snaps AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS snap_ts_us,
+               ROUND(MAX(value), 6) AS snap_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, CAST(epoch_us(ts) AS BIGINT)
+    )
+    SELECT l.event_id, l.user_id, l.ts_us, l.event_type,
+           s.snap_ts_us, s.snap_value
+    FROM l ASOF LEFT JOIN snaps s
+      ON l.user_id = s.user_id AND l.ts_us >= s.snap_ts_us
+    """,
+    survey_ids="J6 (as-of join: latest snapshot at-or-before event time, union+window one-shuffle plan)",
+)
+def j6_asof_snapshot_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event enriched with the user's latest purchase snapshot
+    at-or-before the event timestamp — checked against DuckDB's native
+    ASOF LEFT JOIN. Snapshots are deduped per (user, ts) so ties are
+    deterministic in both engines.
+    """
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    snaps = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("snap_ts_us"))
+        .agg(F.round(F.max("value"), 6).alias("snap_value"))
+    )
+    return asof_join(
+        left, snaps, ["user_id"], "ts_us", "snap_ts_us",
+        ["snap_ts_us", "snap_value"],
+    )
