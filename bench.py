@@ -50,6 +50,8 @@ HEADLINE = [
     "mm_frame_sample",
     "c13_keyphrases",
     "w8_series_split",
+    "j6_asof_snapshot_enrich",
+    "st9_latency_percentiles",
     "a10_t7_batch_scan",
     "d6_cooldown_emit",
     "u4_u6_rules_refiner",

@@ -598,3 +598,32 @@ def j6_asof_snapshot_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, snaps, ["user_id"], "ts_us", "snap_ts_us",
         ["snap_ts_us", "snap_value"],
     )
+
+
+@query(
+    "a5_hll_mergeable_rollup",
+    None,  # sketch estimates are engine-specific; bounded-error golden
+    # test vs the exact distinct count in tests/test_ops_golden.py.
+    survey_ids="A5/A6 100TB path: mergeable HLL sketches (daily rollup → union-merge)",
+)
+def a5_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-distinct posture for 100TB: persist one HLL sketch per
+    (event_type, day) partition, answer any horizon by UNION-MERGING
+    sketches — no re-scan of history (Datasketches HLL, mergeable by
+    construction; the same pattern as the reference's cached counter
+    refresh, api/signals/heat.py trailing windows, but re-aggregable).
+    Output: per event_type, the sketch-merged distinct-user estimate
+    across all days plus the day count.
+    """
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("event_type", "distinct_users_est", "n_days")
+    )

@@ -78,3 +78,29 @@ def test_resize_images_matches_python_stride(spark, sf_dir):
             stride = len(p) / 64
             want = bytes(p[int(i * stride)] for i in range(64))
         assert got[mid] == want, mid
+
+
+def test_hll_mergeable_rollup_within_error_bound(spark, sf_dir):
+    """Union-merged daily sketches must estimate distinct users within
+    the HLL error envelope (<5% at default lgK=12) of the exact count —
+    the guarantee that makes day-partitioned sketch rollups safe to
+    substitute for full rescans."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+
+    got = {
+        r["event_type"]: r["distinct_users_est"]
+        for r in all_queries()["a5_hll_mergeable_rollup"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert got.keys() == exact.keys()
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= max(1, 0.05 * exact[k]), (k, got[k], exact[k])
