@@ -87,7 +87,7 @@ def c4_event_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us,
            COUNT(*) AS evidence_count,
            ROUND(MAX(value), 6) AS max_weight,
-           arg_max(value, ts) AS last_value
+           (max(struct_pack(ts := ts, v := value))).v AS last_value
     FROM events
     GROUP BY substring(sha256(CAST(user_id AS VARCHAR) || '|' || event_type), 1, 40)
     """,
@@ -102,13 +102,18 @@ def a1_event_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Batch form of the streaming keyed upsert (reference api/events.py:
     # 1139-1256): last_ts = greatest(old,new) ≡ max(ts); evidence_count;
-    # "replace with latest non-null" ≡ max_by(value, ts). One shuffle on key.
+    # "replace with latest" ≡ lexicographic struct-max on (ts, value) —
+    # NOT max_by(value, ts), which is nondeterministic when two rows
+    # share a timestamp (at-least-once replay makes that reachable);
+    # ties break toward the larger value in both engines. One shuffle.
     return ev.groupBy(key.alias("event_key")).agg(
         F.unix_micros(F.min("ts")).alias("start_ts_us"),
         F.unix_micros(F.max("ts")).alias("last_ts_us"),
         F.count(F.lit(1)).alias("evidence_count"),
         F.round(F.max("value"), 6).alias("max_weight"),
-        F.max_by("value", "ts").alias("last_value"),
+        F.max(F.struct(F.col("ts"), F.col("value").alias("v")))["v"].alias(
+            "last_value"
+        ),
     )
 
 

@@ -40,14 +40,19 @@ def aggregate_batch(batch: DataFrame, key_col: str = "event_key") -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("evidence_count"),
         F.max("value").alias("max_weight"),
-        F.max_by("value", "ts").alias("last_value"),
+        # struct-max, not max_by(value, ts): deterministic under ts ties
+        # (at-least-once replay can duplicate timestamps; the merge must
+        # be order-independent — same law as a1_event_upsert_merge).
+        F.max(F.struct(F.col("ts"), F.col("value").alias("v")))["v"].alias(
+            "last_value"
+        ),
     )
 
 
 def merge_states(current: DataFrame, incoming: DataFrame, batch_id: int) -> DataFrame:
     """A1 merge laws over (current ⟗ incoming) per key:
     last_ts = greatest, start_ts = least, counts summed, weight = max,
-    last_value = value of the side with the greater last_ts.
+    last_value = lexicographic greatest of (last_ts, last_value).
 
     Re-delivery safety (ST5 at-least-once): a batch with id <=
     last_batch_id is dropped before merging, making the sink idempotent
@@ -56,9 +61,16 @@ def merge_states(current: DataFrame, incoming: DataFrame, batch_id: int) -> Data
     cur = current.select(*STATE_COLS).alias("c")
     inc = incoming.withColumn("last_batch_id", F.lit(batch_id)).alias("i")
     joined = cur.join(inc, F.col("c.event_key") == F.col("i.event_key"), "full_outer")
-    newer_is_inc = F.coalesce(
-        F.col("i.last_ts") >= F.col("c.last_ts"), F.lit(True)
-    )
+    # Commutative last-value law: lexicographic greatest of
+    # (last_ts, last_value) structs. A ">= incoming wins" rule would make
+    # the merged value depend on batch ARRIVAL ORDER when two batches
+    # share a max timestamp — merge must be order-independent for
+    # at-least-once replay. A side missing from the outer join yields a
+    # struct of nulls, which sorts below any real (ts, value).
+    pick_last = F.greatest(
+        F.struct(F.col("c.last_ts").alias("t"), F.col("c.last_value").alias("v")),
+        F.struct(F.col("i.last_ts").alias("t"), F.col("i.last_value").alias("v")),
+    )["v"]
     replay = F.coalesce(F.col("i.last_batch_id") <= F.col("c.last_batch_id"), F.lit(False))
     merged = joined.select(
         F.coalesce(F.col("c.event_key"), F.col("i.event_key")).alias("event_key"),
@@ -71,9 +83,7 @@ def merge_states(current: DataFrame, incoming: DataFrame, batch_id: int) -> Data
             )
         ).alias("evidence_count"),
         F.greatest(F.col("c.max_weight"), F.col("i.max_weight")).alias("max_weight"),
-        F.when(newer_is_inc & ~replay, F.coalesce(F.col("i.last_value"), F.col("c.last_value")))
-        .otherwise(F.col("c.last_value"))
-        .alias("last_value"),
+        F.when(replay, F.col("c.last_value")).otherwise(pick_last).alias("last_value"),
         F.greatest(
             F.coalesce(F.col("c.last_batch_id"), F.lit(-1)).cast("long"),
             F.coalesce(F.col("i.last_batch_id"), F.lit(-1)).cast("long"),

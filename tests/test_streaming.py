@@ -332,3 +332,71 @@ def test_jsonl_stream_ingests_and_quarantines(spark, tmp_path):
     rows = {r["event_id"]: r["event_type"] for r in spark.table("jl_good").collect()}
     assert rows == {1: "view", 2: "click"}
     assert spark.table("jl_bad").count() == 1
+
+
+def test_merge_laws_order_independent_under_ts_ties(spark):
+    """Property test (SURVEY §7.4): applying batches in ANY order yields
+    the same keyed state as one global aggregate — including duplicate
+    timestamps per key, where a naive 'incoming wins on >=' rule (or
+    max_by(value, ts)) silently becomes arrival-order-dependent."""
+    from hypothesis import given, settings, strategies as st
+
+    from event_stream_starter_spark.streaming.keyed_table import (
+        STATE_COLS,
+        aggregate_batch,
+        merge_states,
+    )
+
+    def run(events, split):
+        batches = [events[:split], events[split:]]
+        empty = spark.createDataFrame(
+            [], "event_key string, start_ts long, last_ts long, evidence_count long,"
+            " max_weight double, last_value double, last_batch_id long"
+        ).select(*STATE_COLS, "last_batch_id")
+        state = empty
+        for bid, b in enumerate(batches):
+            if not b:
+                continue
+            bdf = aggregate_batch(
+                spark.createDataFrame(b, "event_key string, ts long, value double")
+            )
+            state = merge_states(state, bdf, bid)
+        return {
+            r["event_key"]: (
+                r["start_ts"], r["last_ts"], r["evidence_count"],
+                r["max_weight"], r["last_value"],
+            )
+            for r in state.collect()
+        }
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["A", "B"]),
+                st.integers(min_value=0, max_value=3),  # tiny ts domain → ties
+                st.sampled_from([1.0, 2.0, 5.0, 9.0]),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        split=st.integers(min_value=0, max_value=8),
+    )
+    def check(rows, split):
+        split = min(split, len(rows))
+        forward = run(rows, split)
+        backward = run(rows[::-1], len(rows) - split)
+        assert forward == backward
+        # And both equal the single global aggregate.
+        g = {
+            r["event_key"]: (
+                r["start_ts"], r["last_ts"], r["evidence_count"],
+                r["max_weight"], r["last_value"],
+            )
+            for r in aggregate_batch(
+                spark.createDataFrame(rows, "event_key string, ts long, value double")
+            ).collect()
+        }
+        assert forward == g
+
+    check()
