@@ -99,17 +99,18 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 over TWO FULL PASSES: the box runs a co-resident agent
+    # Best-of-3 over THREE FULL PASSES: the box runs a co-resident agent
     # process whose CPU bursts last tens of seconds; a single sample (or
     # two back-to-back samples, which land in the same burst) can charge
     # an external stall to whichever query it hits (observed ~20s spikes
-    # on sub-second queries). Separating the two samples by a whole pass
-    # decorrelates them; min measures the engine, not the neighbor.
+    # on sub-second queries, sometimes for minutes). Separating samples
+    # by whole passes decorrelates them; min measures the engine, not
+    # the neighbor.
     # Caches are cleared between runs, so every sample re-executes the
     # full plan (parquet stays in the OS page cache either way — 17MB at
     # sf0.1, and a real deployment reads warm storage too).
     best: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             fn = specs[name].fn
             t0 = time.perf_counter()

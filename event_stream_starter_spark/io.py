@@ -39,11 +39,22 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     times splits-per-file exceeds core count and this is a no-op.
     """
     try:
-        est_splits = max(1, os.path.getsize(path) // _SPLIT_BYTES)
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            total = sum(os.path.getsize(f) for f in files)
+            # Each file yields at least one split.
+            est_splits = max(len(files), total // _SPLIT_BYTES)
+        else:
+            total = os.path.getsize(path)
+            est_splits = max(1, total // _SPLIT_BYTES)
     except OSError:
         return df
     par = spark.sparkContext.defaultParallelism
-    if est_splits >= par or os.path.getsize(path) < _SPREAD_MIN_BYTES:
+    if est_splits >= par or total < _SPREAD_MIN_BYTES:
         return df
     return df.repartition(par)
 
@@ -111,8 +122,12 @@ def _load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     managed = os.path.join(_managed_dir(sf_dir), f"{name}.parquet")
     if os.path.isdir(managed):
-        # Managed copy is already normalized (types + multi-file layout).
-        return spark.read.parquet(managed)
+        # Managed copy is already normalized (types + multi-file layout);
+        # still apply the scan-parallelism floor — a small compute-dense
+        # table (embeddings, documents) can land in 1-2 files whose
+        # downstream per-row work needs all cores (measured 8x on the
+        # embedding self-join when read as a single split).
+        return _spread(spark, spark.read.parquet(managed), managed)
     path = os.path.join(sf_dir, f"{name}.parquet")
     return _spread(spark, _load_raw(spark, sf_dir, name), path)
 
