@@ -400,3 +400,55 @@ def test_merge_laws_order_independent_under_ts_ties(spark):
         assert forward == g
 
     check()
+
+
+def test_tws_state_machine_matches_python_replay(spark, tmp_path):
+    """transformWithState implementation must agree with the same
+    pure-Python replay oracle as the classic applyInPandasWithState one
+    (identical transition semantics, newer engine API)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState needs the protobuf wheel (absent here; "
+        "the applyInPandasWithState implementation is the tested default)",
+    )
+    from event_stream_starter_spark.streaming.state_machine import replay_batch
+    from event_stream_starter_spark.streaming.tws_state_machine import (
+        apply_state_machine_tws,
+    )
+
+    rows = [
+        {"event_key": "A", "ts_us": 1, "verdict": "error"},
+        {"event_key": "A", "ts_us": 2, "verdict": "error"},
+        {"event_key": "A", "ts_us": 3, "verdict": "error"},
+        {"event_key": "A", "ts_us": 4, "verdict": "upgrade"},  # in cooldown
+        {"event_key": "B", "ts_us": 1, "verdict": "upgrade"},
+        {"event_key": "B", "ts_us": 2, "verdict": "downgrade"},  # sticky
+        {"event_key": "C", "ts_us": 1, "verdict": "hold"},
+    ]
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(r["event_key"], r["ts_us"], r["verdict"]) for r in rows],
+        "event_key string, ts_us long, verdict string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_key string, ts_us long, verdict string"
+    ).parquet(str(src))
+    out = apply_state_machine_tws(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_states")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_tws"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_key"]: (r["state"], r["fail_count"])
+        for r in spark.table("tws_states").collect()
+    }
+    want = {
+        k: (st, fails) for k, (st, fails, _cd) in replay_batch(rows).items()
+    }
+    assert got == want
