@@ -199,6 +199,16 @@ def minhash_signature_sql(col_name: str, num_hashes: int = 64) -> str:
     variable-length hash isn't re-inlined per permutation. Pure JVM
     expressions, map-only, ANSI-safe (no overflowing arithmetic).
 
+    Why k independent permutations and not one-permutation hashing:
+    OPH's bin-min construction needs either an explode+groupBy (a full
+    shuffle of every shingle hash — measured 2x SLOWER than this
+    map-only form at sf0.1, and at cluster scale an extra all-data
+    shuffle is exactly the wrong trade) or a per-element map rebuild
+    that re-introduces the O(k) factor. xxhash64 over a fixed-width
+    long is cheap enough that k in-register hashes beat one shuffled
+    hash; recall/precision were identical on the corpus (same 256
+    verified pairs).
+
     Returned as a SQL string (callers wrap in F.expr): building this
     64-wide tree through the per-node Column API costs hundreds of py4j
     round trips PER QUERY CONSTRUCTION (~1s of driver latency measured);
