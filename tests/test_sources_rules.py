@@ -115,3 +115,84 @@ def test_hotreload_ttl_mtime_and_version(tmp_path):
     r3 = reg.current()
     assert r3.version == r2.version
     assert reg.reload_count == 2
+
+
+def test_compiled_conditions_agree_across_engines_fuzz(spark):
+    """Property fuzz of the rules grammar: random condition ASTs over the
+    whitelisted fields compile to ONE SQL string that must evaluate to
+    identical row sets in Spark and DuckDB — including null fields under
+    three-valued logic (the 'null field → rule does not match' law)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from event_stream_starter_spark.rules.compiler import compile_condition
+
+    fields = ["buy_tax", "heat_slope", "evidence_count", "last_sentiment"]
+    rows = []
+    vals = [None, -2.0, 0.0, 0.5, 3.0, 10.0]
+    sents = [None, "pos", "neg", "neu"]
+    for i in range(72):
+        rows.append(
+            (
+                i,
+                vals[i % len(vals)],
+                vals[(i // 2) % len(vals)],
+                None if i % 7 == 0 else float(i % 5),
+                sents[i % len(sents)],
+            )
+        )
+    sdf = spark.createDataFrame(
+        rows,
+        "row_id long, buy_tax double, heat_slope double,"
+        " evidence_count double, last_sentiment string",
+    )
+    sdf.createOrReplaceTempView("fuzz_sig")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE fuzz_sig(row_id BIGINT, buy_tax DOUBLE, heat_slope DOUBLE,"
+        " evidence_count DOUBLE, last_sentiment VARCHAR)"
+    )
+    con.executemany("INSERT INTO fuzz_sig VALUES (?,?,?,?,?)", rows)
+
+    num = st.sampled_from(["-2", "0", "0.5", "3", "10.0"])
+    numf = st.sampled_from(fields[:3])
+    cmp_op = st.sampled_from([">", ">=", "<", "<=", "==", "!="])
+
+    atom = st.one_of(
+        st.tuples(numf, cmp_op, num).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+        st.sampled_from(fields).map(lambda f: f"{f} is null"),
+        st.sampled_from(fields).map(lambda f: f"{f} is not null"),
+        st.sampled_from(["pos", "neg", "neu"]).map(
+            lambda s: f"last_sentiment == '{s}'"
+        ),
+    )
+
+    def boolean(children):
+        return st.one_of(
+            st.tuples(children, st.sampled_from(["and", "or"]), children).map(
+                lambda t: f"({t[0]} {t[1]} {t[2]})"
+            ),
+            children.map(lambda c: f"not ({c})"),
+        )
+
+    cond_strategy = st.recursive(atom, boolean, max_leaves=6)
+
+    @settings(max_examples=25, deadline=None)
+    @given(cond=cond_strategy)
+    def check(cond):
+        sql = compile_condition(cond)
+        s_rows = {
+            r["row_id"]
+            for r in spark.sql(
+                f"SELECT row_id FROM fuzz_sig WHERE {sql}"
+            ).collect()
+        }
+        d_rows = {
+            r[0]
+            for r in con.execute(
+                f"SELECT row_id FROM fuzz_sig WHERE {sql}"
+            ).fetchall()
+        }
+        assert s_rows == d_rows, cond
+
+    check()
