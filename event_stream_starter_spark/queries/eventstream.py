@@ -632,3 +632,108 @@ def a5_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "distinct_users_est", "n_days")
     )
+
+
+@query(
+    "w10_rolling_range_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS rolling_1h_value,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS rolling_1h_events
+    FROM events
+    """,
+    survey_ids="§2.6 time-series: rolling event-time RANGE window (trailing 1h per key)",
+)
+def w10_rolling_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h per-user rolling sum/count via a RANGE frame on epoch
+    micros — the window form of A3's trailing counts that emits one row
+    PER EVENT (continuous feature) instead of per refresh. Decimal sum
+    for order independence; one shuffle on the partition key. At 100TB
+    the frame is evaluated with a sliding aggregate inside the sort —
+    no self-join, no explode."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).alias("rolling_1h_value"),
+        F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
+    )
+
+
+@query(
+    "x_sessionize",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                         - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                               PARTITION BY user_id
+                               ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+                         > 1800000000
+                      OR lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                               PARTITION BY user_id
+                               ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(is_start) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, session_no,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events,
+           MAX(ts_us) - MIN(ts_us) AS duration_us
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    survey_ids="training-pipeline: gap-based sessionization (30-min idle gap → session rows)",
+)
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap): the lag+cumsum
+    composition — mark session starts where the gap to the previous
+    event exceeds the threshold, running-sum the marks into session ids,
+    aggregate per (user, session). Two window passes over ONE
+    sort+shuffle on user_id (the session_window streaming analog is in
+    streaming/pipeline.py's windowed aggregations). The standard batch
+    sessionizer for training-data pipelines."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    w_order = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    gap = us - F.lag(us).over(w_order)
+    is_start = F.when(
+        gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = ev.select(
+        "user_id", "event_id", us.alias("ts_us"), is_start.alias("is_start")
+    ).withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts_us"), F.col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
