@@ -52,6 +52,8 @@ HEADLINE = [
     "w8_series_split",
     "j6_asof_snapshot_enrich",
     "st9_latency_percentiles",
+    "w10_rolling_range_sum",
+    "x_sessionize",
     "a10_t7_batch_scan",
     "d6_cooldown_emit",
     "u4_u6_rules_refiner",

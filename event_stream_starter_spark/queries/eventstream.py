@@ -737,3 +737,33 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
     )
+
+
+@query(
+    "a11_grouped_stats",
+    """
+    SELECT event_type,
+           ROUND(avg(value), 6) AS mean_value,
+           ROUND(stddev_samp(value), 6) AS sd_value,
+           ROUND(corr(value, CAST(epoch_us(ts) AS BIGINT)), 6) AS corr_value_time,
+           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov_value_user
+    FROM events
+    GROUP BY event_type
+    """,
+    survey_ids="§2.5 statistical aggregates (mean/stddev/corr/covar per group)",
+)
+def a11_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment grouped statistics — mean, sample stddev, Pearson
+    correlation and sample covariance. All are one-pass mergeable
+    aggregates (sum/sum-of-squares partials combine map-side), so the
+    plan is the same single key shuffle as a COUNT at any scale."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.corr(F.col("value"), us), 6).alias("corr_value_time"),
+        F.round(
+            F.covar_samp(F.col("value"), F.col("user_id").cast("double")), 6
+        ).alias("cov_value_user"),
+    )
