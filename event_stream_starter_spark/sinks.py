@@ -46,3 +46,38 @@ def write_keyed_bucketed(
         .partitionBy("bucket")
         .parquet(path)
     )
+
+
+def merge_versioned(
+    current: DataFrame,
+    incoming: DataFrame,
+    key_col: str,
+    version_col: str = "calc_version",
+) -> DataFrame:
+    """Idempotent versioned upsert (SURVEY §4 'idempotent versioned
+    writes'; reference worker/jobs/enrich_features.py:191-199): an
+    incoming row replaces the stored row ONLY when
+    ``incoming.calc_version >= current.calc_version`` — a stale recompute
+    delivered late (at-least-once, out-of-order workers) can never
+    clobber a newer enrichment. New keys insert; absent-incoming keys
+    pass through. Equal versions let incoming win, which is the
+    reference's own overwrite contract for idempotent re-delivery of the
+    SAME computation.
+
+    One full-outer join per micro-batch on the key — the MERGE this
+    compiles to on a transactional table format.
+    """
+    cols = current.columns
+    assert cols == incoming.columns, (cols, incoming.columns)
+    cur, inc = current.alias("c"), incoming.alias("i")
+    joined = cur.join(inc, F.col(f"c.{key_col}") == F.col(f"i.{key_col}"), "full_outer")
+    take_incoming = F.col(f"i.{version_col}").isNotNull() & (
+        F.col(f"c.{version_col}").isNull()
+        | (F.col(f"i.{version_col}") >= F.col(f"c.{version_col}"))
+    )
+    return joined.select(
+        *[
+            F.when(take_incoming, F.col(f"i.{c}")).otherwise(F.col(f"c.{c}")).alias(c)
+            for c in cols
+        ]
+    )

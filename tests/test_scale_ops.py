@@ -118,3 +118,29 @@ def test_results_invariant_to_partition_count(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n, (a, b) in results.items():
         assert a == b, f"{n} differs across partition counts"
+
+
+def test_merge_versioned_guard(spark):
+    """Stale recompute (lower calc_version) must never clobber a newer
+    row; equal version overwrites (idempotent re-delivery); new keys
+    insert; untouched keys survive."""
+    from event_stream_starter_spark.sinks import merge_versioned
+
+    schema = "k string, payload string, calc_version long"
+    cur = spark.createDataFrame(
+        [("a", "v2-data", 2), ("b", "v5-data", 5), ("c", "v1-data", 1)], schema
+    )
+    inc = spark.createDataFrame(
+        [("a", "v1-late", 1),   # stale → rejected
+         ("b", "v5-replay", 5), # equal → overwritten (idempotent redelivery)
+         ("d", "v3-new", 3)],   # new key → inserted
+        schema,
+    )
+    got = {r["k"]: (r["payload"], r["calc_version"])
+           for r in merge_versioned(cur, inc, "k").collect()}
+    assert got == {
+        "a": ("v2-data", 2),
+        "b": ("v5-replay", 5),
+        "c": ("v1-data", 1),
+        "d": ("v3-new", 3),
+    }
