@@ -38,6 +38,12 @@ def asof_join(
     (e.g. max_by) so the carried value is deterministic.
     """
     left_cols = left.columns
+    overlap = set(right_cols) & set(left_cols)
+    if overlap:
+        raise ValueError(
+            f"right_cols {sorted(overlap)} collide with left columns — "
+            "alias the right payload before joining"
+        )
     l_tag = left.select(
         *left_cols,
         F.col(left_ts).alias("__ts"),
