@@ -60,6 +60,7 @@ HEADLINE = [
     "t8_mmr_keyphrases",
     "mm_media_features",
     "flagship_heat_rules",
+    "e2e_pipeline_trace",
 ]
 
 

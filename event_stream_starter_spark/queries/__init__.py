@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
         keys_limits,
         mmedia,
         ops,
+        pipeline_e2e,
         relational,
         rules_q,
         scalars,
