@@ -1,0 +1,114 @@
+"""Distributed connected components + canonical-document selection.
+
+The near-dup family (operators/dedup.py) emits PAIRS; an actual
+training-data dedup must turn pairs into CLUSTERS (duplicates are
+transitive: A~B and B~C puts A,C in one group even if they never
+matched directly) and then keep one canonical document per cluster.
+The reference's analog is the topic semantic-merge step
+(api/services/topic_analyzer.py:311-353), which merges pairwise — this
+operator is its transitive closure, the missing piece any
+web-scale dedup pipeline needs.
+
+Algorithm: iterative min-label propagation over the undirected pair
+graph. Each node starts labeled with its own id; every iteration each
+node takes the min of its label and its neighbors' labels. At fixpoint
+every node carries the MINIMUM id of its component, which doubles as
+the cluster id (no second pass to canonicalize labels).
+
+Scale posture (100TB):
+- Per iteration: one shuffle join (edges x labels) + one groupBy(min) —
+  both hash-partitioned on node id, so AQE coalesces and the join is
+  never a cartesian. Cost is O(|E|) per iteration.
+- Iteration count is O(component diameter). Near-dup clusters are
+  near-cliques (every member matches most others), so diameter is 2-3
+  and the loop exits in 3-4 rounds. For adversarial long-chain graphs,
+  the standard fix is large-star/small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14) which converges in O(log^2 n); the label-propagation loop
+  below keeps the same join shape, so swapping the step function is
+  local to this file.
+- `localCheckpoint(eager=True)` truncates lineage every iteration —
+  without it the plan doubles per round and the driver OOMs on plan
+  serialization long before data is the problem.
+- Convergence test is sum(label): labels only ever decrease, so the
+  (decimal, overflow-proof) sum is strictly decreasing until fixpoint.
+  One cheap aggregate per round instead of an old-vs-new anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Components of the undirected graph given by (src, dst) pairs.
+
+    Returns (node, label) where label = min node id in the component.
+    Nodes appearing only in `pairs` are covered; isolated documents are
+    handled by the caller (left join + coalesce, see
+    canonical_assignments) so the operator never scans the full corpus.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+
+    for _ in range(max_iter):
+        # Neighbor labels flow along edges; keep own label via union.
+        nbr = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .select(F.col("s").alias("node"), "label")
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def canonical_assignments(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster assignment + canonical pick for every document.
+
+    Output: (doc_id, cluster_id, is_canonical, cluster_size). Documents
+    in no pair form singleton clusters (cluster_id = own id). Canonical
+    = the min-id member — deterministic, and free because min-label
+    propagation already made the label the component minimum.
+    """
+    cc = connected_components(pairs, max_iter=25)
+    joined = docs.select(id_col).join(
+        cc, docs[id_col] == cc["node"], "left"
+    )
+    with_cluster = joined.select(
+        F.col(id_col),
+        F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return with_cluster.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

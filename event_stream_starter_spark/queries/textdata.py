@@ -17,6 +17,7 @@ from ..operators.dedup import (
     simhash_pairs,
     token_shingles,
 )
+from ..operators.graph import canonical_assignments
 from . import query
 
 _KEYWORDS = ("spark", "join", "stream")
@@ -187,6 +188,149 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_join(
         sh, "doc_id", "sh", threshold=0.5, block_cols=("lang", "source")
     ).select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+@query(
+    "dd_cluster_canonical",
+    f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, lang, source, {_SHINGLE_DUCK} AS sh
+        FROM documents
+    ), pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM pr
+        UNION
+        SELECT id_b, id_a FROM pr
+    ), reach AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s AND r.s <> e.d
+    ), lab AS (
+        SELECT s AS node, least(MIN(d), s) AS label FROM reach GROUP BY s
+    ), assign AS (
+        SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+    )
+    SELECT doc_id, cluster_id,
+           doc_id = cluster_id AS is_canonical,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM assign
+    """,
+    survey_ids=(
+        "dedup: transitive near-dup clustering (distributed connected "
+        "components over D8/J7 pair graph) + canonical doc selection"
+    ),
+)
+def dd_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → one canonical doc per cluster.
+
+    Near-dup matching is transitive in a real dedup (A~B, B~C groups
+    A,C): the pair set from the prefix-filtered Jaccard join feeds
+    iterative min-label connected components (operators/graph.py), and
+    the component minimum doubles as cluster id + canonical pick. The
+    DuckDB oracle recomputes the same clusters via a recursive-CTE
+    transitive closure — exact value-hash check despite the iterative
+    Spark implementation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.transform(token_shingles(F.col("text"), 3), lambda s: F.xxhash64(s)).alias(
+            "sh"
+        ),
+    )
+    pairs = jaccard_prefix_join(
+        sh, "doc_id", "sh", threshold=0.5, block_cols=("lang", "source")
+    ).select("id_a", "id_b")
+    return canonical_assignments(docs, pairs, "doc_id")
+
+
+@query(
+    "x_mixture_sample",
+    """
+    WITH stats AS (
+        SELECT source, SUM(n_chars) AS chars_i,
+               CAST(round(sqrt(CAST(SUM(n_chars) AS DOUBLE)), 6)
+                    AS DECIMAL(28,6)) AS sqrt_dec
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT SUM(chars_i) AS total_chars, SUM(sqrt_dec) AS s FROM stats
+    ), rates AS (
+        SELECT source,
+               round(least(1.0,
+                     (0.30 * CAST(total_chars AS DOUBLE) * CAST(sqrt_dec AS DOUBLE))
+                     / (CAST(s AS DOUBLE) * CAST(chars_i AS DOUBLE))), 6)
+                   AS sample_rate
+        FROM stats CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source, d.n_chars, r.sample_rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE r.sample_rate >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < lpad(lower(to_hex(CAST(floor(r.sample_rate * 65536) AS BIGINT))), 4, '0')
+    """,
+    survey_ids=(
+        "training-pipeline: temperature-weighted (alpha=0.5) data-mixture "
+        "plan + deterministic md5-bucket sampling"
+    ),
+)
+def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing + reproducible sampling, all JVM-side.
+
+    Stage 1 (tiny agg): per-source char mass -> alpha=0.5 temperature
+    weights (q_i ∝ sqrt(share_i), the standard multilingual-corpus
+    rebalance) -> per-source keep rate for a 30%% global char budget.
+    The sqrt weights are summed as 6-dp DECIMALs so the denominator is
+    exact and partition-order-independent (a double sum would make the
+    rate nondeterministic at the bucket boundary).
+
+    Stage 2 (map-only over the corpus): keep a doc iff the first 4 hex
+    chars of md5(doc_id) fall under rate*65536 — deterministic,
+    seed-free, and stable under corpus growth (a doc's keep/drop never
+    flips when other docs arrive, unlike rand(seed) which reshuffles
+    with partitioning). The rates dim is ~|sources| rows -> broadcast;
+    at 100TB the corpus side stays one scan with no shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(F.sum("n_chars").alias("chars_i"))
+    stats = stats.withColumn(
+        "sqrt_dec",
+        F.round(F.sqrt(F.col("chars_i").cast("double")), 6).cast("decimal(28,6)"),
+    )
+    tot = stats.agg(
+        F.sum("chars_i").alias("total_chars"), F.sum("sqrt_dec").alias("s")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (
+                    F.lit(0.30)
+                    * F.col("total_chars").cast("double")
+                    * F.col("sqrt_dec").cast("double")
+                )
+                / (F.col("s").cast("double") * F.col("chars_i").cast("double")),
+            ),
+            6,
+        ).alias("sample_rate"),
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(F.col("sample_rate") * 65536).cast("bigint"))), 4, "0"
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter((F.col("sample_rate") >= 1.0) | (bucket < thresh))
+        .select("doc_id", "source", "n_chars", "sample_rate")
+    )
 
 
 @query(

@@ -104,3 +104,33 @@ def test_hll_mergeable_rollup_within_error_bound(spark, sf_dir):
     assert got.keys() == exact.keys()
     for k in exact:
         assert abs(got[k] - exact[k]) <= max(1, 0.05 * exact[k]), (k, got[k], exact[k])
+
+
+def test_connected_components_long_chain_and_union_find(spark):
+    """Chain 0-1-2-...-9 plus a separate triangle: the chain forces
+    multiple label-propagation rounds (diameter 9), the triangle checks
+    components don't bleed; compare against a pure-Python union-find."""
+    from event_stream_starter_spark.operators.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(9)] + [(20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {(n, find(n)) for n in parent}
+    assert got == expected
