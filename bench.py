@@ -42,6 +42,7 @@ HEADLINE = [
     "dd_exact_dedup",
     "dd_minhash_lsh",
     "dd_ngram_jaccard",
+    "dd_cluster_canonical",
     "dd_simhash",
     "dd_embed_near_dup",
     "ann_cosine_topk",
@@ -54,6 +55,7 @@ HEADLINE = [
     "st9_latency_percentiles",
     "w10_rolling_range_sum",
     "x_sessionize",
+    "x_mixture_sample",
     "a10_t7_batch_scan",
     "d6_cooldown_emit",
     "u4_u6_rules_refiner",

@@ -51,16 +51,25 @@ def connected_components(
     handled by the caller (left join + coalesce, see
     canonical_assignments) so the operator never scans the full corpus.
     """
+    # Materialize the pair set ONCE before symmetrizing: the union below
+    # consumes it twice, and without this the (expensive) upstream
+    # candidate join would execute twice.
+    p = pairs.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        p.union(p.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    # Seed with one propagation round folded into label init:
+    # label0 = min(self, min(neighbors)) — saves a full join+agg cycle.
+    labels = (
+        edges.groupBy("s")
+        .agg(F.least(F.min("d"), F.col("s")).alias("label"))
+        .select(F.col("s").alias("node"), "label")
+        .localCheckpoint(eager=True)
     )
-    labels = labels.localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
 
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
