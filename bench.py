@@ -63,6 +63,7 @@ HEADLINE = [
     "mm_media_features",
     "flagship_heat_rules",
     "e2e_pipeline_trace",
+    "e2e_corpus_prep",
 ]
 
 

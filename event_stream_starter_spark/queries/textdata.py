@@ -6,7 +6,7 @@ fingerprinting (SURVEY.md §2.2, §2.4 + the 100TB training-pipeline ops).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -17,7 +17,7 @@ from ..operators.dedup import (
     simhash_pairs,
     token_shingles,
 )
-from ..operators.graph import canonical_assignments
+from ..operators.graph import canonical_assignments, connected_components
 from . import query
 
 _KEYWORDS = ("spark", "join", "stream")
@@ -358,6 +358,109 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
+
+
+_FP_DUCK = (
+    "substring(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)"
+)
+
+
+@query(
+    "e2e_corpus_prep",
+    f"""
+    WITH RECURSIVE scored AS (
+        SELECT doc_id, source, lang, text,
+               ROUND({_quality_duck()}, 6) AS quality,
+               len({_TOKS_DUCK}) AS ntok,
+               {_FP_DUCK} AS fp
+        FROM documents
+    ), gate AS (
+        SELECT * FROM scored WHERE quality >= 0.5 AND ntok >= 5
+    ), ex AS (
+        SELECT g.* FROM gate g
+        JOIN (SELECT fp, MIN(doc_id) AS mid FROM gate GROUP BY fp) m
+          ON g.fp = m.fp AND g.doc_id = m.mid
+    ), sh AS (
+        SELECT doc_id, lang, source, {_SHINGLE_DUCK} AS sh FROM ex
+    ), pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM pr
+        UNION
+        SELECT id_b, id_a FROM pr
+    ), reach AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s AND r.s <> e.d
+    ), lab AS (
+        SELECT s AS node, least(MIN(d), s) AS label FROM reach GROUP BY s
+    )
+    SELECT e.doc_id, e.source, e.quality
+    FROM ex e LEFT JOIN lab l ON e.doc_id = l.node
+    WHERE COALESCE(l.label, e.doc_id) = e.doc_id
+      AND substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 4) < '8000'
+    """,
+    survey_ids=(
+        "training-pipeline e2e: quality/length gate -> exact dedup -> "
+        "transitive near-dup canonicalization -> deterministic 50%% sample "
+        "(composes x_text_stats, dd_exact_dedup, dd_cluster_canonical, "
+        "x_mixture_sample into one corpus-prep dataflow)"
+    ),
+)
+def e2e_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus preparation pipeline as ONE dataflow.
+
+    documents -> quality+length gate -> exact dedup (normalized-text
+    fingerprint, keep min id) -> near-dup pair graph -> connected
+    components -> keep only canonical docs -> deterministic md5-bucket
+    50% sample. Every stage is the already-certified operator; this
+    query certifies their COMPOSITION end-to-end against a single
+    DuckDB oracle (recursive CTE for the clustering step).
+
+    Scale shape: gate + fingerprint are map-only; exact dedup is one
+    hash shuffle; the pair join is prefix-filtered (never a per-block
+    cross product); CC iterations touch only the pair graph (tiny vs
+    corpus); the final sample is a shuffle-free scan predicate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = textan.tokens(t)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.round(textan.quality_score(t, toks), 6).alias("quality"),
+        F.size(toks).alias("ntok"),
+        textan.doc_fingerprint(t).alias("fp"),
+    )
+    gate = scored.filter((F.col("quality") >= 0.5) & (F.col("ntok") >= 5))
+    w = Window.partitionBy("fp")
+    ex = gate.withColumn("min_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("min_id")
+    )
+    sh = ex.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.transform(token_shingles(t, 3), lambda s: F.xxhash64(s)).alias("sh"),
+    )
+    pairs = jaccard_prefix_join(
+        sh, "doc_id", "sh", threshold=0.5, block_cols=("lang", "source")
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return (
+        ex.join(cc, ex["doc_id"] == cc["node"], "left")
+        .filter(F.coalesce("label", F.col("doc_id")) == F.col("doc_id"))
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.lit("8000")
+        )
+        .select("doc_id", "source", "quality")
+    )
 
 
 # ---------------------------------------------------------------------------
