@@ -267,26 +267,11 @@ def minhash_lsh_pairs(
     on the band key, never the full cross product.
     """
     rows_per_band = num_hashes // bands
-    # The signature map stage is CPU-bound (|shingles| * num_hashes hash
-    # evals per row) — spread it across all cores even when the source is
-    # a single small parquet split. At cluster scale the input already has
-    # many splits and this round-robin shuffle is noise vs. the map cost.
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(
-        F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).repartition(par)
-    # hh = 64-bit hashes of the (distinct) shingles. Downstream verify
-    # computes Jaccard over hh, not the strings: identical set sizes
-    # barring 64-bit collisions, and the wide string arrays never leave
-    # this stage. The signature frame is consumed by THREE branches
-    # (banding, and both sides of the verify attach) — persist it so the
+    # The signature frame is consumed by THREE branches (banding, and
+    # both sides of the verify attach) — persist it so the
     # shingle+signature map runs once (same pattern as MLlib's LSH).
-    sig = (
-        base.select("id", F.expr("transform(sh, s -> xxhash64(s))").alias("hh"))
-        .withColumn("sig", F.expr(minhash_signature_sql("hh", num_hashes)))
-        .persist()
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     # Candidate generation carries ONLY (id, band-key): the wide shingle
     # arrays never enter the shuffle, and grouping by bucket computes the
     # signature ONCE (a band-key self-join would evaluate the whole
@@ -327,6 +312,45 @@ def minhash_lsh_pairs(
     # The cut sits 3 sigma (sigma = sqrt(J(1-J)/k) ~= 0.0625) below the
     # threshold, so the extra recall loss on true pairs is <1%; emitted
     # pairs are still exactly verified, so precision stays 1.0.
+    return _two_phase_verify(cand, sig, threshold, num_hashes)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id, hh, sig): hashed shingle set + MinHash signature per doc.
+
+    This IS the persisted state of incremental near-dup: store it once
+    per doc and history never needs its text re-shingled (hh carries
+    everything exact verification needs, 8 bytes per distinct shingle).
+
+    The map stage is CPU-bound (|shingles| * num_hashes hash evals per
+    row) — spread it across all cores even when the source is a single
+    small parquet split. At cluster scale the input already has many
+    splits and this round-robin shuffle is noise vs. the map cost.
+    hh = 64-bit hashes of the (distinct) shingles: downstream Jaccard
+    runs over hh, not strings — identical set sizes barring 64-bit
+    collisions, and the wide string arrays never leave this stage.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).repartition(par)
+    return base.select(
+        "id", F.expr("transform(sh, s -> xxhash64(s))").alias("hh")
+    ).withColumn("sig", F.expr(minhash_signature_sql("hh", num_hashes)))
+
+
+def _two_phase_verify(
+    cand: DataFrame, sig: DataFrame, threshold: float, num_hashes: int
+) -> DataFrame:
+    """Estimate-filter then exact-verify candidate pairs (see
+    minhash_lsh_pairs for the 3-sigma cut rationale)."""
     est_cut = max(0.0, threshold - 3 * (0.25 / num_hashes) ** 0.5)
     sg_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sg_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -349,6 +373,63 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup NEW docs against history WITHOUT rescanning old text.
+
+    `index` is the (id, hh, sig) table from minhash_signatures for all
+    previously-ingested docs (None for a cold start). Returns
+    (pairs, new_index):
+    - pairs: exact-verified near-dup pairs touching >= 1 new doc
+      (new-vs-old and new-vs-new; id_a < id_b). Old-old pairs were
+      reported by earlier runs — union over runs equals the one-shot
+      minhash_lsh_pairs over the full corpus (asserted in tests).
+    - new_index: index ∪ new signatures — persist this for the next run.
+
+    The 100TB shape: a daily increment hashes ONLY its own text (the
+    dominant cost is the shingle map, and it never re-runs for history),
+    joins its band keys against the stored index's band keys — an
+    equi-join whose left side is increment-sized — and verifies against
+    stored hh arrays. History contributes one columnar scan of the
+    index, no text re-processing, mirroring the HLL rollup pattern
+    (sketch once, merge forever).
+    """
+    rows_per_band = num_hashes // bands
+    par = new_docs.sparkSession.sparkContext.defaultParallelism
+    sig_new = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_n
+    ).persist()
+    all_sig = (
+        sig_new if index is None else index.unionByName(sig_new).persist()
+    )
+    band_expr = lsh_band_keys_sql("sig", bands, rows_per_band)
+    bands_new = sig_new.select(
+        F.col("id").alias("id_n"), F.explode(F.expr(band_expr)).alias("bk")
+    )
+    bands_all = all_sig.select(
+        F.col("id").alias("id_o"), F.explode(F.expr(band_expr)).alias("bk")
+    )
+    cand = (
+        bands_new.join(bands_all, "bk")
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+        .repartition(par, "id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _two_phase_verify(cand, all_sig, threshold, num_hashes), all_sig
 
 
 def simhash64(tokens: Column) -> Column:

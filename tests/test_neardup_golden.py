@@ -176,3 +176,76 @@ def test_ann_ivf_recall_on_planted_clusters(spark):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8, f"IVF recall {recall:.2f}"
+
+
+def test_incremental_minhash_equals_full_recompute(spark, sf_dir):
+    """Split the corpus into 'history' and 'increment' by id parity:
+    pairs(old-only run) ∪ pairs(incremental run against the stored
+    index) must equal the one-shot pairs over the full corpus — same
+    pair set, same exact-verified similarities."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = dict(threshold=0.5, num_hashes=64, bands=16, shingle_n=5)
+    old = docs.filter(docs["doc_id"] % 2 == 0)
+    new = docs.filter(docs["doc_id"] % 2 == 1)
+
+    def as_set(df):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard_sim"], 9))
+            for r in df.collect()
+        }
+
+    full = as_set(minhash_lsh_pairs(docs, "doc_id", "text", **kw))
+    old_only = as_set(minhash_lsh_pairs(old, "doc_id", "text", **kw))
+    index = minhash_signatures(old, "doc_id", "text", 64, 5).persist()
+    incr_df, new_index = incremental_minhash_pairs(
+        new, index, "doc_id", "text", **kw
+    )
+    incr = as_set(incr_df)
+
+    assert old_only | incr == full
+    assert not (old_only & incr), "incremental re-reported an old-old pair"
+    assert new_index.count() == docs.count()
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Seeded random graphs (varied density, incl. isolated-pair-free
+    long chains) vs a pure-Python union-find."""
+    import random
+
+    from event_stream_starter_spark.operators.graph import connected_components
+
+    for seed, n_nodes, n_edges in [(1, 30, 10), (2, 40, 60), (3, 25, 24)]:
+        rng = random.Random(seed)
+        edges = list(
+            {
+                tuple(sorted(rng.sample(range(n_nodes), 2)))
+                for _ in range(n_edges)
+            }
+        )
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            (r["node"], r["label"]) for r in connected_components(pairs).collect()
+        }
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {(n, find(n)) for n in parent}
+        assert got == expected, f"seed={seed}"
