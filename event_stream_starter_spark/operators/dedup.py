@@ -384,6 +384,7 @@ def incremental_minhash_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
+    new_sigs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup NEW docs against history WITHOUT rescanning old text.
 
@@ -406,9 +407,15 @@ def incremental_minhash_pairs(
     """
     rows_per_band = num_hashes // bands
     par = new_docs.sparkSession.sparkContext.defaultParallelism
-    sig_new = minhash_signatures(
-        new_docs, id_col, text_col, num_hashes, shingle_n
-    ).persist()
+    # new_sigs: callers that also persist the increment's signatures
+    # (the streaming sink) pass them in so the shingle map runs once.
+    sig_new = (
+        new_sigs
+        if new_sigs is not None
+        else minhash_signatures(
+            new_docs, id_col, text_col, num_hashes, shingle_n
+        ).persist()
+    )
     all_sig = (
         sig_new if index is None else index.unionByName(sig_new).persist()
     )

@@ -1,0 +1,123 @@
+"""Streaming incremental near-dup: a document stream deduplicated
+against the accumulated MinHash signature index via foreachBatch.
+
+This is the training-data counterpart of the reference's streaming
+dedup (worker/jobs/x_kol_poll.py:89-117 keeps a Redis id/fingerprint
+index so re-polled tweets are cheap to reject): here the persisted
+state is the (id, hh, sig) signature table from
+operators/dedup.minhash_signatures, so each micro-batch
+
+- shingles + hashes ONLY its own text (the dominant cost never re-runs
+  for history),
+- joins its band keys against the stored index (equi-join, left side
+  increment-sized),
+- exact-verifies against stored shingle hashes,
+- appends its signatures to the index and its verified pairs to the
+  pair log.
+
+At-least-once semantics (ST5): the CURRENT pointer records the last
+committed batch id and is written LAST, so a replayed batch either
+short-circuits (pointer already advanced) or re-appends — and both
+sinks tolerate re-appends: the pair log is deduplicated on read by
+(id_a, id_b) and the index is deduplicated on read by id. On a real
+cluster the append+pointer pair is replaced by a transactional table
+format's commit protocol; the read-side dedup laws stay identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import incremental_minhash_pairs, minhash_signatures
+
+
+class StreamingNearDup:
+    """foreachBatch sink: incremental near-dup with persisted index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: float = 0.5,
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_n: int = 5,
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.threshold = threshold
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        os.makedirs(os.path.join(path, "index"), exist_ok=True)
+        os.makedirs(os.path.join(path, "pairs"), exist_ok=True)
+
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def last_batch_id(self) -> int:
+        try:
+            with open(self._pointer()) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def read_index(self) -> DataFrame | None:
+        index_dir = os.path.join(self.path, "index")
+        if not any(f.endswith(".parquet") for f in os.listdir(index_dir)):
+            return None
+        # Crash-replay can duplicate a batch's signature append before
+        # the pointer advanced — collapse by id on read.
+        return self.spark.read.parquet(index_dir).dropDuplicates(["id"])
+
+    def pairs(self) -> DataFrame | None:
+        pairs_dir = os.path.join(self.path, "pairs")
+        if not any(f.endswith(".parquet") for f in os.listdir(pairs_dir)):
+            return None
+        return (
+            self.spark.read.parquet(pairs_dir)
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", "jaccard_sim")
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id():
+            return  # replayed, fully committed batch
+        index = self.read_index()
+        sig_cols = ["id", "hh", "sig"]
+        sig_new = minhash_signatures(
+            batch, self.id_col, self.text_col, self.num_hashes, self.shingle_n
+        ).persist()
+        pairs, _ = incremental_minhash_pairs(
+            batch,
+            index.select(*sig_cols) if index is not None else None,
+            self.id_col,
+            self.text_col,
+            threshold=self.threshold,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            shingle_n=self.shingle_n,
+            new_sigs=sig_new,
+        )
+        pairs.write.mode("append").parquet(os.path.join(self.path, "pairs"))
+        # Append ONLY this batch's signatures: index growth per batch is
+        # O(batch), never an O(corpus) rewrite.
+        sig_new.write.mode("append").parquet(os.path.join(self.path, "index"))
+        sig_new.unpersist()
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, self._pointer())
+
+    def foreach_batch_writer(self):
+        def write(batch: DataFrame, batch_id: int) -> None:
+            self.process_batch(batch, batch_id)
+
+        return write

@@ -452,3 +452,53 @@ def test_tws_state_machine_matches_python_replay(spark, tmp_path):
         k: (st, fails) for k, (st, fails, _cd) in replay_batch(rows).items()
     }
     assert got == want
+
+
+def test_streaming_neardup_matches_one_shot_and_replay_safe(spark, sf_dir, tmp_path):
+    """Documents streamed in several micro-batches through the
+    incremental near-dup sink must yield exactly the one-shot
+    minhash_lsh_pairs result over the full corpus; replaying a
+    committed batch is a no-op."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators.dedup import minhash_lsh_pairs
+    from event_stream_starter_spark.streaming.incremental_dedup import (
+        StreamingNearDup,
+    )
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    land = tmp_path / "docs_landing"
+    docs.repartition(4).write.mode("overwrite").parquet(str(land))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    nd = StreamingNearDup(
+        spark, str(tmp_path / "nd_state"), threshold=0.5, num_hashes=64,
+        bands=16, shingle_n=5,
+    )
+    run_to_completion(stream, nd.foreach_batch_writer(), str(tmp_path / "nd_ck"))
+
+    def as_set(df):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard_sim"], 9)) for r in df.collect()
+        }
+
+    got = as_set(nd.pairs())
+    want = as_set(
+        minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5, num_hashes=64, bands=16,
+            shingle_n=5,
+        )
+    )
+    assert got == want
+    assert nd.read_index().count() == docs.count()
+
+    # Replay a committed batch id: nothing changes.
+    n_before = nd.pairs().count()
+    last = nd.last_batch_id()
+    nd.process_batch(docs.limit(5), last)
+    assert nd.pairs().count() == n_before
+    assert nd.last_batch_id() == last
