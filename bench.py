@@ -56,6 +56,8 @@ HEADLINE = [
     "w10_rolling_range_sum",
     "x_sessionize",
     "x_mixture_sample",
+    "x_decontaminate",
+    "x_pack_sequences",
     "a10_t7_batch_scan",
     "d6_cooldown_emit",
     "u4_u6_rules_refiner",

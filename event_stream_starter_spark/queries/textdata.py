@@ -464,6 +464,166 @@ def e2e_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Test-set decontamination + sequence packing (training-pipeline ops)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 13  # 13-gram collision = contaminated (the GPT-3 convention)
+_EVAL_SRC = "src0"  # held-out benchmark corpus
+
+
+def _shingle_duck_n(n: int) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({_TOKS_DUCK}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({_TOKS_DUCK}, i, i + {n - 1}), ' ')))"
+    )
+
+
+@query(
+    "x_decontaminate",
+    f"""
+    WITH g AS (
+        SELECT doc_id, source, {_shingle_duck_n(_DECON_N)} AS g
+        FROM documents
+    ), ev AS (
+        SELECT DISTINCT unnest(g) AS gram FROM g WHERE source = '{_EVAL_SRC}'
+    ), tr AS (
+        SELECT doc_id, source, len(g) AS n_grams, unnest(g) AS gram
+        FROM g WHERE source <> '{_EVAL_SRC}'
+    )
+    SELECT t.doc_id, t.source,
+           COUNT(DISTINCT t.gram) AS n_hit_grams,
+           MIN(t.n_grams) AS n_grams,
+           ROUND(CAST(COUNT(DISTINCT t.gram) AS DOUBLE) / MIN(t.n_grams), 6)
+               AS hit_ratio
+    FROM tr t JOIN ev e ON t.gram = e.gram
+    GROUP BY t.doc_id, t.source
+    """,
+    survey_ids=(
+        "training-pipeline: test-set decontamination (13-gram overlap vs a "
+        "held-out eval corpus, GPT-3 style); D8/J7 n-gram machinery"
+    ),
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing any 13-gram with the eval corpus.
+
+    The standard pre-training hygiene pass (GPT-3 appendix C / PaLM):
+    any training document that shares a >= 13-token n-gram with a
+    benchmark document is contaminated and must be dropped or audited.
+
+    Scale shape: the eval side collapses to a DISTINCT gram set that is
+    tiny relative to the corpus (benchmarks are ~1e6 grams even for big
+    suites) -> broadcast hash join; the train side is one map-side
+    explode with NO shuffle of corpus data at all. The per-doc groupBy
+    aggregates only the surviving hits (rare), so 100TB of train text
+    costs one scan + a broadcast probe. If the eval set ever outgrows
+    broadcast, the same plan degrades gracefully to a shuffle join on
+    the gram (or its xxhash64) — semantics unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", "source", token_shingles(F.col("text"), _DECON_N).alias("g")
+    )
+    ev = (
+        g.filter(F.col("source") == _EVAL_SRC)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    tr = g.filter(F.col("source") != _EVAL_SRC).select(
+        "doc_id",
+        "source",
+        F.size("g").alias("n_grams"),
+        F.explode("g").alias("gram"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.countDistinct("gram").alias("n_hit_grams"),
+            F.min("n_grams").alias("n_grams"),
+        )
+        .withColumn(
+            "hit_ratio",
+            F.round(
+                F.col("n_hit_grams").cast("double") / F.col("n_grams"), 6
+            ),
+        )
+    )
+
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "x_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS_DUCK}) END AS ntok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, ntok,
+               COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_prev
+        FROM t
+    )
+    SELECT doc_id, source, ntok,
+           cum_prev // {_PACK_BUDGET} AS seq_id,
+           cum_prev % {_PACK_BUDGET} AS seq_offset,
+           (cum_prev + greatest(ntok, 1) - 1) // {_PACK_BUDGET} AS seq_end
+    FROM c
+    """,
+    survey_ids=(
+        "training-pipeline: sequence packing (concat-then-chunk layout of "
+        "docs into fixed 512-token sequences per source)"
+    ),
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each doc its position in fixed-budget packed sequences.
+
+    Concat-then-chunk packing (the GPT/T5 data-loader layout): within
+    each source, docs are laid end-to-end in deterministic doc_id order
+    and cut into 512-token sequences. Emitted per doc: the sequence it
+    starts in (seq_id), its token offset there, and the sequence it
+    ends in (seq_end > seq_id means the doc straddles a chunk
+    boundary). Pure prefix-sum — integer arithmetic only, so the
+    layout is bit-reproducible across engines and runs.
+
+    Scale shape: one shuffle on source (the pack partition key), then a
+    running SUM window inside each partition — exactly the distributed
+    prefix-sum a 100TB packing job wants. Sources are the natural unit
+    of parallelism; a skewed mega-source would be salted by doc_id
+    range into sub-partitions with offset re-basing (same arithmetic,
+    applied per salt bucket then shifted by the bucket's global prefix).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(textan.tokens(F.col("text")))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.select("doc_id", "source", ntok.alias("ntok")).withColumn(
+        "cum_prev", F.coalesce(F.sum("ntok").over(w), F.lit(0))
+    )
+    b = F.lit(_PACK_BUDGET)
+    return c.select(
+        "doc_id",
+        "source",
+        "ntok",
+        F.expr(f"cum_prev div {_PACK_BUDGET}").alias("seq_id"),
+        (F.col("cum_prev") % b).alias("seq_offset"),
+        F.expr(
+            f"(cum_prev + greatest(ntok, 1) - 1) div {_PACK_BUDGET}"
+        ).alias("seq_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowing / rolling-hash document fingerprints
 # ---------------------------------------------------------------------------
 
