@@ -337,12 +337,18 @@ def minhash_signatures(
     collisions, and the wide string arrays never leave this stage.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.select(
-        F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).repartition(par)
-    return base.select(
-        "id", F.expr("transform(sh, s -> xxhash64(s))").alias("hh")
+    # Repartition the RAW text, then shingle: the exchange moves the
+    # ~chars-sized text column, not the several-times-wider distinct
+    # shingle-string arrays, and the shingle map itself runs spread
+    # across cores instead of on the pre-shuffle (possibly single-split)
+    # read stage.
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")).repartition(
+        par
+    )
+    shingled = base.select("id", char_shingles(F.col("t"), shingle_n).alias("sh"))
+    return shingled.select(
+        "id",
+        F.expr("transform(sh, s -> xxhash64(s))").alias("hh"),
     ).withColumn("sig", F.expr(minhash_signature_sql("hh", num_hashes)))
 
 

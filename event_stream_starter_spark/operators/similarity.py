@@ -180,10 +180,19 @@ def embedding_near_dup_pairs(
 
 
 def _centroid_literal(centroids: list[list[float]]) -> Column:
-    """array<array<double>> literal for a (small) centroid table."""
-    return F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    """array<array<double>> literal for a (small) centroid table.
+
+    Built as ONE expr() parse: the Column-API form (and F.lit over a
+    nested list, which decomposes element-wise) costs k*dim py4j round
+    trips per query build — measured ~0.65s of driver latency at k=16,
+    dim=64. repr() round-trips doubles exactly; CAST pins the type (a
+    bare decimal literal would parse as DECIMAL in Spark SQL).
+    """
+    rows = ", ".join(
+        "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in c) + ")"
+        for c in centroids
     )
+    return F.expr(f"array({rows})")
 
 
 def kmeans_centroids(
