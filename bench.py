@@ -58,6 +58,7 @@ HEADLINE = [
     "x_mixture_sample",
     "x_decontaminate",
     "x_pack_sequences",
+    "x_repetition_filter",
     "a10_t7_batch_scan",
     "d6_cooldown_emit",
     "u4_u6_rules_refiner",

@@ -41,8 +41,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Below this many pairs the component computation runs as driver-side
+# union-find in one job: the edge list is a few MB (two longs per pair),
+# and each distributed label-propagation round costs 2+ jobs of fixed
+# scheduling overhead that dwarfs the actual work. Same size-gated
+# strategy switch Spark itself applies to joins (broadcast under
+# autoBroadcastJoinThreshold, shuffle above). Results are identical:
+# label = min node id per component either way.
+SMALL_GRAPH_PAIR_LIMIT = 1_000_000
+
+
+def _driver_union_find(rows: list) -> dict:
+    """Min-label components of an edge list, driver-side.
+
+    Path-halving union-find with union-by-min: the root of every set is
+    kept as the set's minimum id, so find() directly yields the label.
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for s, d in rows:
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    small_graph_limit: int = SMALL_GRAPH_PAIR_LIMIT,
 ) -> DataFrame:
     """Components of the undirected graph given by (src, dst) pairs.
 
@@ -57,6 +98,12 @@ def connected_components(
     p = pairs.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).localCheckpoint(eager=True)
+    if p.count() <= small_graph_limit:
+        labels = _driver_union_find([(r["s"], r["d"]) for r in p.collect()])
+        node_type = p.schema["s"].dataType.simpleString()
+        return p.sparkSession.createDataFrame(
+            list(labels.items()), f"node {node_type}, label {node_type}"
+        )
     edges = (
         p.union(p.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()

@@ -551,6 +551,98 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_repetition_filter",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+        FROM t
+    ), g3 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+        FROM t
+    ), c2 AS (
+        SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g
+    ), c3 AS (
+        SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, g
+    ), s2 AS (
+        SELECT doc_id,
+               SUM(cnt) AS n_2grams,
+               ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top2_frac
+        FROM c2 GROUP BY doc_id
+    ), s3 AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                     / SUM(cnt), 6) AS dup3_frac
+        FROM c3 GROUP BY doc_id
+    )
+    SELECT s2.doc_id, s2.n_2grams, s2.top2_frac, s3.dup3_frac,
+           (s2.top2_frac > 0.18 OR s3.dup3_frac > 0.16) AS is_repetitive
+    FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+    """,
+    survey_ids=(
+        "training-pipeline: within-doc repetition filter (Gopher-style "
+        "top-2-gram mass + duplicated-3-gram mass quality gates)"
+    ),
+)
+def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality gates.
+
+    Two signals from Rae et al. 2021 (Gopher, table A1): the mass of
+    the single most frequent 2-gram (top2_frac) and the mass of
+    3-grams that occur more than once (dup3_frac); a doc is flagged
+    repetitive past the published-style thresholds (0.18 / 0.16).
+    N-gram occurrences are counted with multiplicity — the distinct
+    shingle machinery of the dedup family is deliberately NOT reused.
+
+    Scale shape: explode n-grams -> groupBy(doc, gram) with map-side
+    partial aggregation -> per-doc rollup. Both aggregations hash on
+    doc_id-led keys, so the two branches co-partition and the final
+    join is shuffle-free under AQE; nothing is quadratic in doc length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", textan.tokens(F.col("text")).alias("toks"))
+
+    def grams(n: int) -> F.Column:
+        return F.expr(
+            f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+            f"i -> concat_ws(' ', slice(toks, i, {n})))"
+        )
+
+    def counts(n: int) -> DataFrame:
+        return (
+            t.select("doc_id", F.explode(grams(n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    s2 = counts(2).groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_2grams"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("top2_frac"),
+    )
+    s3 = counts(3).groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("dup3_frac")
+    )
+    return s2.join(s3, "doc_id").select(
+        "doc_id",
+        "n_2grams",
+        "top2_frac",
+        "dup3_frac",
+        ((F.col("top2_frac") > 0.18) | (F.col("dup3_frac") > 0.16)).alias(
+            "is_repetitive"
+        ),
+    )
+
+
 _PACK_BUDGET = 512  # tokens per packed training sequence
 
 
