@@ -59,6 +59,7 @@ HEADLINE = [
     "x_decontaminate",
     "x_pack_sequences",
     "x_repetition_filter",
+    "x_ngram_topk",
     "a10_t7_batch_scan",
     "d6_cooldown_emit",
     "u4_u6_rules_refiner",

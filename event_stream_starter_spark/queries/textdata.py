@@ -552,6 +552,148 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_ngram_topk",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), g AS (
+        SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram
+        FROM t
+    ), c AS (
+        SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+    )
+    SELECT gram, cnt FROM c
+    ORDER BY cnt DESC, gram ASC
+    LIMIT 20
+    """,
+    survey_ids=(
+        "training-pipeline: corpus-level n-gram frequency top-k "
+        "(LM-data vocabulary/boilerplate audit); T2/T3 ordered limit at corpus scale"
+    ),
+)
+def x_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus 3-grams with counts (deterministic gram tie-break).
+
+    The boilerplate-audit / vocabulary-coverage primitive: explode
+    3-grams with multiplicity, count corpus-wide, take the global
+    top-k. Scale shape: the explode is map-side; the count benefits
+    from partial (map-side combine) aggregation so the shuffle carries
+    one row per distinct gram per partition, not one per occurrence;
+    the global top-20 is a TakeOrdered over per-partition top-20s —
+    no full sort of the gram histogram ever materializes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(textan.tokens(F.col("text")).alias("toks"))
+    grams = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 2, 1)), "
+                "i -> concat_ws(' ', slice(toks, i, 3)))"
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@query(
+    "x_split_assign",
+    """
+    SELECT doc_id, source,
+           CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '028f' THEN 'val'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '051e' THEN 'test'
+               ELSE 'train'
+           END AS split
+    FROM documents
+    """,
+    survey_ids=(
+        "training-pipeline: deterministic stratification-free train/val/test "
+        "split (hash-bucket 98/1/1, stable under corpus growth)"
+    ),
+)
+def x_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment by content key.
+
+    The split is a pure function of doc_id's md5 (first 4 hex chars
+    against 1%% and 2%% cut points: 0x028f ~ 655/65536, 0x051e ~
+    1310/65536), so membership never flips when the corpus grows or
+    repartitions — the property rand(seed) lacks — and a doc can never
+    appear in two splits. Map-only at any scale: no shuffle, no state;
+    the same expression serves as the filter predicate for each
+    split's writer. (Per-source stratified quotas are x_mixture_sample
+    composed on top of this split column.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < "028f", F.lit("val"))
+        .when(bucket < "051e", F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+@query(
+    "x_quality_bins",
+    f"""
+    WITH q AS (
+        SELECT doc_id, lang, ROUND({_quality_duck()}, 6) AS quality
+        FROM documents
+    ), b AS (
+        SELECT lang, quality,
+               ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS bin
+        FROM q
+    )
+    SELECT lang, bin,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(quality), 6) AS q_min,
+           ROUND(MAX(quality), 6) AS q_max
+    FROM b GROUP BY lang, bin
+    """,
+    survey_ids=(
+        "training-pipeline: quality-decile curriculum binning "
+        "(ntile window per lang + per-bin rollup)"
+    ),
+)
+def x_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles (curriculum / filtering bins).
+
+    ntile(10) over (lang, quality asc) with doc_id tie-break makes bin
+    edges deterministic; the rollup reports each decile's doc count
+    and quality range — the table a curriculum sampler or a
+    quality-threshold sweep reads. Scale shape: one shuffle on lang
+    for the window sort, then partial-agg rollup on (lang, bin) which
+    AQE keeps co-partitioned with the window output (no second
+    exchange). A skewed mega-language would swap ntile for
+    approx-percentile cut points (one pass, no global sort) — same
+    output contract.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = textan.tokens(t)
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.round(textan.quality_score(t, toks), 6).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    b = q.withColumn("bin", F.ntile(10).over(w))
+    return b.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("quality"), 6).alias("q_min"),
+        F.round(F.max("quality"), 6).alias("q_max"),
+    )
+
+
+@query(
     "x_repetition_filter",
     f"""
     WITH t AS (
