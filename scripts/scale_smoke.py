@@ -44,6 +44,19 @@ QUERIES = [
     "flagship_heat_rules",
 ]
 
+# Text/dedup family on the 10x near-dup-clique corpus (see synthesis
+# note in main()).
+DOC_QUERIES = [
+    "x_text_stats",
+    "dd_exact_dedup",
+    "dd_minhash_lsh",
+    "x_decontaminate",
+    "x_repetition_filter",
+    "x_ngram_topk",
+    "x_pack_sequences",
+    "x_split_assign",
+]
+
 
 def main() -> None:
     spark = get_spark("scale-smoke", cpus=32, shuffle_partitions=64)
@@ -70,10 +83,46 @@ def main() -> None:
         .repartition(32)
     )
     ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
-    # flagship also reads documents; reuse sf0.1's (content-independent).
-    import shutil
 
-    shutil.copy("/root/testdata/sf0.1/documents.parquet", f"{out}/documents.parquet")
+    # 10x documents: every sf0.1 doc becomes a 10-copy near-dup clique
+    # (copy 0 verbatim, copies 1-9 with one appended salt token, so
+    # char/word-gram Jaccard stays ~0.95). Stresses exactly what grows
+    # at corpus scale: signature maps, LSH bucket joins (bucket size 10
+    # -> 45 pairs per clique, never a cross product), per-doc n-gram
+    # aggregation. dd_ngram_jaccard is deliberately absent: the
+    # synthetic 30-word vocabulary gives every 3-gram shingle a
+    # document frequency ~100x a real corpus's, which explodes ANY
+    # prefix-filtered candidate set — that is a property of the word
+    # salad, not of the operator (see jaccard_prefix_join docstring on
+    # df-ordered prefixes).
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("copy"),
+            F.col("doc_id").alias("orig_id"),
+            "text",
+            "lang",
+            "source",
+        )
+        .select(
+            (F.col("orig_id") * 10 + F.col("copy")).alias("doc_id"),
+            F.when(F.col("copy") == 0, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" "),
+                    F.substring(F.md5(F.col("copy").cast("string")), 1, 6),
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text"))
+        .repartition(32)
+    )
+    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    n_docs = spark.read.parquet(f"{out}/documents.parquet").count()
 
     specs = all_queries()
     total = 0.0
@@ -83,8 +132,17 @@ def main() -> None:
         dt = time.perf_counter() - t0
         total += dt
         print(f"{name}: {dt:.2f}s @ {N} events")
+    doc_total = 0.0
+    for name in DOC_QUERIES:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, out).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        dt = time.perf_counter() - t0
+        doc_total += dt
+        print(f"{name}: {dt:.2f}s @ {n_docs} docs")
     print(f"TOTAL {total:.1f}s for {len(QUERIES)} queries at {N} rows "
-          f"({N / max(total, 1e-9):,.0f} rows/s aggregate)")
+          f"({N / max(total, 1e-9):,.0f} rows/s aggregate); "
+          f"{doc_total:.1f}s for {len(DOC_QUERIES)} doc queries at {n_docs} docs")
 
 
 if __name__ == "__main__":

@@ -249,3 +249,23 @@ def test_connected_components_random_graphs_match_union_find(spark):
                 parent[max(ra, rb)] = min(ra, rb)
         expected = {(n, find(n)) for n in parent}
         assert got == expected, f"seed={seed}"
+
+
+def test_minhash_vectorized_signature_bit_equals_sql(spark, sf_dir):
+    """The Arrow/numpy signature kernel must be BYTE-IDENTICAL to the
+    SQL expression form: a signature index written by either path (or a
+    mix, e.g. a streaming sink on the vectorized path reading an index
+    built by the SQL fallback) must verify/band identically."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    vec = dd.minhash_signatures(docs, "doc_id", "text", 64, 5, vectorized=True)
+    ref = vec.drop("sig").withColumn(
+        "sig", F.expr(dd.minhash_signature_sql("hh", 64))
+    )
+    got = {(r["id"], tuple(r["sig"])) for r in vec.collect()}
+    want = {(r["id"], tuple(r["sig"])) for r in ref.collect()}
+    assert got == want
