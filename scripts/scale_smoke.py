@@ -12,10 +12,19 @@ The synthetic table matches the driver schema (FIXTURES.md §B) so every
 events-table query runs unmodified.
 
 Measured (local[32], 2026-08-13, 1M events = 10x sf0.1): c4 dedup
-4.3s, a1 upsert 2.4s, a2 topics 1.5s, a3/w5 heat 2.2s, w2 growth 2.4s,
-w7 latest 1.4s, st9 percentiles 1.8s, j6 asof 3.1s, d2 fingerprint
-1.7s, flagship 3.2s — ~2-4x the sf0.1 times for 10x the rows
+3.3s, a1 upsert 2.3s, a2 topics 1.4s, a3/w5 heat 1.7s, w2 growth 2.3s,
+w7 latest 1.4s, st9 percentiles 1.3s, j6 asof 2.7s, d2 fingerprint
+1.5s, flagship 3.0s — ~2-4x the sf0.1 times for 10x the rows
 (shuffle-parallel sub-linear scaling; ~500k rows/s per query).
+
+Doc corpus (50k docs = 10x sf0.1, every doc in a 10-copy near-dup
+clique): text stats 2.8s, exact dedup 1.1s, decontaminate 3.7s,
+repetition filter 4.3s, ngram top-k 1.7s, packing 1.3s, split 0.6s.
+dd_minhash_lsh is ~30-60s — NOT a regression vs sf0.1: the clique
+corpus contains ~250k TRUE >=0.5 pairs (45 per clique x 5k cliques
+plus near-threshold word-salad cross pairs), so banding emits ~7.3M
+candidates and exact-verifies a quarter million — linear in true-pair
+volume, which is 1000x sf0.1's 256 pairs at only 10x the docs.
 """
 
 import sys
