@@ -62,6 +62,46 @@ def heat_counts_stream(df: DataFrame, watermark: str = "30 minutes") -> DataFram
     )
 
 
+def decontaminated_stream(docs: DataFrame, eval_grams: DataFrame, n: int = 13) -> DataFrame:
+    """Streaming test-set decontamination: the x_decontaminate query's
+    expressions over a documents stream.
+
+    Stream-static broadcast join: the eval-gram dim is a static
+    DataFrame re-resolved per micro-batch (so a refreshed benchmark
+    set is picked up on the next trigger, the S5-S7 dimension
+    pattern), and the corpus stream is map-side explode + probe — no
+    stream-stream join, no watermark state. The per-doc aggregation is
+    safe in streaming because a doc's grams all live in its single
+    input row: state per key converges within the batch that carries
+    the doc. `eval_grams` must have one `gram` string column.
+    """
+    from ..operators.dedup import token_shingles
+
+    g = docs.select("doc_id", "source", token_shingles(F.col("text"), n).alias("g"))
+    tr = g.select(
+        "doc_id",
+        "source",
+        F.size("g").alias("n_grams"),
+        F.explode("g").alias("gram"),
+    )
+    # COUNT, not COUNT DISTINCT (unsupported in streaming aggs): the
+    # shingle array is array_distinct per doc and the dim is
+    # deduplicated here, so each (doc, gram) survives the join at most
+    # once and the plain count is already the distinct count.
+    return (
+        tr.join(F.broadcast(eval_grams.select("gram").distinct()), "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_grams"),
+            F.min("n_grams").alias("n_grams"),
+        )
+        .withColumn(
+            "hit_ratio",
+            F.round(F.col("n_hit_grams").cast("double") / F.col("n_grams"), 6),
+        )
+    )
+
+
 def run_to_completion(stream_df: DataFrame, sink_writer, checkpoint_dir: str) -> None:
     """Drain all available input through foreachBatch (availableNow — the
     batch-parity test harness; production uses trigger(processingTime))."""

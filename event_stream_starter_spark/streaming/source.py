@@ -46,6 +46,32 @@ def events_file_stream(
     )
 
 
+DOCUMENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("source", StringType(), True),
+        StructField("n_chars", LongType(), True),
+    ]
+)
+
+
+def documents_file_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Documents landing-dir stream (training-data ingest): explicit
+    schema, bounded per-trigger intake — the corpus-side source for the
+    streaming dedup/decontamination stages."""
+    return (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Synthetic rate source shaped like the events table — used for
     soak/throughput testing of the pipeline without files."""

@@ -502,3 +502,42 @@ def test_streaming_neardup_matches_one_shot_and_replay_safe(spark, sf_dir, tmp_p
     nd.process_batch(docs.limit(5), last)
     assert nd.pairs().count() == n_before
     assert nd.last_batch_id() == last
+
+
+def test_decontaminate_stream_equals_batch_query(spark, sf_dir, tmp_path):
+    """Streaming decontamination (stream-static broadcast probe) must
+    produce exactly the batch x_decontaminate result on the same corpus
+    — the training-data ops run under the streaming shell unchanged."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators.dedup import token_shingles
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.streaming.pipeline import (
+        decontaminated_stream,
+        run_to_memory_table,
+    )
+    from event_stream_starter_spark.streaming.source import documents_file_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    land = str(tmp_path / "docs_landing")
+    # Train side only on the stream; eval side is the static dim.
+    docs.filter(F.col("source") != "src0").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(land)
+    eval_grams = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(token_shingles(F.col("text"), 13)).alias("gram"))
+        .distinct()
+    )
+    stream = decontaminated_stream(
+        documents_file_stream(spark, land, max_files_per_trigger=2), eval_grams
+    )
+    run_to_memory_table(stream, "decon_tbl", str(tmp_path / "ck_decon"), "complete")
+    streamed = {
+        (r["doc_id"], r["source"], r["n_hit_grams"], r["n_grams"], r["hit_ratio"])
+        for r in spark.table("decon_tbl").collect()
+    }
+    batch = {
+        (r["doc_id"], r["source"], r["n_hit_grams"], r["n_grams"], r["hit_ratio"])
+        for r in all_queries()["x_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch
