@@ -541,3 +541,46 @@ def test_decontaminate_stream_equals_batch_query(spark, sf_dir, tmp_path):
         for r in all_queries()["x_decontaminate"].fn(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_packing_stream_equals_batch_query(spark, sf_dir, tmp_path):
+    """Streaming packer (8-byte cursor state per source) must reproduce
+    the batch x_pack_sequences layout when docs arrive in doc_id order
+    — four mtime-ordered landing files so availableNow runs four
+    micro-batches and the cursor state carries across them."""
+    import os as _os
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.streaming.packing import packing_stream
+    from event_stream_starter_spark.streaming.pipeline import run_to_memory_table
+    from event_stream_starter_spark.streaming.source import documents_file_stream
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").collect()
+    land = tmp_path / "pack_landing"
+    land.mkdir()
+    quarter = (len(docs) + 3) // 4
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    for i in range(4):
+        chunk = docs[i * quarter : (i + 1) * quarter]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            [[r[c] for c in cols] for r in chunk], schema=cols
+        ).coalesce(1).write.mode("overwrite").parquet(str(land / f"chunk{i}"))
+        for f in (land / f"chunk{i}").glob("*.parquet"):
+            _os.utime(f, (1_000_000 + i, 1_000_000 + i))  # FileStreamSource orders by mtime
+    # One landing dir with all files visible via glob path.
+    stream = packing_stream(
+        documents_file_stream(spark, str(land / "chunk*"), max_files_per_trigger=1)
+    )
+    run_to_memory_table(stream, "pack_tbl", str(tmp_path / "ck_pack"), "append")
+    streamed = {
+        (r["doc_id"], r["source"], r["ntok"], r["seq_id"], r["seq_offset"], r["seq_end"])
+        for r in spark.table("pack_tbl").collect()
+    }
+    batch = {
+        (r["doc_id"], r["source"], r["ntok"], r["seq_id"], r["seq_offset"], r["seq_end"])
+        for r in all_queries()["x_pack_sequences"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch
