@@ -27,6 +27,46 @@ from .io import load_table
 from .queries import all_queries
 
 
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_catalog(
+    spark: SparkSession,
+    sf_dir: str,
+    queries: list[str] | None = None,
+    query_prefix: str = "ess_q_",
+) -> list[str]:
+    """Expose the engine through plain ``spark.sql``.
+
+    Registers every base table as a temp view (normalized via
+    load_table, so SQL users get the same timestamp/layout handling as
+    the DataFrame API), plus one ``ess_q_<name>`` view per requested
+    registered query (all of them when ``queries`` is None). Views are
+    lazy — registering costs one plan construction per query, execution
+    happens on SELECT. Returns the registered view names.
+    """
+    names: list[str] = []
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        names.append(t)
+    specs = all_queries()
+    for qname in queries if queries is not None else sorted(specs):
+        specs[qname].fn(spark, sf_dir).createOrReplaceTempView(query_prefix + qname)
+        names.append(query_prefix + qname)
+    return names
+
+
 class ReadApi:
     """One instance per (spark, sf_dir) — the reference's app state.
 

@@ -72,3 +72,33 @@ def test_coverage_doc_lists_every_query_and_counts_match():
         n_oracle,
         sum(1 for s in specs.values() if s.oracle is not None),
     )
+
+
+def test_register_catalog_sql_surface(spark, sf_dir):
+    """SQL users get the same engine: base tables + query views answer
+    plain spark.sql, and a view's result equals the DataFrame API's."""
+    from event_stream_starter_spark.api import register_catalog
+    from event_stream_starter_spark.queries import all_queries
+
+    names = register_catalog(
+        spark, sf_dir, queries=["dd_exact_dedup", "x_split_assign"]
+    )
+    assert "documents" in names and "ess_q_dd_exact_dedup" in names
+    assert spark.sql("SELECT COUNT(*) AS n FROM documents").first()["n"] > 0
+    via_sql = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, split FROM ess_q_x_split_assign"
+        ).collect()
+    }
+    via_df = {
+        (r["doc_id"], r["split"])
+        for r in all_queries()["x_split_assign"].fn(spark, sf_dir).collect()
+    }
+    assert via_sql == via_df
+    # Composability: join a query view against a base table in SQL.
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM ess_q_dd_exact_dedup d "
+        "JOIN documents x ON d.first_doc = x.doc_id"
+    ).first()["n"]
+    assert n > 0
