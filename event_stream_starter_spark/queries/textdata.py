@@ -694,6 +694,75 @@ def x_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_boilerplate_frac",
+    f"""
+    WITH g AS (
+        SELECT doc_id, {_SHINGLE_DUCK} AS g FROM documents
+    ), e AS (
+        SELECT doc_id, unnest(g) AS gram, len(g) AS n_grams FROM g
+    ), df AS (
+        SELECT gram FROM e GROUP BY gram HAVING COUNT(*) >= 2
+    )
+    SELECT e.doc_id,
+           MIN(e.n_grams) AS n_grams,
+           COUNT(d.gram) AS n_dup_grams,
+           ROUND(CAST(COUNT(d.gram) AS DOUBLE) / MIN(e.n_grams), 6)
+               AS boilerplate_frac
+    FROM e LEFT JOIN df d ON e.gram = d.gram
+    GROUP BY e.doc_id
+    """,
+    survey_ids=(
+        "training-pipeline: cross-document boilerplate fraction (C4-style "
+        "corpus-duplicated span mass per doc; df>=2 gram set as the probe dim)"
+    ),
+)
+def x_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mass of corpus-duplicated 3-gram spans (C4-style).
+
+    The cross-document cousin of x_repetition_filter: a gram counts as
+    boilerplate when it appears in >= 2 documents corpus-wide (each
+    doc's gram set is distinct, so corpus df equals document
+    frequency); a doc's boilerplate_frac is the share of its grams
+    that are duplicated somewhere else — the signal C4/RefinedWeb use
+    to strip shared headers/footers/templates before training.
+
+    Scale shape: gram df is one explode + partial-agg count; the
+    duplicated-gram set (df >= 2) is then the JOIN DIMENSION — by
+    Heaps'-law it is a small fraction of the gram vocabulary, so the
+    per-doc probe is an equi-join against a set that fits far fewer
+    machines than the corpus (broadcast when it fits, shuffle join
+    degrades gracefully when it doesn't — the plan encodes no
+    broadcast hint for exactly that reason). Nothing re-reads text
+    twice: both branches explode the same map-side projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", token_shingles(F.col("text"), 3).alias("g")
+    )
+    e = g.select(
+        "doc_id", F.size("g").alias("n_grams"), F.explode("g").alias("gram")
+    )
+    dup = (
+        e.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    return (
+        e.join(dup.withColumn("dup", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_grams").alias("n_grams"),
+            F.count("dup").alias("n_dup_grams"),
+        )
+        .withColumn(
+            "boilerplate_frac",
+            F.round(F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6),
+        )
+    )
+
+
+@query(
     "x_repetition_filter",
     f"""
     WITH t AS (
