@@ -60,6 +60,7 @@ HEADLINE = [
     "x_pack_sequences",
     "x_repetition_filter",
     "x_ngram_topk",
+    "x_boilerplate_frac",
     "a10_t7_batch_scan",
     "d6_cooldown_emit",
     "u4_u6_rules_refiner",

@@ -52,9 +52,16 @@ def register_catalog(
     Registers every base table as a temp view (normalized via
     load_table, so SQL users get the same timestamp/layout handling as
     the DataFrame API), plus one ``ess_q_<name>`` view per requested
-    registered query (all of them when ``queries`` is None). Views are
-    lazy — registering costs one plan construction per query, execution
-    happens on SELECT. Returns the registered view names.
+    registered query (all of them when ``queries`` is None). Returns
+    the registered view names.
+
+    Cost note: most query views are lazy (plan construction only), but
+    the near-dup/clustering family (``dd_minhash_lsh``,
+    ``dd_cluster_canonical``, ``e2e_corpus_prep``, ...) materializes
+    work at CONSTRUCTION time — signature/shingle frames are eagerly
+    cached and connected components iterates — and those caches stay
+    resident until ``spark.catalog.clearCache()``. Register the subset
+    you need via ``queries`` on an interactive session.
     """
     names: list[str] = []
     for t in TABLES:

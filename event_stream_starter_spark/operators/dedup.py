@@ -386,8 +386,15 @@ def _minhash_sig_batches(num_hashes: int):
             for pdf in batches:
                 hh = pdf["hh"]
                 n = len(hh)
-                lens = np.fromiter((len(a) for a in hh), dtype=np.int64, count=n)
-                # Empty shingle set -> SQL array_min is NULL per entry.
+                # hh is None for NULL text (transform of NULL is NULL);
+                # both that and an empty shingle set produce the SQL
+                # path's all-NULL signature (array_min over NULL/empty
+                # is NULL per entry), so treat them alike here.
+                lens = np.fromiter(
+                    (0 if a is None else len(a) for a in hh),
+                    dtype=np.int64,
+                    count=n,
+                )
                 sigs: list = [[None] * num_hashes] * n
                 nz = np.flatnonzero(lens > 0)
                 if nz.size:

@@ -42,13 +42,16 @@ from pyspark.sql import functions as F
 
 
 # Below this many pairs the component computation runs as driver-side
-# union-find in one job: the edge list is a few MB (two longs per pair),
-# and each distributed label-propagation round costs 2+ jobs of fixed
-# scheduling overhead that dwarfs the actual work. Same size-gated
-# strategy switch Spark itself applies to joins (broadcast under
-# autoBroadcastJoinThreshold, shuffle above). Results are identical:
-# label = min node id per component either way.
-SMALL_GRAPH_PAIR_LIMIT = 1_000_000
+# union-find in one job: each distributed label-propagation round costs
+# 2+ jobs of fixed scheduling overhead that dwarfs the actual work.
+# Same size-gated strategy switch Spark itself applies to joins
+# (broadcast under autoBroadcastJoinThreshold, shuffle above). Results
+# are identical: label = min node id per component either way. The
+# limit budgets DRIVER PYTHON MEMORY, not raw bytes — collect()
+# materializes Row objects plus two dicts at ~100x the 16-byte edge
+# payload, so 200k pairs ≈ low hundreds of MB, safe under the same
+# driver sizing that broadcast joins already assume.
+SMALL_GRAPH_PAIR_LIMIT = 200_000
 
 
 def _driver_union_find(rows: list) -> dict:
@@ -94,10 +97,16 @@ def connected_components(
     """
     # Materialize the pair set ONCE before symmetrizing: the union below
     # consumes it twice, and without this the (expensive) upstream
-    # candidate join would execute twice.
-    p = pairs.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).localCheckpoint(eager=True)
+    # candidate join would execute twice. Null-sided rows are dropped up
+    # front: the distributed path ignores them structurally (null never
+    # equi-joins; min() skips nulls) and the driver path must match —
+    # either way a node paired with null ends up a singleton via the
+    # caller's coalesce.
+    p = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .localCheckpoint(eager=True)
+    )
     if p.count() <= small_graph_limit:
         labels = _driver_union_find([(r["s"], r["d"]) for r in p.collect()])
         node_type = p.schema["s"].dataType.simpleString()

@@ -63,17 +63,20 @@ def heat_counts_stream(df: DataFrame, watermark: str = "30 minutes") -> DataFram
 
 
 def decontaminated_stream(docs: DataFrame, eval_grams: DataFrame, n: int = 13) -> DataFrame:
-    """Streaming test-set decontamination: the x_decontaminate query's
-    expressions over a documents stream.
+    """Streaming test-set decontamination, probe half: the
+    x_decontaminate expressions as a STATELESS stream.
 
     Stream-static broadcast join: the eval-gram dim is a static
     DataFrame re-resolved per micro-batch (so a refreshed benchmark
     set is picked up on the next trigger, the S5-S7 dimension
     pattern), and the corpus stream is map-side explode + probe — no
-    stream-stream join, no watermark state. The per-doc aggregation is
-    safe in streaming because a doc's grams all live in its single
-    input row: state per key converges within the batch that carries
-    the doc. `eval_grams` must have one `gram` string column.
+    stream-stream join, no watermark, no state store at all, so
+    append mode works and nothing accumulates over an unbounded
+    ingest. The per-doc rollup is deliberately NOT a streaming
+    aggregation (it would keep a state row per contaminated doc
+    forever): a doc's grams all live in its single input row, so the
+    rollup is exact per micro-batch — apply ``decontaminate_batch``
+    inside foreachBatch. `eval_grams` must have one `gram` column.
     """
     from ..operators.dedup import token_shingles
 
@@ -84,13 +87,17 @@ def decontaminated_stream(docs: DataFrame, eval_grams: DataFrame, n: int = 13) -
         F.size("g").alias("n_grams"),
         F.explode("g").alias("gram"),
     )
-    # COUNT, not COUNT DISTINCT (unsupported in streaming aggs): the
-    # shingle array is array_distinct per doc and the dim is
-    # deduplicated here, so each (doc, gram) survives the join at most
-    # once and the plain count is already the distinct count.
+    return tr.join(F.broadcast(eval_grams.select("gram").distinct()), "gram")
+
+
+def decontaminate_batch(hits: DataFrame) -> DataFrame:
+    """Per-micro-batch rollup of decontaminated_stream output — exact
+    because each doc's grams arrive wholly inside one batch. COUNT, not
+    COUNT DISTINCT: shingle arrays are array_distinct per doc and the
+    dim side is deduplicated, so each (doc, gram) survives the join at
+    most once."""
     return (
-        tr.join(F.broadcast(eval_grams.select("gram").distinct()), "gram")
-        .groupBy("doc_id", "source")
+        hits.groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_hit_grams"),
             F.min("n_grams").alias("n_grams"),

@@ -9,6 +9,7 @@ import os
 import re
 
 import duckdb
+import pytest
 
 from event_stream_starter_spark.queries import all_queries
 
@@ -214,13 +215,22 @@ def test_incremental_minhash_equals_full_recompute(spark, sf_dir):
     assert new_index.count() == docs.count()
 
 
-def test_connected_components_random_graphs_match_union_find(spark):
+@pytest.mark.parametrize("small_graph_limit", [None, 0])
+def test_connected_components_random_graphs_match_union_find(
+    spark, small_graph_limit
+):
     """Seeded random graphs (varied density, incl. isolated-pair-free
-    long chains) vs a pure-Python union-find."""
+    long chains) vs a pure-Python union-find — BOTH strategy paths:
+    the default (driver union-find under the size gate) and, with
+    small_graph_limit=0, the distributed label-propagation loop, so a
+    regression in either cannot hide behind the other."""
     import random
 
     from event_stream_starter_spark.operators.graph import connected_components
 
+    kwargs = {} if small_graph_limit is None else {
+        "small_graph_limit": small_graph_limit
+    }
     for seed, n_nodes, n_edges in [(1, 30, 10), (2, 40, 60), (3, 25, 24)]:
         rng = random.Random(seed)
         edges = list(
@@ -231,7 +241,8 @@ def test_connected_components_random_graphs_match_union_find(spark):
         )
         pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
         got = {
-            (r["node"], r["label"]) for r in connected_components(pairs).collect()
+            (r["node"], r["label"])
+            for r in connected_components(pairs, **kwargs).collect()
         }
 
         parent: dict[int, int] = {}
@@ -261,7 +272,13 @@ def test_minhash_vectorized_signature_bit_equals_sql(spark, sf_dir):
     from event_stream_starter_spark.io import load_table
     from event_stream_starter_spark.operators import dedup as dd
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Degenerate rows both paths must agree on: NULL text (hh NULL) and
+    # blank text (empty shingle set) — each yields an all-NULL sig.
+    degenerate = spark.createDataFrame(
+        [(-1, None), (-2, "")], "doc_id long, text string"
+    )
+    docs = docs.unionByName(degenerate)
     vec = dd.minhash_signatures(docs, "doc_id", "text", 64, 5, vectorized=True)
     ref = vec.drop("sig").withColumn(
         "sig", F.expr(dd.minhash_signature_sql("hh", 64))
@@ -269,3 +286,6 @@ def test_minhash_vectorized_signature_bit_equals_sql(spark, sf_dir):
     got = {(r["id"], tuple(r["sig"])) for r in vec.collect()}
     want = {(r["id"], tuple(r["sig"])) for r in ref.collect()}
     assert got == want
+    assert got and all(
+        v is None for rid, sig in got for v in sig if rid in (-1, -2)
+    )

@@ -512,8 +512,9 @@ def test_decontaminate_stream_equals_batch_query(spark, sf_dir, tmp_path):
     from event_stream_starter_spark.operators.dedup import token_shingles
     from event_stream_starter_spark.queries import all_queries
     from event_stream_starter_spark.streaming.pipeline import (
+        decontaminate_batch,
         decontaminated_stream,
-        run_to_memory_table,
+        run_to_completion,
     )
     from event_stream_starter_spark.streaming.source import documents_file_stream
 
@@ -531,11 +532,17 @@ def test_decontaminate_stream_equals_batch_query(spark, sf_dir, tmp_path):
     stream = decontaminated_stream(
         documents_file_stream(spark, land, max_files_per_trigger=2), eval_grams
     )
-    run_to_memory_table(stream, "decon_tbl", str(tmp_path / "ck_decon"), "complete")
+    rows: list = []
+
+    def sink(batch, batch_id):
+        rows.extend(decontaminate_batch(batch).collect())
+
+    run_to_completion(stream, sink, str(tmp_path / "ck_decon"))
     streamed = {
         (r["doc_id"], r["source"], r["n_hit_grams"], r["n_grams"], r["hit_ratio"])
-        for r in spark.table("decon_tbl").collect()
+        for r in rows
     }
+    assert len(streamed) == len(rows)  # per-batch rollups never overlap
     batch = {
         (r["doc_id"], r["source"], r["n_hit_grams"], r["n_grams"], r["hit_ratio"])
         for r in all_queries()["x_decontaminate"].fn(spark, sf_dir).collect()
