@@ -591,3 +591,54 @@ def test_packing_stream_equals_batch_query(spark, sf_dir, tmp_path):
         for r in all_queries()["x_pack_sequences"].fn(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_packing_stream_checkpoint_restart_continues_cursor(spark, sf_dir, tmp_path):
+    """ST5 for the packer: stop after draining the corpus, land MORE
+    docs, restart on the SAME checkpoint — only the new docs are
+    emitted, and their positions continue from the persisted per-source
+    cursor exactly as if the whole corpus had streamed in one run."""
+    import os as _os
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.streaming.packing import packing_stream
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+    from event_stream_starter_spark.streaming.source import documents_file_stream
+
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").collect()
+    half = len(docs) // 2
+    land = tmp_path / "pack_restart_landing"
+    land.mkdir()
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def land_chunk(idx, chunk):
+        spark.createDataFrame(
+            [[r[c] for c in cols] for r in chunk], schema=cols
+        ).coalesce(1).write.mode("overwrite").parquet(str(land / f"chunk{idx}"))
+        for f in (land / f"chunk{idx}").glob("*.parquet"):
+            _os.utime(f, (1_000_000 + idx, 1_000_000 + idx))
+
+    land_chunk(0, docs[:half])
+    ck = str(tmp_path / "ck_pack_restart")
+    stream = lambda: packing_stream(  # noqa: E731
+        documents_file_stream(spark, str(land / "chunk*"), max_files_per_trigger=1)
+    )
+    # foreachBatch sinks: the memory sink refuses checkpoint recovery.
+    first_rows: list = []
+    run_to_completion(stream(), lambda b, _id: first_rows.extend(b.collect()), ck)
+    assert {r["doc_id"] for r in first_rows} == {r["doc_id"] for r in docs[:half]}
+
+    land_chunk(1, docs[half:])
+    second: list = []
+    run_to_completion(stream(), lambda b, _id: second.extend(b.collect()), ck)
+    # Restarted query emits ONLY the new docs (no replay of chunk 0)...
+    assert {r["doc_id"] for r in second} == {r["doc_id"] for r in docs[half:]}
+    # ...and their layout equals the one-shot batch computation over
+    # the full corpus: the cursor state survived the restart.
+    batch = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"], r["seq_end"])
+        for r in all_queries()["x_pack_sequences"].fn(spark, sf_dir).collect()
+    }
+    for r in second:
+        assert (r["seq_id"], r["seq_offset"], r["seq_end"]) == batch[r["doc_id"]]
