@@ -23,6 +23,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # exercise shuffles/joins/windows at sf0.1.
 HEADLINE = [
     "q1_pricing_summary",
+    "a12_rollup_lattice",
     "q5_region_revenue",
     "q3_top_orders",
     "a5_distinct_stats",

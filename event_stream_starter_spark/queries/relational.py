@@ -410,6 +410,45 @@ def w1_holders_full_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a12_rollup_lattice",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey_ids=(
+        "§2.5 subtotal lattice: ROLLUP/CUBE/GROUPING SETS — absent in the "
+        "reference (SURVEY §2.5 note), supplied by the engine as built-ins"
+    ),
+)
+def a12_rollup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal lattice over (returnflag, linestatus) with grouping_id.
+
+    The reference has no grouping-sets operator (SURVEY.md §2.5: "No
+    grouping sets / cube / rollup"); Spark's `rollup()` computes the
+    whole lattice in ONE pass — partial aggregation expands each input
+    row into its grouping-set combinations map-side, then a single
+    shuffle on (keys, spark_grouping_id). At 100TB this beats N separate
+    GROUP BYs by reading the fact table once. grouping_id() uses the
+    same bitmask convention as DuckDB/ANSI GROUPING (detail=0, grand
+    total=2^k-1), asserted by the oracle hash.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
 # Substitute the shared decimal-arithmetic fragments into the oracle SQL
 # (kept as placeholders above so Spark and DuckDB provably share them).
 from . import REGISTRY  # noqa: E402
