@@ -642,3 +642,40 @@ def test_packing_stream_checkpoint_restart_continues_cursor(spark, sf_dir, tmp_p
     }
     for r in second:
         assert (r["seq_id"], r["seq_offset"], r["seq_end"]) == batch[r["doc_id"]]
+
+
+def test_orc_stream_equals_parquet_batch_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC source format: streamed rows equal the parquet batch read, and
+    a batch ORC scan pushes predicates + prunes columns like parquet —
+    format breadth without losing the scan-level optimizations."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.plans.inspect import plan_features
+    from event_stream_starter_spark.streaming.source import events_orc_stream
+
+    events = load_table(spark, sf_dir, "events")
+    orc_dir = str(tmp_path / "orc_land")
+    events.repartition(8).write.mode("overwrite").orc(orc_dir)
+
+    agg = events_orc_stream(spark, orc_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    run_to_memory_table(agg, "orc_tbl", str(tmp_path / "ck_orc"), "complete")
+    streamed = {
+        (r["event_type"], r["cnt"]) for r in spark.table("orc_tbl").collect()
+    }
+    batch = {
+        (r["event_type"], r["cnt"])
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch
+
+    scan = (
+        spark.read.orc(orc_dir)
+        .filter(F.col("event_type") == "click")
+        .select("event_id")
+    )
+    feats = plan_features(scan)
+    assert any("event_type" in p for p in feats.pushed_filters), feats.pushed_filters
+    assert all(cols <= {"event_id", "event_type"} for cols in feats.scan_columns)
