@@ -449,6 +449,83 @@ def a12_rollup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ("click", "view", "purchase", "error", "signup")
+
+
+@query(
+    "a13_pivot_event_matrix",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup
+    FROM events
+    GROUP BY user_id
+    """,
+    survey_ids="§2.5 pivot (long→wide reshaping) — engine built-in beyond the reference",
+)
+def a13_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type count matrix via PIVOT.
+
+    The value list is EXPLICIT: `pivot(col)` without values needs a
+    whole extra distinct-scan job to discover them — at 100TB that's a
+    second pass over the fact table. With declared values this is one
+    ordinary groupBy (partial agg map-side, single shuffle on user_id);
+    absent combinations are 0, matching COUNT FILTER semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "e6_unpivot_long",
+    """
+    WITH wide AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, cnt FROM wide
+    UNPIVOT (cnt FOR metric IN (click, purchase, error))
+    """,
+    survey_ids="§2.5 unpivot/melt (wide→long reshaping) — engine built-in beyond the reference",
+)
+def e6_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt a wide per-user matrix back to (user_id, metric, cnt) rows.
+
+    `unpivot` is a map-only Expand (no shuffle, no UDF): each wide row
+    emits one output row per measure column. The long form is what
+    windowing/rules stages consume; the wide form is the human-facing
+    report — the engine reshapes either direction declaratively.
+    UNPIVOT drops NULL cells in both engines; counts here are never
+    NULL, so the row count is exactly 3x the user count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    metrics = ("click", "purchase", "error")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(metrics))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in metrics],
+        )
+    )
+    return wide.unpivot("user_id", list(metrics), "metric", "cnt")
+
+
 # Substitute the shared decimal-arithmetic fragments into the oracle SQL
 # (kept as placeholders above so Spark and DuckDB provably share them).
 from . import REGISTRY  # noqa: E402
