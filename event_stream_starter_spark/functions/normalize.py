@@ -41,6 +41,11 @@ def normalize_url(url: Column) -> Column:
     c = F.regexp_replace(url, r"^http://", "https://")
     c = F.regexp_replace(c, r"#.*$", "")  # fragment
     c = F.regexp_replace(c, r"[?&](utm_[^=&]*|ref)=[^&]*", "")  # tracking params
+    # Stripping a leading '?utm_...' eats the '?', leaving the survivors
+    # attached with a bare '&' — promote the first dangling '&' back to
+    # '?' (anchored: [^?&]* can't skip an existing '?', so a well-formed
+    # query string is untouched and only one separator is rewritten).
+    c = F.regexp_replace(c, r"^([^?&]*)&", r"$1?")
     c = F.regexp_replace(c, r"\?$", "")
     c = F.regexp_replace(c, r"/$", "")
     return c

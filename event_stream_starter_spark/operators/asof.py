@@ -37,6 +37,8 @@ def asof_join(
     `right` must be unique per (keys, right_ts) — pre-aggregate ties
     (e.g. max_by) so the carried value is deterministic.
     """
+    from pyspark.sql import types as T
+
     left_cols = left.columns
     overlap = set(right_cols) & set(left_cols)
     if overlap:
@@ -44,11 +46,20 @@ def asof_join(
             f"right_cols {sorted(overlap)} collide with left columns — "
             "alias the right payload before joining"
         )
+    # The right payload travels as ONE struct, not per-column: carrying
+    # each column independently with last(ignorenulls) would backfill a
+    # NULL field of the latest right row from an OLDER row, emitting a
+    # column mix that never existed as a row. The struct is non-null for
+    # every right row (even all-NULL-fields ones), so last(ignorenulls)
+    # picks whole snapshots atomically.
+    payload_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in right_cols]
+    )
     l_tag = left.select(
         *left_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(payload_t).alias("__r"),
     )
     r_tag = right.select(
         *[
@@ -59,7 +70,7 @@ def asof_join(
         ],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
     w = (
@@ -70,9 +81,12 @@ def asof_join(
     carried = unioned.select(
         *left_cols,
         "__side",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(c)
-            for c in right_cols
-        ],
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *left_cols,
+            *[F.col(f"__r.{c}").alias(c) for c in right_cols],
+        )
+    )

@@ -531,6 +531,10 @@ def incremental_minhash_pairs(
       reported by earlier runs — union over runs equals the one-shot
       minhash_lsh_pairs over the full corpus (asserted in tests).
     - new_index: index ∪ new signatures — persist this for the next run.
+      It is returned in a `.persist()`ed state (the band/verify stages
+      fan out over it); the CALLER owns the cache lifecycle and must
+      `unpersist()` it after consuming pairs (or after writing the
+      index), or repeated calls leak O(corpus) cached frames.
 
     The 100TB shape: a daily increment hashes ONLY its own text (the
     dominant cost is the shingle map, and it never re-runs for history),

@@ -95,11 +95,12 @@ def c1_c3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                raw_url,
                '^http://', 'https://'),
                '#.*$', ''),
                '[?&](utm_[^=&]*|ref)=[^&]*', '', 'g'),
+               '^([^?&]*)&', '\\1?'),
                '\\?$', ''),
                '/$', '') AS url_norm
     FROM base

@@ -52,6 +52,14 @@ DEFAULT_FIELDS = frozenset(
 
 _ENV_RE = re.compile(r"\$\{([A-Z0-9_]+):([^}]*)\}")
 
+
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal with quotes doubled. Reason and
+    source-name text is config-provided free text — embedding it raw
+    would let a quote break out of the literal, bypassing the condition
+    grammar's whitelist (works identically in Spark SQL and DuckDB)."""
+    return "'" + s.replace("'", "''") + "'"
+
 _TOKEN_RE = re.compile(
     r"""
     \s*(
@@ -223,7 +231,7 @@ class RuleSet:
         """
         d = _DIALECTS[dialect]
         elems = ", ".join(
-            f"CASE WHEN {r.condition} THEN '{self._reason_tag(r)}' END"
+            f"CASE WHEN {r.condition} THEN {_sql_str(self._reason_tag(r))} END"
             for r in self.rules
         )
         missing = [
@@ -234,25 +242,26 @@ class RuleSet:
             for src, fields in sorted(self.missing_map.items())
         ]
         for cond_sql, tag in missing:
-            elems += f", CASE WHEN {cond_sql} THEN '{tag}' END"
+            elems += f", CASE WHEN {cond_sql} THEN {_sql_str(tag)} END"
         arr = f"{d['filter']}({d['array']}({elems}), x -> x IS NOT NULL)"
         sorted_desc = f"{d['reverse']}({d['sort']}({arr}))"
         sliced = f"{d['slice_first']}({sorted_desc}, 1, {top_k})"
         stripped = f"{d['transform']}({sliced}, x -> substring(x, 11))"
-        return f"COALESCE({d['join']}({stripped}, '{joiner}'), '')"
+        return f"COALESCE({d['join']}({stripped}, {_sql_str(joiner)}), '')"
 
     def missing_sources_sql(self, joiner: str = ",", dialect: str = "spark") -> str:
         """Comma-joined missing-source names (eval_event.py:423-448)."""
         d = _DIALECTS[dialect]
         elems = ", ".join(
-            f"CASE WHEN {' AND '.join(f'{f} IS NULL' for f in fields)} THEN '{src}' END"
+            f"CASE WHEN {' AND '.join(f'{f} IS NULL' for f in fields)} "
+            f"THEN {_sql_str(src)} END"
             for src, fields in sorted(self.missing_map.items())
         )
         if not elems:
             return "''"
         return (
             f"COALESCE({d['join']}({d['filter']}({d['array']}({elems}), "
-            f"x -> x IS NOT NULL), '{joiner}'), '')"
+            f"x -> x IS NOT NULL), {_sql_str(joiner)}), '')"
         )
 
 

@@ -48,13 +48,23 @@ class HotReloadRegistry:
         cached = self._cached
         if cached is not None and now - cached.loaded_at < self._ttl:
             return cached
-        version = self._file_version()
-        if cached is not None and cached.version == version:
-            # File unchanged: refresh the TTL clock only — compiled
-            # expressions stay as-is (atomic swap not needed).
-            self._cached = LoadedRules(cached.value, version, now)
+        try:
+            version = self._file_version()
+            if cached is not None and cached.version == version:
+                # File unchanged: refresh the TTL clock only — compiled
+                # expressions stay as-is (atomic swap not needed).
+                self._cached = LoadedRules(cached.value, version, now)
+                return self._cached
+            value = self._loader(self._path)  # load BEFORE swap
+        except Exception:
+            if cached is None:
+                raise  # first load: nothing to fall back to
+            # Half-written or briefly-missing file mid-save: SERVE the
+            # old ruleset (don't fail the micro-batch) and retry after
+            # the next TTL window — a propagated loader error here would
+            # crash the streaming query the registry exists to protect.
+            self._cached = LoadedRules(cached.value, cached.version, now)
             return self._cached
-        value = self._loader(self._path)  # load BEFORE swap: failures keep old
         self._cached = LoadedRules(value, version, now)
         self.reload_count += 1
         return self._cached

@@ -71,9 +71,19 @@ def merge_versioned(
     assert cols == incoming.columns, (cols, incoming.columns)
     cur, inc = current.alias("c"), incoming.alias("i")
     joined = cur.join(inc, F.col(f"c.{key_col}") == F.col(f"i.{key_col}"), "full_outer")
-    take_incoming = F.col(f"i.{version_col}").isNotNull() & (
-        F.col(f"c.{version_col}").isNull()
-        | (F.col(f"i.{version_col}") >= F.col(f"c.{version_col}"))
+    # Decide on ROW presence (the join key), not on the version value: a
+    # brand-new key must insert even with a NULL version — keying the
+    # decision off i.version would fall through to the absent current
+    # side and emit an all-NULL row. The version guard only arbitrates
+    # when BOTH rows exist: incoming wins iff its version is >= (NULL
+    # incoming version never clobbers versioned state; NULL current
+    # version is always replaceable).
+    take_incoming = F.col(f"c.{key_col}").isNull() | (
+        F.col(f"i.{key_col}").isNotNull()
+        & (
+            F.col(f"c.{version_col}").isNull()
+            | (F.col(f"i.{version_col}") >= F.col(f"c.{version_col}"))
+        )
     )
     return joined.select(
         *[

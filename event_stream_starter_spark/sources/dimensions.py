@@ -69,8 +69,10 @@ class DimensionCache:
         self._ttl = ttl_sec
         self._clock = clock
         self._snap: DimensionSnapshot | None = None
+        self._attempted_at: float | None = None
 
     def refresh(self) -> DimensionSnapshot:
+        self._attempted_at = self._clock()
         try:
             df = self._fetch()
             df.persist()
@@ -96,9 +98,16 @@ class DimensionCache:
         return self._snap
 
     def current(self) -> DimensionSnapshot:
+        # Gate on the last refresh ATTEMPT, not the snapshot's fetch
+        # time: a degraded snapshot keeps its old fetched_at, so gating
+        # on it would either hammer the backend on every call or (if
+        # guarded by the degraded flag) never retry at all — the stale
+        # snapshot must be REvalidated once per TTL window until a
+        # refresh succeeds.
         snap = self._snap
+        now = self._clock()
         if snap is None or (
-            not snap.degraded and self._clock() - snap.fetched_at > self._ttl
+            self._attempted_at is None or now - self._attempted_at > self._ttl
         ):
             snap = self.refresh()
         return snap

@@ -95,7 +95,7 @@ class StreamingNearDup:
         sig_new = minhash_signatures(
             batch, self.id_col, self.text_col, self.num_hashes, self.shingle_n
         ).persist()
-        pairs, _ = incremental_minhash_pairs(
+        pairs, all_sig = incremental_minhash_pairs(
             batch,
             index.select(*sig_cols) if index is not None else None,
             self.id_col,
@@ -110,6 +110,13 @@ class StreamingNearDup:
         # Append ONLY this batch's signatures: index growth per batch is
         # O(batch), never an O(corpus) rewrite.
         sig_new.write.mode("append").parquet(os.path.join(self.path, "index"))
+        # Drop BOTH caches before committing: all_sig is the full-index
+        # union persisted inside incremental_minhash_pairs — leaking it
+        # would pin an O(corpus) cached frame per micro-batch, growing
+        # block-manager memory without bound over the stream's lifetime.
+        # (On a cold start all_sig IS sig_new; double-unpersist is a
+        # no-op.)
+        all_sig.unpersist()
         sig_new.unpersist()
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as fh:

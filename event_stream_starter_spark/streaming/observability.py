@@ -33,16 +33,27 @@ class MetricsListener(StreamingQueryListener):
 
     def __init__(self) -> None:
         self.metrics: dict[str, QueryMetrics] = {}
+        self._names: dict[str, str] = {}  # query id → name
 
     def _m(self, name: str) -> QueryMetrics:
         return self.metrics.setdefault(name, QueryMetrics(name=name))
 
+    def _key(self, name: str | None, qid) -> str:
+        # Termination events carry NO name — only the id. Remember the
+        # id→name binding from start/progress so a named query's
+        # terminated status and errors land in the SAME entry the
+        # /metrics read path looks up, not an orphan UUID row.
+        if name:
+            self._names[str(qid)] = name
+            return name
+        return self._names.get(str(qid), str(qid))
+
     def onQueryStarted(self, event) -> None:
-        self._m(event.name or event.id).last_event = "started"
+        self._m(self._key(event.name, event.id)).last_event = "started"
 
     def onQueryProgress(self, event) -> None:
         p = json.loads(event.progress.json)
-        m = self._m(p.get("name") or p["id"])
+        m = self._m(self._key(p.get("name"), p["id"]))
         m.n_batches += 1
         m.total_input_rows += int(p.get("numInputRows") or 0)
         dur = p.get("durationMs") or {}
@@ -54,7 +65,7 @@ class MetricsListener(StreamingQueryListener):
         m.last_event = "progress"
 
     def onQueryTerminated(self, event) -> None:
-        m = self._m(str(event.id))
+        m = self._m(self._key(None, event.id))
         m.last_event = "terminated"
         if event.exception:
             m.errors.append(str(event.exception))

@@ -101,17 +101,48 @@ def apply_delivery_result(
     )
 
 
+# The snapshot column carries the whole outbox row as JSON (the
+# reference's push_outbox_dlq.snapshot JSONB, DATABASE.md:561-568), so
+# recovery never needs the original outbox row to still exist.
+_SNAPSHOT_SCHEMA = (
+    "id long, event_key string, payload_json string, "
+    "created_at timestamp, attempt int, last_error string"
+)
+
+
+def to_dlq_rows(delivered: DataFrame, now: Column) -> DataFrame:
+    """Project the status='dlq' outcomes of :func:`apply_delivery_result`
+    into the PUSH_OUTBOX_DLQ table shape (schemas.PUSH_OUTBOX_DLQ):
+    ``(id, ref_id, snapshot, failed_at)`` — this is the frame
+    :func:`dlq_recover` consumes, keeping the module's producer and
+    consumer schemas provably consistent (round-tripped in tests)."""
+    dlq = delivered.filter(F.col("status") == "dlq")
+    return dlq.select(
+        F.col("id"),
+        F.col("id").alias("ref_id"),
+        F.to_json(
+            F.struct(
+                "id", "event_key", "payload_json", "created_at", "attempt", "last_error"
+            )
+        ).alias("snapshot"),
+        now.alias("failed_at"),
+    )
+
+
 def dlq_recover(dlq: DataFrame, now: Column, max_age_sec: int = 3600) -> DataFrame:
     """S10: re-queue DLQ rows younger than max-age; older rows discarded
-    (worker/jobs/outbox_dlq_recover.py:31-60)."""
+    (worker/jobs/outbox_dlq_recover.py:31-60). Input is the
+    PUSH_OUTBOX_DLQ shape written by :func:`to_dlq_rows`; the outbox row
+    is reconstructed from the JSON snapshot with attempt reset."""
     young = dlq.filter(
         F.col("failed_at") >= F.timestamp_seconds(F.unix_timestamp(now) - max_age_sec)
     )
+    snap = F.from_json(F.col("snapshot"), _SNAPSHOT_SCHEMA)
     return young.select(
-        "id",
-        "event_key",
-        "payload_json",
-        "created_at",
+        snap["id"].alias("id"),
+        snap["event_key"].alias("event_key"),
+        snap["payload_json"].alias("payload_json"),
+        snap["created_at"].alias("created_at"),
         F.lit(0).alias("attempt"),
         F.lit("retry").alias("status"),
         F.lit(None).cast("timestamp").alias("next_try_at"),

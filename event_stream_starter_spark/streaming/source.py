@@ -103,22 +103,44 @@ def events_jsonl_stream(
     """JSON-lines landing-dir stream — the reference's webhook/replay
     ingest bodies (POST /ingest/x/replay, api/routes/ingest_x.py:50-70)
     land as JSONL; schema is DECLARED (never inferred on the hot path),
-    `ts` parsed from epoch micros or ISO-8601 by Spark's JSON reader,
     and malformed lines are quarantined to `_corrupt` (PERMISSIVE mode)
     instead of failing the stream — the reference returns 422 per bad
     record, same contract.
+
+    ``ts`` contract: ISO-8601 strings or integer epoch SECONDS — that is
+    what Spark's JSON reader parses into TimestampType (an integer is
+    seconds, NOT micros; a micros producer would yield year-222737
+    timestamps). Rows whose parsed ts lands outside [1970, 2200) are
+    routed to the quarantine leg rather than silently poisoning every
+    downstream watermark/window.
     """
     schema = StructType(
         list(EVENTS_STREAM_SCHEMA.fields)
         + [StructField("_corrupt", StringType(), True)]
     )
-    return (
+    from pyspark.sql import functions as F
+
+    df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(landing_dir)
     )
+    ts_sane = F.col("ts").isNull() | (
+        (F.col("ts") >= F.lit("1970-01-01")) & (F.col("ts") < F.lit("2200-01-01"))
+    )
+    flagged = df.withColumn(
+        "_corrupt",
+        F.when(F.col("_corrupt").isNotNull(), F.col("_corrupt")).when(
+            ~ts_sane,
+            F.concat(F.lit("ts_out_of_range:"), F.col("ts").cast("string")),
+        ),
+    )
+    # Null the bogus ts on flagged rows (the raw value is preserved in
+    # the _corrupt message): a year-222737 timestamp can't even be
+    # collected into a Python datetime, so it must not survive as data.
+    return flagged.withColumn("ts", F.when(ts_sane, F.col("ts")))
 
 
 def events_csv_stream(

@@ -134,3 +134,25 @@ def test_connected_components_long_chain_and_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {(n, find(n)) for n in parent}
     assert got == expected
+
+
+def test_asof_join_carries_whole_snapshot_not_column_mix(spark):
+    """A NULL field in the latest right snapshot must stay NULL — not be
+    backfilled from an older right row (whole-row as-of semantics)."""
+    from event_stream_starter_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 10, 1, 2), ("k", 20, None, 3)],
+        "key string, rts long, a int, b int",
+    )
+    left = spark.createDataFrame(
+        [("k", 15), ("k", 25)], "key string, lts long"
+    )
+    got = {
+        r["lts"]: (r["a"], r["b"])
+        for r in asof_join(
+            left, right, ["key"], "lts", "rts", ["a", "b"]
+        ).collect()
+    }
+    # lts=15 sees snapshot (1,2); lts=25 sees snapshot (NULL,3) — NOT (1,3).
+    assert got == {15: (1, 2), 25: (None, 3)}

@@ -144,3 +144,28 @@ def test_merge_versioned_guard(spark):
         "c": ("v1-data", 1),
         "d": ("v3-new", 3),
     }
+
+
+def test_merge_versioned_null_version_edges(spark):
+    """Presence, not version, drives the row decision: a new key with a
+    NULL version still inserts; a NULL-version recompute never clobbers
+    versioned state; a NULL-version current row is always replaceable."""
+    from event_stream_starter_spark.sinks import merge_versioned
+
+    schema = "k string, payload string, calc_version long"
+    cur = spark.createDataFrame(
+        [("a", "v2-data", 2), ("n", "unversioned", None)], schema
+    )
+    inc = spark.createDataFrame(
+        [("a", "nover-late", None),  # NULL version vs versioned → rejected
+         ("n", "v1-fill", 1),        # versioned vs NULL current → replaces
+         ("e", "new-nover", None)],  # new key, NULL version → still inserts
+        schema,
+    )
+    got = {r["k"]: (r["payload"], r["calc_version"])
+           for r in merge_versioned(cur, inc, "k").collect()}
+    assert got == {
+        "a": ("v2-data", 2),
+        "n": ("v1-fill", 1),
+        "e": ("new-nover", None),
+    }

@@ -196,3 +196,118 @@ def test_compiled_conditions_agree_across_engines_fuzz(spark):
         assert s_rows == d_rows, cond
 
     check()
+
+
+def test_rule_reason_with_quote_compiles_both_engines(spark):
+    """Free-text reason strings (config-provided) must be escaped into
+    the emitted SQL: an apostrophe cannot break out of the literal."""
+    import duckdb
+
+    from event_stream_starter_spark.rules.compiler import load_ruleset
+
+    rs = load_ruleset(
+        {
+            "version": "v1",
+            "thresholds": {"opportunity": 5, "caution": -5},
+            "missing_map": {"o'brien": ["heat_slope"]},
+            "groups": [
+                {
+                    "name": "g",
+                    "priority": 10,
+                    "rules": [
+                        {
+                            "id": "Q1",
+                            "condition": "buy_tax >= 0",
+                            "score": 8,
+                            "reason": "doesn't look safe",
+                        }
+                    ],
+                }
+            ],
+        }
+    )
+    spark.createDataFrame(
+        [(0.1, None)], "buy_tax double, heat_slope double"
+    ).createOrReplaceTempView("quote_sig")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE quote_sig(buy_tax DOUBLE, heat_slope DOUBLE)")
+    con.execute("INSERT INTO quote_sig VALUES (0.1, NULL)")
+    for dialect, run in (
+        ("spark", lambda q: spark.sql(q).collect()[0]),
+        ("duckdb", lambda q: con.execute(q).fetchall()[0]),
+    ):
+        reasons, missing = run(
+            f"SELECT {rs.reasons_sql(dialect=dialect)} AS r, "
+            f"{rs.missing_sources_sql(dialect=dialect)} AS m FROM quote_sig"
+        )
+        assert "doesn't look safe" in reasons
+        assert missing == "o'brien"
+
+
+def test_hotreload_serves_cached_on_failed_reload(tmp_path):
+    """A half-written rules file at TTL expiry must not crash the
+    caller: the registry serves the last good value and retries after
+    the next TTL window; only a FIRST load failure raises."""
+    import pytest
+
+    from event_stream_starter_spark.rules.hotreload import HotReloadRegistry
+
+    p = tmp_path / "rules.yml"
+    p.write_text("v: 1")
+    clock = [0.0]
+
+    def loader(path):
+        text = open(path).read()
+        if "BROKEN" in text:
+            raise ValueError("parse error")
+        return text
+
+    reg = HotReloadRegistry(str(p), loader, ttl_sec=5.0, clock=lambda: clock[0])
+    assert reg.current().value == "v: 1"
+
+    p.write_text("BROKEN {{{")
+    clock[0] = 10.0  # TTL expired, file changed, loader raises
+    got = reg.current()
+    assert got.value == "v: 1"  # old value served, no exception
+
+    p.write_text("v: 2")
+    clock[0] = 20.0  # recovered file picked up on the next expiry
+    assert reg.current().value == "v: 2"
+
+    bad = tmp_path / "missing.yml"
+    bad.write_text("BROKEN")
+    first = HotReloadRegistry(str(bad), loader, ttl_sec=5.0, clock=lambda: clock[0])
+    with pytest.raises(ValueError):
+        first.current()
+
+
+def test_swr_degraded_snapshot_revalidates_after_ttl(spark):
+    """A failed refresh must not pin the cache: the degraded snapshot is
+    re-validated once per TTL window (not on every call) and recovers
+    when the backend comes back."""
+    clock = FakeClock()
+    calls = {"n": 0}
+    plan = [True, False, False, True]  # ok, down, down, recovered
+
+    def fetch():
+        ok = plan[min(calls["n"], len(plan) - 1)]
+        calls["n"] += 1
+        if not ok:
+            raise RuntimeError("provider down")
+        return spark.createDataFrame([(calls["n"], "x")], "k int, v string")
+
+    cache = DimensionCache(fetch, ttl_sec=10, clock=clock)
+    assert cache.current().version == 1
+
+    clock.t += 60
+    assert cache.current().degraded  # failure #1 → stale served
+    n_after_fail = calls["n"]
+    assert cache.current().degraded  # still degraded...
+    assert calls["n"] == n_after_fail  # ...and within TTL: NO retry storm
+
+    clock.t += 60
+    assert cache.current().degraded  # failure #2: retried once per window
+
+    clock.t += 60
+    snap = cache.current()  # backend recovered → fresh snapshot swaps in
+    assert not snap.degraded and snap.version == 2

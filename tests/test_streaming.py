@@ -169,6 +169,15 @@ def test_metrics_listener_collects_progress(spark, landing, tmp_path):
         assert m["total_input_rows"] == expected_rows
         assert m["last_state_rows"] is not None and m["last_state_rows"] > 0
         assert not m["errors"]
+        # Termination events carry only the query id — the listener must
+        # fold them into the NAMED entry, not an orphan UUID row.
+        for _ in range(50):
+            m = listener.snapshot()["obs_tbl"]
+            if m["last_event"] == "terminated":
+                break
+            time.sleep(0.2)
+        assert m["last_event"] == "terminated"
+        assert set(listener.snapshot()) == {"obs_tbl"}
     finally:
         spark.streams.removeListener(listener)
 
@@ -317,6 +326,10 @@ def test_jsonl_stream_ingests_and_quarantines(spark, tmp_path):
         "this is not json\n"
         '{"event_id": 2, "ts": "2024-01-01T00:01:00Z", "user_id": 8,'
         ' "event_type": "click", "value": 2.0, "props": "{}"}\n'
+        '{"event_id": 3, "ts": 1704067200, "user_id": 9,'
+        ' "event_type": "view", "value": 3.0, "props": "{}"}\n'
+        '{"event_id": 4, "ts": 1704067200000000, "user_id": 9,'
+        ' "event_type": "view", "value": 4.0, "props": "{}"}\n'
     )
     good, bad = quarantine_split(events_jsonl_stream(spark, str(land)))
     qg = (
@@ -330,8 +343,15 @@ def test_jsonl_stream_ingests_and_quarantines(spark, tmp_path):
     qg.processAllAvailable(); qb.processAllAvailable()
     qg.stop(); qb.stop()
     rows = {r["event_id"]: r["event_type"] for r in spark.table("jl_good").collect()}
-    assert rows == {1: "view", 2: "click"}
-    assert spark.table("jl_bad").count() == 1
+    # Integer ts is epoch SECONDS (3); an epoch-MICROS producer (4) is
+    # quarantined as ts_out_of_range, not parsed into year 222737.
+    assert rows == {1: "view", 2: "click", 3: "view"}
+    good_ts = {r["event_id"]: r["ts"] for r in spark.table("jl_good").collect()}
+    assert good_ts[3] == good_ts[1]  # 1704067200s == 2024-01-01T00:00:00Z
+    bad = spark.table("jl_bad").collect()
+    assert len(bad) == 2
+    flags = {str(r["_corrupt"]) for r in bad}
+    assert any(f.startswith("ts_out_of_range:") for f in flags)
 
 
 def test_merge_laws_order_independent_under_ts_ties(spark):
@@ -479,7 +499,14 @@ def test_streaming_neardup_matches_one_shot_and_replay_safe(spark, sf_dir, tmp_p
         spark, str(tmp_path / "nd_state"), threshold=0.5, num_hashes=64,
         bands=16, shingle_n=5,
     )
+    cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     run_to_completion(stream, nd.foreach_batch_writer(), str(tmp_path / "nd_ck"))
+    # Every micro-batch unions the FULL index into a persisted frame; the
+    # sink must release those caches or a long stream pins O(corpus)
+    # blocks per batch.
+    assert (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= cached_before
+    )
 
     def as_set(df):
         return {
@@ -679,3 +706,36 @@ def test_orc_stream_equals_parquet_batch_and_pushdown(spark, sf_dir, tmp_path):
     feats = plan_features(scan)
     assert any("event_type" in p for p in feats.pushed_filters), feats.pushed_filters
     assert all(cols <= {"event_id", "event_type"} for cols in feats.scan_columns)
+
+
+def test_dlq_roundtrip_and_max_age(spark):
+    """S10 producer/consumer schema consistency: apply_delivery_result →
+    to_dlq_rows → dlq_recover reconstructs the outbox row (attempt
+    reset, status retry), and rows older than max-age are discarded."""
+    now = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
+    df = spark.createDataFrame(
+        [
+            (4, "k4", '{"p":1}', "2024-01-01 00:00:03", 0, "pending", None, False, 404, None),
+            (5, "k5", '{"p":2}', "2024-01-01 00:00:04", 19, "retry", None, False, 500, None),
+        ],
+        "id long, event_key string, payload_json string, created_at string, "
+        "attempt int, status string, next_try_at timestamp, ok boolean, "
+        "status_code int, retry_after int",
+    ).withColumn("created_at", F.to_timestamp("created_at"))
+
+    dlq = ob.to_dlq_rows(ob.apply_delivery_result(df, now), now)
+    assert set(dlq.columns) == {"id", "ref_id", "snapshot", "failed_at"}
+    assert dlq.count() == 2  # 404 permanent + attempt cap
+
+    # Age one row beyond max-age: only the young row is recovered.
+    aged = dlq.withColumn(
+        "failed_at",
+        F.when(F.col("ref_id") == 5, F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+        .otherwise(F.col("failed_at")),
+    )
+    rec = {r["id"]: r for r in ob.dlq_recover(aged, now, max_age_sec=3600).collect()}
+    assert set(rec) == {4}
+    r = rec[4]
+    assert r["event_key"] == "k4" and r["payload_json"] == '{"p":1}'
+    assert r["attempt"] == 0 and r["status"] == "retry"
+    assert r["next_try_at"] is None and r["created_at"] is not None
