@@ -82,7 +82,6 @@ def main() -> None:
     specs = all_queries()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    timings: dict[str, float] = {}
     # JIT warmup (JMH-style): run every headline query once at the
     # smallest SF. Plans differ only in input path, so the generated
     # wholestage-codegen classes are byte-identical and the timed loop
@@ -111,7 +110,7 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Best-of-3 over THREE FULL PASSES: the box runs a co-resident agent
+    # Best-of-N over FULL PASSES: the box runs a co-resident agent
     # process whose CPU bursts last tens of seconds; a single sample (or
     # two back-to-back samples, which land in the same burst) can charge
     # an external stall to whichever query it hits (observed ~20s spikes

@@ -1,10 +1,8 @@
 """Simulate the driver: plain SparkSession, import __spark_entry__, run
 entry() + every queries() entry vs oracle_sql() on sf0.01."""
-import sys, math
+import sys
 sys.path.insert(0, "/root/repo")
-from decimal import Decimal
 from pyspark.sql import SparkSession
-import duckdb
 
 # Deliberately UN-tuned session — driver won't set our configs.
 spark = (SparkSession.builder.master("local[8]")
@@ -20,19 +18,14 @@ assert len(rows) > 0
 qs = E.queries(); oracles = E.oracle_sql()
 print("queries:", len(qs), "oracles:", len(oracles))
 
-con = duckdb.connect()
 import os
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+# One source of truth for the table list and value normalization — a new
+# testdata table or a norm tweak must not silently diverge between this
+# driver replica and the pytest oracle harness.
+from tests.oracle_utils import _norm as norm, duck_connection
 
-def norm(v):
-    if isinstance(v, Decimal): return ("d", str(v.normalize()))
-    if isinstance(v, float):
-        return ("f", "nan") if math.isnan(v) else ("f", repr(round(v, 9)))
-    if isinstance(v, bool): return ("b", v)
-    if isinstance(v, int): return ("i", v)
-    return ("o", str(v))
+con = duck_connection(SF)
 
 fails = []
 for name, fn in sorted(qs.items()):

@@ -134,19 +134,23 @@ def main() -> None:
     n_docs = spark.read.parquet(f"{out}/documents.parquet").count()
 
     specs = all_queries()
+    # clearCache OUTSIDE the timed window, between every query: leaked
+    # persisted intermediates must not subsidize later queries, and
+    # cache teardown must not be charged to the query that created it.
     total = 0.0
     for name in QUERIES:
         t0 = time.perf_counter()
         specs[name].fn(spark, out).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
         total += dt
         print(f"{name}: {dt:.2f}s @ {N} events")
     doc_total = 0.0
     for name in DOC_QUERIES:
         t0 = time.perf_counter()
         specs[name].fn(spark, out).write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
         dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
         doc_total += dt
         print(f"{name}: {dt:.2f}s @ {n_docs} docs")
     print(f"TOTAL {total:.1f}s for {len(QUERIES)} queries at {N} rows "

@@ -34,6 +34,26 @@ def _norm(v):
     return ("o", str(v))
 
 
+def union_find_clusters(pairs) -> dict:
+    """Pure-Python connected-components oracle over (a, b) edge pairs:
+    returns node -> min-id cluster label (shared by the dedup-clustering
+    golden tests; keep ONE implementation of the oracle semantics)."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Returns a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
@@ -53,8 +73,9 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     s_set = sorted(tuple(_norm(r[i]) for i in s_idx) for r in spark_rows)
     d_set = sorted(tuple(_norm(r[i]) for i in d_idx) for r in duck_rows)
     if s_set != d_set:
-        diff_s = [r for r in s_set if r not in set(d_set)][:3]
-        diff_d = [r for r in d_set if r not in set(s_set)][:3]
+        ds, ss = set(d_set), set(s_set)  # built once, not per element
+        diff_s = [r for r in s_set if r not in ds][:3]
+        diff_d = [r for r in d_set if r not in ss][:3]
         problems.append(
             f"value mismatch: spark-only={diff_s} duck-only={diff_d} (cols={spark_cols})"
         )

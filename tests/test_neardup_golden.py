@@ -205,14 +205,20 @@ def test_incremental_minhash_equals_full_recompute(spark, sf_dir):
     full = as_set(minhash_lsh_pairs(docs, "doc_id", "text", **kw))
     old_only = as_set(minhash_lsh_pairs(old, "doc_id", "text", **kw))
     index = minhash_signatures(old, "doc_id", "text", 64, 5).persist()
-    incr_df, new_index = incremental_minhash_pairs(
-        new, index, "doc_id", "text", **kw
-    )
-    incr = as_set(incr_df)
+    try:
+        incr_df, new_index = incremental_minhash_pairs(
+            new, index, "doc_id", "text", **kw
+        )
+        incr = as_set(incr_df)
 
-    assert old_only | incr == full
-    assert not (old_only & incr), "incremental re-reported an old-old pair"
-    assert new_index.count() == docs.count()
+        assert old_only | incr == full
+        assert not (old_only & incr), "incremental re-reported an old-old pair"
+        assert new_index.count() == docs.count()
+    finally:
+        # Session-scoped SparkSession: leaked caches would pin executor
+        # memory for the rest of the suite.
+        new_index.unpersist()
+        index.unpersist()
 
 
 @pytest.mark.parametrize("small_graph_limit", [None, 0])
@@ -245,20 +251,9 @@ def test_connected_components_random_graphs_match_union_find(
             for r in connected_components(pairs, **kwargs).collect()
         }
 
-        parent: dict[int, int] = {}
+        from tests.oracle_utils import union_find_clusters
 
-        def find(x: int) -> int:
-            parent.setdefault(x, x)
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for a, b in edges:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        expected = {(n, find(n)) for n in parent}
+        expected = set(union_find_clusters(edges).items())
         assert got == expected, f"seed={seed}"
 
 

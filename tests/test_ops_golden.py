@@ -119,20 +119,9 @@ def test_connected_components_long_chain_and_union_find(spark):
         for r in connected_components(pairs).collect()
     }
 
-    parent: dict[int, int] = {}
+    from tests.oracle_utils import union_find_clusters
 
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    expected = {(n, find(n)) for n in parent}
+    expected = set(union_find_clusters(edges).items())
     assert got == expected
 
 

@@ -200,14 +200,18 @@ def test_ema_stream_matches_batch_fold(spark, sf_dir, tmp_path):
     land = tmp_path / "ema_land"
     land.mkdir()
     step = (hi - lo) // 4 + 1
-    import time as _t
+    import glob
 
     for i in range(4):  # sequential ts-range slices, increasing mtimes
         part = ev.filter(
             (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
         )
         part.coalesce(1).write.mode("overwrite").parquet(str(land / f"slice{i}"))
-        _t.sleep(1.1)
+        # Deterministic FileStreamSource ordering without wall-clock
+        # sleeps: pin strictly increasing mtimes (same pattern as the
+        # packing tests).
+        for f in glob.glob(str(land / f"slice{i}" / "*.parquet")):
+            os.utime(f, (1_000_000 + i, 1_000_000 + i))
 
     stream = (
         spark.readStream.schema("key string, ts_us long, value double")
@@ -252,7 +256,6 @@ def test_outbox_policies(spark):
     assert out[1]["status"] == "done" and out[1]["next_try_at"] is None
     assert out[2]["status"] == "retry"
     # 5xx backoff: 2^6=64s with ±30% jitter → [44.8, 83.2] sec after now
-    delta2 = (out[2]["next_try_at"] - out[2]["next_try_at"].min) if False else None
     import datetime
 
     base = datetime.datetime(2024, 1, 2, 0, 0, 0)
