@@ -62,6 +62,21 @@ def heat_counts_stream(df: DataFrame, watermark: str = "30 minutes") -> DataFram
     )
 
 
+def topic_counts_stream(df: DataFrame) -> DataFrame:
+    """A2 streaming form (SURVEY §3.3: the interactive read becomes a
+    lookup into a continuously-updated result table): a RUNNING per-topic
+    aggregate in complete mode — unlike the windowed heat stream, state
+    here is one row per topic_hash (bounded by topic cardinality, not
+    time), refreshed each micro-batch. Must equal a2_topic_aggregate
+    batch semantics on the same input (asserted in tests)."""
+    topic = F.substring(F.sha2((F.col("user_id") % 50).cast("string"), 256), 1, 12)
+    return df.groupBy(topic.alias("topic_hash")).agg(
+        F.count(F.lit(1)).alias("mention_count"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("entities"),
+    )
+
+
 def decontaminated_stream(docs: DataFrame, eval_grams: DataFrame, n: int = 13) -> DataFrame:
     """Streaming test-set decontamination, probe half: the
     x_decontaminate expressions as a STATELESS stream.

@@ -742,3 +742,35 @@ def test_dlq_roundtrip_and_max_age(spark):
     assert r["event_key"] == "k4" and r["payload_json"] == '{"p":1}'
     assert r["attempt"] == 0 and r["status"] == "retry"
     assert r["next_try_at"] is None and r["created_at"] is not None
+
+
+def test_topic_counts_stream_equals_batch_query(spark, landing, tmp_path):
+    """A2 as a running complete-mode aggregate: the streamed per-topic
+    result table must equal the a2_topic_aggregate batch query over the
+    same rows (SURVEY §3.3 — reads become lookups into a continuously
+    updated table)."""
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.streaming.pipeline import topic_counts_stream
+
+    stream = topic_counts_stream(events_file_stream(spark, landing))
+    run_to_memory_table(stream, "topic_tbl", str(tmp_path / "ck_topic"), "complete")
+    streamed = {
+        r["topic_hash"]: (r["mention_count"], r["last_ts_us"], r["entities"])
+        for r in spark.table("topic_tbl").collect()
+    }
+    # Batch oracle over the SAME landing rows (sf_dir's a2 query reads the
+    # canonical events table; the landing copy is identical rows).
+    batch_df = topic_counts_stream(spark.read.parquet(landing))
+    batch = {
+        r["topic_hash"]: (r["mention_count"], r["last_ts_us"], r["entities"])
+        for r in batch_df.collect()
+    }
+    assert streamed == batch
+    # Same output shape as the registered a2_topic_aggregate query.
+    a2 = all_queries()["a2_topic_aggregate"]
+    assert set(spark.table("topic_tbl").columns) == {
+        "topic_hash",
+        "mention_count",
+        "last_ts_us",
+        "entities",
+    } == set(a2.fn(spark, "/root/testdata/sf0.001").columns)
