@@ -50,13 +50,19 @@ def _jitter(seed: Column, spread: float) -> Column:
 
 
 def backoff_seconds(attempt: Column, status_code: Column, retry_after: Column, key: Column) -> Column:
-    """ST6 backoff policy → seconds until next try (outbox_retry.py:247-313)."""
+    """ST6 backoff policy → seconds until next try (outbox_retry.py:247-313).
+
+    429 without a Retry-After header gets the reference's SHORT delay
+    (uniform 1-3s there; keyed-deterministic 1-3s here), not the
+    moderate exponential branch — rate limits clear quickly."""
     exp_5xx = F.least(F.pow(F.lit(2.0), attempt.cast("double")), F.lit(float(CAP_5XX_SEC)))
     exp_other = F.least(
         F.lit(2.0) * F.pow(F.lit(2.0), attempt.cast("double")), F.lit(float(CAP_OTHER_SEC))
     )
+    short_429 = F.lit(2.0) * _jitter(key, 0.50)  # [1, 3] sec, keyed
     return (
         F.when((status_code == 429) & retry_after.isNotNull(), retry_after.cast("double"))
+        .when(status_code == 429, short_429)
         .when((status_code >= 500), exp_5xx * _jitter(key, 0.30))
         .otherwise(exp_other * _jitter(key, 0.20))
     )
@@ -64,8 +70,14 @@ def backoff_seconds(attempt: Column, status_code: Column, retry_after: Column, k
 
 def is_permanent_4xx(status_code: Column) -> Column:
     """Permanent client errors skip retries → DLQ (outbox_retry.py:292-313).
-    429 is retryable; everything else in [400, 500) is permanent."""
-    return (status_code >= 400) & (status_code < 500) & (status_code != 429)
+    429 is retryable, and so are 408 (Request Timeout), 423 (Locked) and
+    425 (Too Early) — the reference's transient-4xx exemptions; everything
+    else in [400, 500) is permanent."""
+    return (
+        (status_code >= 400)
+        & (status_code < 500)
+        & ~status_code.isin(429, 408, 423, 425)
+    )
 
 
 def apply_delivery_result(

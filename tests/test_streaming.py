@@ -774,3 +774,31 @@ def test_topic_counts_stream_equals_batch_query(spark, landing, tmp_path):
         "last_ts_us",
         "entities",
     } == set(a2.fn(spark, "/root/testdata/sf0.001").columns)
+
+
+def test_backoff_transient_4xx_and_short_429(spark):
+    """Reference parity (outbox_retry.py:267-313): 429 without
+    Retry-After backs off 1-3s (not the moderate-exponential branch);
+    408/423/425 are transient 4xx — retried, never DLQ'd."""
+    now = F.to_timestamp(F.lit("2024-01-02 00:00:00"))
+    rows = [
+        (1, "k1", "{}", 0, "retry", False, 429, None),   # no Retry-After
+        (2, "k2", "{}", 0, "retry", False, 408, None),   # transient 4xx
+        (3, "k3", "{}", 0, "retry", False, 423, None),
+        (4, "k4", "{}", 0, "retry", False, 425, None),
+        (5, "k5", "{}", 0, "retry", False, 410, None),   # permanent 4xx
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, event_key string, payload_json string, attempt int, "
+        "status string, ok boolean, status_code int, retry_after int",
+    ).withColumn("created_at", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    out = {r["id"]: r for r in ob.apply_delivery_result(df, now).collect()}
+    import datetime
+
+    base = datetime.datetime(2024, 1, 2, 0, 0, 0)
+    d1 = (out[1]["next_try_at"] - base).total_seconds()
+    assert out[1]["status"] == "retry" and 1 <= d1 <= 3
+    for i in (2, 3, 4):
+        assert out[i]["status"] == "retry", i
+    assert out[5]["status"] == "dlq"
