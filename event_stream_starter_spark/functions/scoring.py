@@ -74,9 +74,12 @@ def lexicon_sentiment_score(
 
 
 def lexicon_sentiment_label(score: Column, threshold: float = 0.1) -> Column:
-    """pos/neg/neu at ±threshold (reference api/rules_sentiment.py:70-84)."""
+    """pos/neg/neu at ±threshold — STRICT inequalities: the reference
+    labels `score > 0.1` pos and `score < -0.1` neg, so exactly ±0.1
+    (reachable: diff/len*3, e.g. 1/30) is neu
+    (api/rules_sentiment.py:76-82)."""
     return (
-        F.when(score >= threshold, F.lit("pos"))
-        .when(score <= -threshold, F.lit("neg"))
+        F.when(score > threshold, F.lit("pos"))
+        .when(score < -threshold, F.lit("neg"))
         .otherwise(F.lit("neu"))
     )

@@ -123,9 +123,12 @@ def ema_last(values: Column, alpha: float) -> Column:
 
 
 def slope_trend(slope: Column, theta: float = 0.2) -> Column:
-    """W5 trend label: up/down/flat at ±theta (reference heat.py:264-303)."""
+    """W5 trend label: up/down/flat at ±theta — INCLUSIVE bounds: the
+    reference labels `slope >= theta_rise` up and `slope <= -theta_rise`
+    down (heat.py:298-303), and exact ±theta is common (slopes are
+    int-diff/10 multiples of 0.1)."""
     return (
-        F.when(slope > theta, F.lit("up"))
-        .when(slope < -theta, F.lit("down"))
+        F.when(slope >= theta, F.lit("up"))
+        .when(slope <= -theta, F.lit("down"))
         .otherwise(F.lit("flat"))
     )

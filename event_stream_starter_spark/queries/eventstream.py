@@ -195,8 +195,8 @@ def a2_topic_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, cnt_10m, cnt_30m, prev_10m,
            ROUND((cnt_10m - prev_10m) / 10.0, 6) + 0 AS slope,
-           CASE WHEN (cnt_10m - prev_10m) / 10.0 > 0.2 THEN 'up'
-                WHEN (cnt_10m - prev_10m) / 10.0 < -0.2 THEN 'down'
+           CASE WHEN (cnt_10m - prev_10m) / 10.0 >= 0.2 THEN 'up'
+                WHEN (cnt_10m - prev_10m) / 10.0 <= -0.2 THEN 'down'
                 ELSE 'flat' END AS trend
     FROM counts
     """,

@@ -100,8 +100,8 @@ def _flagship_oracle() -> str:
     )
     SELECT h.event_type, h.cnt_10m, h.cnt_30m,
            ROUND((h.cnt_10m - h.prev_10m) / 10.0, 6) + 0 AS slope,
-           CASE WHEN (h.cnt_10m - h.prev_10m) / 10.0 > 0.2 THEN 'up'
-                WHEN (h.cnt_10m - h.prev_10m) / 10.0 < -0.2 THEN 'down'
+           CASE WHEN (h.cnt_10m - h.prev_10m) / 10.0 >= 0.2 THEN 'up'
+                WHEN (h.cnt_10m - h.prev_10m) / 10.0 <= -0.2 THEN 'down'
                 ELSE 'flat' END AS trend,
            r.sum_score, r.n_opportunity, r.n_caution
     FROM heat h JOIN rules_summary r ON h.event_type = r.event_type

@@ -80,8 +80,9 @@ def c5_c8_event_key_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
     )
     SELECT topic, mention_count,
-           ROUND(least(1.0, mention_count / 100.0)
-                 + CASE WHEN topic IN ('click', 'purchase') THEN 0.05 ELSE 0.0 END,
+           ROUND(least(1.0,
+                 least(1.0, mention_count / 100.0)
+                 + CASE WHEN topic IN ('click', 'purchase') THEN 0.05 ELSE 0.0 END),
                  6) AS confidence
     FROM m
     """,
@@ -99,12 +100,19 @@ def a9_topic_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     boost = F.when(F.col("topic").isin("click", "purchase"), F.lit(0.05)).otherwise(
         F.lit(0.0)
     )
+    # Reference parity: the whitelist boost is capped at 1.0 AFTER the
+    # add (topic_analyzer.py:360 `min(1.0, confidence + boost)`) — a
+    # maxed-out base must not emit 1.05.
     return m.select(
         "topic",
         "mention_count",
-        F.round(F.least(F.lit(1.0), F.col("mention_count") / 100.0) + boost, 6).alias(
-            "confidence"
-        ),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.least(F.lit(1.0), F.col("mention_count") / 100.0) + boost,
+            ),
+            6,
+        ).alias("confidence"),
     )
 
 

@@ -63,11 +63,12 @@ _TOP_K = 100
         FROM upsert u JOIN heat h ON u.event_type = h.event_type
     ), scored AS (
         -- integer centi-point score: exact in every engine, no float
-        -- threshold straddling (slope < -0.2 <=> cnt_10m - prev_10m < -2)
+        -- threshold straddling (slope <= -0.2 <=> cnt_10m - prev_10m <= -2,
+        -- inclusive like the reference's trend gate)
         SELECT *,
                evidence_count * 50 + cnt_10m
                  + CASE WHEN last_value > 50 THEN 500 ELSE 0 END
-                 + CASE WHEN cnt_10m - prev_10m < -2 THEN -300 ELSE 0 END
+                 + CASE WHEN cnt_10m - prev_10m <= -2 THEN -300 ELSE 0 END
                    AS score_centi
         FROM card
     ), leveled AS (
@@ -157,12 +158,13 @@ def e2e_pipeline_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     card = upsert.join(F.broadcast(heat), "event_type")
     # Integer centi-point score — exact in both engines; the slope gate
-    # slope < -0.2 is the integer fact cnt_10m - prev_10m < -2.
+    # slope <= -0.2 is the integer fact cnt_10m - prev_10m <= -2
+    # (inclusive, matching the reference's trend thresholds).
     score = (
         F.col("evidence_count") * F.lit(50)
         + F.col("cnt_10m")
         + F.when(F.col("last_value") > 50, F.lit(500)).otherwise(F.lit(0))
-        + F.when(F.col("cnt_10m") - F.col("prev_10m") < -2, F.lit(-300)).otherwise(
+        + F.when(F.col("cnt_10m") - F.col("prev_10m") <= -2, F.lit(-300)).otherwise(
             F.lit(0)
         )
     )

@@ -144,12 +144,15 @@ def _r6_oracle() -> str:
 )
 def r7_risk_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # 'view' rows: no data at all → unknown. 'click' rows: lp_lock_days
+    # ONLY — must stay unknown/yellow (the reference's green gate checks
+    # buy_tax/sell_tax/honeypot presence, never lp alone). Others: full.
     proj = ev.selectExpr(
         "event_id",
-        f"CASE WHEN event_type <> 'view' THEN {_K_SPARK} % 7 = 0 END AS honeypot",
-        f"CASE WHEN event_type <> 'view' THEN CAST({_K_SPARK} % 20 AS DOUBLE) END AS buy_tax",
-        f"CASE WHEN event_type <> 'view' THEN CAST(({_K_SPARK} * 3) % 20 AS DOUBLE) END AS sell_tax",
-        f"CASE WHEN event_type NOT IN ('view','click') THEN {_K_SPARK} % 120 END AS lp_lock_days",
+        f"CASE WHEN event_type NOT IN ('view','click') THEN {_K_SPARK} % 7 = 0 END AS honeypot",
+        f"CASE WHEN event_type NOT IN ('view','click') THEN CAST({_K_SPARK} % 20 AS DOUBLE) END AS buy_tax",
+        f"CASE WHEN event_type NOT IN ('view','click') THEN CAST(({_K_SPARK} * 3) % 20 AS DOUBLE) END AS sell_tax",
+        f"CASE WHEN event_type <> 'view' THEN {_K_SPARK} % 120 END AS lp_lock_days",
     )
     return proj.selectExpr("event_id", f"{risk_label_sql()} AS risk_label")
 
@@ -158,10 +161,10 @@ def _r7_oracle() -> str:
     return f"""
     WITH g AS (
         SELECT event_id,
-               CASE WHEN event_type <> 'view' THEN {_K_DUCK} % 7 = 0 END AS honeypot,
-               CASE WHEN event_type <> 'view' THEN CAST({_K_DUCK} % 20 AS DOUBLE) END AS buy_tax,
-               CASE WHEN event_type <> 'view' THEN CAST(({_K_DUCK} * 3) % 20 AS DOUBLE) END AS sell_tax,
-               CASE WHEN event_type NOT IN ('view','click') THEN {_K_DUCK} % 120 END AS lp_lock_days
+               CASE WHEN event_type NOT IN ('view','click') THEN {_K_DUCK} % 7 = 0 END AS honeypot,
+               CASE WHEN event_type NOT IN ('view','click') THEN CAST({_K_DUCK} % 20 AS DOUBLE) END AS buy_tax,
+               CASE WHEN event_type NOT IN ('view','click') THEN CAST(({_K_DUCK} * 3) % 20 AS DOUBLE) END AS sell_tax,
+               CASE WHEN event_type <> 'view' THEN {_K_DUCK} % 120 END AS lp_lock_days
         FROM events
     )
     SELECT event_id, {risk_label_sql()} AS risk_label FROM g

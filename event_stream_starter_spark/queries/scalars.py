@@ -186,8 +186,8 @@ def _words_sql(words: tuple[str, ...]) -> str:
     )
     SELECT doc_id,
            ROUND(score, 6) + 0 AS sentiment_score,
-           CASE WHEN score >= 0.1 THEN 'pos'
-                WHEN score <= -0.1 THEN 'neg'
+           CASE WHEN score > 0.1 THEN 'pos'
+                WHEN score < -0.1 THEN 'neg'
                 ELSE 'neu' END AS sentiment_label
     FROM scored
     """,

@@ -88,15 +88,19 @@ def risk_label_sql(
     lp_lock_days: str = "lp_lock_days",
 ) -> str:
     """R7 GoPlus risk label: honeypot → red; tax >= 10 → red;
-    lp_lock_days < 30 → yellow; any data present → green; else unknown.
+    lp_lock_days < 30 → yellow; any of (buy_tax, sell_tax, honeypot)
+    present → green; else unknown.
 
-    Reference: api/providers/goplus_provider.py:343-399, rules/risk_rules.yml.
+    Reference: api/providers/goplus_provider.py:343-399 — note the green
+    gate is `any(v is not None for v in (buy_tax, sell_tax, honeypot))`:
+    lp_lock_days ALONE (even a long lock) never upgrades unknown→green
+    there, so it is excluded from the presence disjunction here too.
     """
     return (
         f"CASE WHEN {honeypot} = TRUE THEN 'red' "
         f"WHEN {buy_tax} >= 10 OR {sell_tax} >= 10 THEN 'red' "
         f"WHEN {lp_lock_days} IS NOT NULL AND {lp_lock_days} < 30 THEN 'yellow' "
         f"WHEN {honeypot} IS NOT NULL OR {buy_tax} IS NOT NULL "
-        f"OR {sell_tax} IS NOT NULL OR {lp_lock_days} IS NOT NULL THEN 'green' "
+        f"OR {sell_tax} IS NOT NULL THEN 'green' "
         f"ELSE 'unknown' END"
     )
