@@ -110,9 +110,14 @@ def r6_onchain_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _feature_projection(k: str) -> list[str]:
+    # growth_ratio is a ratio in [0, 3.4] (fast=2.0 reachable), with NULLs
+    # (k%11) exercising the missing-feature guard and a few -0.5 rows
+    # (k%13) exercising the out-of-range guard → 'insufficient'.
     return [
         "event_id",
-        f"CASE WHEN {k} % 11 <> 0 THEN ROUND({k} % 7 / 3.5 - 1.0, 6) + 0 END AS growth_ratio",
+        f"CASE WHEN {k} % 11 = 0 THEN NULL "
+        f"WHEN {k} % 13 = 0 THEN -0.5 "
+        f"ELSE ROUND(({k} % 35) / 10.0, 6) END AS growth_ratio",
         f"ROUND(({k} % 10) / 10.0, 6) AS top10_share",
         f"CASE WHEN event_type <> 'signup' THEN ROUND(({k} % 4) / 10.0, 6) END AS self_loop_ratio",
     ]

@@ -7,8 +7,12 @@ rules/risk_rules.yml.
 
 Verdict semantics: ALL downgrade conditions true → 'downgrade' (priority),
 else ALL upgrade conditions true → 'upgrade', else 'hold'; any referenced
-field NULL → 'insufficient'; confidence = min(1, 0.6 + 0.4 * ratio) where
-ratio = satisfied upgrade conditions / total upgrade conditions.
+field NULL or out of its declared range → 'insufficient'
+(rules_engine.py:186-221 feature_out_of_range guards). Confidence: the
+reference computes min(1, 0.6 + 0.4 * ratio) over the DECIDED branch's
+conditions, which are all true at decision time — so decided verdicts are
+exactly 1.0, 'hold' is 0.5, 'insufficient' is 0.0
+(rules_engine.py:243-261).
 """
 
 from __future__ import annotations
@@ -22,13 +26,39 @@ _COND_RE = re.compile(
 
 _OP_MAP = {">=": ">=", "<=": "<=", ">": ">", "<": "<", "==": "=", "!=": "<>"}
 
+# Feature sanity ranges (rules_engine.py:186-221): a value outside its
+# physical range means the enrichment is corrupt — verdict 'insufficient',
+# never a decision on garbage. Applied to whichever of these fields the
+# loaded rules actually reference.
+_RANGE_GUARDS = {
+    "addr_active": "{f} < 0",
+    "tx_count": "{f} < 0",
+    "growth_ratio": "{f} < 0",
+    "top10_share": "({f} < 0 OR {f} > 1)",
+    "self_loop_ratio": "({f} < 0 OR {f} > 1)",
+}
+
 
 @dataclass
 class OnchainRules:
     windows: list[int] = field(default_factory=lambda: [30, 60, 180])
-    thresholds: dict[str, float] = field(default_factory=dict)
+    # Flat {name: value} or reference-shaped nested {field: {name: value}}
+    # (rules/onchain.yml nests threshold names under their feature field).
+    thresholds: dict = field(default_factory=dict)
     upgrade_if: list[str] = field(default_factory=list)
     downgrade_if: list[str] = field(default_factory=list)
+
+    def _resolve_threshold(self, fld: str, name: str) -> float:
+        """Field-scoped lookup first (reference grammar: in
+        `"growth_ratio>=fast"` the name `fast` resolves inside
+        thresholds[growth_ratio], rules_engine.py:106-124), then flat."""
+        scoped = self.thresholds.get(fld)
+        if isinstance(scoped, dict) and name in scoped:
+            return float(scoped[name])
+        v = self.thresholds.get(name)
+        if isinstance(v, (int, float)):
+            return float(v)
+        raise ValueError(f"unknown threshold {name!r} for field {fld!r}")
 
     def _compile_cond(self, cond: str) -> tuple[str, str]:
         """Returns (sql_condition, field). Named thresholds resolve to
@@ -40,9 +70,7 @@ class OnchainRules:
         if re.fullmatch(r"-?\d+(?:\.\d+)?", rhs):
             value = rhs
         else:
-            if rhs not in self.thresholds:
-                raise ValueError(f"unknown threshold {rhs!r} in {cond!r}")
-            value = repr(float(self.thresholds[rhs]))
+            value = repr(self._resolve_threshold(fld, rhs))
         return f"{fld} {op} {value}", fld
 
     def verdict_sql(self) -> dict[str, str]:
@@ -50,24 +78,24 @@ class OnchainRules:
         up = [self._compile_cond(c) for c in self.upgrade_if]
         down = [self._compile_cond(c) for c in self.downgrade_if]
         fields = sorted({f for _, f in up + down})
-        any_null = " OR ".join(f"{f} IS NULL" for f in fields) or "FALSE"
+        guards = [f"{f} IS NULL" for f in fields] + [
+            _RANGE_GUARDS[f].format(f=f) for f in fields if f in _RANGE_GUARDS
+        ]
+        insufficient = " OR ".join(guards) or "FALSE"
         all_down = " AND ".join(f"({c})" for c, _ in down) or "FALSE"
         all_up = " AND ".join(f"({c})" for c, _ in up) or "FALSE"
-        n_up = max(len(up), 1)
-        ratio = (
-            "("
-            + (" + ".join(f"(CASE WHEN {c} THEN 1 ELSE 0 END)" for c, _ in up) or "0")
-            + f") * 1.0 / {n_up}"
-        )
         verdict = (
-            f"CASE WHEN {any_null} THEN 'insufficient' "
+            f"CASE WHEN {insufficient} THEN 'insufficient' "
             f"WHEN {all_down} THEN 'downgrade' "
             f"WHEN {all_up} THEN 'upgrade' "
             f"ELSE 'hold' END"
         )
+        # min(1, 0.6 + 0.4*ratio) over the decided branch's all-true
+        # conditions collapses to 1.0; hold → 0.5; insufficient → 0.0.
         confidence = (
-            f"CASE WHEN {any_null} THEN 0.0 "
-            f"ELSE least(1.0, 0.6 + 0.4 * ({ratio})) END"
+            f"CASE WHEN {insufficient} THEN 0.0 "
+            f"WHEN ({all_down}) OR ({all_up}) THEN 1.0 "
+            f"ELSE 0.5 END"
         )
         return {"verdict": verdict, "confidence": confidence}
 
@@ -75,7 +103,10 @@ class OnchainRules:
 def load_onchain_rules(doc: dict) -> OnchainRules:
     return OnchainRules(
         windows=[int(w) for w in doc.get("windows", [30, 60, 180])],
-        thresholds={k: float(v) for k, v in (doc.get("thresholds") or {}).items()},
+        thresholds={
+            k: ({n: float(x) for n, x in v.items()} if isinstance(v, dict) else float(v))
+            for k, v in (doc.get("thresholds") or {}).items()
+        },
         upgrade_if=[str(c) for c in doc.get("upgrade_if", [])],
         downgrade_if=[str(c) for c in doc.get("downgrade_if", [])],
     )
