@@ -102,6 +102,9 @@ _DIALECTS: dict[str, dict[str, str]] = {
         "slice_first": "slice",
         "transform": "transform",
         "join": "array_join",
+        # Order-preserving dedup: keep an element iff this is its first
+        # occurrence (Spark lambda index is 0-based, array_position 1-based).
+        "dedup": "filter({arr}, (x, i) -> array_position({arr}, x) = i + 1)",
     },
     "duckdb": {
         "array": "list_value",
@@ -111,6 +114,8 @@ _DIALECTS: dict[str, dict[str, str]] = {
         "slice_first": "list_slice",
         "transform": "list_transform",
         "join": "array_to_string",
+        # DuckDB lambda index and list_position are both 1-based.
+        "dedup": "list_filter({arr}, (x, i) -> list_position({arr}, x) = i)",
     },
 }
 
@@ -245,9 +250,13 @@ class RuleSet:
             elems += f", CASE WHEN {cond_sql} THEN {_sql_str(tag)} END"
         arr = f"{d['filter']}({d['array']}({elems}), x -> x IS NOT NULL)"
         sorted_desc = f"{d['reverse']}({d['sort']}({arr}))"
-        sliced = f"{d['slice_first']}({sorted_desc}, 1, {top_k})"
-        stripped = f"{d['transform']}({sliced}, x -> substring(x, 11))"
-        return f"COALESCE({d['join']}({stripped}, {_sql_str(joiner)}), '')"
+        # Strip tags BEFORE dedup: the reference dedups by reason TEXT
+        # (eval_event.py:536-543 `seen_reasons`), so two rules sharing a
+        # reason string keep only the higher-priority occurrence.
+        stripped = f"{d['transform']}({sorted_desc}, x -> substring(x, 11))"
+        deduped = d["dedup"].format(arr=stripped)
+        sliced = f"{d['slice_first']}({deduped}, 1, {top_k})"
+        return f"COALESCE({d['join']}({sliced}, {_sql_str(joiner)}), '')"
 
     def missing_sources_sql(self, joiner: str = ",", dialect: str = "spark") -> str:
         """Comma-joined missing-source names (eval_event.py:423-448)."""

@@ -311,3 +311,46 @@ def test_swr_degraded_snapshot_revalidates_after_ttl(spark):
     clock.t += 60
     snap = cache.current()  # backend recovered → fresh snapshot swaps in
     assert not snap.degraded and snap.version == 2
+
+
+def test_reasons_dedup_by_text_keeps_higher_priority(spark):
+    """T6 parity (eval_event.py:536-543): reasons are deduplicated by
+    TEXT before the top-3 cut — two rules sharing a reason string emit
+    it once, at the higher-priority position, in both dialects."""
+    import duckdb
+
+    from event_stream_starter_spark.rules.compiler import load_ruleset
+
+    rs = load_ruleset(
+        {
+            "version": "v1",
+            "thresholds": {"opportunity": 5, "caution": -5},
+            "groups": [
+                {
+                    "name": "g",
+                    "priority": 10,
+                    "rules": [
+                        {"id": "A", "condition": "buy_tax >= 0", "score": 8,
+                         "reason": "dup reason"},
+                        {"id": "B", "condition": "buy_tax >= 0", "score": 2,
+                         "reason": "dup reason", "priority": 5},
+                        {"id": "C", "condition": "buy_tax >= 0", "score": 1,
+                         "reason": "other", "priority": 1},
+                    ],
+                }
+            ],
+        }
+    )
+    spark.createDataFrame([(0.1,)], "buy_tax double").createOrReplaceTempView(
+        "dedup_sig"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dedup_sig(buy_tax DOUBLE)")
+    con.execute("INSERT INTO dedup_sig VALUES (0.1)")
+    s = spark.sql(
+        f"SELECT {rs.reasons_sql(dialect='spark')} AS r FROM dedup_sig"
+    ).first()["r"]
+    d = con.execute(
+        f"SELECT {rs.reasons_sql(dialect='duckdb')} AS r FROM dedup_sig"
+    ).fetchone()[0]
+    assert s == d == "dup reason;other"
