@@ -11,20 +11,26 @@ run manually: `python scripts/scale_smoke.py [n_events]`.
 The synthetic table matches the driver schema (FIXTURES.md §B) so every
 events-table query runs unmodified.
 
-Measured (local[32], 2026-08-13, 1M events = 10x sf0.1): c4 dedup
-3.3s, a1 upsert 2.3s, a2 topics 1.4s, a3/w5 heat 1.7s, w2 growth 2.3s,
-w7 latest 1.4s, st9 percentiles 1.3s, j6 asof 2.7s, d2 fingerprint
-1.5s, flagship 3.0s — ~2-4x the sf0.1 times for 10x the rows
-(shuffle-parallel sub-linear scaling; ~500k rows/s per query).
+Measured (local[32], 2026-08-14, 1M events = 10x sf0.1, best clean
+run): c4 dedup 3.7s, a1 upsert 2.4s, a2 topics 1.4s, a3/w5 heat 1.4s,
+w2 growth 2.0s, w7 latest 1.1s, st9 percentiles 1.2s, j6 asof 2.4s,
+d2 fingerprint 1.3s, flagship 3.0s — ~2-4x the sf0.1 times for 10x
+the rows (shuffle-parallel sub-linear scaling; ~500k rows/s/query).
 
 Doc corpus (50k docs = 10x sf0.1, every doc in a 10-copy near-dup
-clique): text stats 2.8s, exact dedup 1.1s, decontaminate 3.7s,
-repetition filter 4.3s, ngram top-k 1.7s, packing 1.3s, split 0.6s.
+clique): text stats 1.2s, exact dedup 0.9s, decontaminate 3.1s,
+repetition filter 4.0s, ngram top-k 1.7s, packing 0.8s, split 0.2s.
 dd_minhash_lsh is ~30-60s — NOT a regression vs sf0.1: the clique
 corpus contains ~250k TRUE >=0.5 pairs (45 per clique x 5k cliques
 plus near-threshold word-salad cross pairs), so banding emits ~7.3M
 candidates and exact-verifies a quarter million — linear in true-pair
 volume, which is 1000x sf0.1's 256 pairs at only 10x the docs.
+
+NOISE CAVEAT: this script is single-pass (unlike bench.py's best-of-4
+passes); the box's co-resident agent process bursts for tens of
+seconds and can inflate any one query 5-20x (observed 15-30s readings
+on the 1.2s text-stats query). Treat an isolated spike as neighbor
+noise and re-run before calling it a regression.
 """
 
 import sys
