@@ -62,6 +62,7 @@ HEADLINE = [
     "x_repetition_filter",
     "x_ngram_topk",
     "x_boilerplate_frac",
+    "x_boilerplate_strip",
     "a10_t7_batch_scan",
     "d6_cooldown_emit",
     "u4_u6_rules_refiner",

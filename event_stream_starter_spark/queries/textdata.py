@@ -763,6 +763,132 @@ def x_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_boilerplate_strip",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, i AS start,
+               array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+        FROM t, unnest(CASE WHEN len(toks) >= 3 THEN range(1, len(toks) - 1)
+                            ELSE CAST([] AS BIGINT[]) END) AS u(i)
+    ), dup AS (
+        SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        GROUP BY gram HAVING COUNT(*) >= 2
+    ), kill AS (
+        SELECT DISTINCT g.doc_id, g.start + v.o AS pos
+        FROM g JOIN dup USING (gram), unnest([0, 1, 2]) AS v(o)
+    ), tok AS (
+        SELECT doc_id, toks[i] AS tok, CAST(i AS BIGINT) AS pos
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+    ), kept AS (
+        SELECT tok.doc_id,
+               string_agg(tok.tok, ' ' ORDER BY tok.pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM tok LEFT JOIN kill ON tok.doc_id = kill.doc_id AND tok.pos = kill.pos
+        WHERE kill.pos IS NULL
+        GROUP BY tok.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(kept.clean_text, '') AS clean_text,
+           CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(t.toks) - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN kept USING (doc_id)
+    """,
+    survey_ids=(
+        "training-pipeline: C4-style boilerplate REMOVAL (rewrite, not just "
+        "score): corpus-duplicated 3-gram spans stripped, text reassembled "
+        "in token order"
+    ),
+)
+def x_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip corpus-duplicated spans and emit the CLEANED text.
+
+    x_boilerplate_frac scores the duplicated mass; this is the rewrite
+    C4 actually performs: any 3-gram span occurring in >= 2 documents
+    is boilerplate, every token it covers is dropped, and the document
+    is reassembled from the surviving tokens in their original order.
+
+    Scale shape: the duplicated-gram set is the small join dimension
+    (Heaps' law, same as x_boilerplate_frac); the kill set is 3 rows
+    per duplicated gram OCCURRENCE (linear, distinct-collapsed before
+    the anti-join); reassembly is one sort per document inside a keyed
+    aggregate — array_sort on (pos, tok) structs, so the output text is
+    partition-order-independent. Docs shorter than one gram (or fully
+    stripped) survive via the left join with clean_text = ''.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks_col = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    t = docs.select("doc_id", toks_col.alias("toks"))
+    # Positional 3-grams, 1-based start; sequence() is guarded because
+    # sequence(1, 0) yields a DESCENDING [1, 0], not an empty array.
+    starts = F.when(
+        F.size("toks") >= 3, F.sequence(F.lit(1), F.size("toks") - 2)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    g = (
+        t.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.array_join(F.slice(F.col("toks"), i, 3), " ").alias("gram"),
+                    ),
+                )
+            ).alias("_i", "sg"),
+        )
+        .select("doc_id", F.col("sg.start").alias("start"), F.col("sg.gram").alias("gram"))
+    )
+    dup = (
+        g.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    kill = (
+        g.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start").cast("long"), F.col("start").cast("long") + 2)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok = t.select(
+        "doc_id", F.posexplode("toks").alias("_p", "tok")
+    ).select("doc_id", (F.col("_p") + 1).cast("long").alias("pos"), "tok")
+    kept = (
+        tok.join(kill, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    base = t.select("doc_id", F.size("toks").alias("n_tokens"))
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+@query(
     "x_repetition_filter",
     f"""
     WITH t AS (
