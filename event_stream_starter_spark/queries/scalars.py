@@ -353,26 +353,37 @@ def f6_f7_entity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 2 = 0
                     THEN substring(sha256(text), 1, 40)
                     ELSE substring(text, 1, 12) END AS key_candidate,
-               'https://' || CASE CAST(doc_id % 5 AS INTEGER)
+               'https://' || CASE CAST(doc_id % 8 AS INTEGER)
                     WHEN 0 THEN 'etherscan.io'
                     WHEN 1 THEN 'bscscan.com'
                     WHEN 2 THEN 'basescan.org'
                     WHEN 3 THEN 'solscan.io'
+                    WHEN 4 THEN 'optimistic.etherscan.io'
+                    WHEN 5 THEN 'arbiscan.io'
+                    WHEN 6 THEN 'dexscreener.com'
                     ELSE 'example.com' END || '/tx/' || CAST(doc_id AS VARCHAR)
                    AS evidence_url
         FROM documents
     )
     SELECT doc_id,
            regexp_matches(key_candidate, '^[0-9a-fA-F]{40}$') AS key_ok,
-           CASE WHEN contains(evidence_url, 'etherscan.io') THEN 'eth'
+           CASE WHEN contains(evidence_url, 'etherscan.io')
+                  AND NOT contains(evidence_url, 'optimistic.etherscan.io') THEN 'eth'
                 WHEN contains(evidence_url, 'bscscan.com') THEN 'bsc'
+                WHEN contains(evidence_url, 'arbiscan.io') THEN 'arb'
+                WHEN contains(evidence_url, 'optimistic.etherscan.io') THEN 'op'
                 WHEN contains(evidence_url, 'basescan.org') THEN 'base'
-                WHEN contains(evidence_url, 'solscan.io') THEN 'sol'
+                WHEN contains(evidence_url, 'solscan.io')
+                  OR contains(evidence_url, 'solana.fm')
+                  OR contains(evidence_url, 'solana.com') THEN 'sol'
                 ELSE NULL END AS chain,
            CASE WHEN contains(evidence_url, 'etherscan.io')
+                  OR contains(evidence_url, 'bscscan.com')
+                  OR contains(evidence_url, 'arbiscan.io')
+                  OR contains(evidence_url, 'basescan.org')
                   OR contains(evidence_url, 'solscan.io') THEN 'strong'
-                WHEN contains(evidence_url, 'bscscan.com')
-                  OR contains(evidence_url, 'basescan.org') THEN 'medium'
+                WHEN contains(evidence_url, 'dexscreener.com')
+                  OR contains(evidence_url, 'geckoterminal.com') THEN 'medium'
                 ELSE 'weak' END AS evidence_strength
     FROM base
     """,
@@ -384,23 +395,50 @@ def f8_f10_f11_guards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 2 == 0, F.substring(F.sha2(F.col("text"), 256), 1, 40)
     ).otherwise(F.substring(F.col("text"), 1, 12))
     host = (
-        F.when(F.col("doc_id") % 5 == 0, F.lit("etherscan.io"))
-        .when(F.col("doc_id") % 5 == 1, F.lit("bscscan.com"))
-        .when(F.col("doc_id") % 5 == 2, F.lit("basescan.org"))
-        .when(F.col("doc_id") % 5 == 3, F.lit("solscan.io"))
+        F.when(F.col("doc_id") % 8 == 0, F.lit("etherscan.io"))
+        .when(F.col("doc_id") % 8 == 1, F.lit("bscscan.com"))
+        .when(F.col("doc_id") % 8 == 2, F.lit("basescan.org"))
+        .when(F.col("doc_id") % 8 == 3, F.lit("solscan.io"))
+        .when(F.col("doc_id") % 8 == 4, F.lit("optimistic.etherscan.io"))
+        .when(F.col("doc_id") % 8 == 5, F.lit("arbiscan.io"))
+        .when(F.col("doc_id") % 8 == 6, F.lit("dexscreener.com"))
         .otherwise(F.lit("example.com"))
     )
     url = F.concat(F.lit("https://"), host, F.lit("/tx/"), F.col("doc_id").cast("string"))
+    # F10 chain map (events_compact.py:26-50): 'optimistic.etherscan.io'
+    # contains 'etherscan.io', so the eth arm must exclude it explicitly.
     chain = (
-        F.when(url.contains("etherscan.io"), F.lit("eth"))
+        F.when(
+            url.contains("etherscan.io") & ~url.contains("optimistic.etherscan.io"),
+            F.lit("eth"),
+        )
         .when(url.contains("bscscan.com"), F.lit("bsc"))
+        .when(url.contains("arbiscan.io"), F.lit("arb"))
+        .when(url.contains("optimistic.etherscan.io"), F.lit("op"))
         .when(url.contains("basescan.org"), F.lit("base"))
-        .when(url.contains("solscan.io"), F.lit("sol"))
+        .when(
+            url.contains("solscan.io")
+            | url.contains("solana.fm")
+            | url.contains("solana.com"),
+            F.lit("sol"),
+        )
         .otherwise(F.lit(None))
     )
+    # F11 grading (events_compact.py:74-92): any block explorer → strong;
+    # DEX aggregators → medium; everything else → weak.
     strength = (
-        F.when(url.contains("etherscan.io") | url.contains("solscan.io"), F.lit("strong"))
-        .when(url.contains("bscscan.com") | url.contains("basescan.org"), F.lit("medium"))
+        F.when(
+            url.contains("etherscan.io")
+            | url.contains("bscscan.com")
+            | url.contains("arbiscan.io")
+            | url.contains("basescan.org")
+            | url.contains("solscan.io"),
+            F.lit("strong"),
+        )
+        .when(
+            url.contains("dexscreener.com") | url.contains("geckoterminal.com"),
+            F.lit("medium"),
+        )
         .otherwise(F.lit("weak"))
     )
     return docs.select(
