@@ -93,14 +93,17 @@ def event_key_v2(
 
 
 def topic_hash(keywords: Column) -> Column:
-    """sha256('||'.join(sorted(keywords)))[:12]; 'none' when empty/null.
+    """sha256('||'.join(sorted(keywords)))[:12]; empty/null keywords hash
+    the CONTENT string 'none' (the reference hashes "none", it does not
+    emit the literal — api/events.py:324-329), so the output is always
+    12 hex chars.
 
     Reference: api/events.py:313-341 (_compute_topic_hash, blake2s → sha256).
     """
-    joined = F.array_join(F.array_sort(keywords), "||")
-    return F.when(
+    content = F.when(
         keywords.isNull() | (F.size(keywords) == 0), F.lit("none")
-    ).otherwise(F.substring(F.sha2(joined, 256), 1, 12))
+    ).otherwise(F.array_join(F.array_sort(keywords), "||"))
+    return F.substring(F.sha2(content, 256), 1, 12)
 
 
 def topic_id(entities: Column) -> Column:

@@ -145,3 +145,22 @@ def test_asof_join_carries_whole_snapshot_not_column_mix(spark):
     }
     # lts=15 sees snapshot (1,2); lts=25 sees snapshot (NULL,3) — NOT (1,3).
     assert got == {15: (1, 2), 25: (None, 3)}
+
+
+def test_topic_hash_empty_hashes_none_content(spark):
+    """C7 parity (events.py:324-329): empty/null keywords hash the
+    CONTENT string 'none' — the output is always 12 hex chars, never
+    the literal 'none'."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.functions import topic_hash
+
+    df = spark.createDataFrame([(["b", "a"],), ([],), (None,)], "kws array<string>")
+    got = [r[0] for r in df.select(topic_hash(F.col("kws")).alias("h")).collect()]
+    assert got == [
+        hashlib.sha256(b"a||b").hexdigest()[:12],
+        hashlib.sha256(b"none").hexdigest()[:12],
+        hashlib.sha256(b"none").hexdigest()[:12],
+    ]
