@@ -104,6 +104,11 @@ def test_results_invariant_to_partition_count(spark, sf_dir):
         "st9_latency_percentiles",
         "w7_latest_per_key",
         "d4_evidence_merge",
+        # Expand-lattice partial aggregation and the strip query's
+        # array_sort(collect_list) reassembly must also be
+        # partition-order-independent.
+        "a12_rollup_lattice",
+        "x_boilerplate_strip",
     ]
     specs = all_queries()
     old = spark.conf.get("spark.sql.shuffle.partitions")
