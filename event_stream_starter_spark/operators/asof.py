@@ -61,7 +61,11 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.lit(None).cast(payload_t).alias("__r"),
     )
-    r_tag = right.select(
+    # A right row with NULL right_ts can never satisfy l.ts >= r.ts
+    # (DuckDB ASOF semantics, and the only sane reading of "at or
+    # before"); unfiltered it would sort nulls-first and backfill its
+    # payload into EVERY left row preceding the first real snapshot.
+    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             if c not in keys

@@ -547,22 +547,31 @@ def incremental_minhash_pairs(
     rows_per_band = num_hashes // bands
     par = new_docs.sparkSession.sparkContext.defaultParallelism
     # new_sigs: callers that also persist the increment's signatures
-    # (the streaming sink) pass them in so the shingle map runs once.
+    # (the streaming sink) pass them in so the shingle map runs once and
+    # THEY own that cache. When absent, the increment's signatures are
+    # NOT persisted here — an internal persist would be unreachable to
+    # the caller and leak one cached frame per call; instead the
+    # increment is read back out of the persisted all_sig union by id
+    # (one increment-sized semi-join, no re-shingling).
     sig_new = (
         new_sigs
         if new_sigs is not None
-        else minhash_signatures(
-            new_docs, id_col, text_col, num_hashes, shingle_n
-        ).persist()
+        else minhash_signatures(new_docs, id_col, text_col, num_hashes, shingle_n)
     )
     all_sig = (
         sig_new if index is None else index.unionByName(sig_new).persist()
     )
-    # Eager cache fill: sig_new/all_sig fan out into banding + verify
-    # stages that launch concurrently (see minhash_lsh_pairs note).
+    # Eager cache fill: all_sig fans out into banding + verify stages
+    # that launch concurrently (see minhash_lsh_pairs note).
     all_sig.count()
     band_expr = lsh_band_keys_sql("sig", bands, rows_per_band)
-    bands_new = sig_new.select(
+    if new_sigs is not None or index is None:
+        # sig_new is cached (by the caller, or as all_sig itself).
+        bands_new_src = sig_new
+    else:
+        ids_new = new_docs.select(F.col(id_col).alias("id")).distinct()
+        bands_new_src = all_sig.join(ids_new, "id", "left_semi")
+    bands_new = bands_new_src.select(
         F.col("id").alias("id_n"), F.explode(F.expr(band_expr)).alias("bk")
     )
     bands_all = all_sig.select(
@@ -626,10 +635,22 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit hash into `bands` 16-bit
+    """SimHash near-dup pairs: band the 64-bit hash into `bands` equal
     blocks (pigeonhole: any pair within max_hamming<=bands-1 shares a
     block), self-join per block, verify Hamming distance.
     """
+    # Fail fast on out-of-contract arguments: violating the pigeonhole
+    # precondition silently DROPS true near-dup pairs (a pair differing
+    # in one bit per block shares no block key and never becomes a
+    # candidate) — a recall loss with no error.
+    if bands <= 0 or 64 % bands != 0:
+        raise ValueError(f"bands={bands} must divide 64")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {max_hamming + 1} bands "
+            f"(pigeonhole: only pairs within bands-1={bands - 1} bit flips are "
+            "guaranteed a shared block)"
+        )
     toks = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     par = df.sparkSession.sparkContext.defaultParallelism
     # CPU-bound map stage: spread across cores even from one parquet

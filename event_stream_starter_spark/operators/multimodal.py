@@ -92,22 +92,31 @@ def fake_decode(payload: bytes) -> dict[str, int]:
 def extract_features(media: DataFrame, batch_decode=None) -> DataFrame:
     """Arrow-batched feature extraction over a media DataFrame.
 
-    ``batch_decode(payload_series) -> DataFrame-of-features`` is pluggable;
-    the default vectorizes :func:`fake_decode` over each Arrow batch.
+    ``batch_decode(payload_series) -> DataFrame-of-features`` is pluggable
+    (a real codec implements exactly that signature: one pandas Series of
+    payload bytes in, one feature DataFrame with FEATURE_SCHEMA's feature
+    columns out — THIS wrapper owns the mapInPandas iterator protocol and
+    the media_id passthrough, so the plugin never sees Arrow chunking).
+    The default vectorizes :func:`fake_decode` over each Arrow batch.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                fake_decode(p) if p is not None else
-                {"n_bytes": None, "first_byte": None, "n_frames": None, "checksum": None}
-                for p in pdf["payload"]
-            ]
-            out = pd.DataFrame(feats)
+            if batch_decode is not None:
+                out = batch_decode(pdf["payload"]).reset_index(drop=True)
+            else:
+                out = pd.DataFrame(
+                    [
+                        fake_decode(p) if p is not None else
+                        {"n_bytes": None, "first_byte": None,
+                         "n_frames": None, "checksum": None}
+                        for p in pdf["payload"]
+                    ]
+                )
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    return media.mapInPandas(run if batch_decode is None else batch_decode, FEATURE_SCHEMA)
+    return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

@@ -223,8 +223,14 @@ def kmeans_centroids(
     for _ in range(iters):
         lit = _centroid_literal(centroids)
         scores = F.transform(lit, lambda c: cosine(vec, c))
+        # A zero-norm vector (padding/missing-embedding artifact) has
+        # NULL cosine to every centroid → NULL argmax; coalesce it into
+        # cluster 0 deterministically instead of crashing the driver
+        # update loop with a None index.
         assigned = corpus.select(
-            (F.array_position(scores, F.array_max(scores)) - 1).alias("cluster"),
+            F.coalesce(
+                F.array_position(scores, F.array_max(scores)) - 1, F.lit(0)
+            ).alias("cluster"),
             vec.alias("v"),
         )
         cells = (
@@ -280,10 +286,17 @@ def ivf_topk(
         F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cvec")
     ).withColumn(
         "cluster",
-        F.array_position(
-            cluster_scores(F.col("cvec")), F.array_max(cluster_scores(F.col("cvec")))
-        )
-        - 1,
+        # coalesce: zero-norm corpus vectors land in cluster 0 (same
+        # rule as the kmeans assignment) instead of a NULL list nobody
+        # probes.
+        F.coalesce(
+            F.array_position(
+                cluster_scores(F.col("cvec")),
+                F.array_max(cluster_scores(F.col("cvec"))),
+            )
+            - 1,
+            F.lit(0),
+        ),
     )
     # Query side: top n_probe clusters by centroid cosine — sort the
     # (score, cluster_id) structs descending, take n_probe, explode.

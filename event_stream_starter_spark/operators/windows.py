@@ -102,7 +102,12 @@ def endpoint_slope(counts: Column, window_minutes: Column | int) -> Column:
     last = F.element_at(counts, n)
     first = F.element_at(counts, 1)
     wm = F.lit(window_minutes) if isinstance(window_minutes, int) else window_minutes
-    return (last - first).cast("double") / wm.cast("double")
+    # element_at(arr, 0) RAISES (even non-ANSI) — an empty counts array
+    # (quiet key after gap-filling/filters) must yield NULL slope, not
+    # fail the query.
+    return F.when(
+        n > 0, (last - first).cast("double") / wm.cast("double")
+    ).otherwise(F.lit(None).cast("double"))
 
 
 def ema_last(values: Column, alpha: float) -> Column:

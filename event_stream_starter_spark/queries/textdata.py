@@ -980,7 +980,9 @@ def x_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PACK_BUDGET = 512  # tokens per packed training sequence
+# ONE constant shared with the streaming packer — its whole contract is
+# bit-equality with this batch layout; a re-declared copy could drift.
+from ..streaming.packing import PACK_BUDGET as _PACK_BUDGET  # noqa: E402
 
 
 @query(

@@ -53,12 +53,19 @@ DEFAULT_FIELDS = frozenset(
 _ENV_RE = re.compile(r"\$\{([A-Z0-9_]+):([^}]*)\}")
 
 
-def _sql_str(s: str) -> str:
+def _sql_str(s: str, dialect: str = "spark") -> str:
     """Single-quoted SQL string literal with quotes doubled. Reason and
     source-name text is config-provided free text — embedding it raw
-    would let a quote break out of the literal, bypassing the condition
-    grammar's whitelist (works identically in Spark SQL and DuckDB)."""
-    return "'" + s.replace("'", "''") + "'"
+    would let a quote (or, in Spark, a backslash: the default parser
+    treats ``\\`` as an escape character inside string literals, so a
+    trailing backslash swallows the closing quote) break out of the
+    literal, bypassing the condition grammar's whitelist. DuckDB treats
+    backslash literally, so the escaping is dialect-specific — which is
+    why this helper is only used from the dialect-parameterized
+    emitters, never in the shared condition SQL (where backslashes are
+    rejected at tokenize time instead)."""
+    body = s.replace("\\", "\\\\") if dialect == "spark" else s
+    return "'" + body.replace("'", "''") + "'"
 
 _TOKEN_RE = re.compile(
     r"""
@@ -142,6 +149,13 @@ def compile_condition(
     cond = substitute_env(cond, env)
     out: list[str] = []
     pos = 0
+    # One comparison per boolean term: Python-ish chained comparisons
+    # (`a < b < 5`) tokenize entirely inside the whitelist but parse as
+    # `(a < b) < 5` in SQL — a type error at query time (or, crafted, a
+    # silent meaning change). Reject at compile time like the reference's
+    # AST guard (eval_event.py:213-260); the guard resets on and/or/not/(.
+    cmp_seen = False
+    _CMP = {"=", "<>", ">", ">=", "<", "<=", "IS NULL", "IS NOT NULL"}
     while pos < len(cond):
         if cond[pos].isspace():
             pos += 1
@@ -164,6 +178,13 @@ def compile_condition(
         elif tok in {">", ">=", "<", "<=", "(", ")"}:
             out.append(tok)
         elif tok.startswith("'"):
+            if "\\" in tok:
+                # The compiled condition is ONE string evaluated by both
+                # Spark (backslash = escape char) and DuckDB (literal) —
+                # a backslash cannot mean the same thing in both.
+                raise RuleCompileError(
+                    f"backslash not allowed in string literal: {tok!r}"
+                )
             out.append(tok)
         elif re.fullmatch(r"-?\d+(?:\.\d+)?", tok):
             out.append(tok)
@@ -173,6 +194,15 @@ def compile_condition(
                     f"field {tok!r} not in whitelist {sorted(fields)}"
                 )
             out.append(tok)
+        emitted = out[-1]
+        if emitted in ("AND", "OR", "NOT", "("):
+            cmp_seen = False
+        elif emitted in _CMP:
+            if cmp_seen:
+                raise RuleCompileError(
+                    f"chained comparison in condition {cond!r} — split with 'and'"
+                )
+            cmp_seen = True
         pos = m.end()
     return " ".join(out)
 
@@ -235,19 +265,17 @@ class RuleSet:
         tags → join.
         """
         d = _DIALECTS[dialect]
-        elems = ", ".join(
-            f"CASE WHEN {r.condition} THEN {_sql_str(self._reason_tag(r))} END"
+        parts = [
+            f"CASE WHEN {r.condition} THEN {_sql_str(self._reason_tag(r), dialect)} END"
             for r in self.rules
-        )
-        missing = [
-            (
-                " AND ".join(f"{f} IS NULL" for f in fields),
-                f"{self.missing_priority:03d}:00000:missing {src} data",
-            )
-            for src, fields in sorted(self.missing_map.items())
         ]
-        for cond_sql, tag in missing:
-            elems += f", CASE WHEN {cond_sql} THEN {_sql_str(tag)} END"
+        for src, fields in sorted(self.missing_map.items()):
+            cond_sql = " AND ".join(f"{f} IS NULL" for f in fields)
+            tag = f"{self.missing_priority:03d}:00000:missing {src} data"
+            parts.append(f"CASE WHEN {cond_sql} THEN {_sql_str(tag, dialect)} END")
+        # join as a LIST: "elems += ', CASE ...'" on an empty rule list
+        # would emit array(, CASE ...) — invalid SQL in both dialects.
+        elems = ", ".join(parts)
         arr = f"{d['filter']}({d['array']}({elems}), x -> x IS NOT NULL)"
         sorted_desc = f"{d['reverse']}({d['sort']}({arr}))"
         # Strip tags BEFORE dedup: the reference dedups by reason TEXT
@@ -256,21 +284,21 @@ class RuleSet:
         stripped = f"{d['transform']}({sorted_desc}, x -> substring(x, 11))"
         deduped = d["dedup"].format(arr=stripped)
         sliced = f"{d['slice_first']}({deduped}, 1, {top_k})"
-        return f"COALESCE({d['join']}({sliced}, {_sql_str(joiner)}), '')"
+        return f"COALESCE({d['join']}({sliced}, {_sql_str(joiner, dialect)}), '')"
 
     def missing_sources_sql(self, joiner: str = ",", dialect: str = "spark") -> str:
         """Comma-joined missing-source names (eval_event.py:423-448)."""
         d = _DIALECTS[dialect]
         elems = ", ".join(
             f"CASE WHEN {' AND '.join(f'{f} IS NULL' for f in fields)} "
-            f"THEN {_sql_str(src)} END"
+            f"THEN {_sql_str(src, dialect)} END"
             for src, fields in sorted(self.missing_map.items())
         )
         if not elems:
             return "''"
         return (
             f"COALESCE({d['join']}({d['filter']}({d['array']}({elems}), "
-            f"x -> x IS NOT NULL), {_sql_str(joiner)}), '')"
+            f"x -> x IS NOT NULL), {_sql_str(joiner, dialect)}), '')"
         )
 
 

@@ -41,10 +41,20 @@ OUT_SCHEMA = StructType(
 )
 
 
-def ema_fold(prev: float | None, values: list[float], alpha: float) -> float | None:
+def ema_fold(prev: float | None, values: list[float | None], alpha: float) -> float | None:
+    """Fold values into an EMA. A NULL/NaN value RESETS the accumulator
+    — the same law as the batch `aggregate` in operators/windows.ema_last
+    (any null x nulls the accumulator; the next non-null restarts it).
+    Without the reset, one NULL row would poison the keyed state with
+    NaN forever (alpha*NaN + ... is NaN for every later update)."""
     ema = prev
     for v in values:
-        ema = v if ema is None else alpha * v + (1 - alpha) * ema
+        if v is None or v != v:  # None or NaN
+            ema = None
+        elif ema is None:
+            ema = float(v)
+        else:
+            ema = alpha * float(v) + (1 - alpha) * ema
     return ema
 
 
@@ -53,13 +63,18 @@ def _make_fn(alpha: float):
         key: tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         last_ts, ema = state.get if state.exists else (0, None)
+        # Concat all Arrow chunks, then sort ONCE: a key's rows can span
+        # chunks in arbitrary order — chunk-local sorting would fold the
+        # series out of event-time order (see state_machine for the same
+        # law).
+        chunks = [pdf for pdf in batches if len(pdf)]
         n = 0
-        for pdf in batches:
-            pdf = pdf.sort_values("ts_us")
-            ema = ema_fold(ema, [float(v) for v in pdf["value"]], alpha)
-            if len(pdf):
-                last_ts = max(last_ts, int(pdf["ts_us"].max()))
-            n += len(pdf)
+        if chunks:
+            all_rows = pd.concat(chunks, ignore_index=True).sort_values("ts_us")
+            vals = [None if pd.isna(v) else float(v) for v in all_rows["value"]]
+            ema = ema_fold(ema, vals, alpha)
+            last_ts = max(last_ts, int(all_rows["ts_us"].max()))
+            n = len(all_rows)
         state.update((last_ts, float(ema) if ema is not None else None))
         yield pd.DataFrame(
             [{"key": key[0], "last_ts_us": last_ts, "ema": ema, "n_seen": n}]

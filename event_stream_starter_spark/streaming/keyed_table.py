@@ -98,9 +98,14 @@ class KeyedParquetTable:
     the pointer last (rename is atomic on a POSIX fs; on object stores
     this layer is replaced by the table format's commit protocol)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, keep_versions: int = 2):
         self.spark = spark
         self.path = path
+        # >= 2: the previous snapshot must outlive the pointer swap so an
+        # in-flight reader that resolved CURRENT just before the swap can
+        # finish its scan (a one-version grace period; a real table
+        # format's snapshot retention plays this role).
+        self.keep_versions = max(2, keep_versions)
         os.makedirs(path, exist_ok=True)
 
     def _pointer(self) -> str:
@@ -133,6 +138,20 @@ class KeyedParquetTable:
         with open(tmp, "w") as fh:
             fh.write(str(v))
         os.replace(tmp, self._pointer())
+        self._gc(v)
+
+    def _gc(self, current: int) -> None:
+        """Drop snapshot dirs older than the retention window: without
+        GC a 20s-trigger stream accumulates one FULL table copy per
+        micro-batch (~4300/day) until the volume fills."""
+        import re
+        import shutil
+
+        cutoff = current - self.keep_versions + 1
+        for name in os.listdir(self.path):
+            m = re.fullmatch(r"v(\d+)", name)
+            if m and int(m.group(1)) < cutoff:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     def foreach_batch_writer(self):
         def write(batch: DataFrame, batch_id: int) -> None:

@@ -32,11 +32,18 @@ class MetricsListener(StreamingQueryListener):
     """Collects per-query progress; ``snapshot()`` is the /metrics body."""
 
     def __init__(self) -> None:
+        import threading
+
         self.metrics: dict[str, QueryMetrics] = {}
         self._names: dict[str, str] = {}  # query id → name
+        # Listener callbacks run on the listener-bus thread; snapshot()
+        # is called from application threads — an unguarded dict grows
+        # mid-iteration and raises "dictionary changed size".
+        self._lock = threading.Lock()
 
     def _m(self, name: str) -> QueryMetrics:
-        return self.metrics.setdefault(name, QueryMetrics(name=name))
+        with self._lock:
+            return self.metrics.setdefault(name, QueryMetrics(name=name))
 
     def _key(self, name: str | None, qid) -> str:
         # Termination events carry NO name — only the id. Remember the
@@ -74,6 +81,8 @@ class MetricsListener(StreamingQueryListener):
         pass
 
     def snapshot(self) -> dict[str, dict]:
+        with self._lock:
+            items = list(self.metrics.items())
         return {
             k: {
                 "n_batches": m.n_batches,
@@ -84,5 +93,5 @@ class MetricsListener(StreamingQueryListener):
                 "last_event": m.last_event,
                 "errors": list(m.errors),
             }
-            for k, m in self.metrics.items()
+            for k, m in items
         }

@@ -30,6 +30,9 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators import textan
 
+# Canonical tokens-per-packed-sequence budget; queries/textdata.py's
+# batch x_pack_sequences imports THIS constant (single source — the
+# streaming packer's contract is bit-equality with the batch layout).
 PACK_BUDGET = 512
 
 STATE_SCHEMA = StructType([StructField("cum", LongType())])

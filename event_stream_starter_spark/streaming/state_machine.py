@@ -98,12 +98,20 @@ def _make_apply_group(ttl_ms: int | None):
             st, fails, cd = state.get
         else:
             st, fails, cd = "candidate", 0, 0
+        # CONCATENATE all Arrow chunks, then sort ONCE: a key's rows can
+        # arrive split across chunks in arbitrary order, so sorting each
+        # chunk independently would fold verdicts out of event-time
+        # order whenever a group straddles a chunk boundary (terminal
+        # states are sticky — a reordered upgrade/downgrade diverges
+        # permanently from the event-time replay).
+        chunks = [pdf for pdf in batches if len(pdf)]
         last_ts = 0
         rows = []
-        for pdf in batches:
-            for _, r in pdf.sort_values("ts_us").iterrows():
+        if chunks:
+            all_rows = pd.concat(chunks, ignore_index=True).sort_values("ts_us")
+            for _, r in all_rows.iterrows():
                 st, fails, cd = transition(st, fails, cd, r["verdict"], int(r["ts_us"]))
-                last_ts = int(r["ts_us"])
+            last_ts = int(all_rows["ts_us"].max())
         state.update((st, fails, cd))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)

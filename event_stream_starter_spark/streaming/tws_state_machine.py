@@ -50,11 +50,16 @@ class SignalStateProcessor(StatefulProcessor):
             st, fails, cd = self._state.get()
         else:
             st, fails, cd = "candidate", 0, 0
+        # Concat-then-sort ONCE: chunk-local sorting would fold verdicts
+        # out of event-time order when a key's rows straddle an Arrow
+        # chunk boundary (see state_machine._make_apply_group).
+        chunks = [pdf for pdf in rows if len(pdf)]
         last_ts = 0
-        for pdf in rows:
-            for _, r in pdf.sort_values("ts_us").iterrows():
+        if chunks:
+            all_rows = pd.concat(chunks, ignore_index=True).sort_values("ts_us")
+            for _, r in all_rows.iterrows():
                 st, fails, cd = transition(st, fails, cd, r["verdict"], int(r["ts_us"]))
-                last_ts = int(r["ts_us"])
+            last_ts = int(all_rows["ts_us"].max())
         self._state.update((st, fails, cd))
         yield pd.DataFrame(
             [{"event_key": key[0], "state": st, "fail_count": fails,

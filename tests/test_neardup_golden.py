@@ -284,3 +284,16 @@ def test_minhash_vectorized_signature_bit_equals_sql(spark, sf_dir):
     assert got and all(
         v is None for rid, sig in got for v in sig if rid in (-1, -2)
     )
+
+
+def test_simhash_pairs_rejects_pigeonhole_violation(spark):
+    """Out-of-contract banding silently loses recall — must raise."""
+    import pytest
+
+    from event_stream_starter_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(df, "doc_id", "text", max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="divide 64"):
+        simhash_pairs(df, "doc_id", "text", max_hamming=2, bands=5)

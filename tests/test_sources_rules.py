@@ -354,3 +354,62 @@ def test_reasons_dedup_by_text_keeps_higher_priority(spark):
         f"SELECT {rs.reasons_sql(dialect='duckdb')} AS r FROM dedup_sig"
     ).fetchone()[0]
     assert s == d == "dup reason;other"
+
+
+def test_compiler_rejects_chained_comparison_and_backslash():
+    """Chained comparisons parse as (a<b)<c in SQL — reject at compile
+    time; backslash in a shared-SQL string literal cannot mean the same
+    thing in Spark (escape char) and DuckDB (literal) — reject too."""
+    import pytest
+
+    from event_stream_starter_spark.rules.compiler import (
+        RuleCompileError,
+        compile_condition,
+    )
+
+    with pytest.raises(RuleCompileError, match="chained comparison"):
+        compile_condition("buy_tax < sell_tax < 5")
+    with pytest.raises(RuleCompileError, match="backslash"):
+        compile_condition("last_sentiment == 'a\\b'")
+    # The guard resets across boolean operators and parens.
+    assert compile_condition("buy_tax >= 1 and (sell_tax < 2 or honeypot == true)")
+
+
+def test_reasons_sql_with_zero_rules_and_backslash_reason(spark):
+    """missing_map-only rulesets must emit valid SQL (no leading comma),
+    and a backslash in a reason survives the Spark dialect's escaping."""
+    import duckdb
+
+    from event_stream_starter_spark.rules.compiler import RuleSet, load_ruleset
+
+    rs = RuleSet(rules=[], missing_map={"dex": ["dex_liquidity"]})
+    con = duckdb.connect()
+    con.execute("CREATE TABLE z(dex_liquidity DOUBLE, buy_tax DOUBLE)")
+    con.execute("INSERT INTO z VALUES (NULL, 0.1)")
+    spark.createDataFrame(
+        [(None, 0.1)], "dex_liquidity double, buy_tax double"
+    ).createOrReplaceTempView("z")
+    for dialect, run in (
+        ("spark", lambda q: spark.sql(q).first()[0]),
+        ("duckdb", lambda q: con.execute(q).fetchone()[0]),
+    ):
+        assert run(f"SELECT {rs.reasons_sql(dialect=dialect)} FROM z") == (
+            "missing dex data"
+        )
+
+    rs2 = load_ruleset(
+        {
+            "version": "v1",
+            "groups": [{"name": "g", "priority": 1, "rules": [
+                {"id": "B1", "condition": "buy_tax >= 0", "score": 1,
+                 "reason": "path C:\\ bad"},
+            ]}],
+        }
+    )
+    for dialect, run in (
+        ("spark", lambda q: spark.sql(q).first()[0]),
+        ("duckdb", lambda q: con.execute(q).fetchone()[0]),
+    ):
+        assert run(f"SELECT {rs2.reasons_sql(dialect=dialect)} FROM z") == (
+            "path C:\\ bad"
+        )

@@ -802,3 +802,90 @@ def test_backoff_transient_4xx_and_short_429(spark):
     for i in (2, 3, 4):
         assert out[i]["status"] == "retry", i
     assert out[5]["status"] == "dlq"
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+
+def test_state_machine_folds_across_chunks_in_event_time_order():
+    """A key's rows can arrive split across Arrow chunks in ARBITRARY
+    order; chunk-local sorting would apply a later upgrade before an
+    earlier downgrade (sticky-terminal divergence). The fold must
+    concat all chunks, then sort once."""
+    import pandas as pd
+
+    from event_stream_starter_spark.streaming.state_machine import _make_apply_group
+
+    chunk1 = pd.DataFrame([{"ts_us": 2, "verdict": "upgrade"},
+                           {"ts_us": 3, "verdict": "hold"}])
+    chunk2 = pd.DataFrame([{"ts_us": 1, "verdict": "downgrade"}])
+    state = _FakeGroupState()
+    out = list(_make_apply_group(None)(("K",), iter([chunk1, chunk2]), state))
+    row = out[0].iloc[0]
+    # Event-time order: downgrade@1 fires first and is sticky.
+    assert row["state"] == "downgraded"
+    assert row["last_ts_us"] == 3
+
+
+def test_ema_folds_across_chunks_and_null_resets():
+    """Same chunk-order law for the EMA fold, plus the NULL law: a NULL
+    value resets the accumulator (matching the batch aggregate in
+    ema_last) instead of poisoning the state with NaN forever."""
+    import math
+
+    import pandas as pd
+
+    from event_stream_starter_spark.streaming.ema import _make_fn, ema_fold
+
+    # Chunk order vs event-time order: chunks [[ts3=30], [ts1=10, ts2=20]].
+    chunk1 = pd.DataFrame([{"ts_us": 3, "value": 30.0}])
+    chunk2 = pd.DataFrame([{"ts_us": 1, "value": 10.0}, {"ts_us": 2, "value": 20.0}])
+    state = _FakeGroupState()
+    out = list(_make_fn(0.5)(("K",), iter([chunk1, chunk2]), state))
+    got = out[0].iloc[0]["ema"]
+    want = ema_fold(None, [10.0, 20.0, 30.0], 0.5)
+    assert got == want and not math.isnan(got)
+
+    # NULL value: resets, next value restarts (no NaN in state).
+    state2 = _FakeGroupState()
+    pdf = pd.DataFrame([{"ts_us": 1, "value": 5.0},
+                        {"ts_us": 2, "value": None},
+                        {"ts_us": 3, "value": 7.0}])
+    out2 = list(_make_fn(0.5)(("K",), iter([pdf]), state2))
+    assert out2[0].iloc[0]["ema"] == 7.0
+    assert state2.get[1] == 7.0
+
+
+def test_keyed_table_gc_bounds_snapshot_count(spark, tmp_path):
+    """Snapshot GC: a long-running stream must not accumulate one full
+    table copy per micro-batch — only the retention window survives."""
+    import os
+
+    table = KeyedParquetTable(spark, str(tmp_path / "gc_state"), keep_versions=2)
+    df = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:00", 1.0)], "event_key string, ts string, value double"
+    ).select("event_key", F.to_timestamp("ts").alias("ts"), "value")
+    for b in range(5):
+        table.upsert_batch(df, batch_id=b)
+    versions = sorted(
+        n for n in os.listdir(str(tmp_path / "gc_state")) if n.startswith("v")
+    )
+    assert versions == ["v4", "v5"]  # current + one grace version
+    assert table.read().count() == 1
