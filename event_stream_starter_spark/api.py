@@ -27,18 +27,9 @@ from .io import load_table
 from .queries import all_queries
 
 
-TABLES = (
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-)
+# Single source of truth for the table list (schemas.TESTDATA_TABLES):
+# a table added there must reach the SQL catalog without a manual sync.
+from .schemas import TESTDATA_TABLES as TABLES  # noqa: E402
 
 
 def register_catalog(
@@ -98,7 +89,13 @@ class ReadApi:
         a pushed-down predicate on the group key.
         """
         df = self._run("a3_w5_heat_slope")
-        return df.filter(F.col("event_type") == event_type) if event_type else df
+        # `is not None`, not truthiness: an empty-string token from the
+        # HTTP layer must filter to zero rows, not silently return all.
+        return (
+            df.filter(F.col("event_type") == event_type)
+            if event_type is not None
+            else df
+        )
 
     def signals_summary(self, event_id: int) -> DataFrame:
         """GET /signals/{event_key} — point lookup + R6 verdict.
@@ -116,7 +113,11 @@ class ReadApi:
         Reference: api/routes/signals_topic.py:17-50.
         """
         df = self._run("a2_topic_aggregate")
-        return df.filter(F.col("topic_hash") == topic_hash) if topic_hash else df
+        return (
+            df.filter(F.col("topic_hash") == topic_hash)
+            if topic_hash is not None
+            else df
+        )
 
     # -- rules ------------------------------------------------------------
 

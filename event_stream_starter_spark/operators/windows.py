@@ -93,6 +93,29 @@ def global_share_topn(
     ).drop("__total")
 
 
+def trailing_heat_counts(ev: DataFrame) -> DataFrame:
+    """A3 heat windows in ONE place: per event_type conditional counts of
+    the trailing 10m / 30m and the previous 10m (20m→10m ago), with
+    `now` = max event time (injected, not wall-clock). One pass over the
+    fact table — three conditional sums, not three scans
+    (reference api/signals/heat.py:225-295 issues three COUNT queries).
+    Shared by a3_w5_heat_slope and the flagship slice so the boundary
+    operators (> / <=) can never fork between them.
+    """
+    now_t = ev.agg(F.max("ts").alias("now_ts"))
+    e = ev.crossJoin(F.broadcast(now_t))
+    in_10 = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 10 MINUTES")
+    in_30 = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 30 MINUTES")
+    in_prev = (F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 20 MINUTES")) & (
+        F.col("ts") <= F.col("now_ts") - F.expr("INTERVAL 10 MINUTES")
+    )
+    return e.groupBy("event_type").agg(
+        F.sum(F.when(in_10, 1).otherwise(0)).alias("cnt_10m"),
+        F.sum(F.when(in_30, 1).otherwise(0)).alias("cnt_30m"),
+        F.sum(F.when(in_prev, 1).otherwise(0)).alias("prev_10m"),
+    )
+
+
 def endpoint_slope(counts: Column, window_minutes: Column | int) -> Column:
     """W3: (last - first) / window_minutes over an ordered count array.
 

@@ -42,8 +42,11 @@ def plan_features(df: DataFrame) -> PlanFeatures:
     plan = _explain(df)
     pushed = [p for p in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if p]
     reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    n_bc = len(re.findall(r"BroadcastExchange", plan))
-    n_ex = len(re.findall(r"\bExchange\b|BroadcastExchange", plan))
+    # Count ONLY tree nodes "Op (N)" — formatted explain prints every
+    # operator twice (once in the tree, once as a "(N) Op" detail
+    # header); matching both doubled every exchange count.
+    n_bc = len(re.findall(r"BroadcastExchange \(\d+\)", plan))
+    n_ex = len(re.findall(r"(?:\bExchange|BroadcastExchange) \(\d+\)", plan))
     return PlanFeatures(
         n_exchanges=n_ex,
         n_broadcast_exchanges=n_bc,

@@ -9,6 +9,8 @@ be fooled by formatting.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -25,27 +27,41 @@ def lint_query_shape(
     require_time_predicate_on: str | None = "ts",
     require_limit: bool = True,
 ) -> DataFrame:
-    """Enforce bounded-scan shape: a filter involving the event-time
+    """Enforce bounded-scan shape: a RANGE filter on the event-time
     column must survive into the optimized plan, and a GlobalLimit must
-    bound the result. Raises :class:`LintViolation` otherwise."""
+    bound the result. Raises :class:`LintViolation` otherwise.
+
+    The time-column match is exact — ``<col>#<exprId>`` attribute
+    syntax, not a substring: a filter on ``counts`` or ``status`` must
+    not satisfy a required ``ts`` predicate (a governor an unbounded
+    scan can sneak past is worse than none). The attribute must appear
+    inside a Filter condition together with a range comparison
+    (> >= < <= BETWEEN), mirroring the reference's
+    ``block_timestamp BETWEEN @from AND @to`` lint (bq_provider.py:
+    581-602) — an IsNotNull alone is not a bound.
+    """
     plan = _plan_string(df)
     problems: list[str] = []
     if require_time_predicate_on is not None:
+        attr = re.compile(rf"\b{re.escape(require_time_predicate_on)}#\d+")
+        range_op = re.compile(r"(>=|<=|>|<)")
         has_time_filter = False
         for line in plan.splitlines():
             stripped = line.strip("+- :")
-            if stripped.startswith("Filter ") and require_time_predicate_on in stripped:
-                has_time_filter = True
+            if not stripped.startswith("Filter "):
+                continue
+            # Only the condition segments that reference the time column
+            # count, and at least one of them must be a range comparison.
+            for seg in re.split(r"(?i)\s+AND\s+|\s+OR\s+", stripped[len("Filter "):]):
+                if attr.search(seg) and range_op.search(seg):
+                    has_time_filter = True
+                    break
+            if has_time_filter:
                 break
-        # Predicates pushed all the way into the scan also count.
-        if not has_time_filter and f"PushedFilters" in plan and require_time_predicate_on in plan:
-            has_time_filter = any(
-                require_time_predicate_on in seg
-                for seg in plan.split("PushedFilters:")[1:]
-            )
         if not has_time_filter:
             problems.append(
-                f"no time predicate on '{require_time_predicate_on}' in optimized plan"
+                f"no time-range predicate on '{require_time_predicate_on}' "
+                "in optimized plan"
             )
     if require_limit and "GlobalLimit" not in plan:
         problems.append("no LIMIT bounds the result")

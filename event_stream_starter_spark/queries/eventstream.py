@@ -69,14 +69,12 @@ def c4_event_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         key.alias("event_key"),
     )
-    w = Window.partitionBy("event_key").orderBy(
-        F.col("ts_us").asc(), F.col("event_id").asc()
-    )
-    return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    # ONE survivor-selection law for the whole engine: the shared
+    # operator (also used by d2_fingerprint_dedup and the e2e trace), so
+    # a tiebreak change cannot silently fork this query's semantics.
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(keyed, ["event_key"], "ts_us", tiebreak=["event_id"])
 
 
 @query(
@@ -140,16 +138,21 @@ def a1_event_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids="D4 (evidence merge-dedup laws: earliest ts, max weight, longest summary)",
 )
 def d4_evidence_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The D4 merge laws live in ONE place — operators/dedup.evidence_merge
+    # (one shuffle; struct-max argmax-by-length with deterministic
+    # lexicographic tiebreak, reference api/events.py:682-875); this query
+    # only adapts column names/units for the oracle.
+    from ..operators.dedup import evidence_merge
+
     ev = _events(spark, sf_dir)
-    # One shuffle: max_by on a (length, value) struct = argmax-by-length
-    # with deterministic lexicographic tiebreak (reference api/events.py:682-875).
-    return ev.groupBy("user_id", "event_type").agg(
-        F.unix_micros(F.min("ts")).alias("first_ts_us"),
-        F.round(F.max("value"), 6).alias("max_weight"),
-        F.max(
-            F.struct(F.length("props").alias("l"), F.col("props").alias("v"))
-        )["v"].alias("longest_summary"),
-        F.count(F.lit(1)).alias("merged_count"),
+    merged = evidence_merge(ev, ["user_id", "event_type"], "ts", "value", "props")
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("first_ts").alias("first_ts_us"),
+        F.round("max_weight", 6).alias("max_weight"),
+        "longest_summary",
+        "merged_count",
     )
 
 
@@ -203,22 +206,12 @@ def a2_topic_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids="A3 (trailing 10m/30m/prev-10m heat counts), W5 (slope+trend), ST2",
 )
 def a3_w5_heat_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    # `now` = max event time (injected, not wall-clock). The 1-row agg is
-    # broadcast; counts are conditional sums in ONE pass over the fact
-    # table — not three separate scans like the reference (heat.py:225-295).
-    now_t = ev.agg(F.max("ts").alias("now_ts"))
-    e = ev.crossJoin(F.broadcast(now_t))
-    in_10 = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 10 MINUTES")
-    in_30 = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 30 MINUTES")
-    in_prev = (F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 20 MINUTES")) & (
-        F.col("ts") <= F.col("now_ts") - F.expr("INTERVAL 10 MINUTES")
-    )
-    counts = e.groupBy("event_type").agg(
-        F.sum(F.when(in_10, 1).otherwise(0)).alias("cnt_10m"),
-        F.sum(F.when(in_30, 1).otherwise(0)).alias("cnt_30m"),
-        F.sum(F.when(in_prev, 1).otherwise(0)).alias("prev_10m"),
-    )
+    from ..operators.windows import trailing_heat_counts
+
+    # Shared A3 helper: `now` = max event time (injected, not wall-clock),
+    # one conditional-sum pass over the fact table (see
+    # operators/windows.trailing_heat_counts).
+    counts = trailing_heat_counts(_events(spark, sf_dir))
     slope = (F.col("cnt_10m") - F.col("prev_10m")) / F.lit(10.0)
     return counts.select(
         "event_type",
@@ -339,9 +332,11 @@ def w3_w6_endpoint_slope_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
     )
     counts = F.col("counts")
-    endpoint = (
-        F.element_at(counts, F.size(counts)) - F.element_at(counts, 1)
-    ).cast("double") / F.lit(30.0)
+    # The shared operator carries the empty-array guard (element_at(_, 0)
+    # raises even non-ANSI) — don't inline a guardless copy.
+    from ..operators.windows import endpoint_slope
+
+    endpoint = endpoint_slope(counts, 30)
     return series.select(
         "event_type",
         "n_buckets",

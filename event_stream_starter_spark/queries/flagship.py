@@ -11,25 +11,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.windows import slope_trend
+from ..operators.windows import slope_trend, trailing_heat_counts
 from . import query
 from .rules_q import _K_DUCK, _K_SPARK, _load_rules, _projection_sql
 
 
 def _heat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    now_t = ev.agg(F.max("ts").alias("now_ts"))
-    e = ev.crossJoin(F.broadcast(now_t))
-    in_10 = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 10 MINUTES")
-    in_30 = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 30 MINUTES")
-    in_prev = (F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 20 MINUTES")) & (
-        F.col("ts") <= F.col("now_ts") - F.expr("INTERVAL 10 MINUTES")
-    )
-    return e.groupBy("event_type").agg(
-        F.sum(F.when(in_10, 1).otherwise(0)).alias("cnt_10m"),
-        F.sum(F.when(in_30, 1).otherwise(0)).alias("cnt_30m"),
-        F.sum(F.when(in_prev, 1).otherwise(0)).alias("prev_10m"),
-    )
+    # Shared A3 heat-window helper — same boundary operators as
+    # a3_w5_heat_slope by construction.
+    return trailing_heat_counts(load_table(spark, sf_dir, "events"))
 
 
 @query(

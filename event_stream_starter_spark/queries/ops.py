@@ -290,7 +290,6 @@ COOLDOWN_SEC = 3600
     survey_ids="D6 (push cooldowns: greedy per-key emit with TTL window)",
 )
 def d6_cooldown_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     # Per-key ordered fold: emit ts if >= last_emit + cooldown. State is one
     # (long, array) struct per key; keys are users → bounded cardinality.
     # Streaming form = transformWithState with a last_emit value state.

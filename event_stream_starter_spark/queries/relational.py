@@ -320,8 +320,15 @@ def w1_top_holders_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             F.col("c_acctbal").cast("decimal(18,2)").alias("balance"),
+            # try_divide = the W1 SAFE_DIVIDE semantic (NULL share on a
+            # zero global total), same law as operators/windows.
+            # global_share_topn — not plain division's Inf/NaN.
             F.round(
-                F.col("c_acctbal").cast("double") / F.col("__total").cast("double"), 9
+                F.try_divide(
+                    F.col("c_acctbal").cast("double"),
+                    F.col("__total").cast("double"),
+                ),
+                9,
             ).alias("share"),
         )
     )

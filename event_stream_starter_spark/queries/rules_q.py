@@ -11,6 +11,7 @@ semantics are exercised.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,7 +50,30 @@ def _projection_sql(k: str) -> list[str]:
 
 
 def _load_rules():
+    """Compile rules.yml once per (mtime, size) — the read-API facade
+    rebuilds DataFrames per request, and re-reading + re-compiling the
+    YAML on every build is pure driver overhead. The mtime key keeps the
+    hot-reload contract: an edited file recompiles on next use."""
+    st = os.stat(RULES_YML)
+    return _load_rules_cached(st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=4)
+def _load_rules_cached(mtime_ns: int, size: int):
     return load_ruleset(RULES_YML, env={})
+
+
+def _load_onchain():
+    st = os.stat(ONCHAIN_YML)
+    return _load_onchain_cached(st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=4)
+def _load_onchain_cached(mtime_ns: int, size: int):
+    import yaml
+
+    with open(ONCHAIN_YML) as f:
+        return load_onchain_rules(yaml.safe_load(f))
 
 
 @query(
@@ -95,11 +119,7 @@ def _r1_oracle() -> str:
     survey_ids="R6 (on-chain verdict DSL: three-branch verdict + confidence), R11",
 )
 def r6_onchain_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import yaml
-
-    with open(ONCHAIN_YML) as f:
-        oc = load_onchain_rules(yaml.safe_load(f))
-    frags = oc.verdict_sql()
+    frags = _load_onchain().verdict_sql()
     ev = load_table(spark, sf_dir, "events")
     feat = ev.selectExpr(*_feature_projection(_K_SPARK))
     return feat.selectExpr(
@@ -124,11 +144,7 @@ def _feature_projection(k: str) -> list[str]:
 
 
 def _r6_oracle() -> str:
-    import yaml
-
-    with open(ONCHAIN_YML) as f:
-        oc = load_onchain_rules(yaml.safe_load(f))
-    frags = oc.verdict_sql()
+    frags = _load_onchain().verdict_sql()
     proj = ",\n           ".join(_feature_projection(_K_DUCK))
     return f"""
     WITH feat AS (

@@ -38,14 +38,27 @@ from . import query
                CAST(0.35 AS DOUBLE) AS refine_confidence
         FROM base
     )
+    , reasons AS (
+        SELECT *,
+               COALESCE(NULLIF(list_filter([
+                   CASE WHEN regexp_matches(lower(t), 'listing|listed|launch') THEN 'matched:listing' END,
+                   CASE WHEN regexp_matches(lower(t), 'hack|exploit|rug|scam') THEN 'matched:hack' END,
+                   CASE WHEN regexp_matches(lower(t), 'partner|integrat|collab') THEN 'matched:partnership' END,
+                   CASE WHEN regexp_matches(lower(t), 'pump|dump|moon|crash') THEN 'matched:market' END
+               ], x -> x IS NOT NULL)[:4], []), ['no-pattern']) AS refine_reasons
+        FROM refined
+    )
     SELECT doc_id, refined_type, refined_summary,
            COALESCE(impacted_assets, []) AS impacted_assets,
            refine_confidence,
+           refine_reasons,
            substring(refined_type || ': ' ||
                CASE WHEN len(COALESCE(impacted_assets, [])) > 0
                     THEN array_to_string(impacted_assets, ',') ELSE '-' END ||
-               ' (score ' || CAST(doc_id % 100 AS VARCHAR) || ')', 1, 280) AS card_summary
-    FROM refined
+               ' (score ' || CAST(doc_id % 100 AS VARCHAR) || ')', 1, 280) AS card_summary,
+           substring('level=' || refined_type || ' reasons=' ||
+               CAST(len(refine_reasons) AS VARCHAR), 1, 160) AS risk_note
+    FROM reasons
     """,
     survey_ids="U4 (rules-refiner fallback: type/summary/assets/confidence 0.35), U6 (template summarizer), R5 shape",
 )
@@ -58,15 +71,20 @@ def u4_u6_rules_refiner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.select("doc_id", t.alias("t"))
     assets = R.impacted_assets(F.col("t"))
+    reasons = R.refine_reasons(F.col("t"))
     return base.select(
         "doc_id",
         R.refined_type(F.col("t")).alias("refined_type"),
         R.refined_summary(F.col("t")).alias("refined_summary"),
         assets.alias("impacted_assets"),
         F.lit(R.FALLBACK_CONFIDENCE).alias("refine_confidence"),
+        reasons.alias("refine_reasons"),
         R.card_summary(
             R.refined_type(F.col("t")), assets, (F.col("doc_id") % 100)
         ).alias("card_summary"),
+        # U6 risk-note template over (level, n_reasons) — the <=160-char
+        # contract is oracle-checked, not dead surface.
+        R.risk_note(R.refined_type(F.col("t")), F.size(reasons)).alias("risk_note"),
     )
 
 

@@ -30,6 +30,11 @@ def get_spark(
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # Version-independent arithmetic: Spark 4 defaults ANSI on (raise
+        # on malformed cast/overflow), Spark 3 off (NULL). The engine pins
+        # OFF — degraded inputs (bad JSON, overflow) must degrade to NULL
+        # rows, not kill a 1000-executor job; oracles verified under it.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
@@ -55,6 +60,10 @@ def tune_session(spark: SparkSession) -> SparkSession:
     is merely a performance default is best-effort.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The docstring's promise made real: ANSI-off is runtime-settable and
+    # version-dependent by default (Spark 4 on, Spark 3 off) — pin it so
+    # cast/overflow semantics match wherever the driver runs.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP_LTZ so
     # epoch extraction (unix_micros) works uniformly; with a UTC session
     # the instants are identical either way.

@@ -73,6 +73,7 @@ class DimensionCache:
 
     def refresh(self) -> DimensionSnapshot:
         self._attempted_at = self._clock()
+        df = None
         try:
             df = self._fetch()
             df.persist()
@@ -87,6 +88,14 @@ class DimensionCache:
             if old is not None:
                 old.df.unpersist()
         except Exception:
+            # The fetch can fail AFTER persist() marked the new frame
+            # (lazy plan, scan-time error) — release it or every failed
+            # refresh pins one cached frame until clearCache.
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
             if self._snap is None:
                 raise  # nothing stale to serve — fail loudly
             self._snap = DimensionSnapshot(

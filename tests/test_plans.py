@@ -67,3 +67,24 @@ def test_lint_accepts_bounded_and_rejects_unbounded(spark, sf_dir):
         lint_query_shape(ev.limit(10))  # no time predicate
     with pytest.raises(LintViolation):
         lint_query_shape(ev.filter(F.col("ts") >= F.lit("2024-01-01")))  # no limit
+
+
+def test_lint_rejects_substring_column_and_notnull_only(spark, tmp_path):
+    """The governor must not be satisfiable by a filter on a column whose
+    NAME contains 'ts' (counts/status), nor by IsNotNull alone — only a
+    genuine range predicate on the time column counts."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from event_stream_starter_spark.plans.lint import LintViolation, lint_query_shape
+
+    d = str(tmp_path / "lintt")
+    spark.range(100).select(
+        F.col("id").alias("counts"), F.timestamp_seconds(F.col("id")).alias("ts")
+    ).write.mode("overwrite").parquet(d)
+    t = spark.read.parquet(d)
+    with pytest.raises(LintViolation):
+        lint_query_shape(t.filter(F.col("counts") > 3).limit(5))
+    with pytest.raises(LintViolation):
+        lint_query_shape(t.filter(F.col("ts").isNotNull()).limit(5))
+    lint_query_shape(t.filter(F.col("ts") >= "2000-01-01").limit(5))
