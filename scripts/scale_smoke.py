@@ -63,6 +63,7 @@ QUERIES = [
 # note in main()).
 DOC_QUERIES = [
     "x_text_stats",
+    "x_boilerplate_strip",  # ~2-4s @ 50k clique docs (measured 2026-08-14)
     "dd_exact_dedup",
     "dd_minhash_lsh",
     "x_decontaminate",
