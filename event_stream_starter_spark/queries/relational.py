@@ -418,6 +418,43 @@ def w1_holders_full_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w11_rank_distribution",
+    """
+    SELECT s_suppkey, s_nationkey,
+           DENSE_RANK()   OVER w AS drank,
+           ROUND(PERCENT_RANK() OVER w, 9) + 0 AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 9) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    survey_ids=(
+        "§2.6 ranking-window completion: DENSE_RANK / PERCENT_RANK / "
+        "CUME_DIST per key (alongside W1/W7's row_number and W2's lag)"
+    ),
+)
+def w11_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks per nation over supplier balances.
+
+    Keyed window (partitionBy a bounded key) — per-partition state only,
+    never a global sort; the deterministic (balance DESC, suppkey)
+    ordering makes every rank value partition-order-independent. `+ 0`
+    normalizes DuckDB's -0.0 on the first-row percent_rank.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    return load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.dense_rank().over(w).alias("drank"),
+        (F.round(F.percent_rank().over(w), 9) + F.lit(0)).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+@query(
     "a12_rollup_lattice",
     """
     SELECT l_returnflag, l_linestatus,
