@@ -189,10 +189,10 @@ def a2_topic_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH now_t AS (SELECT MAX(ts) AS now_ts FROM events),
     counts AS (
         SELECT e.event_type,
-               SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS cnt_10m,
-               SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS cnt_30m,
-               SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 20 MINUTE
-                         AND e.ts <= n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS prev_10m
+               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS cnt_10m,
+               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS cnt_30m,
+               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 20 MINUTE
+                         AND e.ts <= n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS prev_10m
         FROM events e CROSS JOIN now_t n
         GROUP BY e.event_type
     )
@@ -634,10 +634,10 @@ def a5_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            CAST(epoch_us(ts) AS BIGINT) AS ts_us,
-           SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
                PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
-           ) AS rolling_1h_value,
+           ) AS DOUBLE) AS rolling_1h_value,
            COUNT(*) OVER (
                PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
@@ -663,7 +663,7 @@ def w10_rolling_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
-        F.sum(F.col("value").cast("decimal(18,6)")).over(w).alias("rolling_1h_value"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("rolling_1h_value"),
         F.count(F.lit(1)).over(w).alias("rolling_1h_events"),
     )
 
@@ -685,10 +685,10 @@ def w10_rolling_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS is_start
         FROM events
     ), numbered AS (
-        SELECT *, SUM(is_start) OVER (
+        SELECT *, CAST(SUM(is_start) OVER (
                    PARTITION BY user_id
                    ORDER BY ts_us, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_no
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
         FROM marked
     )
     SELECT user_id, session_no,

@@ -37,7 +37,7 @@ def flagship_heat_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{rs.level_sql()} AS level",
     )
     rules_summary = scored.groupBy(F.col("sig_event_type").alias("event_type")).agg(
-        F.sum("score").alias("sum_score"),
+        F.sum("score").cast("double").alias("sum_score"),
         F.sum(F.when(F.col("level") == "opportunity", 1).otherwise(0)).alias(
             "n_opportunity"
         ),
@@ -74,17 +74,17 @@ def _flagship_oracle() -> str:
         FROM sig
     ), rules_summary AS (
         SELECT sig_event_type AS event_type,
-               SUM(score) AS sum_score,
-               SUM(CASE WHEN level = 'opportunity' THEN 1 ELSE 0 END) AS n_opportunity,
-               SUM(CASE WHEN level = 'caution' THEN 1 ELSE 0 END) AS n_caution
+               CAST(SUM(score) AS DOUBLE) AS sum_score,
+               CAST(SUM(CASE WHEN level = 'opportunity' THEN 1 ELSE 0 END) AS BIGINT) AS n_opportunity,
+               CAST(SUM(CASE WHEN level = 'caution' THEN 1 ELSE 0 END) AS BIGINT) AS n_caution
         FROM scored GROUP BY sig_event_type
     ), now_t AS (SELECT MAX(ts) AS now_ts FROM events),
     heat AS (
         SELECT e.event_type,
-               SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS cnt_10m,
-               SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS cnt_30m,
-               SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 20 MINUTE
-                         AND e.ts <= n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS prev_10m
+               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS cnt_10m,
+               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS cnt_30m,
+               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 20 MINUTE
+                         AND e.ts <= n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS prev_10m
         FROM events e CROSS JOIN now_t n
         GROUP BY e.event_type
     )

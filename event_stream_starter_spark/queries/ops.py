@@ -117,7 +117,8 @@ def a10_t7_batch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, 'e' || CAST(event_id AS VARCHAR) AS link, value, event_id
         FROM events WHERE event_type = 'view'
     )
-    SELECT user_id, list(link ORDER BY value DESC, event_id ASC)[:3] AS top_links
+    SELECT user_id,
+           array_to_string(list(link ORDER BY value DESC, event_id ASC)[:3], '|') AS top_links
     FROM flat
     GROUP BY user_id
     """,
@@ -133,8 +134,11 @@ def t4_top3_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("link"),
     )
     return ev.groupBy("user_id").agg(
-        F.transform(
-            F.slice(F.sort_array(F.collect_list(item)), 1, 3), lambda s: s["link"]
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list(item)), 1, 3), lambda s: s["link"]
+            ),
+            "|",
         ).alias("top_links")
     )
 
@@ -163,7 +167,7 @@ def t4_top3_links(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT bucket) AS n_buckets,
            COUNT(*) AS n_events,
            MAX(bucket) AS last_bucket,
-           SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
     FROM b
     GROUP BY user_id, span, win
     """,
@@ -222,7 +226,7 @@ def w8_series_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_buckets",
                 "n_events",
                 "last_bucket",
-                F.col("total_value").cast("decimal(38,6)").alias("total_value"),
+                F.col("total_value").cast("decimal(38,6)").cast("double").alias("total_value"),
             )
         )
 
@@ -384,11 +388,11 @@ def s4_change_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'error'
     )
     SELECT event_id, user_id,
-           list_filter([
+           COALESCE(array_to_string(list_filter([
                CASE WHEN value > 80 THEN 'MR01' END,
                CASE WHEN k > 90 THEN 'MR02' END,
                CASE WHEN value < 5 AND k < 10 THEN 'MR03' END
-           ], x -> x IS NOT NULL) AS mr_tags,
+           ], x -> x IS NOT NULL), '|'), '') AS mr_tags,
            len(list_filter([
                CASE WHEN value > 80 THEN 'MR01' END,
                CASE WHEN k > 90 THEN 'MR02' END,
@@ -412,7 +416,7 @@ def r4_market_risk_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        tags.alias("mr_tags"),
+        F.array_join(tags, "|").alias("mr_tags"),
         (F.size(tags) > 0).alias("market_risk"),
     )
 
@@ -437,8 +441,9 @@ def r4_market_risk_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ts >= now_ts - INTERVAL 48 HOUR
         GROUP BY user_id
     )
-    SELECT user_id, chain_kind, txns, lp,
-           COALESCE(vol, CAST(0 AS DECIMAL(18,6))) AS vol,
+    SELECT user_id, chain_kind, txns,
+           CAST(lp AS DOUBLE) AS lp,
+           CAST(COALESCE(vol, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS vol,
            txns >= 40
              AND lp >= CASE WHEN chain_kind = 'evm' THEN 1500 ELSE 800 END
              AND COALESCE(vol, CAST(0 AS DECIMAL(18,6))) >= 200 AS triggered
@@ -471,8 +476,8 @@ def r8_secondary_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "chain_kind",
         "txns",
-        "lp",
-        vol.alias("vol"),
+        F.col("lp").cast("double").alias("lp"),
+        vol.cast("double").alias("vol"),
         ((F.col("txns") >= 40) & (F.col("lp") >= lp_min) & (vol >= 200)).alias(
             "triggered"
         ),

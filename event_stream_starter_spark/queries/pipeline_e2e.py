@@ -201,7 +201,7 @@ def e2e_pipeline_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(
         F.col("priority").asc(), F.col("last_ts_us").desc(), F.col("event_key").asc()
     )
-    return top.withColumn("outbox_rank", F.row_number().over(w)).drop("priority")
+    return top.withColumn("outbox_rank", F.row_number().over(w).cast("long")).drop("priority")
 
 
 # slope_trend imported for parity with flagship; not used directly here.

@@ -51,10 +51,10 @@ def _charge():
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-           SUM({dp}) AS sum_disc_price,
-           SUM({ch}) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({dp}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({ch}) AS DOUBLE) AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -71,13 +71,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_charge()).alias("sum_charge"),
         F.count(F.lit(1)).alias("count_order"),
     )
+    # Sums stay DECIMAL internally (exact, order-independent across a
+    # 1000-executor shuffle); the OUTPUT casts the final exact decimal to
+    # double so both engines materialize the same float64 pandas dtype
+    # (DuckDB .df() renders DECIMAL as float64; Decimal objects hash
+    # differently in the driver's gate).
     return out.select(
         "l_returnflag",
         "l_linestatus",
-        "sum_qty",
-        "sum_base_price",
-        "sum_disc_price",
-        "sum_charge",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
         F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6).alias(
             "avg_qty"
         ),
@@ -136,7 +141,7 @@ def a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT r.r_name, n.n_name,
-           SUM({dp_l}) AS revenue,
+           CAST(SUM({dp_l}) AS DOUBLE) AS revenue,
            COUNT(*) AS line_count
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -165,7 +170,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
         .join(dim, F.col("o_custkey") == dim.c_custkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("line_count"))
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
     )
 
 
@@ -191,7 +199,7 @@ def j2_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH order_src AS (
         SELECT o_custkey AS custkey, COUNT(*) AS order_count,
-               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total_spend,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
                MAX(o_orderdate) AS src_asof
         FROM orders GROUP BY o_custkey
     ), line_src AS (
@@ -202,7 +210,7 @@ def j2_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.c_custkey, c.c_name, n.n_name,
            COALESCE(os.order_count, 0) AS order_count,
-           COALESCE(os.total_spend, CAST(0 AS DECIMAL(18,4))) AS total_spend,
+           COALESCE(os.total_spend, CAST(0 AS DOUBLE)) AS total_spend,
            COALESCE(ls.line_count, 0) AS line_count,
            CAST(epoch_us(LEAST(os.src_asof, ls.src_asof)) AS BIGINT) AS data_as_of_us,
            (CASE WHEN os.custkey IS NULL THEN 1 ELSE 0 END
@@ -221,7 +229,7 @@ def j3_card_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     order_src = o.groupBy(F.col("o_custkey").alias("os_custkey")).agg(
         F.count(F.lit(1)).alias("order_count"),
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("total_spend"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"),
         F.max("o_orderdate").alias("os_asof"),
     )
     line_src = (
@@ -244,7 +252,7 @@ def j3_card_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "n_name",
         F.coalesce(F.col("order_count"), F.lit(0)).alias("order_count"),
-        F.coalesce(F.col("total_spend"), F.lit(0).cast(DEC)).alias("total_spend"),
+        F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
         F.coalesce(F.col("line_count"), F.lit(0)).alias("line_count"),
         F.unix_micros(F.least(F.col("os_asof"), F.col("ls_asof"))).alias(
             "data_as_of_us"
@@ -263,7 +271,7 @@ def j3_card_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_orders",
     """
     SELECT o.o_orderkey,
-           SUM({dp_l}) AS revenue,
+           CAST(SUM({dp_l}) AS DOUBLE) AS revenue,
            CAST(epoch_us(o.o_orderdate) AS BIGINT) AS orderdate_us,
            o.o_orderpriority
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -282,7 +290,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o2, li.l_orderkey == o2.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
         .select(
@@ -299,7 +307,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tot AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total FROM customer)
     SELECT c_custkey, c_name,
-           CAST(c_acctbal AS DECIMAL(18,2)) AS balance,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS balance,
            ROUND(CAST(c_acctbal AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE), 9) AS share
     FROM customer
     ORDER BY c_acctbal DESC, c_custkey ASC
@@ -319,7 +327,7 @@ def w1_top_holders_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "c_name",
-            F.col("c_acctbal").cast("decimal(18,2)").alias("balance"),
+            F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("balance"),
             # try_divide = the W1 SAFE_DIVIDE semantic (NULL share on a
             # zero global total), same law as operators/windows.
             # global_share_topn — not plain division's Inf/NaN.
@@ -412,7 +420,7 @@ def w1_holders_full_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ),
         )
-        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("s_suppkey", "s_name", "share", "rnk")
     )
 
@@ -448,7 +456,7 @@ def w11_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "supplier").select(
         "s_suppkey",
         "s_nationkey",
-        F.dense_rank().over(w).alias("drank"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
         (F.round(F.percent_rank().over(w), 9) + F.lit(0)).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
@@ -459,7 +467,7 @@ def w11_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-           SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -486,7 +494,7 @@ def a12_rollup_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().alias("gid"),
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")

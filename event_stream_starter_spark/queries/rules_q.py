@@ -125,7 +125,7 @@ def r6_onchain_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.selectExpr(
         "event_id",
         f"{frags['verdict']} AS verdict",
-        f"CAST(ROUND({frags['confidence']}, 3) AS DECIMAL(4,3)) AS confidence",
+        f"CAST(CAST(ROUND({frags['confidence']}, 3) AS DECIMAL(4,3)) AS DOUBLE) AS confidence",
     )
 
 
@@ -153,7 +153,7 @@ def _r6_oracle() -> str:
     )
     SELECT event_id,
            {frags['verdict']} AS verdict,
-           CAST(ROUND({frags['confidence']}, 3) AS DECIMAL(4,3)) AS confidence
+           CAST(CAST(ROUND({frags['confidence']}, 3) AS DECIMAL(4,3)) AS DOUBLE) AS confidence
     FROM feat
     """
 

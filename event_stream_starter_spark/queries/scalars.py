@@ -141,8 +141,8 @@ def c2_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                0.6 * ((sent + 1.0) / 2.0)
                + 0.4 * least(CAST(n_keywords AS DOUBLE) / 5.0, 1.0),
                0.0), 1.0), 6) + 0 AS cand_score,
-           CAST(ROUND(CAST(least(greatest(value / 100.0, 0.0), 1.0)
-                AS DECIMAL(18,9)), 3) AS DECIMAL(18,3)) AS conf_q3
+           CAST(CAST(ROUND(CAST(least(greatest(value / 100.0, 0.0), 1.0)
+                AS DECIMAL(18,9)), 3) AS DECIMAL(18,3)) AS DOUBLE) AS conf_q3
     FROM base
     """,
     survey_ids="C9 (_compute_candidate_score), C15 (3-dp HALF_UP quantize + clamp_ratio)",
@@ -155,7 +155,7 @@ def c9_c15_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.round(sent, 6) + 0).alias("sentiment"),
         (F.round(candidate_score(sent, n_kw), 6) + 0).alias("cand_score"),
-        quantize3(clamp01(F.col("value") / 100.0)).alias("conf_q3"),
+        quantize3(clamp01(F.col("value") / 100.0)).cast("double").alias("conf_q3"),
     )
 
 
@@ -228,7 +228,7 @@ _STOPWORDS = ("the", "and", "for", "with", "from", "that", "this", "a")
         WHERE NOT list_contains({_words_sql(_STOPWORDS)}, tok)
         GROUP BY doc_id, tok
     )
-    SELECT doc_id, list(tok ORDER BY first_pos)[:5] AS keyphrases
+    SELECT doc_id, array_to_string(list(tok ORDER BY first_pos)[:5], '|') AS keyphrases
     FROM firsts
     GROUP BY doc_id
     """,
@@ -244,7 +244,7 @@ def c13_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.filter(toks, lambda t: ~F.array_contains(stop, t))), 1, 5
     )
     return docs.filter(F.size(phrases) > 0).select(
-        "doc_id", phrases.alias("keyphrases")
+        "doc_id", F.array_join(phrases, "|").alias("keyphrases")
     )
 
 
@@ -314,7 +314,7 @@ _SYNONYMS = {"big": "large", "fast": "quick"}
         SELECT doc_id, list(tok ORDER BY first_pos)[:8] AS entities
         FROM firsts GROUP BY doc_id
     )
-    SELECT doc_id, entities,
+    SELECT doc_id, array_to_string(entities, '|') AS entities,
            ROUND(least(0.5 + CASE WHEN list_has_any(entities, {_words_sql(_WHITELIST)})
                                   THEN 0.05 ELSE 0.0 END, 1.0), 6) AS confidence
     FROM ents
@@ -335,7 +335,7 @@ def f6_f7_entity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     boost = F.when(F.arrays_overlap(entities, white), F.lit(0.05)).otherwise(F.lit(0.0))
     return docs.select(
         "doc_id",
-        entities.alias("entities"),
+        F.array_join(entities, "|").alias("entities"),
         F.round(F.least(F.lit(0.5) + boost, F.lit(1.0)), 6).alias("confidence"),
     )
 
@@ -554,7 +554,7 @@ def u5_memeable_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pri, first_pos) AS rn
         FROM firsts
     )
-    SELECT doc_id, list(kw ORDER BY kw) AS topic_keywords
+    SELECT doc_id, array_to_string(list(kw ORDER BY kw), '|') AS topic_keywords
     FROM ranked WHERE rn <= 5
     GROUP BY doc_id
     """,
@@ -575,7 +575,9 @@ def c10_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = F.filter(toks, lambda k: (~k.startswith("$")) & F.length(k).between(2, 3))
     p3 = F.filter(toks, lambda k: (~k.startswith("$")) & ~F.length(k).between(2, 3))
     top = F.array_sort(F.slice(F.array_distinct(F.concat(p1, p2, p3)), 1, 5))
-    return docs.filter(F.size(top) > 0).select("doc_id", top.alias("topic_keywords"))
+    return docs.filter(F.size(top) > 0).select(
+        "doc_id", F.array_join(top, "|").alias("topic_keywords")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -672,12 +674,14 @@ _E_ALLOWED_SRC = ("web", "wiki", "news")
                list_filter(cat, (x, i) -> list_position(cat, x) = i) AS merged
         FROM built
     )
-    SELECT doc_id, merged,
-           list_filter(merged, x -> NOT list_contains({_words_sql(_E_BLACK)}, x))
-               AS kept,
-           list_filter([source, 'web', source || '-mirror'],
-                       s -> list_contains({_words_sql(_E_ALLOWED_SRC)}, s))
-               AS allowed_sources
+    SELECT doc_id, array_to_string(merged, '|') AS merged,
+           array_to_string(
+               list_filter(merged, x -> NOT list_contains({_words_sql(_E_BLACK)}, x)),
+               '|') AS kept,
+           array_to_string(
+               list_filter([source, 'web', source || '-mirror'],
+                           s -> list_contains({_words_sql(_E_ALLOWED_SRC)}, s)),
+               '|') AS allowed_sources
     FROM merged_t
     """,
     survey_ids="E3 (keyword ∪ entities order-preserving union), E4 (blacklist subtraction), E5 (source-domain intersection)",
@@ -707,9 +711,9 @@ def e3_e5_entity_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        merged.alias("merged"),
-        kept.alias("kept"),
-        F.filter(sources, lambda s: F.array_contains(allowed, s)).alias(
-            "allowed_sources"
-        ),
+        F.array_join(merged, "|").alias("merged"),
+        F.array_join(kept, "|").alias("kept"),
+        F.array_join(
+            F.filter(sources, lambda s: F.array_contains(allowed, s)), "|"
+        ).alias("allowed_sources"),
     )

@@ -114,8 +114,9 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.length(F.trim(t)) == 0, F.lit(0))
         .otherwise(F.size(toks))
+        .cast("long")
         .alias("n_tokens"),
-        textan.bpe_ish_token_count(t).alias("bpe_tokens"),
+        textan.bpe_ish_token_count(t).cast("long").alias("bpe_tokens"),
         F.round(textan.quality_score(t, toks), 6).alias("quality"),
         textan.detect_lang(t, toks=toks).alias("lang_detected"),
         textan.doc_fingerprint(t).alias("fingerprint"),
@@ -532,7 +533,7 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = g.filter(F.col("source") != _EVAL_SRC).select(
         "doc_id",
         "source",
-        F.size("g").alias("n_grams"),
+        F.size("g").cast("long").alias("n_grams"),
         F.explode("g").alias("gram"),
     )
     return (
@@ -685,7 +686,7 @@ def x_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(textan.quality_score(t, toks), 6).alias("quality"),
     )
     w = Window.partitionBy("lang").orderBy("quality", "doc_id")
-    b = q.withColumn("bin", F.ntile(10).over(w))
+    b = q.withColumn("bin", F.ntile(10).over(w).cast("long"))
     return b.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.min("quality"), 6).alias("q_min"),
@@ -740,7 +741,7 @@ def x_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_shingles(F.col("text"), 3).alias("g")
     )
     e = g.select(
-        "doc_id", F.size("g").alias("n_grams"), F.explode("g").alias("gram")
+        "doc_id", F.size("g").cast("long").alias("n_grams"), F.explode("g").alias("gram")
     )
     dup = (
         e.groupBy("gram")
@@ -909,7 +910,7 @@ def x_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, g
     ), s2 AS (
         SELECT doc_id,
-               SUM(cnt) AS n_2grams,
+               CAST(SUM(cnt) AS BIGINT) AS n_2grams,
                ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top2_frac
         FROM c2 GROUP BY doc_id
     ), s3 AS (
@@ -995,8 +996,8 @@ from ..streaming.packing import PACK_BUDGET as _PACK_BUDGET  # noqa: E402
         FROM documents
     ), c AS (
         SELECT doc_id, source, ntok,
-               COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               CAST(COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                    AS cum_prev
         FROM t
     )
@@ -1030,8 +1031,10 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied per salt bucket then shifted by the bucket's global prefix).
     """
     docs = load_table(spark, sf_dir, "documents")
-    ntok = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
-        F.size(textan.tokens(F.col("text")))
+    ntok = (
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(textan.tokens(F.col("text"))))
+        .cast("long")
     )
     w = (
         Window.partitionBy("source")
@@ -1088,11 +1091,12 @@ _WIN_W = 8  # winnowing window (guarantee: any match >= w+k-1 chars shares a pri
     SELECT doc_id,
            list_reduce(list_prepend(0::BIGINT, cs),
                        (a, c) -> (a * {_RH_BASE} + c) % {_RH_MOD}) AS doc_hash,
-           CASE WHEN len(gh) >= {_WIN_W} THEN
-               list_sort(list_distinct(
-                   list_transform(generate_series(1, len(gh) - {_WIN_W} + 1),
-                                  j -> list_min(gh[j:j+{_WIN_W}-1]))))
-           ELSE list_sort(list_distinct(gh)) END AS winnow_fp
+           array_to_string(
+               CASE WHEN len(gh) >= {_WIN_W} THEN
+                   list_sort(list_distinct(
+                       list_transform(generate_series(1, len(gh) - {_WIN_W} + 1),
+                                      j -> list_min(gh[j:j+{_WIN_W}-1]))))
+               ELSE list_sort(list_distinct(gh)) END, '|') AS winnow_fp
     FROM grams
     """,
     survey_ids="text analysis: rolling-hash doc fingerprint + winnowing fingerprint set",
@@ -1130,9 +1134,11 @@ def x_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"aggregate(cs, 0L, {fold})").alias("doc_hash"),
         F.expr(
+            f"array_join(transform("
             f"case when size(gh) >= {_WIN_W} then "
             f"array_sort(array_distinct(transform(sequence(1, size(gh) - {_WIN_W} + 1), "
             f"j -> array_min(slice(gh, j, {_WIN_W}))))) "
-            "else array_sort(array_distinct(gh)) end"
+            "else array_sort(array_distinct(gh)) end, "
+            "v -> cast(v as string)), '|')"
         ).alias("winnow_fp"),
     )

@@ -49,9 +49,9 @@ from . import query
         FROM refined
     )
     SELECT doc_id, refined_type, refined_summary,
-           COALESCE(impacted_assets, []) AS impacted_assets,
+           COALESCE(array_to_string(impacted_assets, '|'), '') AS impacted_assets,
            refine_confidence,
-           refine_reasons,
+           array_to_string(refine_reasons, '|') AS refine_reasons,
            substring(refined_type || ': ' ||
                CASE WHEN len(COALESCE(impacted_assets, [])) > 0
                     THEN array_to_string(impacted_assets, ',') ELSE '-' END ||
@@ -76,9 +76,9 @@ def u4_u6_rules_refiner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         R.refined_type(F.col("t")).alias("refined_type"),
         R.refined_summary(F.col("t")).alias("refined_summary"),
-        assets.alias("impacted_assets"),
+        F.array_join(assets, "|").alias("impacted_assets"),
         F.lit(R.FALLBACK_CONFIDENCE).alias("refine_confidence"),
-        reasons.alias("refine_reasons"),
+        F.array_join(reasons, "|").alias("refine_reasons"),
         R.card_summary(
             R.refined_type(F.col("t")), assets, (F.col("doc_id") % 100)
         ).alias("card_summary"),

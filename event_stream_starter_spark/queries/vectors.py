@@ -49,7 +49,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = brute_force_topk(q, emb, "vec_id", "vec_id", "embedding", k=_TOP_K)
     return out.select(
-        "vec_id_q", "vec_id_c", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        "vec_id_q",
+        "vec_id_c",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -104,7 +107,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, emb, "vec_id", "vec_id", _plane_tables(4, 6, 64), "embedding", k=_TOP_K
     )
     return out.select(
-        "vec_id_q", "vec_id_c", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        "vec_id_q",
+        "vec_id_c",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -144,5 +150,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=_ivf_centroids(spark, sf_dir),
     )
     return out.select(
-        "vec_id_q", "vec_id_c", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        "vec_id_q",
+        "vec_id_c",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
     )

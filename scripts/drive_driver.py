@@ -20,30 +20,26 @@ print("queries:", len(qs), "oracles:", len(oracles))
 
 import os
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-# One source of truth for the table list and value normalization — a new
-# testdata table or a norm tweak must not silently diverge between this
-# driver replica and the pytest oracle harness.
-from tests.oracle_utils import _norm as norm, duck_connection
+# One source of truth for the table list and the comparison itself — the
+# dtype-strict pandas compare mirrors the driver's hash gate (toPandas vs
+# duckdb .df(), canonical sort, dtypes included, lists crash).
+from tests.oracle_utils import compare, duck_connection
 
 con = duck_connection(SF)
 
 fails = []
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF)
-    srows = sdf.collect()
     if name not in oracles:
-        print(f"{name}: rows-only, {len(srows)} rows")
+        n = sdf.count()
+        print(f"{name}: rows-only, {n} rows")
         continue
-    res = con.execute(oracles[name])
-    dcols = [d[0] for d in res.description]; drows = res.fetchall()
-    scols = sdf.columns
-    if sorted(scols) != sorted(dcols):
-        fails.append((name, "schema", sorted(scols), sorted(dcols))); continue
-    si = [scols.index(c) for c in sorted(scols)]; di = [dcols.index(c) for c in sorted(scols)]
-    s = sorted(tuple(norm(r[i]) for i in si) for r in srows)
-    d = sorted(tuple(norm(r[i]) for i in di) for r in drows)
-    status = "MATCH" if s == d else "MISMATCH"
-    if s != d: fails.append((name, "values"))
-    print(f"{name}: {status} ({len(srows)} rows)")
-print("FAILS:", fails)
+    problems = compare(sdf, con, oracles[name])
+    status = "MATCH" if not problems else "MISMATCH"
+    if problems:
+        fails.append((name, problems))
+    print(f"{name}: {status}" + (f" {problems}" if problems else ""))
+print(f"FAILS ({len(fails)}):")
+for name, problems in fails:
+    print(" ", name, problems)
 sys.exit(1 if fails else 0)
