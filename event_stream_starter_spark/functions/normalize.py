@@ -14,18 +14,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _URL_RE = r"https?://\S+"
+_WWW_RE = r"www\.\S+"
+# Bare domains need a trailing delimiter, so a domain at end-of-string
+# survives — the reference regex has the same quirk (kept deliberately).
+_DOMAIN_RE = (
+    r"\b[a-zA-Z0-9][a-zA-Z0-9-]*"
+    r"\.(?:com|org|net|io|xyz|co|app|tech|ai|dev|finance|eth)[\s,\.!?;:]"
+)
 _HANDLE_RE = r"@\w+"
 _SPACE_RE = r"\s+"
 
 
 def normalize_text(text: Column) -> Column:
-    """Lowercase, strip URLs and @handles (keep #hashtags), collapse spaces.
+    """Lowercase, strip URLs (scheme'd, www., bare-domain+TLD) and
+    @handles (keep #hashtags), collapse spaces.
 
-    Reference: api/events.py:380-411 (_normalize_text).
+    Reference: api/events.py:380-411 (_normalize_text), including the
+    replacement strings: URLs/www/handles delete to '', bare domains
+    replace with ' ' — the distinction shows when a removal would fuse
+    two adjacent tokens.
     """
     c = F.lower(text)
-    c = F.regexp_replace(c, _URL_RE, " ")
-    c = F.regexp_replace(c, _HANDLE_RE, " ")
+    c = F.regexp_replace(c, _URL_RE, "")
+    c = F.regexp_replace(c, _WWW_RE, "")
+    c = F.regexp_replace(c, _DOMAIN_RE, " ")
+    c = F.regexp_replace(c, _HANDLE_RE, "")
     c = F.regexp_replace(c, _SPACE_RE, " ")
     return F.trim(c)
 

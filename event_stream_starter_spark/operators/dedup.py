@@ -735,3 +735,25 @@ def evidence_merge(
         )["v"].alias("longest_summary"),
         F.count(F.lit(1)).alias("merged_count"),
     )
+
+
+def first_nonempty(field: str, order_cols: Sequence[str]) -> F.Column:
+    """Ref-union field-completion law (reference api/events.py:732-739:
+    union of ref keys, prefer the already-present non-empty value): the
+    FIRST non-empty value of `field` in `order_cols` order, '' if none.
+
+    The reference folds evidence in list order (existing before new);
+    the batch analog orders by (ts, id) — deterministic because the id
+    is unique, so the same rows give the same merged ref on any
+    partitioning. Struct-min = argmin without a second shuffle."""
+    return F.coalesce(
+        F.min(
+            F.when(
+                F.col(field) != "",
+                F.struct(
+                    *[F.col(c) for c in order_cols], F.col(field).alias("v")
+                ),
+            )
+        )["v"],
+        F.lit(""),
+    )

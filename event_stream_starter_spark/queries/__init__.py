@@ -44,6 +44,7 @@ def query(name: str, oracle: str | None, survey_ids: str = ""):
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules once.
     from . import (  # noqa: F401
+        cards,
         eventstream,
         flagship,
         keys_limits,

@@ -156,6 +156,195 @@ def d4_evidence_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _d4_keyed_fragments(dialect: str) -> dict[str, str]:
+    """Dual-dialect column fragments for D4 per-source dedup keys.
+
+    Synthesizes a deterministic evidence frame from `events` (source +
+    typed ref fields), then derives the dedup key with the reference's
+    per-source rules (api/events.py:531-586):
+      x: tweet_id → 'x:{tid}'; else /status/<id> from the url; else the url
+      dex: tx → 'dex:{tx}'; else 'dex:{chain}:{pool}:{600s-bucket}'
+      goplus: 'gp:{endpoint|na}|{chain|na}|{address|na}'
+      default: sha of source + sorted-key ref JSON (sha1→sha256
+      substitution, same declared policy as C5)
+    One template, two dialects — the branch structure provably matches.
+    """
+    if dialect == "duckdb":
+        st, sha = "VARCHAR", "sha256({})"
+        bucket = "CAST((epoch_us(ts) // 1000000 // 600) * 600 AS VARCHAR)"
+    else:
+        st, sha = "STRING", "sha2({}, 256)"
+        bucket = "CAST((unix_micros(ts) div 1000000 div 600) * 600 AS STRING)"
+    src = (
+        "CASE event_type WHEN 'click' THEN 'x' WHEN 'error' THEN 'x' "
+        "WHEN 'view' THEN 'dex' WHEN 'purchase' THEN 'goplus' "
+        "ELSE 'other' END"
+    )
+    f = {
+        "source": src,
+        "tweet_id": (
+            f"CASE WHEN event_type = 'click' AND event_id % 3 <> 0 "
+            f"THEN CAST(event_id % 1000 AS {st}) ELSE '' END"
+        ),
+        "url": (
+            f"CASE WHEN {src} = 'x' THEN "
+            f"  CASE WHEN event_id % 2 = 0 "
+            f"       THEN 'https://x.com/u/status/' || CAST(event_id % 500 AS {st}) "
+            f"       ELSE 'https://example.com/p/' || CAST(event_id % 100 AS {st}) END "
+            f"WHEN {src} = 'other' "
+            f"THEN 'https://example.com/d/' || CAST(event_id % 80 AS {st}) "
+            f"ELSE '' END"
+        ),
+        "tx": (
+            f"CASE WHEN {src} = 'dex' AND event_id % 4 <> 0 "
+            f"THEN 'tx' || CAST(event_id % 300 AS {st}) ELSE '' END"
+        ),
+        "chain_id": (
+            f"CASE WHEN {src} IN ('dex', 'goplus') "
+            f"THEN CAST(user_id % 5 AS {st}) ELSE '' END"
+        ),
+        "pool": (
+            f"CASE WHEN {src} = 'dex' "
+            f"THEN 'p' || CAST(event_id % 7 AS {st}) ELSE '' END"
+        ),
+        "endpoint": (
+            f"CASE WHEN {src} = 'goplus' AND event_id % 2 = 0 "
+            f"THEN 'token_security' ELSE '' END"
+        ),
+        "address": (
+            f"CASE WHEN {src} = 'goplus' "
+            f"THEN '0x' || CAST(user_id % 50 AS {st}) ELSE '' END"
+        ),
+    }
+    status_id = r"regexp_extract(url, '/status(?:es)?/([0-9]+)', 1)"
+    f["dedup_key"] = (
+        "CASE source "
+        "WHEN 'x' THEN CASE WHEN tweet_id <> '' THEN 'x:' || tweet_id "
+        f"    WHEN {status_id} <> '' THEN 'x:' || {status_id} "
+        "    ELSE 'x:' || url END "
+        "WHEN 'dex' THEN CASE WHEN tx <> '' THEN 'dex:' || tx "
+        "    ELSE 'dex:' || CASE WHEN chain_id = '' THEN 'na' ELSE chain_id END "
+        f"        || ':' || CASE WHEN pool = '' THEN 'na' ELSE pool END "
+        f"        || ':' || {bucket} END "
+        "WHEN 'goplus' THEN "
+        "    'gp:' || CASE WHEN endpoint = '' THEN 'na' ELSE endpoint END "
+        "    || '|' || CASE WHEN chain_id = '' THEN 'na' ELSE chain_id END "
+        "    || '|' || CASE WHEN address = '' THEN 'na' ELSE address END "
+        + "ELSE " + sha.format("source || '|{\"url\":\"' || url || '\"}'") + " END"
+    )
+    return f
+
+
+_D4_REF_FIELDS = ("address", "chain_id", "endpoint", "pool", "tweet_id", "tx", "url")
+
+
+def _d4_source_oracle() -> str:
+    f = _d4_keyed_fragments("duckdb")
+    ref_proj = ",\n               ".join(
+        f"{f[c]} AS {c}" for c in ("source",) + _D4_REF_FIELDS
+    )
+    merged = ",\n           ".join(
+        f"COALESCE(FIRST({c} ORDER BY ts, event_id) FILTER (WHERE {c} <> ''), '')"
+        f" AS m_{c}"
+        for c in _D4_REF_FIELDS
+    )
+    frags = ", ".join(
+        f"CASE WHEN m_{c} <> '' THEN '\"{c}\":\"' || m_{c} || '\"' END"
+        for c in _D4_REF_FIELDS
+    )
+    return f"""
+    WITH ref AS (
+        SELECT event_id, user_id, event_type, ts, value, props,
+               {ref_proj}
+        FROM events
+    ), keyed AS (
+        SELECT *, {f["dedup_key"]} AS dedup_key FROM ref
+    ), m AS (
+        SELECT dedup_key,
+           MIN(source) AS source,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_ts_us,
+           ROUND(MAX(value), 6) AS max_weight,
+           FIRST(props ORDER BY len(props) DESC, props DESC) AS longest_summary,
+           COUNT(*) AS merged_count,
+           {merged}
+        FROM keyed GROUP BY dedup_key
+    )
+    SELECT dedup_key, source, first_ts_us, max_weight, longest_summary,
+           merged_count,
+           '{{' || COALESCE(array_to_string(
+               list_filter([{frags}], x -> x IS NOT NULL), ','), '') || '}}'
+               AS ref_json
+    FROM m
+    """
+
+
+@query(
+    "d4_source_dedup_keys",
+    None,  # patched at import end (template-generated dual-dialect SQL)
+    survey_ids=(
+        "D4 full fidelity: per-source dedup-key derivation (x tweet_id/url, "
+        "dex tx/(chain,pool,ts_bucket), goplus endpoint|chain|address, "
+        "default ref-hash) + ref-union merge preferring non-empty fields"
+    ),
+)
+def d4_source_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference api/events.py:531-586 (_make_evidence_dedup_key) and
+    682-875 (merge_event_evidence strict mode): derive the per-source
+    dedup key, then merge each key's evidence — earliest ts, max weight,
+    longest summary (deterministic tiebreak, declared), and the ref
+    union preferring the first non-empty value per field, serialized as
+    sorted-key JSON. One shuffle on dedup_key; the key derivation is a
+    map-side projection inside whole-stage codegen."""
+    from ..operators.dedup import first_nonempty
+
+    f = _d4_keyed_fragments("spark")
+    ev = _events(spark, sf_dir)
+    keyed = ev.selectExpr(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        "props",
+        *[f"{f[c]} AS {c}" for c in ("source",) + _D4_REF_FIELDS],
+    ).selectExpr("*", f"{f['dedup_key']} AS dedup_key")
+    m = keyed.groupBy("dedup_key").agg(
+        F.min("source").alias("source"),
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.round(F.max("value"), 6).alias("max_weight"),
+        F.max(F.struct(F.length("props").alias("l"), F.col("props").alias("v")))[
+            "v"
+        ].alias("longest_summary"),
+        F.count(F.lit(1)).alias("merged_count"),
+        *[
+            first_nonempty(c, ["ts", "event_id"]).alias(f"m_{c}")
+            for c in _D4_REF_FIELDS
+        ],
+    )
+    frags = F.array(
+        *[
+            F.when(
+                F.col(f"m_{c}") != "",
+                F.concat(F.lit(f'"{c}":"'), F.col(f"m_{c}"), F.lit('"')),
+            )
+            for c in _D4_REF_FIELDS
+        ]
+    )
+    return m.select(
+        "dedup_key",
+        "source",
+        "first_ts_us",
+        "max_weight",
+        "longest_summary",
+        "merged_count",
+        F.concat(
+            F.lit("{"),
+            F.array_join(F.filter(frags, lambda x: x.isNotNull()), ","),
+            F.lit("}"),
+        ).alias("ref_json"),
+    )
+
+
 @query(
     "a2_topic_aggregate",
     """
@@ -762,3 +951,11 @@ def a11_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.covar_samp(F.col("value"), F.col("user_id").cast("double")), 6
         ).alias("cov_value_user"),
     )
+
+
+# Patch the template-generated D4 oracle (needs the dual-dialect fragments
+# defined above; kept out of the decorator so both dialects provably share
+# the same branch structure).
+from . import REGISTRY  # noqa: E402
+
+REGISTRY["d4_source_dedup_keys"].oracle = _d4_source_oracle()

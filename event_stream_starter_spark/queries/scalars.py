@@ -40,7 +40,7 @@ from . import query
     WITH base AS (
         SELECT doc_id,
                text,
-               'HTTP://x.co/a b @user ' || text AS raw_text,
+               'HTTP://x.co/a www.trk.io/z b spam.com, c@d.org! @user ' || text AS raw_text,
                '  $$' || source || '  '        AS raw_symbol,
                CASE WHEN doc_id % 3 = 0
                     THEN '0X' || upper(substring(sha256(text), 1, 40))
@@ -49,8 +49,12 @@ from . import query
         FROM documents
     )
     SELECT doc_id,
-           trim(regexp_replace(regexp_replace(regexp_replace(lower(raw_text),
-                'https?://\\S+', ' ', 'g'), '@\\w+', ' ', 'g'), '\\s+', ' ', 'g'))
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                lower(raw_text),
+                'https?://\\S+', '', 'g'),
+                'www\\.\\S+', '', 'g'),
+                '\\b[a-zA-Z0-9][a-zA-Z0-9-]*\\.(?:com|org|net|io|xyz|co|app|tech|ai|dev|finance|eth)[\\s,\\.!?;:]', ' ', 'g'),
+                '@\\w+', '', 'g'), '\\s+', ' ', 'g'))
                AS text_norm,
            CASE WHEN length(regexp_replace(lower(trim(raw_symbol)), '^\\$+', '')) > 0
                 THEN '$' || regexp_replace(lower(trim(raw_symbol)), '^\\$+', '')
@@ -66,7 +70,9 @@ from . import query
 )
 def c1_c3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    raw_text = F.concat(F.lit("HTTP://x.co/a b @user "), F.col("text"))
+    raw_text = F.concat(
+        F.lit("HTTP://x.co/a www.trk.io/z b spam.com, c@d.org! @user "), F.col("text")
+    )
     raw_symbol = F.concat(F.lit("  $$"), F.col("source"), F.lit("  "))
     raw_ca = (
         F.when(
