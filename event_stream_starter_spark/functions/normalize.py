@@ -52,13 +52,17 @@ def normalize_url(url: Column) -> Column:
     divergences (they only affect exotic URLs, not the dedup hot path).
     """
     c = F.regexp_replace(url, r"^http://", "https://")
-    c = F.regexp_replace(c, r"#.*$", "")  # fragment
-    c = F.regexp_replace(c, r"[?&](utm_[^=&]*|ref)=[^&]*", "")  # tracking params
+    pre = F.regexp_replace(c, r"#.*$", "")  # fragment
+    c = F.regexp_replace(pre, r"[?&](utm_[^=&]*|ref)=[^&]*", "")  # tracking params
     # Stripping a leading '?utm_...' eats the '?', leaving the survivors
     # attached with a bare '&' — promote the first dangling '&' back to
-    # '?' (anchored: [^?&]* can't skip an existing '?', so a well-formed
-    # query string is untouched and only one separator is rewritten).
-    c = F.regexp_replace(c, r"^([^?&]*)&", r"$1?")
+    # '?'. Gated on "the strip actually removed the '?'" (pre had one,
+    # post doesn't), so a URL with a literal '&' in its path and no
+    # query string (https://x.com/a&b/c) is never rewritten.
+    c = F.when(
+        pre.contains("?") & ~c.contains("?"),
+        F.regexp_replace(c, r"^([^?&]*)&", r"$1?"),
+    ).otherwise(c)
     c = F.regexp_replace(c, r"\?$", "")
     c = F.regexp_replace(c, r"/$", "")
     return c

@@ -265,6 +265,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
+    max_bucket_size: int = 2000,
+    log_fn=None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -272,6 +274,18 @@ def minhash_lsh_pairs(
     (id_a, id_b, jaccard_sim) with id_a < id_b and jaccard_sim >= threshold.
     Candidate generation touches only same-bucket pairs — the self-join is
     on the band key, never the full cross product.
+
+    `max_bucket_size` caps in-bucket pair expansion (quadratic per
+    bucket): a pathological mega-bucket — thousands of boilerplate docs
+    sharing a band key — is truncated to its first `max_bucket_size`
+    sorted ids instead of going O(n²) at 100× scale. Truncation loses
+    only pairs BOTH of whose members fall outside the kept prefix in
+    EVERY band (near-identical docs collide in most of the 16 bands, so
+    the practical recall cost is tiny; byte-identical docs should be
+    collapsed by exact dedup upstream regardless — that remains the
+    primary mitigation). Pass `log_fn` (e.g. ``logging.warning``) to
+    count and report truncated buckets — costs one extra aggregation
+    job over the (small) bucket frame, so it's opt-in.
     """
     rows_per_band = num_hashes // bands
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -308,6 +322,14 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if log_fn is not None:
+        n_over = buckets.filter(F.size("ids") > max_bucket_size).count()
+        if n_over:
+            log_fn(
+                f"minhash_lsh_pairs: {n_over} band bucket(s) over "
+                f"max_bucket_size={max_bucket_size}, truncating"
+            )
+    buckets = buckets.withColumn("ids", F.slice("ids", 1, max_bucket_size))
 
     cand = (
         buckets.select(F.explode(F.expr(_PAIR_STRUCTS_SQL.format(col="ids"))).alias("p"))
@@ -558,8 +580,14 @@ def incremental_minhash_pairs(
         if new_sigs is not None
         else minhash_signatures(new_docs, id_col, text_col, num_hashes, shingle_n)
     )
+    # Cold start included: all_sig must be persisted on EVERY path — the
+    # count + banding + verify fan-out below re-runs the shingle map ~3x
+    # otherwise, and the docstring's "returned persisted" contract (the
+    # caller unpersists) would silently not hold on a one-shot call.
     all_sig = (
-        sig_new if index is None else index.unionByName(sig_new).persist()
+        sig_new.persist()
+        if index is None
+        else index.unionByName(sig_new).persist()
     )
     # Eager cache fill: all_sig fans out into banding + verify stages
     # that launch concurrently (see minhash_lsh_pairs note).

@@ -100,14 +100,16 @@ def trailing_heat_counts(ev: DataFrame) -> DataFrame:
     fact table — three conditional sums, not three scans
     (reference api/signals/heat.py:225-295 issues three COUNT queries).
     Shared by a3_w5_heat_slope and the flagship slice so the boundary
-    operators (> / <=) can never fork between them.
+    operators (>= / <) can never fork between them — inclusive-left,
+    exclusive-right exactly as the reference's ts >= :t_10m_ago /
+    ts < :t_10m_ago predicates (heat.py:232,250,283-285).
     """
     now_t = ev.agg(F.max("ts").alias("now_ts"))
     e = ev.crossJoin(F.broadcast(now_t))
-    in_10 = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 10 MINUTES")
-    in_30 = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 30 MINUTES")
-    in_prev = (F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 20 MINUTES")) & (
-        F.col("ts") <= F.col("now_ts") - F.expr("INTERVAL 10 MINUTES")
+    in_10 = F.col("ts") >= F.col("now_ts") - F.expr("INTERVAL 10 MINUTES")
+    in_30 = F.col("ts") >= F.col("now_ts") - F.expr("INTERVAL 30 MINUTES")
+    in_prev = (F.col("ts") >= F.col("now_ts") - F.expr("INTERVAL 20 MINUTES")) & (
+        F.col("ts") < F.col("now_ts") - F.expr("INTERVAL 10 MINUTES")
     )
     return e.groupBy("event_type").agg(
         F.sum(F.when(in_10, 1).otherwise(0)).alias("cnt_10m"),

@@ -378,10 +378,10 @@ def a2_topic_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH now_t AS (SELECT MAX(ts) AS now_ts FROM events),
     counts AS (
         SELECT e.event_type,
-               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS cnt_10m,
-               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS cnt_30m,
-               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 20 MINUTE
-                         AND e.ts <= n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS prev_10m
+               CAST(SUM(CASE WHEN e.ts >= n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS cnt_10m,
+               CAST(SUM(CASE WHEN e.ts >= n.now_ts - INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS cnt_30m,
+               CAST(SUM(CASE WHEN e.ts >= n.now_ts - INTERVAL 20 MINUTE
+                         AND e.ts < n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS prev_10m
         FROM events e CROSS JOIN now_t n
         GROUP BY e.event_type
     )

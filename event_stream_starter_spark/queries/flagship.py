@@ -81,10 +81,10 @@ def _flagship_oracle() -> str:
     ), now_t AS (SELECT MAX(ts) AS now_ts FROM events),
     heat AS (
         SELECT e.event_type,
-               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS cnt_10m,
-               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS cnt_30m,
-               CAST(SUM(CASE WHEN e.ts > n.now_ts - INTERVAL 20 MINUTE
-                         AND e.ts <= n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS prev_10m
+               CAST(SUM(CASE WHEN e.ts >= n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS cnt_10m,
+               CAST(SUM(CASE WHEN e.ts >= n.now_ts - INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS cnt_30m,
+               CAST(SUM(CASE WHEN e.ts >= n.now_ts - INTERVAL 20 MINUTE
+                         AND e.ts < n.now_ts - INTERVAL 10 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS prev_10m
         FROM events e CROSS JOIN now_t n
         GROUP BY e.event_type
     )

@@ -95,33 +95,57 @@ def c1_c3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
         SELECT doc_id,
-               'http://example.com/p/' || source || '/?utm_source=x&q=' ||
-                   CAST(doc_id AS VARCHAR) || '&ref=y#frag' || CAST(doc_id % 7 AS VARCHAR)
-                   AS raw_url
+               CASE doc_id % 3
+                 WHEN 0 THEN 'http://example.com/p/' || source || '/?utm_source=x&q=' ||
+                      CAST(doc_id AS VARCHAR) || '&ref=y#frag' || CAST(doc_id % 7 AS VARCHAR)
+                 WHEN 1 THEN 'http://x.com/a&b/' || source || '/c'
+                 ELSE 'https://example.com/q?utm_medium=' || source
+               END AS raw_url
         FROM documents
+    ), s1 AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(raw_url, '^http://', 'https://'),
+                              '#.*$', '') AS pre
+        FROM base
+    ), s2 AS (
+        SELECT doc_id, pre,
+               regexp_replace(pre, '[?&](utm_[^=&]*|ref)=[^&]*', '', 'g') AS post
+        FROM s1
+    ), s3 AS (
+        SELECT doc_id,
+               CASE WHEN contains(pre, '?') AND NOT contains(post, '?')
+                    THEN regexp_replace(post, '^([^?&]*)&', '\\1?')
+                    ELSE post END AS c
+        FROM s2
     )
     SELECT doc_id,
-           regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               raw_url,
-               '^http://', 'https://'),
-               '#.*$', ''),
-               '[?&](utm_[^=&]*|ref)=[^&]*', '', 'g'),
-               '^([^?&]*)&', '\\1?'),
-               '\\?$', ''),
-               '/$', '') AS url_norm
-    FROM base
+           regexp_replace(regexp_replace(c, '\\?$', ''), '/$', '') AS url_norm
+    FROM s3
     """,
     survey_ids="C2 (_normalize_url: https, drop fragment/tracking params/trailing slash)",
 )
 def c2_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    raw = F.concat(
-        F.lit("http://example.com/p/"),
-        F.col("source"),
-        F.lit("/?utm_source=x&q="),
-        F.col("doc_id").cast("string"),
-        F.lit("&ref=y#frag"),
-        (F.col("doc_id") % 7).cast("string"),
+    # Three shapes: tracking params mid-query (repair promotes '&'→'?'),
+    # a literal '&' in the path with NO query (must NOT be rewritten —
+    # the gated repair), and a tracking-only query (strip + '?' cleanup).
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("http://example.com/p/"),
+                F.col("source"),
+                F.lit("/?utm_source=x&q="),
+                F.col("doc_id").cast("string"),
+                F.lit("&ref=y#frag"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://x.com/a&b/"), F.col("source"), F.lit("/c")),
+        )
+        .otherwise(F.concat(F.lit("https://example.com/q?utm_medium="), F.col("source")))
     )
     return docs.select("doc_id", normalize_url(raw).alias("url_norm"))
 
@@ -723,3 +747,94 @@ def e3_e5_entity_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(sources, lambda s: F.array_contains(allowed, s)), "|"
         ).alias("allowed_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F4: budgeted URL expansion (deterministic variant)
+# ---------------------------------------------------------------------------
+
+
+def _f4_sql(dialect: str) -> str:
+    """Deterministic F4 (reference api/normalize/x.py:108-152): the
+    reference expands short URLs over live HTTP with a 2s/URL timeout
+    (HEAD then GET), a 5s/tweet total budget on a 4-worker pool, and
+    fail-open (original URL on any failure; ALL originals when the
+    tweet budget trips — the outer `except` returns `urls` wholesale).
+
+    This variant replaces the network with a url-mapping DIMENSION
+    (short_id → expanded URL + deterministic resolve cost) so the laws
+    are oracle-checkable:
+      - cost ≤ 2s → resolves in `cost`; cost > 2s → both HEAD and GET
+        time out, consuming 4s, URL falls back to the original;
+      - tweet budget model (declared): 4-worker makespan lower bound
+        max(max_cost, sum_cost/4) > 5s → budget exceeded → every URL
+        of that tweet reverts to the original;
+      - mapping miss (20% of ids) → both timeouts burn (4s), then
+        fail-open to the original.
+    Costs are integer DECISECONDS so the schedule arithmetic is exact
+    in both engines (no float-sum order dependence). The mapping join
+    is a broadcast (dimension is 400 rows; the S5-S7 posture), URL
+    fan-out is a 3-row range join — map-side, no shuffle beyond the
+    per-tweet rollup.
+    """
+    rng = "range(6) t(j)" if dialect == "duckdb" else "(SELECT id AS j FROM range(6)) t"
+    rng_dim = (
+        "range(400) r(short_id)"
+        if dialect == "duckdb"
+        else "(SELECT id AS short_id FROM range(400)) r"
+    )
+    st = "VARCHAR" if dialect == "duckdb" else "STRING"
+    return f"""
+    WITH mapping AS (
+        SELECT short_id,
+               'https://example.com/article/' || CAST(short_id AS {st}) AS expanded,
+               CAST((short_id * 13) % 50 AS INTEGER) AS cost_ds
+        FROM {rng_dim}
+        WHERE short_id % 5 <> 0
+    ), tweet_urls AS (
+        SELECT e.event_id, CAST(t.j AS INTEGER) AS url_pos,
+               (e.event_id * 7 + t.j) % 400 AS short_id,
+               'https://sho.rt/' || CAST((e.event_id * 7 + t.j) % 400 AS {st})
+                   AS short_url
+        FROM events e, {rng}
+        WHERE t.j <= e.event_id % 6
+    ), attempted AS (
+        SELECT u.event_id, u.url_pos, u.short_url, m.expanded,
+               m.cost_ds,
+               -- timeout path burns HEAD(2s) + GET(2s) = 40 ds; a
+               -- mapping MISS is a dead short URL: it still burns both
+               -- timeouts before failing open (the reference's resolve()
+               -- has no fast-path for unresolvable hosts)
+               CASE WHEN m.cost_ds IS NULL THEN 40
+                    WHEN m.cost_ds <= 20 THEN m.cost_ds
+                    ELSE 40 END AS attempt_ds
+        FROM tweet_urls u LEFT JOIN mapping m ON u.short_id = m.short_id
+    ), budget AS (
+        SELECT event_id,
+               MAX(attempt_ds) AS max_ds,
+               SUM(attempt_ds) AS sum_ds
+        FROM attempted GROUP BY event_id
+    )
+    SELECT a.event_id, a.url_pos, a.short_url,
+           (b.max_ds > 50 OR b.sum_ds > 200) AS budget_exceeded,
+           CASE WHEN b.max_ds > 50 OR b.sum_ds > 200 THEN a.short_url
+                WHEN a.expanded IS NOT NULL AND a.cost_ds <= 20 THEN a.expanded
+                ELSE a.short_url END AS final_url,
+           (NOT (b.max_ds > 50 OR b.sum_ds > 200))
+               AND a.expanded IS NOT NULL AND a.cost_ds <= 20 AS expanded
+    FROM attempted a JOIN budget b ON a.event_id = b.event_id
+    """
+
+
+@query(
+    "f4_url_expand_budget",
+    _f4_sql("duckdb"),
+    survey_ids=(
+        "F4 (budgeted URL expansion, deterministic variant: 2s/URL "
+        "timeout, 5s/tweet 4-worker budget model, fail-open to the "
+        "original URL; mapping dimension instead of live HTTP)"
+    ),
+)
+def f4_url_expand_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_f4_sql("spark"))

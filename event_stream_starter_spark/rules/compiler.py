@@ -100,6 +100,12 @@ class RuleCompileError(ValueError):
 # slice_first(arr, 1, k) must mean "first k elements" in both dialects
 # (Spark slice is (start, length); DuckDB list_slice is (begin, end),
 # which coincide when start == 1).
+# The dedup macro inlines {arr} twice (once as the filter source, once
+# inside the position lookup), so the emitted SQL grows with
+# 2 x ruleset-size and evaluation is O(n^2) per row in the reason-array
+# length. Reason arrays are capped at rule count (dozens) so this is
+# fine; if rulesets ever grow large, bind the array once via a subquery
+# alias or move dedup to the aggregate side.
 _DIALECTS: dict[str, dict[str, str]] = {
     "spark": {
         "array": "array",

@@ -42,10 +42,11 @@ class MetricsListener(StreamingQueryListener):
         self._lock = threading.Lock()
 
     def _m(self, name: str) -> QueryMetrics:
-        with self._lock:
-            return self.metrics.setdefault(name, QueryMetrics(name=name))
+        # Caller must hold self._lock.
+        return self.metrics.setdefault(name, QueryMetrics(name=name))
 
     def _key(self, name: str | None, qid) -> str:
+        # Caller must hold self._lock (the _names map is shared state).
         # Termination events carry NO name — only the id. Remember the
         # id→name binding from start/progress so a named query's
         # terminated status and errors land in the SAME entry the
@@ -55,43 +56,50 @@ class MetricsListener(StreamingQueryListener):
             return name
         return self._names.get(str(qid), str(qid))
 
+    # Each callback holds the lock across its WHOLE mutation, and
+    # snapshot() copies field values inside the lock — otherwise a
+    # concurrent snapshot can observe a torn update (n_batches bumped,
+    # total_input_rows not yet).
+
     def onQueryStarted(self, event) -> None:
-        self._m(self._key(event.name, event.id)).last_event = "started"
+        with self._lock:
+            self._m(self._key(event.name, event.id)).last_event = "started"
 
     def onQueryProgress(self, event) -> None:
         p = json.loads(event.progress.json)
-        m = self._m(self._key(p.get("name"), p["id"]))
-        m.n_batches += 1
-        m.total_input_rows += int(p.get("numInputRows") or 0)
-        dur = p.get("durationMs") or {}
-        m.last_batch_duration_ms = int(dur.get("triggerExecution") or 0)
-        m.last_rows_per_sec = float(p.get("processedRowsPerSecond") or 0.0)
-        ops = p.get("stateOperators") or []
-        if ops:
-            m.last_state_rows = sum(int(o.get("numRowsTotal") or 0) for o in ops)
-        m.last_event = "progress"
+        with self._lock:
+            m = self._m(self._key(p.get("name"), p["id"]))
+            m.n_batches += 1
+            m.total_input_rows += int(p.get("numInputRows") or 0)
+            dur = p.get("durationMs") or {}
+            m.last_batch_duration_ms = int(dur.get("triggerExecution") or 0)
+            m.last_rows_per_sec = float(p.get("processedRowsPerSecond") or 0.0)
+            ops = p.get("stateOperators") or []
+            if ops:
+                m.last_state_rows = sum(int(o.get("numRowsTotal") or 0) for o in ops)
+            m.last_event = "progress"
 
     def onQueryTerminated(self, event) -> None:
-        m = self._m(self._key(None, event.id))
-        m.last_event = "terminated"
-        if event.exception:
-            m.errors.append(str(event.exception))
+        with self._lock:
+            m = self._m(self._key(None, event.id))
+            m.last_event = "terminated"
+            if event.exception:
+                m.errors.append(str(event.exception))
 
     def onQueryIdle(self, event) -> None:  # pragma: no cover - timing dependent
         pass
 
     def snapshot(self) -> dict[str, dict]:
         with self._lock:
-            items = list(self.metrics.items())
-        return {
-            k: {
-                "n_batches": m.n_batches,
-                "total_input_rows": m.total_input_rows,
-                "last_batch_duration_ms": m.last_batch_duration_ms,
-                "last_rows_per_sec": m.last_rows_per_sec,
-                "last_state_rows": m.last_state_rows,
-                "last_event": m.last_event,
-                "errors": list(m.errors),
+            return {
+                k: {
+                    "n_batches": m.n_batches,
+                    "total_input_rows": m.total_input_rows,
+                    "last_batch_duration_ms": m.last_batch_duration_ms,
+                    "last_rows_per_sec": m.last_rows_per_sec,
+                    "last_state_rows": m.last_state_rows,
+                    "last_event": m.last_event,
+                    "errors": list(m.errors),
+                }
+                for k, m in self.metrics.items()
             }
-            for k, m in items
-        }

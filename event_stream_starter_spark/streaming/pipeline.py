@@ -65,15 +65,61 @@ def heat_counts_stream(df: DataFrame, watermark: str = "30 minutes") -> DataFram
 def topic_counts_stream(df: DataFrame) -> DataFrame:
     """A2 streaming form (SURVEY §3.3: the interactive read becomes a
     lookup into a continuously-updated result table): a RUNNING per-topic
-    aggregate in complete mode — unlike the windowed heat stream, state
-    here is one row per topic_hash (bounded by topic cardinality, not
-    time), refreshed each micro-batch. Must equal a2_topic_aggregate
-    batch semantics on the same input (asserted in tests)."""
+    aggregate in complete mode — state is one row per topic_hash (bounded
+    by topic cardinality, not time). Fine while topics stay bounded; the
+    100TB/unbounded-topic path is `topic_counts_windowed_stream` +
+    `topic_rollup_batch` (watermark-bounded state, update mode)."""
     topic = F.substring(F.sha2((F.col("user_id") % 50).cast("string"), 256), 1, 12)
     return df.groupBy(topic.alias("topic_hash")).agg(
         F.count(F.lit(1)).alias("mention_count"),
         F.unix_micros(F.max("ts")).alias("last_ts_us"),
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("entities"),
+    )
+
+
+def topic_counts_windowed_stream(
+    df: DataFrame, watermark: str = "30 minutes", window: str = "10 minutes"
+) -> DataFrame:
+    """A2 scale form (reference worker/jobs/topic_aggregate.py:36-150
+    cadence refresh): watermark-bounded tumbling-window per-topic
+    aggregate in UPDATE mode. State = topics × windows still inside the
+    watermark — bounded by TIME, not by all-time topic cardinality, so
+    it survives an unbounded topic space where complete mode cannot.
+    Each emitted row is one (window, topic) partial; the A2 running
+    totals are derived downstream by `topic_rollup_batch` over the
+    last emit per (window, topic) — the keyed-upsert read side (S8).
+    Late rows beyond the watermark are dropped (declared ST3 law)."""
+    topic = F.substring(F.sha2((F.col("user_id") % 50).cast("string"), 256), 1, 12)
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), topic.alias("topic_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("mention_count"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+            F.array_sort(F.collect_set("event_type")).alias("entities_set"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "topic_hash",
+            "mention_count",
+            "last_ts_us",
+            "entities_set",
+        )
+    )
+
+
+def topic_rollup_batch(window_rows: DataFrame) -> DataFrame:
+    """Merge windowed topic partials into the A2 per-topic totals
+    (mention sum, max ts, sorted entity-set union) — same output shape
+    as a2_topic_aggregate. Input must already be last-emit-per-
+    (window, topic); in update mode the sink upserts on that key."""
+    return window_rows.groupBy("topic_hash").agg(
+        F.sum("mention_count").alias("mention_count"),
+        F.max("last_ts_us").alias("last_ts_us"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("entities_set")))),
+            ",",
+        ).alias("entities"),
     )
 
 

@@ -56,6 +56,37 @@ def test_minhash_lsh_precision_1_and_high_recall(spark, sf_dir):
         assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} true pairs"
 
 
+def test_minhash_lsh_mega_bucket_cap_fires_and_bounds_pairs(spark):
+    """A boilerplate mega-bucket (60 near-identical docs, all colliding
+    in every band) must be truncated to max_bucket_size — the quadratic
+    in-bucket expansion is bounded by C(cap, 2) pairs, never C(60, 2) —
+    and the opt-in log_fn reports the truncation."""
+    from event_stream_starter_spark.operators.dedup import minhash_lsh_pairs
+
+    # 60 docs sharing one long boilerplate body (identical shingle sets →
+    # identical signatures → one bucket per band) + 2 unrelated docs.
+    body = " ".join(f"w{i}" for i in range(40))
+    rows = [(i, body) for i in range(60)]
+    rows += [(100, "completely different text about other things entirely x y"),
+             (101, "another unrelated document with its own vocabulary a b c")]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    logs: list[str] = []
+    pairs = minhash_lsh_pairs(
+        df, "id", "text", threshold=0.5, max_bucket_size=10, log_fn=logs.append
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # Cap fired and was reported.
+    assert logs and "truncating" in logs[0]
+    # Identical docs all land in the same kept prefix (sorted ids 0..9 per
+    # bucket), so the emitted pair set is exactly C(10,2) — quadratic in
+    # the CAP, not in the mega-bucket size.
+    assert got == {(a, b) for a in range(10) for b in range(a + 1, 10)}
+    # Without the cap the same input yields the full C(60,2) expansion.
+    full = minhash_lsh_pairs(df, "id", "text", threshold=0.5)
+    assert full.count() == 60 * 59 // 2
+
+
 def test_simhash_banding_finds_exact_hamming_pair_set(spark, sf_dir):
     """Pigeonhole guarantee: with 4 bands of 16 bits, any pair within
     hamming<=3 shares at least one identical band — so the banded result

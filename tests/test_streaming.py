@@ -8,6 +8,7 @@ import os
 
 import pyspark.sql.functions as F
 import pytest
+from pyspark.sql import Window
 
 from event_stream_starter_spark.streaming import outbox as ob
 from event_stream_starter_spark.streaming.keyed_table import (
@@ -774,6 +775,64 @@ def test_topic_counts_stream_equals_batch_query(spark, landing, tmp_path):
         "last_ts_us",
         "entities",
     } == set(a2.fn(spark, "/root/testdata/sf0.001").columns)
+
+
+def test_topic_windowed_stream_update_mode_equals_batch(spark, landing, tmp_path):
+    """A2 scale form: watermark-bounded windowed aggregate in UPDATE mode
+    (state = topics × live windows, NOT all-time topics) + last-emit-wins
+    rollup must equal the a2 batch totals over the same rows. The landing
+    split is multi-file (maxFilesPerTrigger=2 over 8 files), so several
+    micro-batches genuinely re-emit updated window partials; the
+    watermark is wider than the data span so no row is late-dropped and
+    exact equality is provable (the drop law itself is ST3-declared)."""
+    from event_stream_starter_spark.streaming.pipeline import (
+        topic_counts_stream,
+        topic_counts_windowed_stream,
+        topic_rollup_batch,
+    )
+
+    out_dir = str(tmp_path / "topic_windows")
+    stream = topic_counts_windowed_stream(
+        events_file_stream(spark, landing, max_files_per_trigger=2),
+        watermark="365 days",
+    )
+
+    def sink(batch, batch_id):
+        batch.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_topic_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.read.parquet(out_dir)
+    n_batches = emitted.select("batch_id").distinct().count()
+    assert n_batches > 1, "expected multiple micro-batches (update re-emits)"
+
+    # Last emit wins per (window, topic) — the S8 keyed-upsert read side.
+    w = Window.partitionBy("window_start_us", "topic_hash").orderBy(
+        F.col("batch_id").desc()
+    )
+    latest = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "batch_id")
+    )
+    streamed = {
+        r["topic_hash"]: (r["mention_count"], r["last_ts_us"], r["entities"])
+        for r in topic_rollup_batch(latest).collect()
+    }
+    batch = {
+        r["topic_hash"]: (r["mention_count"], r["last_ts_us"], r["entities"])
+        for r in topic_counts_stream(spark.read.parquet(landing)).collect()
+    }
+    assert streamed == batch
 
 
 def test_backoff_transient_4xx_and_short_429(spark):
