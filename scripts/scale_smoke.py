@@ -11,11 +11,12 @@ run manually: `python scripts/scale_smoke.py [n_events]`.
 The synthetic table matches the driver schema (FIXTURES.md §B) so every
 events-table query runs unmodified.
 
-Measured (local[32], 2026-08-14, 1M events = 10x sf0.1, best clean
-run): c4 dedup 3.7s, a1 upsert 2.4s, a2 topics 1.4s, a3/w5 heat 1.4s,
-w2 growth 2.0s, w7 latest 1.1s, st9 percentiles 1.2s, j6 asof 2.4s,
-d2 fingerprint 1.3s, flagship 3.0s — ~2-4x the sf0.1 times for 10x
-the rows (shuffle-parallel sub-linear scaling; ~500k rows/s/query).
+Measured (local[32], 2026-08-14 round 2, 1M events = 10x sf0.1, best
+clean run): c4 dedup 4.0s, a1 upsert 3.3s, a2 topics 1.9s, a3/w5 heat
+2.4s, w2 growth 2.9s, w7 latest 1.6s, st9 percentiles 1.9s, j6 asof
+3.4s, d2 fingerprint 2.0s, flagship 4.3s — ~2-4x the sf0.1 times for
+10x the rows (shuffle-parallel sub-linear scaling); numbers drift
+run-to-run with the co-resident process, see NOISE CAVEAT.
 
 Doc corpus (50k docs = 10x sf0.1, every doc in a 10-copy near-dup
 clique): text stats 1.2s, exact dedup 0.9s, decontaminate 3.1s,
