@@ -68,6 +68,9 @@ HEADLINE = [
     "u4_u6_rules_refiner",
     "t8_mmr_keyphrases",
     "mm_media_features",
+    "d4_source_dedup_keys",
+    "j3_card_render",
+    "f4_url_expand_budget",
     "flagship_heat_rules",
     "e2e_pipeline_trace",
     "e2e_corpus_prep",

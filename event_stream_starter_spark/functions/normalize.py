@@ -44,16 +44,20 @@ def normalize_text(text: Column) -> Column:
 
 
 def normalize_url(url: Column) -> Column:
-    """Canonicalize a URL: https scheme, drop fragment, drop trailing slash,
-    drop utm_*/ref query params.
+    """Canonicalize a URL: https scheme, drop fragment, drop trailing
+    slashes, drop utm_*/ref/ref_src query params, sort surviving params.
 
-    Reference: api/events.py:123-173 (_normalize_url). IDN punycode and
-    query-param sorting need a real URL parser and are documented
-    divergences (they only affect exotic URLs, not the dedup hot path).
+    Reference: api/events.py:123-173 (_normalize_url). Declared
+    divergences (need a real URL parser; exotic-URL-only): IDN punycode
+    and default-port dropping; param sort orders the raw 'k=v' fragments
+    (binary collation) instead of (lowercased-key, value) tuples — equal
+    whenever keys are lowercase and '='-free, the overwhelming case.
     """
     c = F.regexp_replace(url, r"^http://", "https://")
     pre = F.regexp_replace(c, r"#.*$", "")  # fragment
-    c = F.regexp_replace(pre, r"[?&](utm_[^=&]*|ref)=[^&]*", "")  # tracking params
+    c = F.regexp_replace(
+        pre, r"[?&](utm_[^=&]*|ref|ref_src)=[^&]*", ""
+    )  # tracking params
     # Stripping a leading '?utm_...' eats the '?', leaving the survivors
     # attached with a bare '&' — promote the first dangling '&' back to
     # '?'. Gated on "the strip actually removed the '?'" (pre had one,
@@ -63,8 +67,16 @@ def normalize_url(url: Column) -> Column:
         pre.contains("?") & ~c.contains("?"),
         F.regexp_replace(c, r"^([^?&]*)&", r"$1?"),
     ).otherwise(c)
+    # Sort surviving query params for stability (reference q.sort()).
+    qpos = F.instr(c, "?")
+    base = F.substring(c, F.lit(1), qpos - 1)
+    query = F.substring(c, qpos + 1, F.length(c))
+    c = F.when(
+        (qpos > 0) & (F.length(query) > 0),
+        F.concat(base, F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")),
+    ).otherwise(c)
     c = F.regexp_replace(c, r"\?$", "")
-    c = F.regexp_replace(c, r"/$", "")
+    c = F.regexp_replace(c, r"/+$", "")
     return c
 
 

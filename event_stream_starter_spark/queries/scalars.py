@@ -96,9 +96,9 @@ def c1_c3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT doc_id,
                CASE doc_id % 3
-                 WHEN 0 THEN 'http://example.com/p/' || source || '/?utm_source=x&q=' ||
-                      CAST(doc_id AS VARCHAR) || '&ref=y#frag' || CAST(doc_id % 7 AS VARCHAR)
-                 WHEN 1 THEN 'http://x.com/a&b/' || source || '/c'
+                 WHEN 0 THEN 'http://example.com/p/' || source || '/?z=9&utm_source=x&a=' ||
+                      CAST(doc_id AS VARCHAR) || '&ref=y&ref_src=tw#frag' || CAST(doc_id % 7 AS VARCHAR)
+                 WHEN 1 THEN 'http://x.com/a&b/' || source || '/c//'
                  ELSE 'https://example.com/q?utm_medium=' || source
                END AS raw_url
         FROM documents
@@ -109,7 +109,7 @@ def c1_c3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base
     ), s2 AS (
         SELECT doc_id, pre,
-               regexp_replace(pre, '[?&](utm_[^=&]*|ref)=[^&]*', '', 'g') AS post
+               regexp_replace(pre, '[?&](utm_[^=&]*|ref|ref_src)=[^&]*', '', 'g') AS post
         FROM s1
     ), s3 AS (
         SELECT doc_id,
@@ -117,10 +117,18 @@ def c1_c3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN regexp_replace(post, '^([^?&]*)&', '\\1?')
                     ELSE post END AS c
         FROM s2
+    ), s4 AS (
+        SELECT doc_id,
+               CASE WHEN instr(c, '?') > 0 AND length(c) > instr(c, '?')
+                    THEN substring(c, 1, instr(c, '?') - 1) || '?' ||
+                         array_to_string(list_sort(string_split(
+                             substring(c, instr(c, '?') + 1, length(c)), '&')), '&')
+                    ELSE c END AS c
+        FROM s3
     )
     SELECT doc_id,
-           regexp_replace(regexp_replace(c, '\\?$', ''), '/$', '') AS url_norm
-    FROM s3
+           regexp_replace(regexp_replace(c, '\\?$', ''), '/+$', '') AS url_norm
+    FROM s4
     """,
     survey_ids="C2 (_normalize_url: https, drop fragment/tracking params/trailing slash)",
 )
@@ -135,15 +143,15 @@ def c2_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.lit("http://example.com/p/"),
                 F.col("source"),
-                F.lit("/?utm_source=x&q="),
+                F.lit("/?z=9&utm_source=x&a="),
                 F.col("doc_id").cast("string"),
-                F.lit("&ref=y#frag"),
+                F.lit("&ref=y&ref_src=tw#frag"),
                 (F.col("doc_id") % 7).cast("string"),
             ),
         )
         .when(
             F.col("doc_id") % 3 == 1,
-            F.concat(F.lit("http://x.com/a&b/"), F.col("source"), F.lit("/c")),
+            F.concat(F.lit("http://x.com/a&b/"), F.col("source"), F.lit("/c//")),
         )
         .otherwise(F.concat(F.lit("https://example.com/q?utm_medium="), F.col("source")))
     )
