@@ -60,6 +60,7 @@ HEADLINE = [
     "x_decontaminate",
     "x_pack_sequences",
     "x_repetition_filter",
+    "x_pii_scrub",
     "x_ngram_topk",
     "x_boilerplate_frac",
     "x_boilerplate_strip",

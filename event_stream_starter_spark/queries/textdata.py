@@ -1142,3 +1142,107 @@ def x_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v -> cast(v as string)), '|')"
         ).alias("winnow_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data redaction pass)
+# ---------------------------------------------------------------------------
+
+# One pattern list, applied in ORDER (emails first so their digits never
+# feed the phone/number rules; card-length digit runs before the looser
+# phone shape). Shared verbatim by both dialects — RE2 (DuckDB) and Java
+# (Spark) agree on this subset (\d, \b, classes, bounded repeats).
+_PII_RULES = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnums", r"\b\d{13,19}\b", "<IDNUM>"),
+    ("phones", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def _pii_oracle() -> str:
+    # The corpus is synthetic word salad, so PII is INJECTED
+    # deterministically per doc_id — every rule fires on a known subset.
+    inject = (
+        "text"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' contact bob@example.com now' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 123-4567 today' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.77 addr' ELSE '' END"
+        " || CASE WHEN doc_id % 9 = 0 THEN ' card 4111111111111111 on file' ELSE '' END"
+    )
+    # Progressive CTE chain: each rule counts on the text AFTER the
+    # previous rules scrubbed it, so an IP or card run never also counts
+    # as a phone — same fold as the Spark side.
+    ctes, cur = [], "t0"
+    for i, (name, pat, repl) in enumerate(_PII_RULES):
+        nxt = f"t{i + 1}"
+        prev = "base" if i == 0 else f"s{i - 1}"
+        carried = "".join(f", n_{n}" for n, _, _ in _PII_RULES[:i])
+        ctes.append(
+            f"s{i} AS (SELECT doc_id{carried}, "
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace({cur}, '{pat}', '{repl}', 'g') AS {nxt} FROM {prev})"
+        )
+        cur = nxt
+    n_cols = ", ".join(f"n_{n}" for n, _, _ in _PII_RULES)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {inject} AS t0 FROM documents
+    ), {', '.join(ctes)}
+    SELECT doc_id, {n_cols},
+           {cur} AS scrubbed,
+           ({' + '.join(f'n_{n}' for n, _, _ in _PII_RULES)}) > 0 AS has_pii
+    FROM s{len(_PII_RULES) - 1}
+    """
+
+
+@query(
+    "x_pii_scrub",
+    None,  # patched below (template shares the rule table)
+    survey_ids=(
+        "training-pipeline: PII redaction pass (email/IP/id-number/phone "
+        "typed counts + ordered scrub) — standard pre-training hygiene"
+    ),
+)
+def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact PII with typed counts, map-only inside codegen.
+
+    The rule ORDER is part of the contract: emails are replaced before
+    the digit rules (an email's digits must not count as a phone), and
+    card-length digit runs before the looser phone shape. Counts are
+    taken on the PRE-scrub text per rule; `has_pii` is the union match.
+    Map-only projection — at 100TB this is one scan, no shuffle, and
+    the regex work stays JVM-side (no Python in the hot path).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    t = F.concat(
+        t,
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" contact bob@example.com now")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 (555) 123-4567 today")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" from 192.168.1.77 addr")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" card 4111111111111111 on file")).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", t.alias("t0"))
+    # Progressive fold mirroring the oracle CTE chain: count rule i on
+    # the text already scrubbed by rules < i, then apply rule i.
+    df = base
+    for i, (name, pat, repl) in enumerate(_PII_RULES):
+        cur, nxt = f"t{i}", f"t{i + 1}"
+        df = df.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(cur), F.lit(pat), 0)).cast("long"),
+        ).withColumn(nxt, F.regexp_replace(F.col(cur), pat, repl))
+    n_cols = [f"n_{name}" for name, _, _ in _PII_RULES]
+    total = sum((F.col(c) for c in n_cols[1:]), F.col(n_cols[0]))
+    return df.select(
+        "doc_id",
+        *n_cols,
+        F.col(f"t{len(_PII_RULES)}").alias("scrubbed"),
+        (total > 0).alias("has_pii"),
+    )
+
+
+from . import REGISTRY as _REG2  # noqa: E402
+
+_REG2["x_pii_scrub"].oracle = _pii_oracle()
