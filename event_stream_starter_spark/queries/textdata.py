@@ -643,6 +643,58 @@ def x_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_split_leakage_safe",
+    """
+    WITH fp AS (
+        SELECT doc_id, source,
+               substring(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+                   AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, source, fingerprint,
+           CASE
+               WHEN substr(md5(fingerprint), 1, 4) < '028f' THEN 'val'
+               WHEN substr(md5(fingerprint), 1, 4) < '051e' THEN 'test'
+               ELSE 'train'
+           END AS split
+    FROM fp
+    """,
+    survey_ids=(
+        "training-pipeline: leakage-safe split — assignment hashes the "
+        "CONTENT fingerprint, so exact duplicates can never straddle "
+        "train/test (the eval-leak x_decontaminate exists to catch)"
+    ),
+)
+def x_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split keyed on the content fingerprint.
+
+    x_split_assign hashes doc_id — two byte-identical docs with
+    different ids can land in different splits and leak eval text into
+    training. Hashing the C14 content fingerprint instead puts every
+    exact-duplicate group wholly inside ONE split (the group shares the
+    key, hence the bucket) while keeping all of x_split_assign's
+    properties: deterministic, seed-free, growth-stable, map-only, no
+    shuffle. Near-dup (not just exact) leakage-safety composes the
+    dd_cluster_canonical cluster id as the key the same way — that
+    variant inherits the clustering job's cost, so the fingerprint form
+    is the default. The same fingerprint expression as dd_exact_dedup
+    (operators/textan.doc_fingerprint) — one law, one place.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = textan.doc_fingerprint(F.col("text"))
+    bucket = F.substring(F.md5(fp), 1, 4)
+    return docs.select(
+        "doc_id",
+        "source",
+        fp.alias("fingerprint"),
+        F.when(bucket < "028f", F.lit("val"))
+        .when(bucket < "051e", F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+@query(
     "x_quality_bins",
     f"""
     WITH q AS (
