@@ -895,9 +895,10 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition — mark session starts where the gap to the previous
     event exceeds the threshold, running-sum the marks into session ids,
     aggregate per (user, session). Two window passes over ONE
-    sort+shuffle on user_id (the session_window streaming analog is in
-    streaming/pipeline.py's windowed aggregations). The standard batch
-    sessionizer for training-data pipelines."""
+    sort+shuffle on user_id. The streaming analog is
+    streaming/pipeline.sessionized_stream (session_window + watermark,
+    append-mode emit of closed sessions; parity-tested). The standard
+    batch sessionizer for training-data pipelines."""
     ev = _events(spark, sf_dir)
     us = F.unix_micros("ts")
     w_order = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))

@@ -123,6 +123,39 @@ def topic_rollup_batch(window_rows: DataFrame) -> DataFrame:
     )
 
 
+def sessionized_stream(
+    df: DataFrame, gap: str = "30 minutes", watermark: str = "1 minute"
+) -> DataFrame:
+    """x_sessionize's streaming analog: gap-based session windows via
+    `session_window` (state merges adjacent partial sessions as events
+    arrive; watermark finalizes a session once no event can extend it).
+
+    Emits one row per closed session in APPEND mode: a session is
+    final when the watermark passes its end (last event + gap), the
+    exact cutover the batch query's lag+cumsum composition computes
+    after the fact. Same output contract as x_sessionize
+    (session_start/end = first/last event micros, n_events); the
+    ordinal session_no is inherently batch (it numbers a user's full
+    history) and is derived downstream if needed. State is bounded by
+    open sessions inside the watermark — never by history."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+        .select(
+            "user_id",
+            "session_start_us",
+            "session_end_us",
+            "n_events",
+            (F.col("session_end_us") - F.col("session_start_us")).alias("duration_us"),
+        )
+    )
+
+
 def decontaminated_stream(docs: DataFrame, eval_grams: DataFrame, n: int = 13) -> DataFrame:
     """Streaming test-set decontamination, probe half: the
     x_decontaminate expressions as a STATELESS stream.

@@ -835,6 +835,74 @@ def test_topic_windowed_stream_update_mode_equals_batch(spark, landing, tmp_path
     assert streamed == batch
 
 
+def test_sessionized_stream_append_equals_batch_closed_sessions(
+    spark, landing, tmp_path
+):
+    """Gap-sessionization stream==batch parity: `session_window` in batch
+    mode must group exactly like x_sessionize's lag+cumsum composition,
+    and the APPEND-mode stream must emit exactly the sessions the
+    watermark has closed (end < final watermark). Single-batch ingest so
+    no row can be late-dropped; the drop law itself is ST3-declared."""
+    from event_stream_starter_spark.streaming.pipeline import sessionized_stream
+
+    # Batch form of the same session_window aggregation.
+    batch = sessionized_stream(spark.read.parquet(landing))
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in batch.collect()
+    }
+    want = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in _sessionize_batch_oracle(spark, landing).collect()
+    }
+    assert got == want
+
+    # Streaming append: one mega-batch (no late data possible), then the
+    # availableNow closing trigger advances the watermark and flushes
+    # closed sessions.
+    stream = sessionized_stream(
+        events_file_stream(spark, landing, max_files_per_trigger=1000),
+        watermark="1 minute",
+    )
+    run_to_memory_table(stream, "sess_tbl", str(tmp_path / "ck_sess"), "append")
+    streamed = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.table("sess_tbl").collect()
+    }
+    max_ts_us = (
+        spark.read.parquet(landing).agg(F.max(F.unix_micros("ts"))).first()[0]
+    )
+    cutoff = max_ts_us - 60 * 1_000_000  # final watermark
+    closed = {s for s in want if s[2] + 30 * 60 * 1_000_000 < cutoff}
+    assert streamed == closed
+    assert streamed, "watermark closed no sessions — test vacuous"
+
+
+def _sessionize_batch_oracle(spark, landing):
+    """x_sessionize's lag+cumsum law applied to the landing copy (same
+    rows, different directory than the registered query's sf_dir)."""
+    ev = spark.read.parquet(landing)
+    us = F.unix_micros("ts")
+    w_order = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    gap = us - F.lag(us).over(w_order)
+    is_start = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    numbered = ev.select(
+        "user_id", "event_id", us.alias("ts_us"), is_start.alias("is_start")
+    ).withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def test_backoff_transient_4xx_and_short_429(spark):
     """Reference parity (outbox_retry.py:267-313): 429 without
     Retry-After backs off 1-3s (not the moderate-exponential branch);
