@@ -53,6 +53,7 @@ HEADLINE = [
     "c13_keyphrases",
     "w8_series_split",
     "j6_asof_snapshot_enrich",
+    "j9_interval_join",
     "st9_latency_percentiles",
     "w10_rolling_range_sum",
     "x_sessionize",

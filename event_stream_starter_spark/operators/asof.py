@@ -94,3 +94,48 @@ def asof_join(
             *[F.col(f"__r.{c}").alias(c) for c in right_cols],
         )
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    keys: Sequence[str],
+    ts_us: str = "ts_us",
+    start_us: str = "start_us",
+    end_us: str = "end_us",
+    granule_us: int = 3600 * 1_000_000,
+) -> DataFrame:
+    """Interval (range) join: event rows matched to every interval with
+    ``start_us <= ts < end_us`` on the same key — via GRANULE BUCKETING,
+    never a range-condition join.
+
+    A raw range predicate join has no equi-key, so Catalyst plans a
+    (broadcast) nested loop — quadratic at scale. Instead both sides
+    are mapped onto a fixed time granule: an event belongs to exactly
+    one granule (its timestamp's), an interval EXPLODES into the
+    granules it covers (ceil(len/granule) rows), and the join becomes a
+    plain hash equi-join on (keys…, granule) with the exact containment
+    predicate as a post-filter. Each (event, interval) pair meets at
+    most once — the event side has one granule row — so no dedup pass
+    is needed. One shuffle per side; explosion factor = interval length
+    / granule (pick the granule near the TYPICAL interval length; a hot
+    granule shards with the standard salting from operators/skew).
+
+    Intervals with ``end_us <= start_us`` are dropped (empty by the
+    half-open contract; also keeps the granule sequence ascending).
+    """
+    g = int(granule_us)
+    ev = events.withColumn("__g", F.expr(f"{ts_us} div {g}"))
+    iv = intervals.filter(F.col(end_us) > F.col(start_us)).withColumn(
+        "__g",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start_us} div {g}"), F.expr(f"({end_us} - 1) div {g}")
+            )
+        ),
+    )
+    return (
+        ev.join(iv, [*keys, "__g"])
+        .filter((F.col(start_us) <= F.col(ts_us)) & (F.col(ts_us) < F.col(end_us)))
+        .drop("__g")
+    )

@@ -790,6 +790,71 @@ def j6_asof_snapshot_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j9_interval_join",
+    """
+    WITH b AS (
+        SELECT event_type,
+               CAST(epoch_us(MIN(ts)) AS BIGINT) AS mn,
+               CAST(epoch_us(MAX(ts)) AS BIGINT) AS mx
+        FROM events GROUP BY event_type
+    ), iv AS (
+        SELECT event_type, CAST(t.j AS BIGINT) AS interval_id,
+               mn + t.j * ((mx - mn) // 8) AS start_us,
+               mn + t.j * ((mx - mn) // 8) + ((mx - mn) // 12) AS end_us
+        FROM b, range(8) t(j)
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+           iv.interval_id, iv.start_us, iv.end_us
+    FROM events e JOIN iv
+      ON e.event_type = iv.event_type
+     AND iv.start_us <= CAST(epoch_us(e.ts) AS BIGINT)
+     AND CAST(epoch_us(e.ts) AS BIGINT) < iv.end_us
+    """,
+    survey_ids=(
+        "§2.7 interval/range join — granule-bucketed equi-join plan "
+        "(explode intervals to covered granules, hash-join, exact "
+        "containment post-filter); the scale-correct form of a "
+        "range-predicate join Spark would otherwise nested-loop"
+    ),
+)
+def j9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events matched to synthetic per-type campaign intervals (eight
+    per type tiling the time range, length span/12 so events fall both
+    inside and between intervals). The oracle is the plain range
+    predicate; the engine plan is operators/asof.interval_join's
+    granule bucketing — hash equi-join on (event_type, hour-granule),
+    no BroadcastNestedLoopJoin. Integer-microsecond arithmetic end to
+    end, so both engines tile identically."""
+    from ..operators.asof import interval_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    b = ev.groupBy("event_type").agg(
+        F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")
+    )
+    iv = (
+        b.crossJoin(spark.range(8).select(F.col("id").alias("interval_id")))
+        .select(
+            "event_type",
+            "interval_id",
+            (F.col("mn") + F.col("interval_id") * F.expr("(mx - mn) div 8")).alias(
+                "start_us"
+            ),
+            (
+                F.col("mn")
+                + F.col("interval_id") * F.expr("(mx - mn) div 8")
+                + F.expr("(mx - mn) div 12")
+            ).alias("end_us"),
+        )
+    )
+    return interval_join(ev, iv, ["event_type"]).select(
+        "event_id", "event_type", "ts_us", "interval_id", "start_us", "end_us"
+    )
+
+
+@query(
     "a5_hll_mergeable_rollup",
     None,  # sketch estimates are engine-specific; bounded-error golden
     # test vs the exact distinct count in tests/test_ops_golden.py.

@@ -125,6 +125,53 @@ def test_connected_components_long_chain_and_union_find(spark):
     assert got == expected
 
 
+def test_interval_join_equals_naive_range_join(spark):
+    """Granule-bucketed interval join must EQUAL the naive range-predicate
+    join: multi-granule intervals (longer than the granule) produce each
+    matching pair exactly once, boundary semantics are half-open
+    [start, end), and empty intervals (end <= start) match nothing."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.operators.asof import interval_join
+
+    G = 10  # tiny granule so intervals span many buckets
+    events = spark.createDataFrame(
+        [(i, "k" + str(i % 2), i * 7) for i in range(60)],
+        "event_id long, key string, ts_us long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (0, "k0", 5, 100),     # spans ~10 granules
+            (1, "k0", 100, 101),   # 1-tick interval
+            (2, "k1", 50, 50),     # empty: matches nothing
+            (3, "k1", 60, 40),     # inverted: matches nothing
+            (4, "k1", 0, 400),     # covers everything on k1
+            (5, "k0", 98, 105),    # boundary: ts=98 in, ts=105 out
+        ],
+        "interval_id long, key string, start_us long, end_us long",
+    )
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in interval_join(
+            events, intervals, ["key"], granule_us=G
+        ).collect()
+    }
+    naive = {
+        (r["event_id"], r["interval_id"])
+        for r in events.join(
+            intervals,
+            (events.key == intervals.key)
+            & (intervals.start_us <= events.ts_us)
+            & (events.ts_us < intervals.end_us),
+        ).collect()
+    }
+    assert got == naive
+    assert naive, "naive reference empty — test vacuous"
+    # exactly-once per pair: collect with multiplicity and compare sizes
+    n_got = interval_join(events, intervals, ["key"], granule_us=G).count()
+    assert n_got == len(got)
+
+
 def test_asof_join_carries_whole_snapshot_not_column_mix(spark):
     """A NULL field in the latest right snapshot must stay NULL — not be
     backfilled from an older right row (whole-row as-of semantics)."""
