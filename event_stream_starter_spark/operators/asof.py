@@ -30,15 +30,27 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: Sequence[str],
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join. Output: all left columns + right_cols (null when
-    no right row at-or-before the left timestamp exists for the key).
+    no matching right row exists for the key).
+
+    `direction`: "backward" (default) matches the LATEST right row with
+    right_ts <= left_ts; "forward" the EARLIEST with right_ts >=
+    left_ts — both inclusive, mirroring DuckDB ASOF's >= / <= forms.
+    `tolerance_us`: when set, a match farther than this from the left
+    timestamp is nulled out (the pandas merge_asof tolerance law) —
+    applied to the WHOLE payload, never per column. Same one-shuffle
+    union+window plan either way (forward just reverses the sort).
 
     `right` must be unique per (keys, right_ts) — pre-aggregate ties
     (e.g. max_by) so the carried value is deterministic.
     """
     from pyspark.sql import types as T
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = left.columns
     overlap = set(right_cols) & set(left_cols)
     if overlap:
@@ -51,9 +63,11 @@ def asof_join(
     # NULL field of the latest right row from an OLDER row, emitting a
     # column mix that never existed as a row. The struct is non-null for
     # every right row (even all-NULL-fields ones), so last(ignorenulls)
-    # picks whole snapshots atomically.
+    # picks whole snapshots atomically. The matched right timestamp
+    # rides along as `__rts` so the tolerance law can see it.
     payload_t = T.StructType(
         [T.StructField(c, right.schema[c].dataType, True) for c in right_cols]
+        + [T.StructField("__rts", right.schema[right_ts].dataType, True)]
     )
     l_tag = left.select(
         *left_cols,
@@ -61,10 +75,10 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.lit(None).cast(payload_t).alias("__r"),
     )
-    # A right row with NULL right_ts can never satisfy l.ts >= r.ts
-    # (DuckDB ASOF semantics, and the only sane reading of "at or
-    # before"); unfiltered it would sort nulls-first and backfill its
-    # payload into EVERY left row preceding the first real snapshot.
+    # A right row with NULL right_ts can never satisfy the as-of
+    # predicate (DuckDB ASOF semantics); unfiltered it would sort
+    # nulls-first and backfill its payload into EVERY left row
+    # preceding the first real snapshot.
     r_tag = right.filter(F.col(right_ts).isNotNull()).select(
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -74,19 +88,36 @@ def asof_join(
         ],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
+        F.struct(
+            *[F.col(c).alias(c) for c in right_cols],
+            F.col(right_ts).alias("__rts"),
+        ).alias("__r"),
     )
     unioned = l_tag.unionByName(r_tag)
+    # At EQUAL timestamps the right row must sort before the left one in
+    # both directions (inclusive match): __side asc does that under asc
+    # AND desc ts order, since the tie group keeps its own ordering.
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *left_cols,
         "__side",
+        F.col("__ts"),
         F.last(F.col("__r"), ignorenulls=True).over(w).alias("__r"),
     )
+    if tolerance_us is not None:
+        gap = (
+            F.col("__ts") - F.col("__r.__rts")
+            if direction == "backward"
+            else F.col("__r.__rts") - F.col("__ts")
+        )
+        carried = carried.withColumn(
+            "__r", F.when(gap <= F.lit(int(tolerance_us)), F.col("__r"))
+        )
     return (
         carried.filter(F.col("__side") == 1)
         .select(

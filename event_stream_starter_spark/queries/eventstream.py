@@ -790,6 +790,64 @@ def j6_asof_snapshot_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j6_asof_forward_tolerance",
+    """
+    WITH l AS (
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               event_type
+        FROM events WHERE event_type = 'click'
+    ), snaps AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS snap_ts_us,
+               ROUND(MAX(value), 6) AS snap_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, CAST(epoch_us(ts) AS BIGINT)
+    ), m AS (
+        SELECT l.event_id, l.user_id, l.ts_us, l.event_type,
+               s.snap_ts_us, s.snap_value
+        FROM l ASOF LEFT JOIN snaps s
+          ON l.user_id = s.user_id AND l.ts_us <= s.snap_ts_us
+    )
+    SELECT event_id, user_id, ts_us, event_type,
+           CASE WHEN snap_ts_us - ts_us <= 3600000000 THEN snap_ts_us END
+               AS snap_ts_us,
+           CASE WHEN snap_ts_us - ts_us <= 3600000000 THEN snap_value END
+               AS snap_value
+    FROM m
+    """,
+    survey_ids=(
+        "J6 variants: FORWARD as-of (earliest snapshot at-or-after) with "
+        "a 1h tolerance null-out — DuckDB native forward-ASOF oracle"
+    ),
+)
+def j6_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click enriched with the user's NEXT purchase snapshot within
+    one hour (forward as-of + tolerance — 'time to next conversion').
+    Same one-shuffle union+window plan as the backward form, sort
+    reversed; the tolerance nulls the whole payload atomically."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    snaps = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.unix_micros("ts").alias("snap_ts_us"))
+        .agg(F.round(F.max("value"), 6).alias("snap_value"))
+    )
+    return asof_join(
+        left,
+        snaps,
+        ["user_id"],
+        "ts_us",
+        "snap_ts_us",
+        ["snap_ts_us", "snap_value"],
+        direction="forward",
+        tolerance_us=3600 * 1_000_000,
+    )
+
+
+@query(
     "j9_interval_join",
     """
     WITH b AS (
