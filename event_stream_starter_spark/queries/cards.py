@@ -49,11 +49,14 @@ def _card_sql(dialect: str) -> str:
     sha = "sha256({})" if dialect == "duckdb" else "sha2({}, 256)"
     st = "VARCHAR" if dialect == "duckdb" else "STRING"
     ca_hash = sha.format(f"CAST(token_id AS {st})")
+    # The Spark side reads a PRIVATE temp view — registering plain
+    # 'events' would clobber api.register_catalog's catalog view.
+    tbl = "events" if dialect == "duckdb" else "__ess_cards_events"
     return f"""
     WITH base AS (
         SELECT user_id % 30 AS token_id, event_type, ts, value,
                {jk} AS k
-        FROM events
+        FROM {tbl}
     ), dex AS (
         -- DEX source: price/liquidity snapshot per token (min/max only —
         -- order-independent, unlike double sums).
@@ -151,5 +154,5 @@ def _card_sql(dialect: str) -> str:
     ),
 )
 def j3_card_render(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__ess_cards_events")
     return spark.sql(_card_sql("spark"))

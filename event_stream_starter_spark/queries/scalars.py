@@ -792,6 +792,9 @@ def _f4_sql(dialect: str) -> str:
         else "(SELECT id AS short_id FROM range(400)) r"
     )
     st = "VARCHAR" if dialect == "duckdb" else "STRING"
+    # Private temp view on the Spark side — never clobber a catalog
+    # view named 'events' (api.register_catalog).
+    tbl = "events" if dialect == "duckdb" else "__ess_f4_events"
     return f"""
     WITH mapping AS (
         SELECT short_id,
@@ -804,7 +807,7 @@ def _f4_sql(dialect: str) -> str:
                (e.event_id * 7 + t.j) % 400 AS short_id,
                'https://sho.rt/' || CAST((e.event_id * 7 + t.j) % 400 AS {st})
                    AS short_url
-        FROM events e, {rng}
+        FROM {tbl} e, {rng}
         WHERE t.j <= e.event_id % 6
     ), attempted AS (
         SELECT u.event_id, u.url_pos, u.short_url, m.expanded,
@@ -844,5 +847,5 @@ def _f4_sql(dialect: str) -> str:
     ),
 )
 def f4_url_expand_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__ess_f4_events")
     return spark.sql(_f4_sql("spark"))
