@@ -265,7 +265,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
-    max_bucket_size: int = 2000,
+    max_bucket_size: int | None = None,
     log_fn=None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
@@ -275,17 +275,21 @@ def minhash_lsh_pairs(
     Candidate generation touches only same-bucket pairs — the self-join is
     on the band key, never the full cross product.
 
-    `max_bucket_size` caps in-bucket pair expansion (quadratic per
-    bucket): a pathological mega-bucket — thousands of boilerplate docs
-    sharing a band key — is truncated to its first `max_bucket_size`
-    sorted ids instead of going O(n²) at 100× scale. Truncation loses
-    only pairs BOTH of whose members fall outside the kept prefix in
-    EVERY band (near-identical docs collide in most of the 16 bands, so
-    the practical recall cost is tiny; byte-identical docs should be
-    collapsed by exact dedup upstream regardless — that remains the
-    primary mitigation). Pass `log_fn` (e.g. ``logging.warning``) to
+    `max_bucket_size` (opt-in; None = uncapped) caps in-bucket pair
+    expansion (quadratic per bucket): a pathological mega-bucket —
+    thousands of boilerplate docs sharing a band key — is truncated to
+    its first `max_bucket_size` sorted ids instead of going O(n²) at
+    100× scale. Truncation LOSES every pair with at least one member
+    outside the kept prefix (for near-identical docs the bucket
+    composition repeats across bands, so other bands do not rescue
+    them) — it is a recall-for-bound trade, which is why it is opt-in:
+    the default path keeps the exact LSH pair set, and the documented
+    union-over-runs == one-shot invariant with incremental_minhash_pairs
+    (which has no cap) holds. Collapse byte-identical docs with exact
+    dedup upstream FIRST; reach for the cap only when a boilerplate
+    family survives that. Pass `log_fn` (e.g. ``logging.warning``) to
     count and report truncated buckets — costs one extra aggregation
-    job over the (small) bucket frame, so it's opt-in.
+    job over the (small) bucket frame.
     """
     rows_per_band = num_hashes // bands
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -322,14 +326,15 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    if log_fn is not None:
-        n_over = buckets.filter(F.size("ids") > max_bucket_size).count()
-        if n_over:
-            log_fn(
-                f"minhash_lsh_pairs: {n_over} band bucket(s) over "
-                f"max_bucket_size={max_bucket_size}, truncating"
-            )
-    buckets = buckets.withColumn("ids", F.slice("ids", 1, max_bucket_size))
+    if max_bucket_size is not None:
+        if log_fn is not None:
+            n_over = buckets.filter(F.size("ids") > max_bucket_size).count()
+            if n_over:
+                log_fn(
+                    f"minhash_lsh_pairs: {n_over} band bucket(s) over "
+                    f"max_bucket_size={max_bucket_size}, truncating"
+                )
+        buckets = buckets.withColumn("ids", F.slice("ids", 1, max_bucket_size))
 
     cand = (
         buckets.select(F.explode(F.expr(_PAIR_STRUCTS_SQL.format(col="ids"))).alias("p"))

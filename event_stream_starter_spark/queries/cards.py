@@ -54,8 +54,7 @@ def _card_sql(dialect: str) -> str:
     tbl = "events" if dialect == "duckdb" else "__ess_cards_events"
     return f"""
     WITH base AS (
-        SELECT user_id % 30 AS token_id, event_type, ts, value,
-               {jk} AS k
+        SELECT user_id % 30 AS token_id, event_type, ts, value
         FROM {tbl}
     ), dex AS (
         -- DEX source: price/liquidity snapshot per token (min/max only —
@@ -67,8 +66,9 @@ def _card_sql(dialect: str) -> str:
         FROM base WHERE event_type IN ('click', 'view')
         GROUP BY token_id
     ), gp AS (
-        -- GoPlus source: taxes + honeypot; k % 120 / 100 deliberately
-        -- exceeds 1.0 for some tokens to exercise the bounds flags.
+        -- GoPlus source: taxes + honeypot; the count/token_id integer
+        -- arithmetic deliberately exceeds the schema bounds (tax > 1,
+        -- score > 100) for some tokens to exercise the bounds flags.
         SELECT token_id,
                ROUND(((COUNT(*) * 7 + token_id * 13) % 120) / 100.0e0, 2) AS tax_buy,
                ROUND(((COUNT(*) * 3 + token_id * 5) % 90) / 100.0e0, 2) AS tax_sell,

@@ -171,7 +171,8 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
             if np.issubdtype(sv.dtype, np.datetime64) or np.issubdtype(
                 dv.dtype, np.datetime64
             ):
-                bad = list(np.nonzero(sv != dv)[0])
+                neq = (sv != dv) & ~(np.isnat(sv) & np.isnat(dv))
+                bad = list(np.nonzero(neq)[0])
             else:
                 neq = sv != dv
                 if hasattr(neq, "to_numpy"):
