@@ -287,11 +287,32 @@ COOLDOWN_SEC = 3600
 
 @query(
     "d6_cooldown_emit",
-    None,  # Greedy "emit unless within cooldown of last emission" depends
-    # on which prior rows were emitted — inherently sequential per key, not
-    # SQL-expressible without recursion. Verified against a pure-Python
-    # re-computation in tests/test_ops_golden.py.
-    survey_ids="D6 (push cooldowns: greedy per-key emit with TTL window)",
+    """
+    WITH RECURSIVE e AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events WHERE event_type = 'purchase'
+    ), rec AS (
+        -- Greedy per-key fold as a recursion: the first emission is the
+        -- key's earliest event; each next one the earliest event at or
+        -- beyond last_emit + cooldown.
+        SELECT user_id, MIN(ts_us) AS emit_ts_us FROM e GROUP BY user_id
+        UNION ALL
+        SELECT r.user_id,
+               (SELECT MIN(ts_us) FROM e
+                 WHERE e.user_id = r.user_id
+                   AND e.ts_us >= r.emit_ts_us + 3600000000)
+        FROM rec r
+        WHERE EXISTS (SELECT 1 FROM e
+                       WHERE e.user_id = r.user_id
+                         AND e.ts_us >= r.emit_ts_us + 3600000000)
+    )
+    SELECT user_id, emit_ts_us FROM rec
+    """,
+    survey_ids=(
+        "D6 (push cooldowns: greedy per-key emit with TTL window) — "
+        "recursive-CTE oracle (the sequential fold IS SQL-expressible "
+        "with recursion), plus the pure-Python golden"
+    ),
 )
 def d6_cooldown_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-key ordered fold: emit ts if >= last_emit + cooldown. State is one
