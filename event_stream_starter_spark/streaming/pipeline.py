@@ -156,6 +156,60 @@ def sessionized_stream(
     )
 
 
+def conversion_join_stream(
+    events: DataFrame, horizon_sec: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-STREAM inner join: each click matched to the same user's
+    purchases within [click_ts, click_ts + horizon] — the streaming
+    form of the forward-as-of/interval conversion queries.
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, so Spark can expire state: a click older than
+    the watermark minus the horizon can never match a future purchase
+    and is dropped from the state store (same for purchases). Without
+    the time-bound condition the state would grow forever — that is
+    the stream-stream-join contract, not an optimization. Inner-join
+    matches emit as soon as both rows have arrived (append mode);
+    results equal the batch join over the same rows (parity-tested).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_sec} SECONDS")
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        "purchase_id",
+        F.unix_micros("purchase_ts").alias("purchase_ts_us"),
+        "purchase_value",
+    )
+
+
 def decontaminated_stream(docs: DataFrame, eval_grams: DataFrame, n: int = 13) -> DataFrame:
     """Streaming test-set decontamination, probe half: the
     x_decontaminate expressions as a STATELESS stream.

@@ -903,6 +903,31 @@ def _sessionize_batch_oracle(spark, landing):
     )
 
 
+def test_conversion_stream_stream_join_equals_batch(spark, landing, tmp_path):
+    """Watermarked stream-stream inner join (clicks x purchases within a
+    1h horizon per user) must equal the batch join over the same rows.
+    Multi-batch ingest is fine for an INNER join: a match emits once both
+    rows have arrived, and inner results are never retracted; the
+    watermark only expires state (no row here is later than watermark
+    minus horizon relative to its partner within one availableNow run)."""
+    from event_stream_starter_spark.streaming.pipeline import conversion_join_stream
+
+    stream = conversion_join_stream(
+        events_file_stream(spark, landing), watermark="365 days"
+    )
+    run_to_memory_table(stream, "conv_tbl", str(tmp_path / "ck_conv"), "append")
+    streamed = {
+        (r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in spark.table("conv_tbl").collect()
+    }
+    batch = {
+        (r["click_id"], r["purchase_id"], r["purchase_value"])
+        for r in conversion_join_stream(spark.read.parquet(landing)).collect()
+    }
+    assert streamed == batch
+    assert batch, "no conversions in fixture — test vacuous"
+
+
 def test_backoff_transient_4xx_and_short_429(spark):
     """Reference parity (outbox_retry.py:267-313): 429 without
     Retry-After backs off 1-3s (not the moderate-exponential branch);
