@@ -211,3 +211,106 @@ def test_topic_hash_empty_hashes_none_content(spark):
         hashlib.sha256(b"none").hexdigest()[:12],
         hashlib.sha256(b"none").hexdigest()[:12],
     ]
+
+
+def test_interval_join_property_random_inputs(spark):
+    """Hypothesis property: on arbitrary event/interval sets and granule
+    sizes, the bucketed interval join equals the naive range join."""
+    import pyspark.sql.functions as F
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from event_stream_starter_spark.operators.asof import interval_join
+
+    ts = st.integers(min_value=0, max_value=500)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        evs=st.lists(st.tuples(st.sampled_from(["a", "b"]), ts), min_size=1, max_size=25),
+        ivs=st.lists(
+            st.tuples(st.sampled_from(["a", "b"]), ts, ts), min_size=1, max_size=10
+        ),
+        granule=st.sampled_from([1, 7, 64, 1000]),
+    )
+    def run(evs, ivs, granule):
+        events = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(evs)],
+            "event_id long, key string, ts_us long",
+        )
+        intervals = spark.createDataFrame(
+            [(i, k, s, e) for i, (k, s, e) in enumerate(ivs)],
+            "interval_id long, key string, start_us long, end_us long",
+        )
+        got = {
+            (r["event_id"], r["interval_id"])
+            for r in interval_join(events, intervals, ["key"], granule_us=granule).collect()
+        }
+        naive = {
+            (r["event_id"], r["interval_id"])
+            for r in events.join(
+                intervals,
+                (events.key == intervals.key)
+                & (intervals.start_us <= events.ts_us)
+                & (events.ts_us < intervals.end_us),
+            ).collect()
+        }
+        assert got == naive
+
+    run()
+
+
+def test_asof_join_property_vs_pandas_merge_asof(spark):
+    """Hypothesis property: asof_join (both directions, with and without
+    tolerance) equals pandas merge_asof — an INDEPENDENT reference
+    implementation of the as-of law, not a Spark re-derivation."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from event_stream_starter_spark.operators.asof import asof_join
+
+    ts = st.integers(min_value=0, max_value=200)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lefts=st.lists(st.tuples(st.sampled_from(["a", "b"]), ts), min_size=1, max_size=15),
+        rights=st.lists(st.tuples(st.sampled_from(["a", "b"]), ts), min_size=1, max_size=10),
+        direction=st.sampled_from(["backward", "forward"]),
+        tol=st.sampled_from([None, 0, 10, 50]),
+    )
+    def run(lefts, rights, direction, tol):
+        # merge_asof needs right unique per (key, ts) for determinism —
+        # same precondition asof_join documents.
+        rset = sorted({(k, t) for k, t in rights})
+        ldf = pd.DataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(lefts)],
+            columns=["lid", "key", "ts"],
+        )
+        rdf = pd.DataFrame(
+            [(k, t, f"v{k}{t}") for k, t in rset], columns=["key", "rts", "rv"]
+        )
+        sl = spark.createDataFrame(ldf, "lid long, key string, ts long")
+        sr = spark.createDataFrame(rdf, "key string, rts long, rv string")
+        got = {
+            (r["lid"], r["rv"])
+            for r in asof_join(
+                sl, sr, ["key"], "ts", "rts", ["rts", "rv"],
+                direction=direction, tolerance_us=tol,
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            ldf.sort_values("ts", kind="mergesort"),
+            rdf.sort_values("rts", kind="mergesort"),
+            left_on="ts",
+            right_on="rts",
+            by="key",
+            direction=direction,
+            tolerance=tol,
+        )
+        want = {
+            (int(r.lid), None if pd.isna(r.rv) else r.rv)
+            for r in want_df.itertuples()
+        }
+        assert got == want
+
+    run()
