@@ -314,3 +314,46 @@ def test_asof_join_property_vs_pandas_merge_asof(spark):
         assert got == want
 
     run()
+
+
+def test_d4_merge_vector_tweet_id_and_status_url_collide(spark):
+    """Mirror of the reference's merge test vector
+    (tests/test_events_phase_a.py:32-61, test_merge_evidence_completion):
+    an evidence item with ref {tweet_id: '12345'} and one with
+    ref {url: 'https://twitter.com/user/status/12345?utm_source=foo'}
+    must derive the SAME dedup key — the url is normalized (tracking
+    param stripped), its /status/<id> extracted — and merge into one
+    item whose ref union keeps BOTH tweet_id and the normalized url."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.functions.normalize import normalize_url
+    from event_stream_starter_spark.operators.dedup import first_nonempty
+
+    rows = [
+        (1, "x", "12345", "", 1000),
+        (2, "x", "", "https://twitter.com/user/status/12345?utm_source=foo", 2000),
+    ]
+    df = spark.createDataFrame(
+        rows, "evidence_id long, source string, tweet_id string, url string, ts long"
+    ).withColumn("url", F.when(F.col("url") != "", normalize_url(F.col("url"))).otherwise(""))
+    status_id = F.regexp_extract("url", r"/status(?:es)?/([0-9]+)", 1)
+    key = F.when(F.col("tweet_id") != "", F.concat(F.lit("x:"), F.col("tweet_id"))).otherwise(
+        F.when(status_id != "", F.concat(F.lit("x:"), status_id)).otherwise(
+            F.concat(F.lit("x:"), F.col("url"))
+        )
+    )
+    merged = (
+        df.withColumn("dedup_key", key)
+        .groupBy("dedup_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            first_nonempty("tweet_id", ["ts", "evidence_id"]).alias("m_tweet_id"),
+            first_nonempty("url", ["ts", "evidence_id"]).alias("m_url"),
+        )
+        .collect()
+    )
+    assert len(merged) == 1
+    row = merged[0]
+    assert row["dedup_key"] == "x:12345" and row["n"] == 2
+    assert row["m_tweet_id"] == "12345"
+    assert row["m_url"].startswith("https://twitter.com/") and "utm" not in row["m_url"]
