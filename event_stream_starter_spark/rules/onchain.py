@@ -36,6 +36,7 @@ _RANGE_GUARDS = {
     "growth_ratio": "{f} < 0",
     "top10_share": "({f} < 0 OR {f} > 1)",
     "self_loop_ratio": "({f} < 0 OR {f} > 1)",
+    "active_addr_pctl": "({f} < 0 OR {f} > 1)",
 }
 
 
@@ -73,8 +74,15 @@ class OnchainRules:
             value = repr(self._resolve_threshold(fld, rhs))
         return f"{fld} {op} {value}", fld
 
-    def verdict_sql(self) -> dict[str, str]:
-        """Compiled SQL fragments: verdict + confidence (dialect-neutral)."""
+    def verdict_sql(self, window_col: str | None = None) -> dict[str, str]:
+        """Compiled SQL fragments: verdict + confidence + note
+        (dialect-neutral).
+
+        `window_col`: when given, an unsupported window (value not in
+        `self.windows`) yields 'insufficient' with note
+        'window_unsupported' BEFORE any feature evaluation — the
+        reference checks the window first (rules_engine.py:243-261,
+        asserted by its test_insufficient_window vector)."""
         up = [self._compile_cond(c) for c in self.upgrade_if]
         down = [self._compile_cond(c) for c in self.downgrade_if]
         fields = sorted({f for _, f in up + down})
@@ -82,10 +90,16 @@ class OnchainRules:
             _RANGE_GUARDS[f].format(f=f) for f in fields if f in _RANGE_GUARDS
         ]
         insufficient = " OR ".join(guards) or "FALSE"
+        window_bad = (
+            f"{window_col} NOT IN ({', '.join(str(w) for w in self.windows)})"
+            if window_col
+            else "FALSE"
+        )
         all_down = " AND ".join(f"({c})" for c, _ in down) or "FALSE"
         all_up = " AND ".join(f"({c})" for c, _ in up) or "FALSE"
         verdict = (
-            f"CASE WHEN {insufficient} THEN 'insufficient' "
+            f"CASE WHEN {window_bad} THEN 'insufficient' "
+            f"WHEN {insufficient} THEN 'insufficient' "
             f"WHEN {all_down} THEN 'downgrade' "
             f"WHEN {all_up} THEN 'upgrade' "
             f"ELSE 'hold' END"
@@ -93,11 +107,16 @@ class OnchainRules:
         # min(1, 0.6 + 0.4*ratio) over the decided branch's all-true
         # conditions collapses to 1.0; hold → 0.5; insufficient → 0.0.
         confidence = (
-            f"CASE WHEN {insufficient} THEN 0.0 "
+            f"CASE WHEN ({window_bad}) OR ({insufficient}) THEN 0.0 "
             f"WHEN ({all_down}) OR ({all_up}) THEN 1.0 "
             f"ELSE 0.5 END"
         )
-        return {"verdict": verdict, "confidence": confidence}
+        note = (
+            f"CASE WHEN {window_bad} THEN 'window_unsupported' "
+            f"WHEN {insufficient} THEN 'feature_missing_or_out_of_range' "
+            f"ELSE NULL END"
+        )
+        return {"verdict": verdict, "confidence": confidence, "note": note}
 
 
 def load_onchain_rules(doc: dict) -> OnchainRules:

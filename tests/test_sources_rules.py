@@ -413,3 +413,57 @@ def test_reasons_sql_with_zero_rules_and_backslash_reason(spark):
         assert run(f"SELECT {rs2.reasons_sql(dialect=dialect)} FROM z") == (
             "path C:\\ bad"
         )
+
+
+def test_onchain_verdict_replays_reference_vectors(spark):
+    """Replay the upstream rules-engine vectors (reference
+    tests/test_rules_engine.py:42-110) through the compiled SQL:
+    upgrade (all upgrade conds) → 1.0, downgrade priority (both branches
+    true) → downgrade 1.0, hold → 0.5, unsupported window →
+    insufficient 0.0 with note 'window_unsupported'."""
+    from event_stream_starter_spark.rules.onchain import load_onchain_rules
+
+    rules = load_onchain_rules(
+        {
+            "windows": [30, 60, 180],
+            "thresholds": {
+                "active_addr_pctl": {"high": 0.95, "mid": 0.80},
+                "growth_ratio": {"fast": 2.0, "slow": 1.2},
+                "top10_share": {"high_risk": 0.70, "mid_risk": 0.40},
+                "self_loop_ratio": {"suspicious": 0.20, "watch": 0.10},
+            },
+            "upgrade_if": [
+                "active_addr_pctl>=high",
+                "growth_ratio>=fast",
+            ],
+            "downgrade_if": [
+                "top10_share>=high_risk",
+                "self_loop_ratio>=suspicious",
+            ],
+        }
+    )
+    frags = rules.verdict_sql(window_col="window_min")
+    rows = [
+        # (name, active, growth, top10, self_loop, window)
+        ("upgrade", 0.96, 2.5, 0.30, 0.05, 60),
+        ("downgrade_priority", 0.96, 2.5, 0.75, 0.25, 60),
+        ("hold", 0.85, 1.5, 0.30, 0.05, 60),
+        ("insufficient_window", 0.85, 1.5, 0.30, 0.05, 90),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "name string, active_addr_pctl double, growth_ratio double,"
+        " top10_share double, self_loop_ratio double, window_min int",
+    ).selectExpr(
+        "name",
+        f"{frags['verdict']} AS verdict",
+        f"CAST({frags['confidence']} AS DOUBLE) AS confidence",
+        f"{frags['note']} AS note",
+    )
+    got = {r["name"]: (r["verdict"], r["confidence"], r["note"]) for r in df.collect()}
+    assert got == {
+        "upgrade": ("upgrade", 1.0, None),
+        "downgrade_priority": ("downgrade", 1.0, None),
+        "hold": ("hold", 0.5, None),
+        "insufficient_window": ("insufficient", 0.0, "window_unsupported"),
+    }
