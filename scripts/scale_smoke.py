@@ -17,6 +17,10 @@ clean run): c4 dedup 4.0s, a1 upsert 3.3s, a2 topics 1.9s, a3/w5 heat
 3.4s, d2 fingerprint 2.0s, flagship 4.3s — ~2-4x the sf0.1 times for
 10x the rows (shuffle-parallel sub-linear scaling); numbers drift
 run-to-run with the co-resident process, see NOISE CAVEAT.
+Round-2 additions at the same 10x (best clean run): d4 source keys
+3.2s, forward-asof 2.1s, interval join 1.8s, card render 2.5s, F4
+budget 3.0s, cooldown 1.3s, sessionize 1.5s; doc side: pii scrub
+1.6s, leakage-safe split 0.5s — all in the same 1-3s band.
 
 Doc corpus (50k docs = 10x sf0.1, every doc in a 10-copy near-dup
 clique): text stats 1.2s, exact dedup 0.9s, decontaminate 3.1s,
@@ -58,6 +62,13 @@ QUERIES = [
     "j6_asof_snapshot_enrich",
     "d2_fingerprint_dedup",
     "flagship_heat_rules",
+    "d4_source_dedup_keys",
+    "j6_asof_forward_tolerance",
+    "j9_interval_join",
+    "j3_card_render",
+    "f4_url_expand_budget",
+    "d6_cooldown_emit",
+    "x_sessionize",
 ]
 
 # Text/dedup family on the 10x near-dup-clique corpus (see synthesis
@@ -72,6 +83,8 @@ DOC_QUERIES = [
     "x_ngram_topk",
     "x_pack_sequences",
     "x_split_assign",
+    "x_pii_scrub",
+    "x_split_leakage_safe",
 ]
 
 
