@@ -1298,3 +1298,68 @@ def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import REGISTRY as _REG2  # noqa: E402
 
 _REG2["x_pii_scrub"].oracle = _pii_oracle()
+
+
+@query(
+    "x_padding_waste",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS_DUCK}) END AS ntok
+        FROM documents
+    ), b AS (
+        SELECT doc_id,
+               least(CAST(ntok AS BIGINT), 512) AS eff_tok,
+               CAST(CASE WHEN ntok <= 64 THEN 64
+                    WHEN ntok <= 128 THEN 128
+                    WHEN ntok <= 256 THEN 256
+                    ELSE 512 END AS BIGINT) AS bucket
+        FROM t
+    )
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(eff_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(bucket - eff_tok) AS BIGINT) AS sum_padding,
+           ROUND(CAST(SUM(bucket - eff_tok) AS DOUBLE)
+                 / (COUNT(*) * bucket), 6) AS waste_frac
+    FROM b GROUP BY bucket
+    """,
+    survey_ids=(
+        "training-pipeline: padding-waste report for length-bucketed "
+        "batching ({64,128,256,512} buckets, truncate-at-512) — the "
+        "table that justifies bucket boundaries vs concat-chunk packing"
+    ),
+)
+def x_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket padding overhead if docs are padded to power-of-2
+    length buckets (the dynamic-batching alternative to x_pack_sequences'
+    concat-then-chunk layout). All-integer arithmetic until the final
+    ratio, so the report is exact and partition-order-independent; one
+    scan + one small groupBy. Docs over 512 tokens count truncated
+    (eff_tok = min(ntok, 512)), matching the fixed-context contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = (
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(textan.tokens(F.col("text"))))
+        .cast("long")
+    )
+    b = docs.select(
+        F.least(ntok, F.lit(512)).alias("eff_tok"),
+        F.when(ntok <= 64, 64)
+        .when(ntok <= 128, 128)
+        .when(ntok <= 256, 256)
+        .otherwise(512)
+        .cast("long")
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("eff_tok").alias("sum_tokens"),
+        F.sum(F.col("bucket") - F.col("eff_tok")).alias("sum_padding"),
+        F.round(
+            F.sum(F.col("bucket") - F.col("eff_tok")).cast("double")
+            / (F.count(F.lit(1)) * F.first("bucket")),
+            6,
+        ).alias("waste_frac"),
+    )
