@@ -143,6 +143,30 @@ def main() -> None:
     total = sum(best.values())
     timings = {name: round(v, 3) for name, v in best.items()}
 
+    # Frozen round-1 headline set (BENCH_r01's 49 queries): its subtotal
+    # keeps cross-round totals comparable as the suite grows — a larger
+    # HEADLINE list must not read as a slowdown.
+    r01_set = {
+        "a10_t7_batch_scan", "a12_rollup_lattice", "a1_event_upsert_merge",
+        "a2_topic_aggregate", "a3_w5_heat_slope", "a5_distinct_stats",
+        "ann_cosine_topk", "ann_ivf_topk", "c13_keyphrases",
+        "c4_event_key_dedup", "d4_evidence_merge", "d6_cooldown_emit",
+        "dd_cluster_canonical", "dd_embed_near_dup", "dd_exact_dedup",
+        "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
+        "e2_jaccard_user_pairs", "e2e_corpus_prep", "e2e_pipeline_trace",
+        "flagship_heat_rules", "j3_card_merge", "j6_asof_snapshot_enrich",
+        "mm_frame_sample", "mm_media_features", "q1_pricing_summary",
+        "q3_top_orders", "q5_region_revenue", "r1_rules_eval",
+        "r6_onchain_verdict", "st9_latency_percentiles", "t8_mmr_keyphrases",
+        "u4_u6_rules_refiner", "w10_rolling_range_sum", "w2_growth_ratio",
+        "w4_regr_slope", "w7_latest_per_key", "w8_series_split",
+        "x_boilerplate_frac", "x_boilerplate_strip", "x_decontaminate",
+        "x_mixture_sample", "x_ngram_topk", "x_pack_sequences",
+        "x_repetition_filter", "x_sessionize", "x_text_stats",
+        "x_winnow_fingerprints",
+    }
+    r01_total = sum(v for name, v in best.items() if name in r01_set)
+
     print(
         json.dumps(
             {
@@ -151,6 +175,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "r01_comparable_total": round(r01_total, 3),
+                "n_queries": len(timings),
             }
         )
     )
