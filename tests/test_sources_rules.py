@@ -467,3 +467,41 @@ def test_onchain_verdict_replays_reference_vectors(spark):
         "hold": ("hold", 0.5, None),
         "insufficient_window": ("insufficient", 0.0, "window_unsupported"),
     }
+
+
+def test_r4_market_risk_null_props_is_safe(spark):
+    """Reference vector (tests/test_market_risk.py missing-field case):
+    an event with NULL/empty props must produce NO tags and
+    market_risk=false — never a crash or a spurious tag from
+    NULL-propagating comparisons."""
+    import pyspark.sql.functions as F
+
+    k = F.get_json_object("props", "$.k").cast("int")
+    tags = F.filter(
+        F.array(
+            F.when(F.col("value") > 80, F.lit("MR01")),
+            F.when(k > 90, F.lit("MR02")),
+            F.when((F.col("value") < 5) & (k < 10), F.lit("MR03")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    df = spark.createDataFrame(
+        [
+            (1, None, 50.0),          # NULL props, mid value → nothing
+            (2, "{}", 90.0),          # no k key, high value → MR01 only
+            (3, "{\"k\": 95}", 2.0),  # k high, low value → MR02 (MR03 needs k<10)
+            (4, None, 90.0),          # NULL props, high value → MR01 only
+        ],
+        "event_id long, props string, value double",
+    ).select(
+        "event_id",
+        F.array_join(tags, "|").alias("mr_tags"),
+        (F.size(tags) > 0).alias("market_risk"),
+    )
+    got = {r["event_id"]: (r["mr_tags"], r["market_risk"]) for r in df.collect()}
+    assert got == {
+        1: ("", False),
+        2: ("MR01", True),
+        3: ("MR02", True),
+        4: ("MR01", True),
+    }
