@@ -1041,3 +1041,56 @@ def test_keyed_table_gc_bounds_snapshot_count(spark, tmp_path):
     )
     assert versions == ["v4", "v5"]  # current + one grace version
     assert table.read().count() == 1
+
+
+def test_topic_rollup_flattens_nested_entities_and_handles_null(spark):
+    """Upstream vectors (reference tests/test_topic_unit.py:148-205):
+    the topic aggregate must flatten nested per-window entity arrays
+    into a deduped sorted set, and a NULL entities array must roll up
+    gracefully (empty string, not a crash)."""
+    from event_stream_starter_spark.streaming.pipeline import topic_rollup_batch
+
+    rows = [
+        ("t.hash1", 0, 1, 100, ["pepe"]),
+        ("t.hash1", 1, 1, 200, ["pepe", "gem"]),
+        ("t.hash1", 2, 1, 300, ["gem"]),
+        ("t.hash2", 0, 1, 50, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "topic_hash string, window_start_us long, mention_count long,"
+        " last_ts_us long, entities_set array<string>",
+    )
+    got = {
+        r["topic_hash"]: (r["mention_count"], r["last_ts_us"], r["entities"])
+        for r in topic_rollup_batch(df).collect()
+    }
+    assert got["t.hash1"] == (3, 300, "gem,pepe")  # flattened + deduped + sorted
+    assert got["t.hash2"][0] == 1 and got["t.hash2"][2] in ("", None)
+
+
+def test_u5_memeable_reference_vectors(spark):
+    """Upstream vectors (reference tests/test_topic_unit.py:16-43):
+    '$PEPE ... moon gem' text is memeable with positive confidence;
+    plain weather text is not."""
+    import pyspark.sql.functions as F
+
+    n = (
+        F.col("text").rlike("moon|pump").cast("int")
+        + F.col("text").rlike("inu|dog|pepe").cast("int")
+        + F.col("text").rlike(r"\$[A-Za-z]{2,10}").cast("int")
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "Just bought $PEPE token, this is the next moon gem!".lower()),
+            (2, "The weather is nice today"),
+        ],
+        "id long, text string",
+    ).select(
+        "id",
+        (n >= 1).alias("is_memeable"),
+        F.round(F.least(F.lit(0.3) * n, F.lit(1.0)), 6).alias("confidence"),
+    )
+    got = {r["id"]: (r["is_memeable"], r["confidence"]) for r in df.collect()}
+    assert got[1][0] is True and got[1][1] > 0
+    assert got[2] == (False, 0.0)
