@@ -30,6 +30,27 @@ def _sha256_40(c: Column) -> Column:
     return F.substring(F.sha2(c, 256), 1, 40)
 
 
+def key_concat(*cols: Column) -> Column:
+    """NULL-STRICT '|'-joined key input: any NULL field nulls the whole
+    key (F.concat propagates NULL; concat_ws silently SKIPS null fields,
+    which would key a type-less row into the wrong dedup group while
+    the SQL oracles' `||` chains null-propagate). A NULL key is the
+    engine analog of the reference's make_event_key ValueError on a
+    missing type (api/events.py:414-436): the row is quarantined by
+    key-nullability instead of raising mid-job.
+
+    The explicit-default builders below (event_key_v1/v2, fingerprint)
+    intentionally coalesce OPTIONAL fields to '' first — this helper is
+    for ad-hoc keys whose every field is REQUIRED.
+    """
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(SEP))
+        parts.append(c)
+    return F.concat(*parts)
+
+
 def event_key_v1(
     event_type: Column,
     symbol: Column,

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import fingerprint, ts_bucket
+from ..functions.hashing import fingerprint, key_concat, ts_bucket
 from ..operators.dedup import exact_dedup
 from ..io import load_table
 from ..operators.windows import ema_last, growth_ratio, latest_per_key, slope_trend
@@ -49,10 +49,12 @@ def c4_event_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     # Event key: sha256(user|type|10-min bucket)[:40] — the C4 key shape
     # over the driver's events table (FIXTURES.md §B mapping).
+    # key_concat, not concat_ws: a NULL event_type must NULL the key
+    # (quarantine), matching the oracle's null-propagating || chain and
+    # the reference's make_event_key ValueError on a missing type.
     key = F.substring(
         F.sha2(
-            F.concat_ws(
-                "|",
+            key_concat(
                 F.col("user_id").cast("string"),
                 F.col("event_type"),
                 ts_bucket(F.col("ts")).cast("string"),
@@ -94,7 +96,7 @@ def c4_event_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a1_event_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     key = F.substring(
-        F.sha2(F.concat_ws("|", F.col("user_id").cast("string"), F.col("event_type")), 256),
+        F.sha2(key_concat(F.col("user_id").cast("string"), F.col("event_type")), 256),
         1,
         40,
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import key_concat
 from ..io import load_table
 from . import query
 
@@ -266,7 +267,7 @@ def d5_state_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
-        F.concat_ws("|", F.col("event_type"), (F.col("value") >= 10).cast("string")).alias(
+        key_concat(F.col("event_type"), (F.col("value") >= 10).cast("string")).alias(
             "state_ver"
         ),
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import ts_bucket
+from ..functions.hashing import key_concat, ts_bucket
 from ..io import load_table
 from ..operators.dedup import exact_dedup
 from ..operators.windows import slope_trend
@@ -102,8 +102,7 @@ def e2e_pipeline_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dedup_key = F.substring(
         F.sha2(
-            F.concat_ws(
-                "|",
+            key_concat(
                 F.col("user_id").cast("string"),
                 F.col("event_type"),
                 ts_bucket(F.col("ts")).cast("string"),
@@ -125,7 +124,7 @@ def e2e_pipeline_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     upsert_key = F.substring(
         F.sha2(
-            F.concat_ws("|", F.col("user_id").cast("string"), F.col("event_type")), 256
+            key_concat(F.col("user_id").cast("string"), F.col("event_type")), 256
         ),
         1,
         40,

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import ts_bucket
+from ..functions.hashing import key_concat, ts_bucket
 
 
 def with_event_key(df: DataFrame) -> DataFrame:
@@ -19,8 +19,7 @@ def with_event_key(df: DataFrame) -> DataFrame:
     c4_event_key_dedup query)."""
     key = F.substring(
         F.sha2(
-            F.concat_ws(
-                "|",
+            key_concat(
                 F.col("user_id").cast("string"),
                 F.col("event_type"),
                 ts_bucket(F.col("ts")).cast("string"),

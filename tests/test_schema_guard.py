@@ -68,3 +68,37 @@ def test_query_output_columns_pinned(spark, sf_dir, name):
 def test_flagship_has_stable_nonempty_schema(spark, sf_dir):
     df = all_queries()["flagship_heat_rules"].fn(spark, sf_dir)
     assert df.columns and len(df.columns) == len(set(df.columns))
+
+
+def test_event_key_nulls_on_missing_type(spark):
+    """Reference vector (tests/test_events_hardening.py:7-18:
+    make_event_key raises on a missing type): the engine's analog is a
+    NULL key — a type-less row must NOT silently hash into a
+    (user, bucket)-only dedup group, which concat_ws's null-skipping
+    would have done. Present-type rows still yield 40-hex keys."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.functions.hashing import key_concat, ts_bucket
+
+    df = spark.createDataFrame(
+        [(1, "click", 1000), (2, None, 1000)],
+        "user_id long, event_type string, epoch long",
+    ).select(
+        "user_id",
+        "event_type",
+        F.substring(
+            F.sha2(
+                key_concat(
+                    F.col("user_id").cast("string"),
+                    F.col("event_type"),
+                    (F.floor(F.col("epoch") / 600) * 600).cast("long").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            40,
+        ).alias("event_key"),
+    )
+    got = {r["user_id"]: r["event_key"] for r in df.collect()}
+    assert got[2] is None
+    assert got[1] is not None and len(got[1]) == 40
