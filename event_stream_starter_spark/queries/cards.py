@@ -45,6 +45,13 @@ _JSON_K = {
 
 def _card_sql(dialect: str) -> str:
     fmt = _FMT[dialect]
+    # data_as_of renders minute-truncated ISO-8601 Z (the reference's
+    # snapshot format '2025-01-15T12:00Z', cards_router snapshot test).
+    iso_min = (
+        "strftime(make_timestamp(data_as_of_us), '%Y-%m-%dT%H:%MZ')"
+        if dialect == "duckdb"
+        else "date_format(timestamp_micros(data_as_of_us), \"yyyy-MM-dd'T'HH:mm'Z'\")"
+    )
     jk = _JSON_K[dialect]
     sha = "sha256({})" if dialect == "duckdb" else "sha2({}, 256)"
     st = "VARCHAR" if dialect == "duckdb" else "STRING"
@@ -134,7 +141,7 @@ def _card_sql(dialect: str) -> str:
                CASE WHEN degraded_sources > 0
                     THEN '**degraded:** partial data, cached/fallback values' END,
                '**verify:** dexscreener:' || chain || '/' || substring(ca_norm, 1, 10),
-               '**data as of:** ' || CAST(data_as_of_us AS {st}),
+               '**data as of:** ' || {iso_min},
                '_risk signal only, not investment advice_'
            ) AS tg_render,
            symbol || '|' || risk_level || '|' || level || '|'
