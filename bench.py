@@ -76,6 +76,7 @@ HEADLINE = [
     "flagship_heat_rules",
     "e2e_pipeline_trace",
     "e2e_corpus_prep",
+    "e2e_training_prep",
 ]
 
 

@@ -1261,8 +1261,9 @@ def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The rule ORDER is part of the contract: emails are replaced before
     the digit rules (an email's digits must not count as a phone), and
-    card-length digit runs before the looser phone shape. Counts are
-    taken on the PRE-scrub text per rule; `has_pii` is the union match.
+    card-length digit runs before the looser phone shape. Each rule
+    counts on the text already scrubbed by earlier rules (progressive
+    fold), so one substring never double-counts across rules.
     Map-only projection — at 100TB this is one scan, no shuffle, and
     the regex work stays JVM-side (no Python in the hot path).
     """
@@ -1363,3 +1364,125 @@ def x_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("waste_frac"),
     )
+
+
+def _pii_inject_sql() -> str:
+    return (
+        "text"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' contact bob@example.com now' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 123-4567 today' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.77 addr' ELSE '' END"
+        " || CASE WHEN doc_id % 9 = 0 THEN ' card 4111111111111111 on file' ELSE '' END"
+    )
+
+
+def _e2e_training_prep_oracle() -> str:
+    ctes, cur = [], "t0"
+    for i, (name, pat, repl) in enumerate(_PII_RULES):
+        nxt = f"t{i + 1}"
+        prev = "base" if i == 0 else f"p{i - 1}"
+        carried = "".join(f", n_{n}" for n, _, _ in _PII_RULES[:i])
+        ctes.append(
+            f"p{i} AS (SELECT doc_id{carried}, "
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace({cur}, '{pat}', '{repl}', 'g') AS {nxt} FROM {prev})"
+        )
+        cur = nxt
+    n_sum = " + ".join(f"n_{n}" for n, _, _ in _PII_RULES)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               ROUND({_quality_duck()}, 6) AS quality,
+               CAST(len({_TOKS_DUCK}) AS BIGINT) AS ntok,
+               {_pii_inject_sql()} AS t0
+        FROM documents
+    ), base AS (
+        SELECT doc_id, source, ntok, t0 FROM scored
+        WHERE quality >= 0.5 AND ntok >= 5
+    ), {', '.join(ctes)}, scrubbed AS (
+        SELECT doc_id, ({n_sum}) AS n_pii,
+               substring(sha256(trim(regexp_replace(lower({cur}), '\\s+', ' ', 'g'))), 1, 16)
+                   AS fp
+        FROM p{len(_PII_RULES) - 1}
+    ), joined AS (
+        SELECT b.doc_id, b.source, b.ntok, s.n_pii, s.fp
+        FROM base b JOIN scrubbed s USING (doc_id)
+    ), ex AS (
+        SELECT j.* FROM joined j
+        JOIN (SELECT fp, MIN(doc_id) AS mid FROM joined GROUP BY fp) m
+          ON j.fp = m.fp AND j.doc_id = m.mid
+    )
+    SELECT doc_id, source, ntok, n_pii,
+           CASE WHEN substr(md5(fp), 1, 4) < '028f' THEN 'val'
+                WHEN substr(md5(fp), 1, 4) < '051e' THEN 'test'
+                ELSE 'train' END AS split
+    FROM ex
+    """
+
+
+@query(
+    "e2e_training_prep",
+    None,  # patched below (shares the PII rule table)
+    survey_ids=(
+        "training-pipeline e2e #2: quality/length gate -> PII scrub -> "
+        "exact dedup on the SCRUBBED fingerprint -> leakage-safe split "
+        "(composes x_text_stats, x_pii_scrub, dd_exact_dedup, "
+        "x_split_leakage_safe into one hygiene dataflow)"
+    ),
+)
+def e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hygiene end-to-end: gate on quality/length, scrub PII,
+    dedup on the fingerprint of the SCRUBBED text (two docs differing
+    only in their PII are duplicates — scrubbing first is what makes
+    that true), then assign leakage-safe splits keyed on the same
+    fingerprint. All map-only until the one dedup shuffle; the split is
+    a pure function of content, so membership survives re-runs and
+    corpus growth."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = textan.tokens(t)
+    inject = F.concat(
+        t,
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" contact bob@example.com now")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 (555) 123-4567 today")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" from 192.168.1.77 addr")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" card 4111111111111111 on file")).otherwise(F.lit("")),
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.round(textan.quality_score(t, toks), 6).alias("quality"),
+        F.size(toks).cast("long").alias("ntok"),
+        inject.alias("t0"),
+    ).filter((F.col("quality") >= 0.5) & (F.col("ntok") >= 5))
+    df = base
+    for i, (name, pat, repl) in enumerate(_PII_RULES):
+        cur, nxt = f"t{i}", f"t{i + 1}"
+        df = df.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(cur), F.lit(pat), 0)).cast("long"),
+        ).withColumn(nxt, F.regexp_replace(F.col(cur), pat, repl))
+    n_cols = [f"n_{name}" for name, _, _ in _PII_RULES]
+    n_pii = sum((F.col(c) for c in n_cols[1:]), F.col(n_cols[0]))
+    fp = textan.doc_fingerprint(F.col(f"t{len(_PII_RULES)}"))
+    keyed = df.select(
+        "doc_id", "source", "ntok", n_pii.alias("n_pii"), fp.alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    ex = keyed.withColumn("min_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("min_id")
+    )
+    bucket = F.substring(F.md5(F.col("fp")), 1, 4)
+    return ex.select(
+        "doc_id",
+        "source",
+        "ntok",
+        "n_pii",
+        F.when(bucket < "028f", F.lit("val"))
+        .when(bucket < "051e", F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+_REG2["e2e_training_prep"].oracle = _e2e_training_prep_oracle()
