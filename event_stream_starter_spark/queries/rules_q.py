@@ -15,7 +15,6 @@ import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..rules.compiler import load_ruleset

@@ -29,7 +29,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.dedup import incremental_minhash_pairs, minhash_signatures
 
