@@ -152,6 +152,28 @@ def ema_last(values: Column, alpha: float) -> Column:
     )
 
 
+def heat_gates(
+    cnt_10m: Column,
+    cnt_30m: Column,
+    slope: Column,
+    theta: float = 0.2,
+    noise_floor: int = 1,
+    min_sample: int = 3,
+) -> dict[str, Column]:
+    """W5 noise/sample gates (reference heat.py:125-127 defaults,
+    264-273 branch order): below the noise floor → slope NULL, trend
+    'flat', degrade FALSE (quiet is not an error); else below the 30m
+    sample minimum → slope NULL, 'flat', degrade TRUE (not enough data
+    to trust a trend); else the slope/trend computation runs. Returns
+    {'slope', 'trend', 'degrade'} column expressions."""
+    gated = (cnt_10m < noise_floor) | (cnt_30m < min_sample)
+    return {
+        "slope": F.when(~gated, F.round(slope, 6) + F.lit(0)),
+        "trend": F.when(gated, F.lit("flat")).otherwise(slope_trend(slope, theta)),
+        "degrade": (cnt_10m >= noise_floor) & (cnt_30m < min_sample),
+    }
+
+
 def slope_trend(slope: Column, theta: float = 0.2) -> Column:
     """W5 trend label: up/down/flat at ±theta — INCLUSIVE bounds: the
     reference labels `slope >= theta_rise` up and `slope <= -theta_rise`

@@ -388,29 +388,39 @@ def a2_topic_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY e.event_type
     )
     SELECT event_type, cnt_10m, cnt_30m, prev_10m,
-           ROUND((cnt_10m - prev_10m) / 10.0, 6) + 0 AS slope,
-           CASE WHEN (cnt_10m - prev_10m) / 10.0 >= 0.2 THEN 'up'
+           CASE WHEN cnt_10m < 1 OR cnt_30m < 3 THEN NULL
+                ELSE ROUND((cnt_10m - prev_10m) / 10.0, 6) + 0 END AS slope,
+           CASE WHEN cnt_10m < 1 OR cnt_30m < 3 THEN 'flat'
+                WHEN (cnt_10m - prev_10m) / 10.0 >= 0.2 THEN 'up'
                 WHEN (cnt_10m - prev_10m) / 10.0 <= -0.2 THEN 'down'
-                ELSE 'flat' END AS trend
+                ELSE 'flat' END AS trend,
+           (cnt_10m >= 1 AND cnt_30m < 3) AS degrade
     FROM counts
     """,
-    survey_ids="A3 (trailing 10m/30m/prev-10m heat counts), W5 (slope+trend), ST2",
+    survey_ids=(
+        "A3 (trailing 10m/30m/prev-10m heat counts), W5 (slope+trend with "
+        "noise-floor/min-sample gates + degrade flag), ST2"
+    ),
 )
 def a3_w5_heat_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.windows import trailing_heat_counts
+    from ..operators.windows import heat_gates, trailing_heat_counts
 
     # Shared A3 helper: `now` = max event time (injected, not wall-clock),
     # one conditional-sum pass over the fact table (see
-    # operators/windows.trailing_heat_counts).
+    # operators/windows.trailing_heat_counts). Gates: below the noise
+    # floor slope is NULL (quiet, not degraded); below the 30m sample
+    # minimum slope is NULL with degrade=true (reference heat.py:264-273).
     counts = trailing_heat_counts(_events(spark, sf_dir))
     slope = (F.col("cnt_10m") - F.col("prev_10m")) / F.lit(10.0)
+    g = heat_gates(F.col("cnt_10m"), F.col("cnt_30m"), slope, theta=0.2)
     return counts.select(
         "event_type",
         "cnt_10m",
         "cnt_30m",
         "prev_10m",
-        (F.round(slope, 6) + F.lit(0)).alias("slope"),
-        slope_trend(slope, theta=0.2).alias("trend"),
+        g["slope"].alias("slope"),
+        g["trend"].alias("trend"),
+        g["degrade"].alias("degrade"),
     )
 
 

@@ -357,3 +357,40 @@ def test_d4_merge_vector_tweet_id_and_status_url_collide(spark):
     assert row["dedup_key"] == "x:12345" and row["n"] == 2
     assert row["m_tweet_id"] == "12345"
     assert row["m_url"].startswith("https://twitter.com/") and "utm" not in row["m_url"]
+
+
+def test_heat_gates_noise_floor_and_min_sample_branches(spark):
+    """Reference heat.py:264-273 branch order: below the noise floor →
+    slope NULL / flat / degrade FALSE (quiet is not an error); else
+    below the 30m sample minimum → slope NULL / flat / degrade TRUE;
+    else slope+trend computed normally."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.operators.windows import heat_gates
+
+    df = spark.createDataFrame(
+        [
+            ("quiet", 0, 2, 0),      # noise floor: 0 in 10m
+            ("sparse", 1, 2, 0),     # >= floor but < 3 in 30m → degrade
+            ("rising", 5, 10, 1),    # slope 0.4 → up
+            ("falling", 1, 10, 6),   # slope -0.5 → down
+            ("steady", 3, 10, 3),    # slope 0.0 → flat
+        ],
+        "name string, cnt_10m long, cnt_30m long, prev_10m long",
+    )
+    slope = (F.col("cnt_10m") - F.col("prev_10m")) / F.lit(10.0)
+    g = heat_gates(F.col("cnt_10m"), F.col("cnt_30m"), slope)
+    got = {
+        r["name"]: (r["slope"], r["trend"], r["degrade"])
+        for r in df.select(
+            "name",
+            g["slope"].alias("slope"),
+            g["trend"].alias("trend"),
+            g["degrade"].alias("degrade"),
+        ).collect()
+    }
+    assert got["quiet"] == (None, "flat", False)
+    assert got["sparse"] == (None, "flat", True)
+    assert got["rising"] == (0.4, "up", False)
+    assert got["falling"] == (-0.5, "down", False)
+    assert got["steady"] == (0.0, "flat", False)
