@@ -41,6 +41,7 @@ QUERY_SCHEMAS = {
     ],
     "a3_w5_heat_slope": [
         "event_type", "cnt_10m", "cnt_30m", "prev_10m", "slope", "trend",
+        "degrade",
     ],
     "r1_rules_eval": [
         "event_id", "total_score", "level", "reasons", "missing_sources",
