@@ -37,7 +37,11 @@ def key_concat(*cols: Column) -> Column:
     the SQL oracles' `||` chains null-propagate). A NULL key is the
     engine analog of the reference's make_event_key ValueError on a
     missing type (api/events.py:414-436): the row is quarantined by
-    key-nullability instead of raising mid-job.
+    key-nullability instead of raising mid-job. Keyed CONSUMERS must
+    filter `key IS NOT NULL` before grouping/deduping — SQL groups
+    NULLs together, so an unfiltered NULL key would collapse every
+    type-less row across users into one group (the query surfaces and
+    deduped_stream apply this filter).
 
     The explicit-default builders below (event_key_v1/v2, fingerprint)
     intentionally coalesce OPTIONAL fields to '' first — this helper is

@@ -38,7 +38,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY event_key
                                      ORDER BY ts_us ASC, event_id ASC) AS rn
-        FROM keyed
+        FROM keyed WHERE event_key IS NOT NULL
     )
     SELECT event_id, ts_us, user_id, event_type, event_key
     FROM ranked WHERE rn = 1
@@ -71,6 +71,12 @@ def c4_event_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         key.alias("event_key"),
     )
+    # QUARANTINE before the keyed dedup: a NULL key must not join the
+    # partitioning (grouping NULLs together would collapse every
+    # type-less row ACROSS users into one group — worse than keeping
+    # them); keyed consumers exclude NULL keys, a quarantine sink owns
+    # them.
+    keyed = keyed.filter(F.col("event_key").isNotNull())
     # ONE survivor-selection law for the whole engine: the shared
     # operator (also used by d2_fingerprint_dedup and the e2e trace), so
     # a tiebreak change cannot silently fork this query's semantics.
@@ -89,6 +95,7 @@ def c4_event_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MAX(value), 6) AS max_weight,
            (max(struct_pack(ts := ts, v := value))).v AS last_value
     FROM events
+    WHERE event_type IS NOT NULL
     GROUP BY substring(sha256(CAST(user_id AS VARCHAR) || '|' || event_type), 1, 40)
     """,
     survey_ids="A1 (keyed upsert-merge laws: greatest last_ts, evidence count, last non-null)",
@@ -100,6 +107,7 @@ def a1_event_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         40,
     )
+    ev = ev.filter(F.col("event_type").isNotNull())  # NULL-key quarantine
     # Batch form of the streaming keyed upsert (reference api/events.py:
     # 1139-1256): last_ts = greatest(old,new) ≡ max(ts); evidence_count;
     # "replace with latest" ≡ lexicographic struct-max on (ts, value) —

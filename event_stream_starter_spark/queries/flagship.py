@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.windows import slope_trend, trailing_heat_counts
+from ..operators.windows import heat_gates, trailing_heat_counts
 from . import query
 from .rules_q import _K_DUCK, _K_SPARK, _load_rules, _projection_sql
 
@@ -45,14 +45,18 @@ def flagship_heat_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     heat = _heat(spark, sf_dir)
     slope = (F.col("cnt_10m") - F.col("prev_10m")) / F.lit(10.0)
+    # Same W5 gates as a3_w5_heat_slope (shared heat_gates helper) — the
+    # two surfaces certified for W5 must never fork on gating.
+    g = heat_gates(F.col("cnt_10m"), F.col("cnt_30m"), slope)
     return (
         heat.join(rules_summary, "event_type")
         .select(
             "event_type",
             "cnt_10m",
             "cnt_30m",
-            (F.round(slope, 6) + F.lit(0)).alias("slope"),
-            slope_trend(slope).alias("trend"),
+            g["slope"].alias("slope"),
+            g["trend"].alias("trend"),
+            g["degrade"].alias("degrade"),
             "sum_score",
             "n_opportunity",
             "n_caution",
@@ -89,10 +93,13 @@ def _flagship_oracle() -> str:
         GROUP BY e.event_type
     )
     SELECT h.event_type, h.cnt_10m, h.cnt_30m,
-           ROUND((h.cnt_10m - h.prev_10m) / 10.0, 6) + 0 AS slope,
-           CASE WHEN (h.cnt_10m - h.prev_10m) / 10.0 >= 0.2 THEN 'up'
+           CASE WHEN h.cnt_10m < 1 OR h.cnt_30m < 3 THEN NULL
+                ELSE ROUND((h.cnt_10m - h.prev_10m) / 10.0, 6) + 0 END AS slope,
+           CASE WHEN h.cnt_10m < 1 OR h.cnt_30m < 3 THEN 'flat'
+                WHEN (h.cnt_10m - h.prev_10m) / 10.0 >= 0.2 THEN 'up'
                 WHEN (h.cnt_10m - h.prev_10m) / 10.0 <= -0.2 THEN 'down'
                 ELSE 'flat' END AS trend,
+           (h.cnt_10m >= 1 AND h.cnt_30m < 3) AS degrade,
            r.sum_score, r.n_opportunity, r.n_caution
     FROM heat h JOIN rules_summary r ON h.event_type = r.event_type
     """

@@ -288,24 +288,25 @@ COOLDOWN_SEC = 3600
 
 @query(
     "d6_cooldown_emit",
-    """
+    f"""
     WITH RECURSIVE e AS (
         SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
         FROM events WHERE event_type = 'purchase'
     ), rec AS (
         -- Greedy per-key fold as a recursion: the first emission is the
         -- key's earliest event; each next one the earliest event at or
-        -- beyond last_emit + cooldown.
+        -- beyond last_emit + cooldown (COOLDOWN_SEC — one source of
+        -- truth with the Spark fold below).
         SELECT user_id, MIN(ts_us) AS emit_ts_us FROM e GROUP BY user_id
         UNION ALL
         SELECT r.user_id,
                (SELECT MIN(ts_us) FROM e
                  WHERE e.user_id = r.user_id
-                   AND e.ts_us >= r.emit_ts_us + 3600000000)
+                   AND e.ts_us >= r.emit_ts_us + {COOLDOWN_SEC * 1_000_000})
         FROM rec r
         WHERE EXISTS (SELECT 1 FROM e
                        WHERE e.user_id = r.user_id
-                         AND e.ts_us >= r.emit_ts_us + 3600000000)
+                         AND e.ts_us >= r.emit_ts_us + {COOLDOWN_SEC * 1_000_000})
     )
     SELECT user_id, emit_ts_us FROM rec
     """,

@@ -120,6 +120,7 @@ def e2e_pipeline_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         dedup_key.alias("dedup_key"),
     )
+    keyed = keyed.filter(F.col("dedup_key").isNotNull())  # NULL-key quarantine
     survivors = exact_dedup(keyed, ["dedup_key"], "ts_us", tiebreak=["event_id"])
 
     upsert_key = F.substring(

@@ -1212,39 +1212,85 @@ _PII_RULES = (
 )
 
 
-def _pii_oracle() -> str:
-    # The corpus is synthetic word salad, so PII is INJECTED
-    # deterministically per doc_id — every rule fires on a known subset.
-    inject = (
+
+def _pii_inject_sql() -> str:
+    return (
         "text"
         " || CASE WHEN doc_id % 4 = 0 THEN ' contact bob@example.com now' ELSE '' END"
         " || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 123-4567 today' ELSE '' END"
         " || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.77 addr' ELSE '' END"
         " || CASE WHEN doc_id % 9 = 0 THEN ' card 4111111111111111 on file' ELSE '' END"
     )
-    # Progressive CTE chain: each rule counts on the text AFTER the
-    # previous rules scrubbed it, so an IP or card run never also counts
-    # as a phone — same fold as the Spark side.
+
+
+def _pii_inject_col():
+    """Deterministic synthetic-PII injection, Spark side (the corpus is
+    word salad, so every rule must be fed a known subset). ONE source of
+    truth with _pii_inject_sql() — keep the strings in lockstep."""
+    return F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" contact bob@example.com now")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 (555) 123-4567 today")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" from 192.168.1.77 addr")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" card 4111111111111111 on file")).otherwise(F.lit("")),
+    )
+
+
+def _pii_fold(df: DataFrame) -> DataFrame:
+    """Progressive PII fold over a frame with column t0: adds n_<rule>
+    columns (each counted on the text already scrubbed by earlier
+    rules) and t<len(rules)> = fully scrubbed text. Shared by
+    x_pii_scrub and e2e_training_prep — one fold, two queries."""
+    for i, (name, pat, repl) in enumerate(_PII_RULES):
+        cur, nxt = f"t{i}", f"t{i + 1}"
+        df = df.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(cur), F.lit(pat), 0)).cast("long"),
+        ).withColumn(nxt, F.regexp_replace(F.col(cur), pat, repl))
+    return df
+
+
+def _pii_scrubbed_col() -> str:
+    return f"t{len(_PII_RULES)}"
+
+
+def _pii_total_col():
+    n_cols = [f"n_{name}" for name, _, _ in _PII_RULES]
+    total = F.col(n_cols[0])
+    for c in n_cols[1:]:
+        total = total + F.col(c)
+    return total
+
+
+def _pii_cte_chain(base_cte: str, prefix: str) -> tuple[str, str, str]:
+    """DuckDB progressive-fold CTE chain over {base_cte}(doc_id, t0).
+    Returns (joined CTE definitions, final CTE name, final text column).
+    Shared by the x_pii_scrub and e2e_training_prep oracles."""
     ctes, cur = [], "t0"
     for i, (name, pat, repl) in enumerate(_PII_RULES):
         nxt = f"t{i + 1}"
-        prev = "base" if i == 0 else f"s{i - 1}"
+        prev = base_cte if i == 0 else f"{prefix}{i - 1}"
         carried = "".join(f", n_{n}" for n, _, _ in _PII_RULES[:i])
         ctes.append(
-            f"s{i} AS (SELECT doc_id{carried}, "
+            f"{prefix}{i} AS (SELECT doc_id{carried}, "
             f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}, "
             f"regexp_replace({cur}, '{pat}', '{repl}', 'g') AS {nxt} FROM {prev})"
         )
         cur = nxt
+    return ", ".join(ctes), f"{prefix}{len(_PII_RULES) - 1}", cur
+
+
+def _pii_oracle() -> str:
+    ctes, final_cte, cur = _pii_cte_chain("base", "s")
     n_cols = ", ".join(f"n_{n}" for n, _, _ in _PII_RULES)
     return f"""
     WITH base AS (
-        SELECT doc_id, {inject} AS t0 FROM documents
-    ), {', '.join(ctes)}
+        SELECT doc_id, {_pii_inject_sql()} AS t0 FROM documents
+    ), {ctes}
     SELECT doc_id, {n_cols},
            {cur} AS scrubbed,
            ({' + '.join(f'n_{n}' for n, _, _ in _PII_RULES)}) > 0 AS has_pii
-    FROM s{len(_PII_RULES) - 1}
+    FROM {final_cte}
     """
 
 
@@ -1268,31 +1314,14 @@ def x_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the regex work stays JVM-side (no Python in the hot path).
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    t = F.concat(
-        t,
-        F.when(F.col("doc_id") % 4 == 0, F.lit(" contact bob@example.com now")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 (555) 123-4567 today")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 7 == 0, F.lit(" from 192.168.1.77 addr")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 9 == 0, F.lit(" card 4111111111111111 on file")).otherwise(F.lit("")),
-    )
-    base = docs.select("doc_id", t.alias("t0"))
-    # Progressive fold mirroring the oracle CTE chain: count rule i on
-    # the text already scrubbed by rules < i, then apply rule i.
-    df = base
-    for i, (name, pat, repl) in enumerate(_PII_RULES):
-        cur, nxt = f"t{i}", f"t{i + 1}"
-        df = df.withColumn(
-            f"n_{name}",
-            F.size(F.regexp_extract_all(F.col(cur), F.lit(pat), 0)).cast("long"),
-        ).withColumn(nxt, F.regexp_replace(F.col(cur), pat, repl))
+    base = docs.select("doc_id", _pii_inject_col().alias("t0"))
+    df = _pii_fold(base)
     n_cols = [f"n_{name}" for name, _, _ in _PII_RULES]
-    total = sum((F.col(c) for c in n_cols[1:]), F.col(n_cols[0]))
     return df.select(
         "doc_id",
         *n_cols,
-        F.col(f"t{len(_PII_RULES)}").alias("scrubbed"),
-        (total > 0).alias("has_pii"),
+        F.col(_pii_scrubbed_col()).alias("scrubbed"),
+        (_pii_total_col() > 0).alias("has_pii"),
     )
 
 
@@ -1366,28 +1395,8 @@ def x_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pii_inject_sql() -> str:
-    return (
-        "text"
-        " || CASE WHEN doc_id % 4 = 0 THEN ' contact bob@example.com now' ELSE '' END"
-        " || CASE WHEN doc_id % 5 = 0 THEN ' call +1 (555) 123-4567 today' ELSE '' END"
-        " || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.77 addr' ELSE '' END"
-        " || CASE WHEN doc_id % 9 = 0 THEN ' card 4111111111111111 on file' ELSE '' END"
-    )
-
-
 def _e2e_training_prep_oracle() -> str:
-    ctes, cur = [], "t0"
-    for i, (name, pat, repl) in enumerate(_PII_RULES):
-        nxt = f"t{i + 1}"
-        prev = "base" if i == 0 else f"p{i - 1}"
-        carried = "".join(f", n_{n}" for n, _, _ in _PII_RULES[:i])
-        ctes.append(
-            f"p{i} AS (SELECT doc_id{carried}, "
-            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}, "
-            f"regexp_replace({cur}, '{pat}', '{repl}', 'g') AS {nxt} FROM {prev})"
-        )
-        cur = nxt
+    ctes, final_cte, cur = _pii_cte_chain("base", "p")
     n_sum = " + ".join(f"n_{n}" for n, _, _ in _PII_RULES)
     return f"""
     WITH scored AS (
@@ -1399,11 +1408,11 @@ def _e2e_training_prep_oracle() -> str:
     ), base AS (
         SELECT doc_id, source, ntok, t0 FROM scored
         WHERE quality >= 0.5 AND ntok >= 5
-    ), {', '.join(ctes)}, scrubbed AS (
+    ), {ctes}, scrubbed AS (
         SELECT doc_id, ({n_sum}) AS n_pii,
                substring(sha256(trim(regexp_replace(lower({cur}), '\\s+', ' ', 'g'))), 1, 16)
                    AS fp
-        FROM p{len(_PII_RULES) - 1}
+        FROM {final_cte}
     ), joined AS (
         SELECT b.doc_id, b.source, b.ntok, s.n_pii, s.fp
         FROM base b JOIN scrubbed s USING (doc_id)
@@ -1437,36 +1446,22 @@ def e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     that true), then assign leakage-safe splits keyed on the same
     fingerprint. All map-only until the one dedup shuffle; the split is
     a pure function of content, so membership survives re-runs and
-    corpus growth."""
+    corpus growth. PII inject/fold shared with x_pii_scrub (one rule
+    table, one fold)."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     toks = textan.tokens(t)
-    inject = F.concat(
-        t,
-        F.when(F.col("doc_id") % 4 == 0, F.lit(" contact bob@example.com now")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 (555) 123-4567 today")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 7 == 0, F.lit(" from 192.168.1.77 addr")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 9 == 0, F.lit(" card 4111111111111111 on file")).otherwise(F.lit("")),
-    )
     base = docs.select(
         "doc_id",
         "source",
         F.round(textan.quality_score(t, toks), 6).alias("quality"),
         F.size(toks).cast("long").alias("ntok"),
-        inject.alias("t0"),
+        _pii_inject_col().alias("t0"),
     ).filter((F.col("quality") >= 0.5) & (F.col("ntok") >= 5))
-    df = base
-    for i, (name, pat, repl) in enumerate(_PII_RULES):
-        cur, nxt = f"t{i}", f"t{i + 1}"
-        df = df.withColumn(
-            f"n_{name}",
-            F.size(F.regexp_extract_all(F.col(cur), F.lit(pat), 0)).cast("long"),
-        ).withColumn(nxt, F.regexp_replace(F.col(cur), pat, repl))
-    n_cols = [f"n_{name}" for name, _, _ in _PII_RULES]
-    n_pii = sum((F.col(c) for c in n_cols[1:]), F.col(n_cols[0]))
-    fp = textan.doc_fingerprint(F.col(f"t{len(_PII_RULES)}"))
+    df = _pii_fold(base)
+    fp = textan.doc_fingerprint(F.col(_pii_scrubbed_col()))
     keyed = df.select(
-        "doc_id", "source", "ntok", n_pii.alias("n_pii"), fp.alias("fp")
+        "doc_id", "source", "ntok", _pii_total_col().alias("n_pii"), fp.alias("fp")
     )
     w = Window.partitionBy("fp")
     ex = keyed.withColumn("min_id", F.min("doc_id").over(w)).filter(

@@ -90,8 +90,11 @@ class OnchainRules:
             _RANGE_GUARDS[f].format(f=f) for f in fields if f in _RANGE_GUARDS
         ]
         insufficient = " OR ".join(guards) or "FALSE"
+        if window_col and not self.windows:
+            raise ValueError("window_col given but the rules declare no windows")
         window_bad = (
-            f"{window_col} NOT IN ({', '.join(str(w) for w in self.windows)})"
+            f"({window_col} IS NULL OR {window_col} NOT IN "
+            f"({', '.join(str(w) for w in self.windows)}))"
             if window_col
             else "FALSE"
         )

@@ -36,8 +36,12 @@ def deduped_stream(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """D1/D3 streaming dedup: watermark bounds state (ST3 — the
     reference's TTL windows), dropDuplicatesWithinWatermark keeps the
     first arrival per key within it."""
-    return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        ["event_key"]
+    # NULL-key quarantine: dropDuplicates groups NULLs together, which
+    # would collapse all type-less rows into one survivor across keys.
+    return (
+        df.filter(F.col("event_key").isNotNull())
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_key"])
     )
 
 
