@@ -449,6 +449,7 @@ def test_onchain_verdict_replays_reference_vectors(spark):
         ("downgrade_priority", 0.96, 2.5, 0.75, 0.25, 60),
         ("hold", 0.85, 1.5, 0.30, 0.05, 60),
         ("insufficient_window", 0.85, 1.5, 0.30, 0.05, 90),
+        ("null_window", 0.96, 2.5, 0.30, 0.05, None),  # NULL ≠ supported
     ]
     df = spark.createDataFrame(
         rows,
@@ -466,6 +467,7 @@ def test_onchain_verdict_replays_reference_vectors(spark):
         "downgrade_priority": ("downgrade", 1.0, None),
         "hold": ("hold", 0.5, None),
         "insufficient_window": ("insufficient", 0.0, "window_unsupported"),
+        "null_window": ("insufficient", 0.0, "window_unsupported"),
     }
 
 
