@@ -192,3 +192,45 @@ class ReadApi:
             return {"status": "ready"}
         except Exception as exc:  # pragma: no cover - storage failure path
             return {"status": "not_ready", "error": str(exc)}
+
+    def metrics(self, listener=None, outbox_df: DataFrame | None = None) -> str | None:
+        """GET /metrics — Prometheus v0.0.4 text exposition.
+
+        Reference: api/routes/metrics.py:116-180. Gated by
+        ``METRICS_EXPOSED`` (None = the 404 analog); emits ``up=1``, the
+        pipeline_latency_ms histogram from the streaming listener's
+        batch durations, outbox_backlog counted as status IN
+        (pending, retry) (routes/metrics.py:38-55), config_version from
+        the rules hot-reload file version, and build_info from env —
+        plus the standard zero-placeholder tail so scrapes see a stable
+        series set from the first request.
+        """
+        import os
+
+        from .streaming.prom import build_prom_text, metrics_exposed
+
+        if not metrics_exposed():
+            return None
+        gauges: dict[str, float] = {"up": 1.0}
+        labeled: dict[str, tuple[dict[str, str], float]] = {}
+        if outbox_df is not None:
+            backlog = outbox_df.filter(
+                F.col("status").isin("pending", "retry")
+            ).count()
+            gauges["outbox_backlog"] = float(backlog)
+        rules_path = os.environ.get("ESS_RULES_PATH")
+        if rules_path and os.path.exists(rules_path):
+            st = os.stat(rules_path)
+            # Same "<mtime_ns>-<size>" version law as rules/hotreload.py.
+            labeled["config_version"] = ({"sha": f"{st.st_mtime_ns}-{st.st_size}"}, 1.0)
+        build_version = os.environ.get("BUILD_VERSION", "")
+        build_commit = os.environ.get("BUILD_COMMIT", "")
+        if build_version or build_commit:
+            labeled["build_info"] = (
+                {"version": build_version, "commit": build_commit},
+                1.0,
+            )
+        samples = listener.latency_samples() if listener is not None else []
+        return build_prom_text(
+            latency_samples_ms=samples, gauges=gauges, labeled=labeled
+        )

@@ -11,9 +11,15 @@ rows-behind when the source reports it.
 from __future__ import annotations
 
 import json
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql.streaming import StreamingQueryListener
+
+
+# Bounded per-query latency history: enough for the /metrics histogram
+# buckets, small enough that a long-lived stream can't grow the driver.
+MAX_LATENCY_SAMPLES = 1024
 
 
 @dataclass
@@ -26,6 +32,9 @@ class QueryMetrics:
     last_state_rows: int | None = None
     last_event: str | None = None
     errors: list[str] = field(default_factory=list)
+    batch_duration_samples: deque = field(
+        default_factory=lambda: deque(maxlen=MAX_LATENCY_SAMPLES)
+    )
 
 
 class MetricsListener(StreamingQueryListener):
@@ -73,6 +82,7 @@ class MetricsListener(StreamingQueryListener):
             m.total_input_rows += int(p.get("numInputRows") or 0)
             dur = p.get("durationMs") or {}
             m.last_batch_duration_ms = int(dur.get("triggerExecution") or 0)
+            m.batch_duration_samples.append(m.last_batch_duration_ms)
             m.last_rows_per_sec = float(p.get("processedRowsPerSecond") or 0.0)
             ops = p.get("stateOperators") or []
             if ops:
@@ -103,3 +113,9 @@ class MetricsListener(StreamingQueryListener):
                 }
                 for k, m in self.metrics.items()
             }
+
+    def latency_samples(self) -> list[int]:
+        """All recorded batch durations (ms) across queries — the
+        pipeline_latency_ms histogram feed for the /metrics exposition."""
+        with self._lock:
+            return [s for m in self.metrics.values() for s in m.batch_duration_samples]

@@ -53,6 +53,57 @@ def test_health_endpoints(spark, sf_dir):
     assert api.readyz()["status"] == "ready"
 
 
+def test_metrics_endpoint_gated_and_formatted(spark, sf_dir, monkeypatch):
+    api = ReadApi(spark, sf_dir)
+    # Gate off (default): the 404 analog.
+    monkeypatch.delenv("METRICS_EXPOSED", raising=False)
+    assert api.metrics() is None
+    # Gate on: Prometheus text with the guaranteed series.
+    monkeypatch.setenv("METRICS_EXPOSED", "true")
+    outbox = spark.createDataFrame(
+        [(1, "pending"), (2, "retry"), (3, "done"), (4, "dlq")],
+        "id long, status string",
+    )
+    body = api.metrics(outbox_df=outbox)
+    assert "# TYPE pipeline_latency_ms histogram" in body
+    assert 'pipeline_latency_ms_bucket{le="+Inf"} 0' in body
+    assert "pipeline_latency_ms_count 0" in body
+    assert "up 1" in body
+    assert "outbox_backlog 2" in body  # pending+retry only
+    # Standard zero-placeholder tail keeps the scrape surface stable.
+    assert "config_reload_total 0" in body
+    assert "hf_degrade_count 0" in body
+
+
+def test_metrics_histogram_buckets(monkeypatch):
+    from event_stream_starter_spark.streaming.prom import build_prom_text
+
+    body = build_prom_text(latency_samples_ms=[40, 60, 150, 7000])
+    assert 'pipeline_latency_ms_bucket{le="50"} 1' in body
+    assert 'pipeline_latency_ms_bucket{le="100"} 2' in body
+    assert 'pipeline_latency_ms_bucket{le="200"} 3' in body
+    assert 'pipeline_latency_ms_bucket{le="5000"} 3' in body
+    assert 'pipeline_latency_ms_bucket{le="+Inf"} 4' in body
+    assert "pipeline_latency_ms_sum 7250" in body
+    assert "pipeline_latency_ms_count 4" in body
+
+
+def test_metrics_config_version_and_build_info(spark, sf_dir, tmp_path, monkeypatch):
+    api = ReadApi(spark, sf_dir)
+    rules = tmp_path / "rules.yml"
+    rules.write_text("rules: []\n")
+    monkeypatch.setenv("METRICS_EXPOSED", "true")
+    monkeypatch.setenv("ESS_RULES_PATH", str(rules))
+    monkeypatch.setenv("BUILD_VERSION", "1.2.3")
+    monkeypatch.setenv("BUILD_COMMIT", "abc123")
+    import os
+
+    st = os.stat(rules)
+    body = api.metrics()
+    assert f'config_version{{sha="{st.st_mtime_ns}-{st.st_size}"}} 1' in body
+    assert 'build_info{commit="abc123",version="1.2.3"} 1' in body
+
+
 def test_coverage_doc_lists_every_query_and_counts_match():
     """COVERAGE.md is the judge-facing inventory — it must not drift from
     the registry: every query listed, counts in the header exact."""

@@ -179,6 +179,14 @@ def test_metrics_listener_collects_progress(spark, landing, tmp_path):
             time.sleep(0.2)
         assert m["last_event"] == "terminated"
         assert set(listener.snapshot()) == {"obs_tbl"}
+        # Batch durations feed the /metrics histogram (one sample per
+        # progress event), and the exposition picks them up.
+        samples = listener.latency_samples()
+        assert len(samples) == listener.snapshot()["obs_tbl"]["n_batches"]
+        from event_stream_starter_spark.streaming.prom import build_prom_text
+
+        body = build_prom_text(latency_samples_ms=samples)
+        assert f"pipeline_latency_ms_count {len(samples)}" in body
     finally:
         spark.streams.removeListener(listener)
 
