@@ -65,6 +65,8 @@ HEADLINE = [
     "x_ngram_topk",
     "x_boilerplate_frac",
     "x_boilerplate_strip",
+    "x_gopher_rules",
+    "x_ccnet_lm_buckets",
     "a10_t7_batch_scan",
     "d6_cooldown_emit",
     "u4_u6_rules_refiner",

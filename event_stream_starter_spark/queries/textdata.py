@@ -1481,3 +1481,247 @@ def e2e_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG2["e2e_training_prep"].oracle = _e2e_training_prep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-level quality rules (Rae et al. 2021, table A1 subset)
+# ---------------------------------------------------------------------------
+
+# Gopher's stop-word law: a doc must contain at least two of an
+# eight-word stop set. The published set is ("the, be, to, of, and,
+# that, have, with"); the synthetic corpus's function words are only
+# {the, a}, so "have" is swapped for "a" — same adapted-lexicon
+# treatment the sentiment word lists get (declared divergence; with the
+# verbatim set the rule degenerately kills 100% of this corpus).
+_GOPHER_STOPS = ("the", "a", "to", "of", "and", "that", "be", "with")
+_GOPHER_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
+
+
+@query(
+    "x_gopher_rules",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKS_DUCK} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               ROUND(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                     / greatest(len(toks), 1), 6) + 0 AS mean_word_len,
+               ROUND((CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+                      + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3.0)
+                     / greatest(len(toks), 1), 6) + 0 AS symbol_ratio,
+               ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                          AS DOUBLE) / greatest(len(toks), 1), 6) + 0 AS alpha_frac,
+               len(list_filter({_GOPHER_STOPS_SQL},
+                               w -> list_contains(toks, w))) AS n_stop
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
+           (n_words BETWEEN 50 AND 100000) AS r_word_count,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS r_mean_len,
+           (symbol_ratio <= 0.1) AS r_symbol,
+           (alpha_frac >= 0.8) AS r_alpha,
+           (n_stop >= 2) AS r_stop,
+           ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+    FROM m
+    """,
+    survey_ids=(
+        "training-pipeline: Gopher document-level quality rules "
+        "(word count, mean word length, symbol ratio, alpha-word "
+        "fraction, stop-word presence; Rae et al. 2021 table A1)"
+    ),
+)
+def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's document-level quality gates as per-rule flag columns.
+
+    The published filter set (Rae et al. 2021, table A1), restricted to
+    the rules expressible over the synthetic single-line corpus: word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio ('#' and '...') <= 0.1, >=80% of words containing an
+    alphabetic character, and at least two of Gopher's eight stop words
+    present. Per-rule booleans are emitted (not just `keep`) so a
+    curation pipeline can measure each gate's kill rate independently —
+    the shape every published replication (Gopher, RefinedWeb, Dolma)
+    reports.
+
+    Scale: pure map-stage column expressions, no shuffle, no UDF;
+    predicate-pushdown-friendly. The line-level rules (bullet/ellipsis
+    line fractions) need multi-line text and are declared out for this
+    corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textan.tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_div = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_len = F.expr(
+        "aggregate(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '),"
+        " 0L, (a, x) -> a + length(x))"
+    )
+    mean_word_len = (F.round(sum_len.cast("double") / n_div, 6) + 0)
+    n_hash = (F.length("text") - F.length(F.regexp_replace(F.col("text"), r"#", "")))
+    n_ell = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
+    ) / F.lit(3.0)
+    symbol_ratio = F.round((n_hash.cast("double") + n_ell) / n_div, 6) + 0
+    alpha_frac = (
+        F.round(
+            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / n_div,
+            6,
+        )
+        + 0
+    )
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    n_stop = F.size(F.filter(stops, lambda w: F.array_contains(toks, w)))
+    base = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stop"),
+    )
+    r_wc = F.col("n_words").between(50, 100000)
+    r_ml = F.col("mean_word_len").between(3.0, 10.0)
+    r_sy = F.col("symbol_ratio") <= 0.1
+    r_al = F.col("alpha_frac") >= 0.8
+    r_st = F.col("n_stop") >= 2
+    return base.select(
+        "*",
+        r_wc.alias("r_word_count"),
+        r_ml.alias("r_mean_len"),
+        r_sy.alias("r_symbol"),
+        r_al.alias("r_alpha"),
+        r_st.alias("r_stop"),
+        (r_wc & r_ml & r_sy & r_al & r_st).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style n-gram LM perplexity buckets (Wenzek et al. 2019)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_ccnet_lm_buckets",
+    """
+    WITH base AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, lang, substring(nt, CAST(i AS INTEGER), 3) AS g
+        FROM base, unnest(generate_series(1, greatest(len(nt) - 2, 1))) AS u(i)
+    ), counts AS (
+        SELECT lang, g, COUNT(*) AS c FROM ex WHERE doc_id % 7 = 0 GROUP BY lang, g
+    ), tot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
+        FROM counts GROUP BY lang
+    ), model AS (
+        SELECT lang, g, CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE) AS p
+        FROM counts JOIN tot USING (lang)
+    ), scored AS (
+        SELECT ex.doc_id, ex.lang,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CAST(ROUND(-ln(
+                   CASE WHEN model.p IS NOT NULL THEN model.p
+                        WHEN tot.n IS NOT NULL
+                            THEN 1.0 / CAST(tot.n + tot.v AS DOUBLE)
+                        ELSE 1.0 END), 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+        FROM ex
+        LEFT JOIN model ON ex.lang = model.lang AND ex.g = model.g
+        LEFT JOIN tot ON ex.lang = tot.lang
+        GROUP BY ex.doc_id, ex.lang
+    ), b AS (
+        SELECT *,
+               ntile(3) OVER (PARTITION BY lang ORDER BY s / n_grams, doc_id) AS nt3
+        FROM scored
+    )
+    SELECT doc_id, lang, n_grams,
+           ROUND(s / n_grams, 6) + 0 AS nll,
+           CASE nt3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+               AS ppl_bucket
+    FROM b
+    """,
+    survey_ids=(
+        "training-pipeline: CCNet-style LM perplexity bucketing "
+        "(char-trigram LM trained on a deterministic corpus sample, "
+        "add-one smoothing, per-lang head/middle/tail terciles; "
+        "Wenzek et al. 2019)"
+    ),
+)
+def x_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing by n-gram language-model score.
+
+    CCNet scores each document with a per-language LM trained on a
+    reference corpus and splits each language into head/middle/tail
+    perplexity terciles. Here the LM is a char-trigram add-one-smoothed
+    model trained on the deterministic `doc_id % 7 = 0` sample (the
+    analog of CCNet's fixed Wikipedia training corpus — the model must
+    NOT be trained on everything it scores, or dedup of the model
+    becomes dedup of the corpus); unseen grams take the UNK mass
+    1/(N+V) and an unsampled language scores 1.0 (nll 0).
+
+    Scale shape: the model is a bounded per-lang trigram table
+    (vocab <= charset^3) built with one partial-agg shuffle over the
+    SAMPLE only, then broadcast to score the full corpus — the
+    corpus-sized exploded gram stream is never shuffled for scoring,
+    only for its per-doc rollup, which AQE co-partitions with the
+    ntile window on lang. Per-gram log terms are rounded to 9 dp and
+    summed as DECIMAL so the doc score is order-independent (a 100TB
+    sum must not depend on partition order).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", "lang", nt.alias("nt"))
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(nt) - 2, 1)),"
+        " i -> substring(nt, i, 3))"
+    )
+    ex = base.select("doc_id", "lang", F.explode(grams).alias("g"))
+    counts = (
+        ex.filter(F.col("doc_id") % 7 == 0).groupBy("lang", "g").agg(
+            F.count("*").alias("c")
+        )
+    )
+    tot = counts.groupBy("lang").agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    model = counts.join(tot, "lang").select(
+        "lang",
+        "g",
+        ((F.col("c") + 1).cast("double") / (F.col("n") + F.col("v")).cast("double")).alias(
+            "p"
+        ),
+    )
+    p_eff = (
+        F.when(F.col("p").isNotNull(), F.col("p"))
+        .when(F.col("n").isNotNull(), F.lit(1.0) / (F.col("n") + F.col("v")).cast("double"))
+        .otherwise(F.lit(1.0))
+    )
+    scored = (
+        ex.join(F.broadcast(model), ["lang", "g"], "left")
+        .join(F.broadcast(tot), ["lang"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.round(-F.log(p_eff), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("s") / F.col("n_grams")).asc(), F.col("doc_id").asc()
+    )
+    b = scored.withColumn("nt3", F.ntile(3).over(w))
+    return b.select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        (F.round(F.col("s") / F.col("n_grams"), 6) + 0).alias("nll"),
+        F.when(F.col("nt3") == 1, F.lit("head"))
+        .when(F.col("nt3") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
