@@ -85,6 +85,9 @@ DOC_QUERIES = [
     "x_split_assign",
     "x_pii_scrub",
     "x_split_leakage_safe",
+    "x_gopher_rules",
+    "x_ccnet_lm_buckets",
+    "u4_refine_seam",
 ]
 
 

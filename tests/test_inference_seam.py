@@ -165,6 +165,23 @@ def test_degraded_rows_are_not_memoized():
     assert rows[0][2] is None and state["calls"] == 2
 
 
+def test_vectorized_rules_batch_equals_per_row():
+    """rules_refine_batch (pandas-vectorized) must be bit-identical to
+    rules_refine_one per row — including edge shapes: empty text, <4
+    char summaries, duplicate assets, >5 assets, all/none patterns."""
+    texts = [
+        "",
+        "ab",
+        "pump it $AB $CD $AB now",
+        "listing hack partner pump crash rug collab launch",  # all 4 patterns
+        "plain text with nothing special in it",
+        "$AA $BB $CC $DD $EE $FF six assets over the cap",
+        "  spaced   out\ttext  with  runs  ",
+        "UPPER CASE LISTING TEXT",  # pattern is lowercase-matched
+    ]
+    assert I.rules_refine_batch(texts) == [I.rules_refine_one(t) for t in texts]
+
+
 def test_in_batch_dedup_unique_texts_only():
     seen = []
 
