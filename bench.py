@@ -78,6 +78,7 @@ HEADLINE = [
     "flagship_heat_rules",
     "e2e_pipeline_trace",
     "e2e_corpus_prep",
+    "e2e_curation",
     "e2e_training_prep",
 ]
 

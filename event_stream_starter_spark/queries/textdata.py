@@ -1496,14 +1496,10 @@ _REG2["e2e_training_prep"].oracle = _e2e_training_prep_oracle()
 _GOPHER_STOPS = ("the", "a", "to", "of", "and", "that", "be", "with")
 _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
 
-
-@query(
-    "x_gopher_rules",
-    f"""
-    WITH t AS (
-        SELECT doc_id, text, {_TOKS_DUCK} AS toks FROM documents
-    ), m AS (
-        SELECT doc_id,
+# DuckDB fragments shared by x_gopher_rules and e2e_curation: the
+# metric expressions (over a CTE exposing `text` and `toks`) and the
+# keep predicate (over the metric aliases).
+_GOPHER_METRICS_SQL = f"""
                len(toks) AS n_words,
                ROUND(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
                      / greatest(len(toks), 1), 6) + 0 AS mean_word_len,
@@ -1513,7 +1509,69 @@ _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
                ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
                           AS DOUBLE) / greatest(len(toks), 1), 6) + 0 AS alpha_frac,
                len(list_filter({_GOPHER_STOPS_SQL},
-                               w -> list_contains(toks, w))) AS n_stop
+                               w -> list_contains(toks, w))) AS n_stop"""
+
+_GOPHER_KEEP_SQL = (
+    "(n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0) "
+    "AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2"
+)
+
+
+def _gopher_metric_cols() -> dict[str, F.Column]:
+    """The five Gopher metrics as column expressions over `text`
+    (rounded exactly as the oracle fragments round them)."""
+    toks = textan.tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_div = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_len = F.expr(
+        "aggregate(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '),"
+        " 0L, (a, x) -> a + length(x))"
+    )
+    n_hash = F.length("text") - F.length(F.regexp_replace(F.col("text"), r"#", ""))
+    n_ell = (
+        F.length("text") - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
+    ) / F.lit(3.0)
+    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(sum_len.cast("double") / n_div, 6) + 0,
+        "symbol_ratio": F.round((n_hash.cast("double") + n_ell) / n_div, 6) + 0,
+        "alpha_frac": F.round(
+            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / n_div, 6
+        )
+        + 0,
+        "n_stop": F.size(F.filter(stops, lambda w: F.array_contains(toks, w))).cast(
+            "long"
+        ),
+    }
+
+
+def _gopher_rule_cols() -> dict[str, F.Column]:
+    """Per-rule booleans over the metric ALIASES (apply after selecting
+    _gopher_metric_cols under their names)."""
+    return {
+        "r_word_count": F.col("n_words").between(50, 100000),
+        "r_mean_len": F.col("mean_word_len").between(3.0, 10.0),
+        "r_symbol": F.col("symbol_ratio") <= 0.1,
+        "r_alpha": F.col("alpha_frac") >= 0.8,
+        "r_stop": F.col("n_stop") >= 2,
+    }
+
+
+def _gopher_metrics(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    m = _gopher_metric_cols()
+    return docs.select(
+        "doc_id", *passthrough, *[c.alias(n) for n, c in m.items()]
+    )
+
+
+@query(
+    "x_gopher_rules",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKS_DUCK} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,{_GOPHER_METRICS_SQL}
         FROM t
     )
     SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
@@ -1522,8 +1580,7 @@ _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _GOPHER_STOPS) + "]"
            (symbol_ratio <= 0.1) AS r_symbol,
            (alpha_frac >= 0.8) AS r_alpha,
            (n_stop >= 2) AS r_stop,
-           ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
-            AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+           ({_GOPHER_KEEP_SQL}) AS keep
     FROM m
     """,
     survey_ids=(
@@ -1551,50 +1608,13 @@ def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = textan.tokens(F.col("text"))
-    n_words = F.size(toks)
-    n_div = F.greatest(n_words, F.lit(1)).cast("double")
-    sum_len = F.expr(
-        "aggregate(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '),"
-        " 0L, (a, x) -> a + length(x))"
-    )
-    mean_word_len = (F.round(sum_len.cast("double") / n_div, 6) + 0)
-    n_hash = (F.length("text") - F.length(F.regexp_replace(F.col("text"), r"#", "")))
-    n_ell = (
-        F.length("text")
-        - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
-    ) / F.lit(3.0)
-    symbol_ratio = F.round((n_hash.cast("double") + n_ell) / n_div, 6) + 0
-    alpha_frac = (
-        F.round(
-            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double") / n_div,
-            6,
-        )
-        + 0
-    )
-    stops = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
-    n_stop = F.size(F.filter(stops, lambda w: F.array_contains(toks, w)))
-    base = docs.select(
-        "doc_id",
-        n_words.cast("long").alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        alpha_frac.alias("alpha_frac"),
-        n_stop.cast("long").alias("n_stop"),
-    )
-    r_wc = F.col("n_words").between(50, 100000)
-    r_ml = F.col("mean_word_len").between(3.0, 10.0)
-    r_sy = F.col("symbol_ratio") <= 0.1
-    r_al = F.col("alpha_frac") >= 0.8
-    r_st = F.col("n_stop") >= 2
+    base = _gopher_metrics(docs)
+    rules = _gopher_rule_cols()
+    keep = rules["r_word_count"]
+    for k in ("r_mean_len", "r_symbol", "r_alpha", "r_stop"):
+        keep = keep & rules[k]
     return base.select(
-        "*",
-        r_wc.alias("r_word_count"),
-        r_ml.alias("r_mean_len"),
-        r_sy.alias("r_symbol"),
-        r_al.alias("r_alpha"),
-        r_st.alias("r_stop"),
-        (r_wc & r_ml & r_sy & r_al & r_st).alias("keep"),
+        "*", *[c.alias(n) for n, c in rules.items()], keep.alias("keep")
     )
 
 
@@ -1602,48 +1622,112 @@ def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CCNet-style n-gram LM perplexity buckets (Wenzek et al. 2019)
 # ---------------------------------------------------------------------------
 
+# Oracle template: `{src}` is the corpus CTE/table exposing
+# (doc_id, lang, text). x_ccnet_lm_buckets formats it with `documents`;
+# e2e_curation prepends the Gopher gate CTEs and formats with `gated`.
+_CCNET_CTES_SQL = """ccbase AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM {src}
+    ), ccex AS (
+        SELECT doc_id, lang, substring(nt, CAST(i AS INTEGER), 3) AS g
+        FROM ccbase, unnest(generate_series(1, greatest(len(nt) - 2, 1))) AS u(i)
+    ), cccounts AS (
+        SELECT lang, g, COUNT(*) AS c FROM ccex WHERE doc_id % 7 = 0 GROUP BY lang, g
+    ), cctot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
+        FROM cccounts GROUP BY lang
+    ), ccmodel AS (
+        SELECT lang, g, CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE) AS p
+        FROM cccounts JOIN cctot USING (lang)
+    ), ccscored AS (
+        SELECT ccex.doc_id, ccex.lang,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CAST(ROUND(-ln(
+                   CASE WHEN ccmodel.p IS NOT NULL THEN ccmodel.p
+                        WHEN cctot.n IS NOT NULL
+                            THEN 1.0 / CAST(cctot.n + cctot.v AS DOUBLE)
+                        ELSE 1.0 END), 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+        FROM ccex
+        LEFT JOIN ccmodel ON ccex.lang = ccmodel.lang AND ccex.g = ccmodel.g
+        LEFT JOIN cctot ON ccex.lang = cctot.lang
+        GROUP BY ccex.doc_id, ccex.lang
+    ), ccb AS (
+        SELECT *,
+               ntile(3) OVER (PARTITION BY lang ORDER BY s / n_grams, doc_id) AS nt3
+        FROM ccscored
+    ), ccout AS (
+        SELECT doc_id, lang, n_grams,
+               ROUND(s / n_grams, 6) + 0 AS nll,
+               CASE nt3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+                   AS ppl_bucket
+        FROM ccb
+    )"""
+
+
+def _ccnet_bucketed(docs: DataFrame) -> DataFrame:
+    """CCNet scoring over a (doc_id, lang, text) frame: char-trigram
+    add-one LM trained on the deterministic ``doc_id % 7 = 0`` sample,
+    UNK mass 1/(N+V), per-lang head/middle/tail terciles. Returns
+    (doc_id, lang, n_grams, nll, ppl_bucket)."""
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", "lang", nt.alias("nt"))
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(nt) - 2, 1)),"
+        " i -> substring(nt, i, 3))"
+    )
+    ex = base.select("doc_id", "lang", F.explode(grams).alias("g"))
+    counts = (
+        ex.filter(F.col("doc_id") % 7 == 0).groupBy("lang", "g").agg(
+            F.count("*").alias("c")
+        )
+    )
+    tot = counts.groupBy("lang").agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    model = counts.join(tot, "lang").select(
+        "lang",
+        "g",
+        (
+            (F.col("c") + 1).cast("double") / (F.col("n") + F.col("v")).cast("double")
+        ).alias("p"),
+    )
+    p_eff = (
+        F.when(F.col("p").isNotNull(), F.col("p"))
+        .when(
+            F.col("n").isNotNull(),
+            F.lit(1.0) / (F.col("n") + F.col("v")).cast("double"),
+        )
+        .otherwise(F.lit(1.0))
+    )
+    scored = (
+        ex.join(F.broadcast(model), ["lang", "g"], "left")
+        .join(F.broadcast(tot), ["lang"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.round(-F.log(p_eff), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("s") / F.col("n_grams")).asc(), F.col("doc_id").asc()
+    )
+    b = scored.withColumn("nt3", F.ntile(3).over(w))
+    return b.select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        (F.round(F.col("s") / F.col("n_grams"), 6) + 0).alias("nll"),
+        F.when(F.col("nt3") == 1, F.lit("head"))
+        .when(F.col("nt3") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
 
 @query(
     "x_ccnet_lm_buckets",
-    """
-    WITH base AS (
-        SELECT doc_id, lang,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
-        FROM documents
-    ), ex AS (
-        SELECT doc_id, lang, substring(nt, CAST(i AS INTEGER), 3) AS g
-        FROM base, unnest(generate_series(1, greatest(len(nt) - 2, 1))) AS u(i)
-    ), counts AS (
-        SELECT lang, g, COUNT(*) AS c FROM ex WHERE doc_id % 7 = 0 GROUP BY lang, g
-    ), tot AS (
-        SELECT lang, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
-        FROM counts GROUP BY lang
-    ), model AS (
-        SELECT lang, g, CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE) AS p
-        FROM counts JOIN tot USING (lang)
-    ), scored AS (
-        SELECT ex.doc_id, ex.lang,
-               COUNT(*) AS n_grams,
-               CAST(SUM(CAST(ROUND(-ln(
-                   CASE WHEN model.p IS NOT NULL THEN model.p
-                        WHEN tot.n IS NOT NULL
-                            THEN 1.0 / CAST(tot.n + tot.v AS DOUBLE)
-                        ELSE 1.0 END), 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
-        FROM ex
-        LEFT JOIN model ON ex.lang = model.lang AND ex.g = model.g
-        LEFT JOIN tot ON ex.lang = tot.lang
-        GROUP BY ex.doc_id, ex.lang
-    ), b AS (
-        SELECT *,
-               ntile(3) OVER (PARTITION BY lang ORDER BY s / n_grams, doc_id) AS nt3
-        FROM scored
-    )
-    SELECT doc_id, lang, n_grams,
-           ROUND(s / n_grams, 6) + 0 AS nll,
-           CASE nt3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
-               AS ppl_bucket
-    FROM b
-    """,
+    "WITH " + _CCNET_CTES_SQL.format(src="documents") + "\n    SELECT * FROM ccout",
     survey_ids=(
         "training-pipeline: CCNet-style LM perplexity bucketing "
         "(char-trigram LM trained on a deterministic corpus sample, "
@@ -1673,55 +1757,89 @@ def x_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum must not depend on partition order).
     """
     docs = load_table(spark, sf_dir, "documents")
-    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    base = docs.select("doc_id", "lang", nt.alias("nt"))
-    grams = F.expr(
-        "transform(sequence(1, greatest(length(nt) - 2, 1)),"
-        " i -> substring(nt, i, 3))"
+    return _ccnet_bucketed(docs.select("doc_id", "lang", "text"))
+
+
+# ---------------------------------------------------------------------------
+# e2e slice #3: corpus curation (Gopher gate → CCNet buckets → split mix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e2e_curation",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, {_TOKS_DUCK} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, lang, text,{_GOPHER_METRICS_SQL}
+        FROM t
+    ), gated AS (
+        SELECT doc_id, lang, text FROM m WHERE {_GOPHER_KEEP_SQL}
+    ), {_CCNET_CTES_SQL.format(src="gated")}
+    , kept AS (
+        SELECT doc_id, lang, n_grams, nll FROM ccout WHERE ppl_bucket <> 'tail'
+    ), assigned AS (
+        SELECT *,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+                        THEN 'val'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3332'
+                        THEN 'test'
+                    ELSE 'train' END AS split
+        FROM kept
     )
-    ex = base.select("doc_id", "lang", F.explode(grams).alias("g"))
-    counts = (
-        ex.filter(F.col("doc_id") % 7 == 0).groupBy("lang", "g").agg(
-            F.count("*").alias("c")
-        )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) + 0
+               AS mean_nll
+    FROM assigned
+    GROUP BY lang, split
+    """,
+    survey_ids=(
+        "training-pipeline e2e #3: Gopher quality gate → CCNet LM "
+        "terciles (tail dropped) → deterministic split assignment → "
+        "per-(lang, split) corpus stats, one dataflow, one oracle"
+    ),
+)
+def e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation slice composing the published filters: Gopher
+    document gates kill low-quality docs, the CCNet LM drops the tail
+    perplexity tercile of what survives, an md5-bucket split assigns
+    val/test/train (~10/10/80), and the output is the per-(lang, split)
+    corpus inventory a training run reads.
+
+    The CCNet stage runs ON THE GATED SUBSET (terciles of the surviving
+    distribution, matching how curation pipelines chain: each stage sees
+    its predecessor's output). Scale shape inherits the pieces: Gopher
+    is map-only, CCNet shuffles only the per-doc rollup + lang window,
+    the final rollup is a partial agg on (lang, split).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = _gopher_metric_cols()
+    flagged = docs.select("doc_id", "lang", "text", *[c.alias(n) for n, c in m.items()])
+    rules = _gopher_rule_cols()
+    keep = rules["r_word_count"]
+    for k in ("r_mean_len", "r_symbol", "r_alpha", "r_stop"):
+        keep = keep & rules[k]
+    gated = flagged.where(keep).select("doc_id", "lang", "text")
+    cc = _ccnet_bucketed(gated)
+    kept = cc.filter(F.col("ppl_bucket") != "tail")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    assigned = kept.withColumn(
+        "split",
+        F.when(bucket < "1999", F.lit("val"))
+        .when(bucket < "3332", F.lit("test"))
+        .otherwise(F.lit("train")),
     )
-    tot = counts.groupBy("lang").agg(
-        F.sum("c").alias("n"), F.count("*").alias("v")
-    )
-    model = counts.join(tot, "lang").select(
-        "lang",
-        "g",
-        ((F.col("c") + 1).cast("double") / (F.col("n") + F.col("v")).cast("double")).alias(
-            "p"
-        ),
-    )
-    p_eff = (
-        F.when(F.col("p").isNotNull(), F.col("p"))
-        .when(F.col("n").isNotNull(), F.lit(1.0) / (F.col("n") + F.col("v")).cast("double"))
-        .otherwise(F.lit(1.0))
-    )
-    scored = (
-        ex.join(F.broadcast(model), ["lang", "g"], "left")
-        .join(F.broadcast(tot), ["lang"], "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.round(-F.log(p_eff), 9).cast("decimal(28,9)"))
-            .cast("double")
-            .alias("s"),
-        )
-    )
-    w = Window.partitionBy("lang").orderBy(
-        (F.col("s") / F.col("n_grams")).asc(), F.col("doc_id").asc()
-    )
-    b = scored.withColumn("nt3", F.ntile(3).over(w))
-    return b.select(
-        "doc_id",
-        "lang",
-        "n_grams",
-        (F.round(F.col("s") / F.col("n_grams"), 6) + 0).alias("nll"),
-        F.when(F.col("nt3") == 1, F.lit("head"))
-        .when(F.col("nt3") == 2, F.lit("middle"))
-        .otherwise(F.lit("tail"))
-        .alias("ppl_bucket"),
+    return assigned.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("sum_grams"),
+        (
+            F.round(
+                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            )
+            + 0
+        ).alias("mean_nll"),
     )

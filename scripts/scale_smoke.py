@@ -30,6 +30,11 @@ corpus contains ~250k TRUE >=0.5 pairs (45 per clique x 5k cliques
 plus near-threshold word-salad cross pairs), so banding emits ~7.3M
 candidates and exact-verifies a quarter million — linear in true-pair
 volume, which is 1000x sf0.1's 256 pairs at only 10x the docs.
+Corpus-filter additions at the same 50k (best clean run): gopher
+rules 1.5s (map-only), ccnet LM buckets 9.5s (~10M exploded grams:
+sample-side model agg + broadcast-scored rollup), u4 refine seam
+2.7s (vectorized pandas rules batch; was 18.9s with the per-row
+fallback loop).
 
 NOISE CAVEAT: this script is single-pass (unlike bench.py's best-of-4
 passes); the box's co-resident agent process bursts for tens of
