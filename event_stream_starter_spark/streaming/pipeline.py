@@ -260,6 +260,29 @@ def decontaminate_batch(hits: DataFrame) -> DataFrame:
     )
 
 
+def refined_stream(
+    docs: DataFrame, backend: str = "rules", budget_ms: float | None = None
+) -> DataFrame:
+    """U4 refinement over a streaming document source through the
+    pluggable inference seam (functions/inference.py).
+
+    Stateless map-side shape: mapInPandas runs per micro-batch with no
+    state store, so append mode works and nothing accumulates over an
+    unbounded ingest — the streaming analog of the reference's per-event
+    refine call in the pipeline worker (worker/pipeline/*). The degrade
+    ladder (exception/schema/budget → rules fallback, reason-tagged
+    columns) applies per Arrow batch exactly as in batch mode, and the
+    executor-local TTL memo means a hot topic's repeated evidence text
+    inside the memo window skips the model on whichever worker has seen
+    it (a best-effort cache, not a correctness mechanism: results are
+    deterministic per text either way).
+    """
+    from ..functions import inference as I
+
+    kwargs = {} if budget_ms is None else {"budget_ms": budget_ms}
+    return I.refine_with_backend(docs, "text", ["doc_id"], backend=backend, **kwargs)
+
+
 def run_to_completion(stream_df: DataFrame, sink_writer, checkpoint_dir: str) -> None:
     """Drain all available input through foreachBatch (availableNow — the
     batch-parity test harness; production uses trigger(processingTime))."""

@@ -1102,3 +1102,72 @@ def test_u5_memeable_reference_vectors(spark):
     got = {r["id"]: (r["is_memeable"], r["confidence"]) for r in df.collect()}
     assert got[1][0] is True and got[1][1] > 0
     assert got[2] == (False, 0.0)
+
+
+def test_refined_stream_matches_batch_with_model_backend(spark, tmp_path):
+    """refined_stream: the pluggable inference seam over a streaming
+    source must equal the batch path per doc (stateless map-side shape),
+    with the model backend's closure shipped to streaming workers and
+    the degrade ladder applied per micro-batch."""
+    from event_stream_starter_spark.functions import inference as I
+    from event_stream_starter_spark.streaming.pipeline import (
+        refined_stream,
+        run_to_memory_table,
+    )
+
+    @I.register_backend("refine", "stream_echo")
+    def _echo(texts):
+        out = []
+        for t in texts:
+            if "poison" in t:
+                out.append({"type": "bad", "summary": "no"})  # schema-invalid
+            else:
+                out.append(
+                    {
+                        "type": "echo",
+                        "summary": t.upper()[: I.SUMMARY_MAX],
+                        "impacted_assets": [],
+                        "reasons": ["echo backend hit"],
+                        "confidence": 0.9,
+                    }
+                )
+        return out
+
+    rows = [
+        (1, "listing $AB on the exchange today"),
+        (2, "poison text that fails validation"),
+        (3, "plain words with no pattern"),
+        (4, "pump and dump $CD warning"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    land = tmp_path / "doc_landing"
+    # Two files so availableNow can cut >1 micro-batch with maxFilesPerTrigger.
+    docs.filter(F.col("doc_id") <= 2).coalesce(1).write.parquet(str(land / "f1"))
+    docs.filter(F.col("doc_id") >= 3).coalesce(1).write.parquet(str(land / "f2"))
+    stream_src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*"))
+    )
+    I.clear_memo()
+    run_to_memory_table(
+        refined_stream(stream_src, backend="stream_echo"),
+        "refined_tbl",
+        str(tmp_path / "ck_refine"),
+        "append",
+    )
+    got = {r["doc_id"]: r.asDict() for r in spark.table("refined_tbl").collect()}
+    I.clear_memo()
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in I.refine_with_backend(
+            docs, "text", ["doc_id"], backend="stream_echo"
+        ).collect()
+    }
+    assert got == want
+    assert got[1]["backend_used"] == "stream_echo"
+    assert got[1]["refined_summary"] == rows[0][1].upper()
+    # The poison row degraded to rules with the schema reason.
+    assert got[2]["backend_used"] == "rules"
+    assert got[2]["degrade_reason"] == "schema"
+    assert got[2]["refine_confidence"] == I.FALLBACK_CONFIDENCE
