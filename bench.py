@@ -67,6 +67,7 @@ HEADLINE = [
     "x_boilerplate_strip",
     "x_gopher_rules",
     "x_ccnet_lm_buckets",
+    "x_dsir_select",
     "a10_t7_batch_scan",
     "d6_cooldown_emit",
     "u4_u6_rules_refiner",

@@ -1843,3 +1843,157 @@ def e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0
         ).alias("mean_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_dsir_select",
+    """
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, lang, source, substring(nt, CAST(i AS INTEGER), 3) AS g
+        FROM base, unnest(generate_series(1, greatest(len(nt) - 2, 1))) AS u(i)
+    ), tcounts AS (
+        SELECT lang, g, COUNT(*) AS c FROM ex WHERE source = 'src0' GROUP BY lang, g
+    ), ttot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
+        FROM tcounts GROUP BY lang
+    ), tmodel AS (
+        SELECT lang, g, CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE) AS p
+        FROM tcounts JOIN ttot USING (lang)
+    ), rcounts AS (
+        SELECT lang, g, COUNT(*) AS c FROM ex WHERE doc_id % 7 = 0 GROUP BY lang, g
+    ), rtot AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
+        FROM rcounts GROUP BY lang
+    ), rmodel AS (
+        SELECT lang, g, CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE) AS p
+        FROM rcounts JOIN rtot USING (lang)
+    ), scored AS (
+        SELECT ex.doc_id, ex.lang,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CAST(ROUND(
+                   ln(CASE WHEN tmodel.p IS NOT NULL THEN tmodel.p
+                           WHEN ttot.n IS NOT NULL
+                               THEN 1.0 / CAST(ttot.n + ttot.v AS DOUBLE)
+                           ELSE 1.0 END)
+                   - ln(CASE WHEN rmodel.p IS NOT NULL THEN rmodel.p
+                             WHEN rtot.n IS NOT NULL
+                                 THEN 1.0 / CAST(rtot.n + rtot.v AS DOUBLE)
+                             ELSE 1.0 END), 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+        FROM ex
+        LEFT JOIN tmodel ON ex.lang = tmodel.lang AND ex.g = tmodel.g
+        LEFT JOIN ttot ON ex.lang = ttot.lang
+        LEFT JOIN rmodel ON ex.lang = rmodel.lang AND ex.g = rmodel.g
+        LEFT JOIN rtot ON ex.lang = rtot.lang
+        GROUP BY ex.doc_id, ex.lang
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY s / n_grams DESC, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM scored
+    )
+    SELECT doc_id, lang, n_grams,
+           ROUND(s / n_grams, 6) + 0 AS llr,
+           (rk <= CAST(ceil(n_lang / 5.0) AS BIGINT)) AS selected
+    FROM ranked
+    """,
+    survey_ids=(
+        "training-pipeline: DSIR-style importance resampling "
+        "(per-lang target vs raw char-trigram LMs, per-doc mean "
+        "log-likelihood ratio, top-20% selection; Xie et al. 2023)"
+    ),
+)
+def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, deterministic variant.
+
+    DSIR scores each raw document with the log-likelihood ratio of a
+    target-domain n-gram LM over a raw-corpus LM and resamples
+    proportionally to the importance weight. Here both are char-trigram
+    add-one models — target trained on the `source = 'src0'` slice (the
+    target-domain proxy), raw on the `doc_id % 7 = 0` sample — and the
+    published Gumbel-noise resampling is replaced by deterministic
+    top-20%-per-language selection (rank by mean LLR, ties by doc_id)
+    so the result is oracle-checkable; the llr column IS the sampling
+    weight a production pipeline would draw against.
+
+    Scale shape: both models are bounded trigram tables built from
+    bounded slices and broadcast; the corpus-sized gram stream is
+    shuffled only for its per-doc rollup. LLR terms are rounded to 9 dp
+    and decimal-summed (order-independent), exactly as the CCNet query.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", "lang", "source", nt.alias("nt"))
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(nt) - 2, 1)),"
+        " i -> substring(nt, i, 3))"
+    )
+    ex = base.select("doc_id", "lang", "source", F.explode(grams).alias("g"))
+
+    def model(sample: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        counts = sample.groupBy("lang", "g").agg(F.count("*").alias("c"))
+        tot = counts.groupBy("lang").agg(
+            F.sum("c").alias(f"n_{tag}"), F.count("*").alias(f"v_{tag}")
+        )
+        m = counts.join(tot, "lang").select(
+            "lang",
+            "g",
+            (
+                (F.col("c") + 1).cast("double")
+                / (F.col(f"n_{tag}") + F.col(f"v_{tag}")).cast("double")
+            ).alias(f"p_{tag}"),
+        )
+        return m, tot
+
+    tmodel, ttot = model(ex.filter(F.col("source") == "src0"), "t")
+    rmodel, rtot = model(ex.filter(F.col("doc_id") % 7 == 0), "r")
+
+    def logp(tag: str) -> F.Column:
+        return F.log(
+            F.when(F.col(f"p_{tag}").isNotNull(), F.col(f"p_{tag}"))
+            .when(
+                F.col(f"n_{tag}").isNotNull(),
+                F.lit(1.0)
+                / (F.col(f"n_{tag}") + F.col(f"v_{tag}")).cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+        )
+
+    scored = (
+        ex.join(F.broadcast(tmodel), ["lang", "g"], "left")
+        .join(F.broadcast(ttot), ["lang"], "left")
+        .join(F.broadcast(rmodel), ["lang", "g"], "left")
+        .join(F.broadcast(rtot), ["lang"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.round(logp("t") - logp("r"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("s") / F.col("n_grams")).desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_lang", F.count("*").over(Window.partitionBy("lang"))
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        (F.round(F.col("s") / F.col("n_grams"), 6) + 0).alias("llr"),
+        (
+            F.col("rk")
+            <= F.ceil(F.col("n_lang") / F.lit(5.0)).cast("bigint")
+        ).alias("selected"),
+    )
