@@ -46,6 +46,7 @@ HEADLINE = [
     "dd_cluster_canonical",
     "dd_simhash",
     "dd_embed_near_dup",
+    "dd_semdedup",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "x_winnow_fingerprints",

@@ -326,3 +326,81 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    kmeans_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    cluster-then-dedup-within-cluster.
+
+    The published pipeline: k-means the embeddings, compute pairwise
+    cosine inside each cluster only, and among semantic duplicates keep
+    the example with the LOWEST cosine to its cluster centroid
+    (preserving outliers preserves diversity). The released
+    implementation vectorizes the keep rule over the in-cluster
+    similarity matrix: sort members by centroid-cosine ascending and
+    drop an item iff it is >= threshold-similar to ANY earlier item in
+    that order (kept or dropped) — that exact law is reproduced here,
+    with (centroid_cos, id) as the deterministic order.
+
+    Returns (id, cluster, centroid_cos, is_kept) for every input row.
+
+    Scale shape: assignment is map-only against the broadcast centroid
+    literal (model-sized, like ivf_topk); the pair comparison is an
+    equi-join on cluster id — O(m^2) per cluster, never across
+    clusters, which is the published trade: n_clusters scales with the
+    corpus so in-cluster m stays bounded (SemDeDup used 50k clusters
+    for LAION-440M). The kept/dropped decision is one anti-join-shaped
+    aggregation over the pair stream.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, vec_col, n_clusters, iters=kmeans_iters, id_col=id_col
+        )
+    lit = _centroid_literal(centroids)
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scores = F.transform(lit, lambda c: cosine(F.col("v"), c))
+    assigned = base.select(
+        "id",
+        "v",
+        F.coalesce(
+            F.array_position(scores, F.array_max(scores)) - 1, F.lit(0)
+        ).alias("cluster"),
+        F.coalesce(F.array_max(scores), F.lit(-1.0)).alias("centroid_cos"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("centroid_cos").asc(), F.col("id").asc()
+    )
+    ranked = assigned.withColumn("rk", F.row_number().over(w)).persist()
+    ranked.count()  # one materialization feeds both join sides + output
+    a = ranked.select(
+        "cluster", F.col("rk").alias("rk_a"), F.col("v").alias("v_a")
+    )
+    b = ranked.select(
+        "cluster", F.col("rk").alias("rk_b"), F.col("v").alias("v_b"),
+        F.col("id").alias("id_b"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("rk_a") < F.col("rk_b"))
+        .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    out = (
+        ranked.join(dropped.withColumn("dropped", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            "cluster",
+            "centroid_cos",
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )
+    return out

@@ -16,6 +16,7 @@ from ..operators.similarity import (
     ivf_topk,
     kmeans_centroids,
     lsh_topk,
+    semdedup,
 )
 from . import query
 
@@ -154,4 +155,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id_c",
         F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query(
+    "dd_semdedup",
+    None,  # k-means is iterative (not SQL-expressible); exact-equality
+    # golden vs a pure-numpy recompute + kept-set invariant in
+    # tests/test_neardup_golden.py.
+    survey_ids=(
+        "dedup: SemDeDup semantic deduplication (k-means blocking, "
+        "in-cluster pairwise cosine, keep lowest-centroid-cos among "
+        "duplicates; Abbas et al. 2023)"
+    ),
+)
+def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table, reusing the IVF coarse
+    quantizer as the cluster model (one k-means fit per corpus serves
+    both ANN and semantic dedup — the shared-model shape a production
+    pipeline wants)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(
+        emb,
+        "vec_id",
+        "embedding",
+        n_clusters=16,
+        threshold=0.95,
+        centroids=_ivf_centroids(spark, sf_dir),
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("centroid_cos", 6).alias("centroid_cos"),
+        "is_kept",
     )

@@ -328,3 +328,114 @@ def test_simhash_pairs_rejects_pigeonhole_violation(spark):
         simhash_pairs(df, "doc_id", "text", max_hamming=4, bands=4)
     with pytest.raises(ValueError, match="divide 64"):
         simhash_pairs(df, "doc_id", "text", max_hamming=2, bands=5)
+
+
+def _numpy_semdedup(rows, centroids, threshold):
+    """Pure-numpy recompute of the semdedup laws: argmax-cosine
+    assignment against the given centroids, (centroid_cos, id) asc
+    order per cluster, drop iff >= threshold-similar to any earlier
+    member. Float ops mirror the engine's double math; comparisons in
+    the tests below only cross thresholds with wide margins, so 1-ulp
+    summation differences cannot flip them."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ids = [r[0] for r in rows]
+    V = np.asarray([r[1] for r in rows], dtype=np.float64)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+    sims = Vn @ Cn.T
+    cluster = sims.argmax(axis=1)
+    ccos = sims.max(axis=1)
+    kept = {}
+    for cl in set(cluster.tolist()):
+        idx = [i for i in range(len(ids)) if cluster[i] == cl]
+        idx.sort(key=lambda i: (ccos[i], ids[i]))
+        for pos, i in enumerate(idx):
+            dropped = any(
+                float(Vn[i] @ Vn[j]) >= 0.95 - 1e-12 for j in idx[:pos]
+            )
+            kept[ids[i]] = (int(cluster[i]), not dropped)
+    return kept
+
+
+def test_semdedup_planted_duplicates_exact(spark):
+    """Two well-separated clusters; within each, planted near-identical
+    duplicate groups. The kept set must match the numpy recompute
+    exactly, the survivor of each dup group must be its
+    lowest-centroid-cos member, and distinct-direction vectors must all
+    survive."""
+    import numpy as np
+
+    from event_stream_starter_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    a = np.zeros(dim); a[0] = 1.0
+    b = np.zeros(dim); b[1] = 1.0
+    rows = []
+    # Cluster A: one dup trio (tiny distinct perturbations), two loners.
+    for i, eps in [(0, 0.00), (1, 0.01), (2, 0.02)]:
+        v = a.copy(); v[2] = eps
+        rows.append((i, v / np.linalg.norm(v)))
+    loner = a.copy(); loner[3] = 0.9          # ~0.74 cos to the trio
+    rows.append((3, loner / np.linalg.norm(loner)))
+    loner2 = a.copy(); loner2[4] = -0.9
+    rows.append((4, loner2 / np.linalg.norm(loner2)))
+    # Cluster B: a dup pair + a loner.
+    for i, eps in [(10, 0.00), (11, 0.015)]:
+        v = b.copy(); v[5] = eps
+        rows.append((i, v / np.linalg.norm(v)))
+    lb = b.copy(); lb[6] = 0.9
+    rows.append((10 + 2, lb / np.linalg.norm(lb)))
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = [list(a), list(b)]
+    out = semdedup(df, "vec_id", "embedding", threshold=0.95, centroids=centroids)
+    got = {r["id"]: (r["cluster"], r["is_kept"]) for r in out.collect()}
+    want = _numpy_semdedup(rows, centroids, 0.95)
+    assert got == want
+    # Exactly one survivor per dup group; every loner survives.
+    trio_kept = [i for i in (0, 1, 2) if got[i][1]]
+    pair_kept = [i for i in (10, 11) if got[i][1]]
+    assert len(trio_kept) == 1 and len(pair_kept) == 1
+    assert got[3][1] and got[4][1] and got[12][1]
+    # Diversity law: the survivor is the lowest-centroid-cos member —
+    # id 2 (largest perturbation) in the trio, 11 in the pair.
+    assert trio_kept == [2] and pair_kept == [11]
+
+
+def test_semdedup_kept_set_invariant_on_corpus(spark, sf_dir):
+    """On the real embeddings table: no two KEPT members of the same
+    cluster may be >= threshold-similar (the drop law's fixpoint), and
+    every cluster keeps at least one member."""
+    import itertools
+
+    import numpy as np
+
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.io import load_table
+
+    out = all_queries()["dd_semdedup"].fn(spark, sf_dir)
+    rows = out.collect()
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == len(emb)
+    for cl, members in by_cluster.items():
+        kept = [m for m in members if m["is_kept"]]
+        assert kept, f"cluster {cl} kept nothing"
+        for x, y in itertools.combinations(kept, 2):
+            vx, vy = emb[x["vec_id"]], emb[y["vec_id"]]
+            cos = float(vx @ vy) / (np.linalg.norm(vx) * np.linalg.norm(vy))
+            assert cos < 0.95 + 1e-9, (
+                f"kept pair {x['vec_id']},{y['vec_id']} in cluster {cl} "
+                f"is {cos:.4f}-similar"
+            )
