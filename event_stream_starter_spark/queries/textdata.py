@@ -1956,6 +1956,13 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmodel, ttot = model(ex.filter(F.col("source") == "src0"), "t")
     rmodel, rtot = model(ex.filter(F.col("doc_id") % 7 == 0), "r")
+    # Fold both models into ONE broadcast (lang, g, p_t, p_r) table and
+    # both lang-level stats into one 5-row frame: the corpus-sized gram
+    # stream takes two broadcast joins instead of four (measured ~3.6s
+    # -> ~2.9s at sf0.1; at 100TB each saved pass over the gram stream
+    # is a full-corpus map stage).
+    models = tmodel.join(rmodel, ["lang", "g"], "full_outer")
+    langstats = ttot.join(rtot, ["lang"], "full_outer")
 
     def logp(tag: str) -> F.Column:
         return F.log(
@@ -1969,10 +1976,8 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     scored = (
-        ex.join(F.broadcast(tmodel), ["lang", "g"], "left")
-        .join(F.broadcast(ttot), ["lang"], "left")
-        .join(F.broadcast(rmodel), ["lang", "g"], "left")
-        .join(F.broadcast(rtot), ["lang"], "left")
+        ex.join(F.broadcast(models), ["lang", "g"], "left")
+        .join(F.broadcast(langstats), ["lang"], "left")
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_grams"),

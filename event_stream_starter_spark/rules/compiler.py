@@ -100,12 +100,13 @@ class RuleCompileError(ValueError):
 # slice_first(arr, 1, k) must mean "first k elements" in both dialects
 # (Spark slice is (start, length); DuckDB list_slice is (begin, end),
 # which coincide when start == 1).
-# The dedup macro inlines {arr} twice (once as the filter source, once
-# inside the position lookup), so the emitted SQL grows with
-# 2 x ruleset-size and evaluation is O(n^2) per row in the reason-array
-# length. Reason arrays are capped at rule count (dozens) so this is
-# fine; if rulesets ever grow large, bind the array once via a subquery
-# alias or move dedup to the aggregate side.
+# Order-preserving dedup per dialect. The Spark form binds {arr} ONCE
+# (a fold that appends first occurrences), so the emitted SQL grows
+# linearly with ruleset size; per-row evaluation stays O(n^2) in the
+# reason-array length, which is capped at rule count (dozens). The
+# DuckDB form still inlines {arr} twice (list_reduce can't change the
+# accumulator type there) — acceptable: the oracle dialect runs only at
+# test SFs, never in the scaled engine path.
 _DIALECTS: dict[str, dict[str, str]] = {
     "spark": {
         "array": "array",
@@ -115,9 +116,12 @@ _DIALECTS: dict[str, dict[str, str]] = {
         "slice_first": "slice",
         "transform": "transform",
         "join": "array_join",
-        # Order-preserving dedup: keep an element iff this is its first
-        # occurrence (Spark lambda index is 0-based, array_position 1-based).
-        "dedup": "filter({arr}, (x, i) -> array_position({arr}, x) = i + 1)",
+        # Order-preserving dedup: fold left, appending first occurrences
+        # — references {arr} exactly once.
+        "dedup": (
+            "aggregate({arr}, cast(array() as array<string>), "
+            "(acc, x) -> if(array_contains(acc, x), acc, array_append(acc, x)))"
+        ),
     },
     "duckdb": {
         "array": "list_value",
