@@ -32,9 +32,14 @@ candidates and exact-verifies a quarter million — linear in true-pair
 volume, which is 1000x sf0.1's 256 pairs at only 10x the docs.
 Corpus-filter additions at the same 50k (best clean run): gopher
 rules 1.5s (map-only), ccnet LM buckets 9.5s (~10M exploded grams:
-sample-side model agg + broadcast-scored rollup), u4 refine seam
-2.7s (vectorized pandas rules batch; was 18.9s with the per-row
-fallback loop).
+sample-side model agg + broadcast-scored rollup), dsir select 7.4s
+(two models, two broadcast joins over the gram stream), e2e curation
+5.3s, u4 refine seam 2.7s (vectorized pandas rules batch; was 18.9s
+with the per-row fallback loop).
+Embedding family at 10x (5k synthetic 64-dim vectors, 50 planted
+clusters): brute cosine 1.1s, ivf 4.0s / lsh 2.8s (fit dominated at
+this size — the quantizer is fit-once-reuse in production),
+semdedup 5.0s (incl. k-means fit), embed near-dup 1.0s.
 
 NOISE CAVEAT: this script is single-pass (unlike bench.py's best-of-4
 passes); the box's co-resident agent process bursts for tens of
@@ -92,7 +97,19 @@ DOC_QUERIES = [
     "x_split_leakage_safe",
     "x_gopher_rules",
     "x_ccnet_lm_buckets",
+    "x_dsir_select",
+    "e2e_curation",
     "u4_refine_seam",
+]
+
+# Embedding family on a 10x synthetic vector table (5k vectors, 64-dim,
+# 50 planted direction clusters with per-cluster near-dup structure).
+EMB_QUERIES = [
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "dd_semdedup",
+    "dd_embed_near_dup",
 ]
 
 
@@ -162,6 +179,29 @@ def main() -> None:
     docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     n_docs = spark.read.parquet(f"{out}/documents.parquet").count()
 
+    # 10x embeddings: 5k 64-dim vectors in 50 planted direction
+    # clusters; within a cluster, vectors share a dominant axis with a
+    # small deterministic per-vector perturbation, so ANN probes find
+    # true neighbors and SemDeDup sees real in-cluster duplicate
+    # structure. label = cluster id (the near-dup blocking column).
+    dim = 64
+    emb = (
+        spark.range(5000)
+        .select(
+            F.col("id").alias("vec_id"),
+            (F.col("id") % 50).cast("int").alias("label"),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), d -> CAST("
+                "  CASE WHEN d = CAST(vec_id % 50 AS INT) THEN 1.0 "
+                "       ELSE sin(CAST(vec_id AS DOUBLE) * (d + 1) * 0.7) * 0.08 END"
+                "  AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .repartition(32)
+    )
+    emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    n_vecs = spark.read.parquet(f"{out}/embeddings.parquet").count()
+
     specs = all_queries()
     # clearCache OUTSIDE the timed window, between every query: leaked
     # persisted intermediates must not subsidize later queries, and
@@ -182,9 +222,19 @@ def main() -> None:
         spark.catalog.clearCache()
         doc_total += dt
         print(f"{name}: {dt:.2f}s @ {n_docs} docs")
+    emb_total = 0.0
+    for name in EMB_QUERIES:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, out).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        emb_total += dt
+        print(f"{name}: {dt:.2f}s @ {n_vecs} vectors")
     print(f"TOTAL {total:.1f}s for {len(QUERIES)} queries at {N} rows "
           f"({N / max(total, 1e-9):,.0f} rows/s aggregate); "
-          f"{doc_total:.1f}s for {len(DOC_QUERIES)} doc queries at {n_docs} docs")
+          f"{doc_total:.1f}s for {len(DOC_QUERIES)} doc queries at {n_docs} docs; "
+          f"{emb_total:.1f}s for {len(EMB_QUERIES)} embedding queries at "
+          f"{n_vecs} vectors")
 
 
 if __name__ == "__main__":
