@@ -88,3 +88,29 @@ def test_lint_rejects_substring_column_and_notnull_only(spark, tmp_path):
     with pytest.raises(LintViolation):
         lint_query_shape(t.filter(F.col("ts").isNotNull()).limit(5))
     lint_query_shape(t.filter(F.col("ts") >= "2000-01-01").limit(5))
+
+
+def test_gopher_rules_is_map_only(spark, sf_dir):
+    """The Gopher gate claims a pure map stage: no shuffle, no
+    broadcast, no join — just scan → project."""
+    f = plan_features(SPECS["x_gopher_rules"].fn(spark, sf_dir))
+    assert f.n_shuffle_exchanges == 0
+    assert f.n_broadcast_exchanges == 0
+    assert not f.has_cartesian
+
+
+def test_lm_scoring_models_are_broadcast(spark, sf_dir):
+    """CCNet / DSIR: the trigram models must reach the gram stream as
+    broadcasts (bounded model tables), never as shuffled join sides."""
+    for name, min_bcast in (("x_ccnet_lm_buckets", 2), ("x_dsir_select", 2)):
+        f = plan_features(SPECS[name].fn(spark, sf_dir))
+        assert f.n_broadcast_exchanges >= min_bcast, name
+        assert not f.has_cartesian, name
+
+
+def test_semdedup_pair_join_is_cluster_equi_join(spark, sf_dir):
+    """SemDeDup's pair generation must stay an equi-join on cluster id —
+    a cartesian here would be the all-pairs scale bug the clustering
+    exists to avoid."""
+    f = plan_features(SPECS["dd_semdedup"].fn(spark, sf_dir))
+    assert not f.has_cartesian
