@@ -307,3 +307,61 @@ def run_to_memory_table(
         .start()
     )
     q.awaitTermination()
+
+
+def lm_scored_stream(
+    docs: DataFrame, model: DataFrame, langstats: DataFrame
+) -> DataFrame:
+    """Streaming CCNet-style LM scoring, probe half: explode each
+    incoming doc's char trigrams and join the STATIC model (the
+    x_ccnet_lm_buckets / x_dsir_select trigram table — bounded, built
+    in batch, broadcast per micro-batch like every S5-S7 dimension).
+
+    Stateless: a doc's grams all live in its single input row, so the
+    per-doc score rollup is exact per micro-batch — apply
+    ``lm_score_batch`` inside foreachBatch (same split as
+    decontaminated_stream / decontaminate_batch; a streaming
+    aggregation here would pin a state row per doc forever).
+
+    `model` columns: (lang, g, p). `langstats`: (lang, n, v) for the
+    UNK mass 1/(n+v).
+    """
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", "lang", nt.alias("nt"))
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(nt) - 2, 1)),"
+        " i -> substring(nt, i, 3))"
+    )
+    ex = base.select("doc_id", "lang", F.explode(grams).alias("g"))
+    return (
+        ex.join(F.broadcast(model), ["lang", "g"], "left")
+        .join(F.broadcast(langstats), ["lang"], "left")
+    )
+
+
+def lm_score_batch(joined: DataFrame) -> DataFrame:
+    """Per-micro-batch rollup of lm_scored_stream output: the same
+    order-independent decimal-summed nll law as the batch query."""
+    p_eff = (
+        F.when(F.col("p").isNotNull(), F.col("p"))
+        .when(
+            F.col("n").isNotNull(),
+            F.lit(1.0) / (F.col("n") + F.col("v")).cast("double"),
+        )
+        .otherwise(F.lit(1.0))
+    )
+    return (
+        joined.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.round(-F.log(p_eff), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_grams",
+            (F.round(F.col("s") / F.col("n_grams"), 6) + 0).alias("nll"),
+        )
+    )

@@ -1171,3 +1171,70 @@ def test_refined_stream_matches_batch_with_model_backend(spark, tmp_path):
     assert got[2]["backend_used"] == "rules"
     assert got[2]["degrade_reason"] == "schema"
     assert got[2]["refine_confidence"] == I.FALLBACK_CONFIDENCE
+
+
+def test_lm_scored_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming LM scoring (stream-static model join + foreachBatch
+    rollup) must equal the same operators applied in batch: a doc's
+    grams all live in one row, so per-micro-batch rollup is exact."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.streaming.pipeline import (
+        lm_score_batch,
+        lm_scored_stream,
+        run_to_completion,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # Model built in batch (the x_ccnet_lm_buckets training half).
+    nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(nt) - 2, 1)),"
+        " i -> substring(nt, i, 3))"
+    )
+    ex = docs.select("doc_id", "lang", nt.alias("nt")).select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    )
+    counts = (
+        ex.filter(F.col("doc_id") % 7 == 0)
+        .groupBy("lang", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.groupBy("lang").agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    model = counts.join(tot, "lang").select(
+        "lang",
+        "g",
+        ((F.col("c") + 1).cast("double") / (F.col("n") + F.col("v")).cast("double")).alias("p"),
+    )
+    langstats = tot
+    model.cache().count()
+    langstats.cache().count()
+
+    expected = {
+        (r["doc_id"], r["lang"]): (r["n_grams"], r["nll"])
+        for r in lm_score_batch(lm_scored_stream(docs, model, langstats)).collect()
+    }
+
+    land = tmp_path / "lm_landing"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(land / "f1"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(land / "f2"))
+    src = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*"))
+    )
+    outdir = str(tmp_path / "lm_scored_out")
+
+    def writer(batch_df, batch_id):
+        lm_score_batch(batch_df).write.mode("append").parquet(outdir)
+
+    run_to_completion(
+        lm_scored_stream(src, model, langstats), writer, str(tmp_path / "ck_lm")
+    )
+    got = {
+        (r["doc_id"], r["lang"]): (r["n_grams"], r["nll"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert got == expected
+    assert len(got) == docs.count()
