@@ -2002,3 +2002,58 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.ceil(F.col("n_lang") / F.lit(5.0)).cast("bigint")
         ).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: suppression weights instead of dropping
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_soft_dedup_weights",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               substring(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+                   AS fingerprint
+        FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies,
+           ROUND(1.0 / COUNT(*) OVER (PARTITION BY fingerprint), 6) AS weight,
+           (ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1)
+               AS is_canonical
+    FROM fp
+    """,
+    survey_ids=(
+        "training-pipeline: soft dedup — per-doc suppression weight "
+        "1/n_copies over the exact-dedup fingerprint groups (keep every "
+        "copy, downweight instead of dropping; the sampling-weight "
+        "alternative to hard dedup)"
+    ),
+)
+def x_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: every document keeps a sampling weight
+    1/n_copies of its exact-duplicate group instead of being dropped —
+    the downweighting alternative to hard dedup (a training sampler
+    multiplies example probability by `weight`, so a 10-copy boilerplate
+    family contributes one document's worth of mass). `is_canonical`
+    marks the hard-dedup survivor so one output serves both policies.
+
+    Scale shape: one shuffle on the fingerprint (the same key the
+    hard-dedup groupBy uses); both window functions share that single
+    partitioning, so the plan is scan → hash → one exchange → window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", textan.doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    wo = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.count("*").over(w).alias("n_copies"),
+        F.round(F.lit(1.0) / F.count("*").over(w), 6).alias("weight"),
+        (F.row_number().over(wo) == 1).alias("is_canonical"),
+    )
