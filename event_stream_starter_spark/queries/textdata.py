@@ -2057,3 +2057,77 @@ def x_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / F.count("*").over(w), 6).alias("weight"),
         (F.row_number().over(wo) == 1).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (the dual of sequence packing)
+# ---------------------------------------------------------------------------
+
+_CHUNK, _OVERLAP = 128, 16
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@query(
+    "x_chunk_documents",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, toks, len(toks) AS n_toks,
+               unnest(generate_series(1, greatest(len(toks), 1), {_STRIDE})) AS start_tok
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) / {_STRIDE} AS BIGINT) AS chunk_idx,
+           start_tok,
+           least(start_tok + {_CHUNK - 1}, n_toks) - start_tok + 1 AS n_chunk_toks,
+           substring(sha256(array_to_string(
+               toks[start_tok:least(start_tok + {_CHUNK - 1}, n_toks)], ' ')), 1, 16)
+               AS chunk_sig
+    FROM s
+    WHERE start_tok = 1 OR start_tok <= n_toks - {_OVERLAP}
+    """,
+    survey_ids=(
+        "training-pipeline: context-window chunking (sliding "
+        f"{_CHUNK}-token windows, {_OVERLAP}-token overlap) — the dual "
+        "of sequence packing for long documents"
+    ),
+)
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping context-window chunks: sliding
+    128-token windows with a 16-token overlap (stride 112), one output
+    row per chunk with its token span and a content signature. The tail
+    rule drops a final window that would add only already-covered
+    overlap tokens (start beyond n_toks - overlap), except the first
+    window, which always emits — so every token is covered exactly
+    once plus the overlap seams, and a short doc yields one chunk.
+
+    Scale shape: map-only explode (one row per chunk, bounded by
+    n_toks/stride per doc) — no shuffle, no join; the chunk signature
+    is computed from the token slice in the same pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", textan.tokens(F.col("text")).alias("toks")
+    ).withColumn("n_toks", F.size("toks").cast("long"))
+    starts = F.explode(
+        F.expr(f"sequence(1L, greatest(cast(size(toks) as long), 1L), {_STRIDE}L)")
+    )
+    s = base.withColumn("start_tok", starts).filter(
+        (F.col("start_tok") == 1)
+        | (F.col("start_tok") <= F.col("n_toks") - _OVERLAP)
+    )
+    chunk_toks = F.expr(f"slice(toks, cast(start_tok as int), {_CHUNK})")
+    return s.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / _STRIDE).cast("bigint").alias("chunk_idx"),
+        "start_tok",
+        (
+            F.least(F.col("start_tok") + (_CHUNK - 1), F.col("n_toks"))
+            - F.col("start_tok")
+            + 1
+        ).alias("n_chunk_toks"),
+        F.substring(F.sha2(F.array_join(chunk_toks, " "), 256), 1, 16).alias(
+            "chunk_sig"
+        ),
+    )
