@@ -90,18 +90,14 @@ def c1_c3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "c2_url_normalize",
-    """
+# The C2 normalization law as staged DuckDB SQL over any relation
+# exposing (doc_id, raw_url) — the oracle below instantiates it with the
+# synthesized URL shapes; the cross-engine fuzz in
+# tests/test_sources_rules.py instantiates it with generated URLs, so
+# the SHIPPED law is what gets fuzzed.
+URL_NORM_SQL_TEMPLATE = """
     WITH base AS (
-        SELECT doc_id,
-               CASE doc_id % 3
-                 WHEN 0 THEN 'http://example.com/p/' || source || '/?z=9&utm_source=x&a=' ||
-                      CAST(doc_id AS VARCHAR) || '&ref=y&ref_src=tw#frag' || CAST(doc_id % 7 AS VARCHAR)
-                 WHEN 1 THEN 'http://x.com/a&b/' || source || '/c//'
-                 ELSE 'https://example.com/q?utm_medium=' || source
-               END AS raw_url
-        FROM documents
+        SELECT doc_id, raw_url FROM {src} AS _u
     ), s1 AS (
         SELECT doc_id,
                regexp_replace(regexp_replace(raw_url, '^http://', 'https://'),
@@ -129,7 +125,21 @@ def c1_c3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            regexp_replace(regexp_replace(c, '\\?$', ''), '/+$', '') AS url_norm
     FROM s4
-    """,
+"""
+
+
+@query(
+    "c2_url_normalize",
+    URL_NORM_SQL_TEMPLATE.format(src="""(
+        SELECT doc_id,
+               CASE doc_id % 3
+                 WHEN 0 THEN 'http://example.com/p/' || source || '/?z=9&utm_source=x&a=' ||
+                      CAST(doc_id AS VARCHAR) || '&ref=y&ref_src=tw#frag' || CAST(doc_id % 7 AS VARCHAR)
+                 WHEN 1 THEN 'http://x.com/a&b/' || source || '/c//'
+                 ELSE 'https://example.com/q?utm_medium=' || source
+               END AS raw_url
+        FROM documents
+    )"""),
     survey_ids="C2 (_normalize_url: https, drop fragment/tracking params/trailing slash)",
 )
 def c2_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -507,3 +507,86 @@ def test_r4_market_risk_null_props_is_safe(spark):
         3: ("MR02", True),
         4: ("MR01", True),
     }
+
+
+def test_normalize_url_and_text_agree_across_engines_fuzz(spark):
+    """Property fuzz of the C1/C2 normalization laws: generated URL and
+    text shapes (tracking params in any position, fragments, trailing
+    slashes, dangling '&', www/bare-domain mentions, handles, runs of
+    whitespace) must normalize identically through the Spark column
+    expressions and the SHIPPED DuckDB oracle law (the c2 oracle's own
+    SQL template, instantiated over the generated values)."""
+    import duckdb
+    import pyspark.sql.functions as F
+    from hypothesis import given, settings, strategies as st
+
+    from event_stream_starter_spark.functions.normalize import (
+        normalize_text,
+        normalize_url,
+    )
+    from event_stream_starter_spark.queries.scalars import URL_NORM_SQL_TEMPLATE
+
+    host = st.sampled_from(["x.com", "example.org", "sub.domain.io"])
+    path = st.sampled_from(["", "/a", "/a/b", "/a&b/c", "/status/123"])
+    param = st.sampled_from(
+        ["utm_source=tw", "utm_medium=x", "ref=home", "ref_src=abc",
+         "id=7", "q=spark", "b=2", "a=1"]
+    )
+    frag = st.sampled_from(["", "#frag", "#a/b"])
+    slashes = st.sampled_from(["", "/", "//"])
+    scheme = st.sampled_from(["http://", "https://"])
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        scheme=scheme,
+        host=host,
+        path=path,
+        params=st.lists(param, min_size=0, max_size=4),
+        fragment=frag,
+        trail=slashes,
+    )
+    def run_url(scheme, host, path, params, fragment, trail):
+        url = scheme + host + path + ("?" + "&".join(params) if params else "")
+        url = url + trail + fragment
+        sdf = spark.createDataFrame([(url,)], "url string")
+        got = sdf.select(normalize_url(F.col("url")).alias("n")).first()["n"]
+        con = duckdb.connect()
+        sql = URL_NORM_SQL_TEMPLATE.format(
+            src="(SELECT 1 AS doc_id, ? AS raw_url)"
+        )
+        want = con.execute(sql, [url]).fetchone()[1]
+        con.close()
+        assert got == want, f"url={url!r}: spark={got!r} duck={want!r}"
+
+    run_url()
+
+    # C1 text normalization: mirror the c1 oracle's law inline (scheme'd
+    # URL strip, www strip, bare-domain strip to space, handle strip,
+    # whitespace collapse) — identical fragments to the c1 oracle SQL.
+    txt_sql = """
+        SELECT trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(lower(?), 'https?://\\S+', '', 'g'),
+            'www\\.\\S+', '', 'g'),
+            '\\b[a-zA-Z0-9][a-zA-Z0-9-]*\\.(?:com|org|net|io|xyz|co|app|tech|ai|dev|finance|eth)[\\s,\\.!?;:]',
+            ' ', 'g'),
+            '@\\w+', '', 'g'),
+            '\\s+', ' ', 'g')) AS n
+    """
+    word = st.sampled_from(
+        ["hello", "WORLD", "#tag", "@user", "token.com", "www.site.io",
+         "https://x.com/a?b=1", "pump", "x.commune", "end.io"]
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(words=st.lists(word, min_size=0, max_size=6),
+           sep=st.sampled_from([" ", "  ", "\t", " , "]))
+    def run_text(words, sep):
+        text = sep.join(words)
+        sdf = spark.createDataFrame([(text,)], "text string")
+        got = sdf.select(normalize_text(F.col("text")).alias("n")).first()["n"]
+        con = duckdb.connect()
+        want = con.execute(txt_sql, [text]).fetchone()[0]
+        con.close()
+        assert got == want, f"text={text!r}: spark={got!r} duck={want!r}"
+
+    run_text()
