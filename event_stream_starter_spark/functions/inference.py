@@ -79,11 +79,20 @@ _TYPE_PATTERNS: tuple[tuple[str, str], ...] = (
     ("market", r"pump|dump|moon|crash"),
 )
 _ASSET_RE = re.compile(r"\$[A-Z]{2,10}")
-_WS_RE = re.compile(r"\s+")
+# Java/Spark `\s` is ASCII-only ([ \t\n\x0B\f\r]); Python's is
+# Unicode-aware. The rules twins must match the COLUMN-EXPRESSION laws
+# bit-for-bit, so the Python side pins the Java class — a NBSP must NOT
+# split tokens here, exactly as it doesn't in Spark (parity vectors in
+# tests cover tab/newline/NBSP).
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 class SchemaViolation(ValueError):
     """Backend output failed the refine-schema contract."""
+
+
+class _OverBudget(Exception):
+    """Internal: backend response arrived past the batch budget."""
 
 
 def validate_refine(out: dict) -> dict:
@@ -148,7 +157,8 @@ def rules_refine_one(text: str) -> dict:
         if re.search(pat, low):
             rtype = name
             break
-    summary = _WS_RE.sub(" ", text).strip()[:SUMMARY_MAX]
+    # .strip(" ") not .strip(): Spark F.trim removes ASCII spaces only.
+    summary = _WS_RE.sub(" ", text).strip(" ")[:SUMMARY_MAX]
     # refine_schema requires summary >= 4 chars; the column path has no
     # minimum, so pad deterministically (declared: only fires on <4-char
     # docs, which the synthetic corpus doesn't contain).
@@ -186,7 +196,7 @@ def rules_refine_batch(texts: list[str]) -> list[dict]:
     rtype = pd.Series(["other"] * len(s), dtype="object")
     for name, _ in reversed(_TYPE_PATTERNS):
         rtype = rtype.where(~masks[name], name)
-    summary = s.str.replace(_WS_RE, " ", regex=True).str.strip().str.slice(
+    summary = s.str.replace(_WS_RE, " ", regex=True).str.strip(" ").str.slice(
         0, SUMMARY_MAX
     )
     short = summary.str.len() < SUMMARY_MIN
@@ -225,7 +235,10 @@ def rules_sentiment_one(text: str) -> dict:
     reference's 0.25 thresholds would be POS/NEG_THRESHOLD, but c11 uses
     +-0.1 (adapted lexicon, declared) — keep c11's so both paths agree.
     """
-    toks = _WS_RE.split(text.strip().lower()) if text.strip() else [""]
+    # Mirror F.split(F.trim(F.lower(text)), '\\s+'): ASCII-space trim,
+    # Java-\s token split (see _WS_RE note).
+    trimmed = text.lower().strip(" ")
+    toks = _WS_RE.split(trimmed) if trimmed else [""]
     pos = sum(1 for t in toks if t in POSITIVE_WORDS)
     neg = sum(1 for t in toks if t in NEGATIVE_WORDS)
     score = max(-1.0, min(1.0, (pos - neg) / max(len(toks), 1) * 3.0))
@@ -274,22 +287,27 @@ def get_backend(kind: str, name: str) -> Callable[[list[str]], list[dict]]:
                        f"{sorted(_BACKENDS.get(kind, {}))}") from None
 
 
-# Executor-local TTL memo: (kind, text) -> (monotonic_deadline, result).
-_MEMO: dict[tuple[str, str], tuple[float, dict]] = {}
+# Executor-local TTL memo: (kind, backend, text) -> (deadline, result).
+# The BACKEND NAME is part of the key: a rules result cached for the
+# oracle query must never be served to a model-backed call (and vice
+# versa) just because the same text arrived within the TTL.
+_MEMO: dict[tuple[str, str, str], tuple[float, dict]] = {}
 _MEMO_MAX = 65536  # bound executor memory; evict wholesale when exceeded
 
 
-def _memo_get(kind: str, text: str, now: float) -> dict | None:
-    hit = _MEMO.get((kind, text))
+def _memo_get(kind: str, backend: str, text: str, now: float) -> dict | None:
+    hit = _MEMO.get((kind, backend, text))
     if hit is not None and hit[0] > now:
         return hit[1]
     return None
 
 
-def _memo_put(kind: str, text: str, now: float, ttl_s: float, result: dict) -> None:
+def _memo_put(
+    kind: str, backend: str, text: str, now: float, ttl_s: float, result: dict
+) -> None:
     if len(_MEMO) >= _MEMO_MAX:
         _MEMO.clear()
-    _MEMO[(kind, text)] = (now + ttl_s, result)
+    _MEMO[(kind, backend, text)] = (now + ttl_s, result)
 
 
 def clear_memo() -> None:
@@ -336,7 +354,7 @@ def infer_batch(
     pending: dict[str, list[int]] = {}
     for i, text in enumerate(texts):
         text = text if isinstance(text, str) else ""
-        cached = _memo_get(kind, text, t0)
+        cached = _memo_get(kind, backend_name, text, t0)
         if cached is not None:
             out[i] = (cached, backend_name, None)
         else:
@@ -359,6 +377,13 @@ def infer_batch(
             )
             try:
                 raw = backend(uniq)
+                # Post-call budget: a backend response that arrives past
+                # the batch budget is DISCARDED and every row degrades —
+                # the reference's over-budget law (api/refiner.py:208-215
+                # returns the RulesRefiner result when the model blew
+                # REFINE_TIMEOUT_MS, even though a response exists).
+                if (clock() - t0) * 1000.0 > budget_ms:
+                    raise _OverBudget()
                 if len(raw) != len(uniq):
                     raise SchemaViolation(
                         f"backend returned {len(raw)} results for {len(uniq)} inputs"
@@ -370,6 +395,8 @@ def infer_batch(
                         results.append((clean, backend_name, None))
                     except SchemaViolation:
                         results.append((fallback(t), "rules", "schema"))
+            except _OverBudget:
+                results = [(fallback(t), "rules", "over_budget") for t in uniq]
             except SchemaViolation:
                 results = [(fallback(t), "rules", "schema") for t in uniq]
             except Exception:
@@ -377,7 +404,7 @@ def infer_batch(
         now = clock()
         for t, (res, used, reason) in zip(uniq, results):
             if reason is None:
-                _memo_put(kind, t, now, memo_ttl_s, res)
+                _memo_put(kind, backend_name, t, now, memo_ttl_s, res)
             for i in pending[t]:
                 out[i] = (res, used, reason)
     return out  # type: ignore[return-value]

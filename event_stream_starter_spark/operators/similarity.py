@@ -378,8 +378,13 @@ def semdedup(
     w = Window.partitionBy("cluster").orderBy(
         F.col("centroid_cos").asc(), F.col("id").asc()
     )
+    # Eager persist: `ranked` feeds both pair-join sides plus the output
+    # projection (concurrent stages would recompute the assignment, see
+    # minhash_lsh_pairs). The cache is SESSION-owned, like the other
+    # fan-out dedup operators: callers that loop over corpora run
+    # spark.catalog.clearCache() between queries (bench/scale_smoke do).
     ranked = assigned.withColumn("rk", F.row_number().over(w)).persist()
-    ranked.count()  # one materialization feeds both join sides + output
+    ranked.count()
     a = ranked.select(
         "cluster", F.col("rk").alias("rk_a"), F.col("v").alias("v_a")
     )

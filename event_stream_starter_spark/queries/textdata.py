@@ -1565,6 +1565,16 @@ def _gopher_metrics(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataF
     )
 
 
+def _gopher_keep() -> F.Column:
+    """The combined keep predicate over the metric aliases — the ONE
+    Spark twin of _GOPHER_KEEP_SQL (both queries build from it)."""
+    rules = _gopher_rule_cols()
+    keep = F.lit(True)
+    for c in rules.values():
+        keep = keep & c
+    return keep
+
+
 @query(
     "x_gopher_rules",
     f"""
@@ -1610,11 +1620,8 @@ def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = _gopher_metrics(docs)
     rules = _gopher_rule_cols()
-    keep = rules["r_word_count"]
-    for k in ("r_mean_len", "r_symbol", "r_alpha", "r_stop"):
-        keep = keep & rules[k]
     return base.select(
-        "*", *[c.alias(n) for n, c in rules.items()], keep.alias("keep")
+        "*", *[c.alias(n) for n, c in rules.items()], _gopher_keep().alias("keep")
     )
 
 
@@ -1815,13 +1822,8 @@ def e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final rollup is a partial agg on (lang, split).
     """
     docs = load_table(spark, sf_dir, "documents")
-    m = _gopher_metric_cols()
-    flagged = docs.select("doc_id", "lang", "text", *[c.alias(n) for n, c in m.items()])
-    rules = _gopher_rule_cols()
-    keep = rules["r_word_count"]
-    for k in ("r_mean_len", "r_symbol", "r_alpha", "r_stop"):
-        keep = keep & rules[k]
-    gated = flagged.where(keep).select("doc_id", "lang", "text")
+    flagged = _gopher_metrics(docs, ("lang", "text"))
+    gated = flagged.where(_gopher_keep()).select("doc_id", "lang", "text")
     cc = _ccnet_bucketed(gated)
     kept = cc.filter(F.col("ppl_bucket") != "tail")
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)

@@ -47,10 +47,19 @@ def metrics_exposed() -> bool:
     return os.getenv("METRICS_EXPOSED", "false").lower() == "true"
 
 
+def _escape_label(v: str) -> str:
+    """Prometheus text-format label escaping (\\ -> \\\\, \" -> \\\",
+    newline -> \\n) — an unescaped quote in e.g. BUILD_VERSION would
+    make the scraper reject the ENTIRE scrape, not one series."""
+    return v.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _fmt_labels(labels: dict[str, str] | None) -> str:
     if not labels:
         return ""
-    inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+    inner = ",".join(
+        f'{k}="{_escape_label(str(v))}"' for k, v in sorted(labels.items())
+    )
     return "{" + inner + "}"
 
 

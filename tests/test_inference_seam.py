@@ -127,6 +127,84 @@ def test_budget_exhausted_takes_rules_path():
     assert calls["n"] == 0
 
 
+def test_slow_backend_response_discarded_over_budget():
+    """A backend that RESPONDS but past the budget is discarded — the
+    reference's over-budget law (api/refiner.py:208-215 returns rules
+    even though an LLM response exists). Wall-clock driven: no injected
+    clock, the real monotonic clock must cross the budget."""
+    import time as _time
+
+    def slow(texts):
+        _time.sleep(0.05)
+        return [_valid_refine() for _ in texts]
+
+    rows = _run(["slow backend text"], slow, budget_ms=10)
+    assert rows[0][2] == "over_budget" and rows[0][1] == "rules"
+    assert rows[0][0]["confidence"] == I.FALLBACK_CONFIDENCE
+    # Over-budget results are not memoized: a faster retry succeeds.
+    rows = _run(["slow backend text"], lambda ts: [_valid_refine() for _ in ts],
+                budget_ms=1000)
+    assert rows[0][2] is None
+
+
+def test_memo_is_keyed_by_backend_name():
+    """A rules result cached for one call must not be served to a call
+    requesting a DIFFERENT backend on the same text within the TTL."""
+    texts = ["same text, two backends"]
+    rules_rows = I.infer_batch(
+        "refine", texts, "rules",
+        fallback=I.rules_refine_one, validate=I.validate_refine,
+    )
+    assert rules_rows[0][1] == "rules"
+    model_rows = _run(texts, lambda ts: [_valid_refine() for _ in ts], name="m1")
+    assert model_rows[0][1] == "m1" and model_rows[0][2] is None
+    assert model_rows[0][0]["confidence"] == 0.9  # the model's, not 0.35
+
+
+def test_whitespace_parity_with_column_path(spark):
+    """Java \\s is ASCII-only and F.trim strips spaces only; the Python
+    twins must agree on tabs, newlines, and NBSP (which does NOT split
+    tokens in either engine)."""
+    from pyspark.sql import functions as F
+
+    from event_stream_starter_spark.functions.scoring import (
+        lexicon_sentiment_label,
+        lexicon_sentiment_score,
+    )
+
+    texts = [
+        "pump pump it",      # NBSP joins tokens in BOTH paths
+        "\tgood bad bad",          # tab not trimmed, Java-\s split
+        "good\nbad",               # newline splits in both
+        "  good  bad  ",           # space runs + trim
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    col_rows = {
+        r["doc_id"]: (r["l"], r["s"])
+        for r in df.select(
+            "doc_id",
+            lexicon_sentiment_label(lexicon_sentiment_score(F.col("text"))).alias("l"),
+            lexicon_sentiment_score(F.col("text")).alias("s"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        got = I.rules_sentiment_one(t)
+        assert (got["label"], got["score"]) == col_rows[i], f"text={t!r}"
+    # Refine summary law: ASCII-space trim only.
+    from event_stream_starter_spark.functions import refine as R
+
+    ref_rows = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", R.refined_summary(F.col("text")).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert I.rules_refine_one(t)["summary"] == ref_rows[i], f"text={t!r}"
+        assert I.rules_refine_batch([t])[0]["summary"] == ref_rows[i]
+
+
 def test_memoize_within_ttl_and_expiry():
     calls = {"n": 0}
 
