@@ -409,3 +409,99 @@ def semdedup(
         )
     )
     return out
+
+
+def semdedup_increment(
+    new_vecs: DataFrame,
+    kept_index: DataFrame | None,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental SemDeDup: dedup NEW vectors against the frozen kept
+    set WITHOUT revisiting old decisions (the embedding-space analog of
+    incremental_minhash_pairs — dedup-against-index semantics).
+
+    `kept_index` is the (id, cluster, centroid_cos, v) table of
+    previously KEPT vectors (None for a cold start, which degenerates
+    to batch semdedup over the increment). `centroids` is the frozen
+    coarse quantizer fitted at bootstrap — increments reuse it, they
+    never refit (refitting would reassign history).
+
+    Laws (declared divergence from one-shot batch semdedup, same
+    contract as any dedup-against-index): previously kept vectors are
+    NEVER dropped retroactively — a new vector is dropped iff it is
+    >= threshold-similar to ANY already-kept vector in its cluster, or
+    to an earlier new vector in this increment's own
+    (centroid_cos, id) order. The kept-set fixpoint (no two kept
+    members of a cluster are >= threshold-similar) still holds over
+    the UNION after every increment — asserted in tests.
+
+    Returns (decisions, new_kept_index): decisions has one row per NEW
+    id (id, cluster, centroid_cos, is_kept); new_kept_index is
+    kept_index ∪ newly-kept rows, ready for the next run.
+
+    Scale shape: assignment is map-only; both the new-vs-kept probe and
+    the new-vs-new pass are equi-joins on cluster id with one side
+    increment-sized. History contributes one columnar scan of the
+    index, no re-scoring.
+    """
+    lit = _centroid_literal(centroids)
+    base = new_vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scores = F.transform(lit, lambda c: cosine(F.col("v"), c))
+    assigned = base.select(
+        "id",
+        "v",
+        F.coalesce(
+            F.array_position(scores, F.array_max(scores)) - 1, F.lit(0)
+        ).alias("cluster"),
+        F.coalesce(F.array_max(scores), F.lit(-1.0)).alias("centroid_cos"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("centroid_cos").asc(), F.col("id").asc()
+    )
+    ranked = assigned.withColumn("rk", F.row_number().over(w)).persist()
+    ranked.count()  # session-owned cache, same contract as semdedup()
+
+    # New-vs-new: the batch drop law inside the increment.
+    a = ranked.select("cluster", F.col("rk").alias("rk_a"), F.col("v").alias("v_a"))
+    b = ranked.select(
+        "cluster", F.col("rk").alias("rk_b"), F.col("v").alias("v_b"),
+        F.col("id").alias("id_b"),
+    )
+    dropped_new = (
+        a.join(b, "cluster")
+        .filter(F.col("rk_a") < F.col("rk_b"))
+        .filter(cosine(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+    )
+    # New-vs-kept: any similarity to an already-kept member drops the
+    # new vector (history always wins — kept decisions are immutable).
+    if kept_index is not None:
+        k = kept_index.select("cluster", F.col("v").alias("v_k"))
+        dropped_old = (
+            ranked.join(k, "cluster")
+            .filter(cosine(F.col("v"), F.col("v_k")) >= threshold)
+            .select("id")
+        )
+        dropped_new = dropped_new.unionByName(dropped_old)
+    dropped = dropped_new.distinct()
+    decisions = ranked.join(
+        dropped.withColumn("dropped", F.lit(True)), "id", "left"
+    ).select(
+        "id",
+        "cluster",
+        "centroid_cos",
+        F.coalesce(~F.col("dropped"), F.lit(True)).alias("is_kept"),
+        "v",
+    )
+    newly_kept = decisions.filter("is_kept").select(
+        "id", "cluster", "centroid_cos", "v"
+    )
+    new_index = (
+        newly_kept
+        if kept_index is None
+        else kept_index.unionByName(newly_kept)
+    )
+    return decisions.drop("v"), new_index

@@ -439,3 +439,83 @@ def test_semdedup_kept_set_invariant_on_corpus(spark, sf_dir):
                 f"kept pair {x['vec_id']},{y['vec_id']} in cluster {cl} "
                 f"is {cos:.4f}-similar"
             )
+
+
+def test_semdedup_increment_fixpoint_and_immutability(spark):
+    """Two increments against a frozen quantizer: previously kept
+    vectors are never dropped, every new decision respects the
+    dedup-against-index law, and the kept-set fixpoint (no two kept
+    members of a cluster >= threshold-similar) holds over the UNION
+    after each run. Cold start degenerates to batch semdedup."""
+    import itertools
+
+    import numpy as np
+
+    from event_stream_starter_spark.operators.similarity import (
+        semdedup,
+        semdedup_increment,
+    )
+
+    dim = 16
+    a = np.zeros(dim); a[0] = 1.0
+    b = np.zeros(dim); b[1] = 1.0
+    centroids = [list(a), list(b)]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in (v / np.linalg.norm(v))]) for i, v in rows],
+            "vec_id long, embedding array<double>",
+        )
+
+    def perturbed(base, axis, eps):
+        v = base.copy(); v[axis] = eps
+        return v
+
+    # Increment 1: a dup pair in cluster A + one loner in B.
+    inc1 = [(0, perturbed(a, 2, 0.0)), (1, perturbed(a, 2, 0.01)),
+            (10, perturbed(b, 5, 0.9))]
+    dec1, idx1 = semdedup_increment(
+        mk(inc1), None, centroids, "vec_id", "embedding", threshold=0.95
+    )
+    got1 = {r["id"]: r["is_kept"] for r in dec1.collect()}
+    # Cold start == batch semdedup on the same rows.
+    batch1 = {
+        r["id"]: r["is_kept"]
+        for r in semdedup(
+            mk(inc1), "vec_id", "embedding", threshold=0.95, centroids=centroids
+        ).collect()
+    }
+    assert got1 == batch1
+    kept1 = {i for i, k in got1.items() if k}
+
+    # Increment 2: a near-copy of increment 1's kept A-vector (must be
+    # dropped: history wins), a genuinely new A direction (kept), and a
+    # new dup pair in B (one survivor).
+    kept_a_id = next(i for i in kept1 if i in (0, 1))
+    eps_kept = 0.01 if kept_a_id == 1 else 0.0
+    inc2 = [
+        (20, perturbed(a, 2, eps_kept + 0.001)),  # ~identical to kept A row
+        (21, perturbed(a, 3, -0.9)),              # new direction, kept
+        (30, perturbed(b, 6, 0.02)), (31, perturbed(b, 6, 0.025)),
+    ]
+    dec2, idx2 = semdedup_increment(
+        mk(inc2), idx1, centroids, "vec_id", "embedding", threshold=0.95
+    )
+    got2 = {r["id"]: r["is_kept"] for r in dec2.collect()}
+    assert got2[20] is False  # history wins
+    assert got2[21] is True
+    assert [got2[30], got2[31]].count(True) == 1
+    # Immutability: increment-1 decisions unchanged in the new index.
+    idx_ids = {r["id"] for r in idx2.collect()}
+    assert kept1 <= idx_ids
+    # Fixpoint over the union: no two kept members of a cluster similar.
+    rows = idx2.collect()
+    vecs = {r["id"]: np.asarray(r["v"], dtype=np.float64) for r in rows}
+    by_cl: dict[int, list] = {}
+    for r in rows:
+        by_cl.setdefault(r["cluster"], []).append(r["id"])
+    for cl, ids in by_cl.items():
+        for x, y in itertools.combinations(ids, 2):
+            vx, vy = vecs[x], vecs[y]
+            cos = float(vx @ vy) / (np.linalg.norm(vx) * np.linalg.norm(vy))
+            assert cos < 0.95, f"kept pair {x},{y} in cluster {cl}: {cos:.4f}"
