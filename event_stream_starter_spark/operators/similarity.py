@@ -418,6 +418,7 @@ def semdedup_increment(
     id_col: str,
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    caches: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental SemDeDup: dedup NEW vectors against the frozen kept
     set WITHOUT revisiting old decisions (the embedding-space analog of
@@ -462,7 +463,13 @@ def semdedup_increment(
         F.col("centroid_cos").asc(), F.col("id").asc()
     )
     ranked = assigned.withColumn("rk", F.row_number().over(w)).persist()
-    ranked.count()  # session-owned cache, same contract as semdedup()
+    ranked.count()
+    # Cache ownership: pass `caches` to receive the persisted frame and
+    # unpersist it once decisions/new_index are materialized — REQUIRED
+    # in a loop (a streaming sink leaks one cached frame per batch
+    # otherwise); a one-shot caller may leave it session-owned instead.
+    if caches is not None:
+        caches.append(ranked)
 
     # New-vs-new: the batch drop law inside the increment.
     a = ranked.select("cluster", F.col("rk").alias("rk_a"), F.col("v").alias("v_a"))

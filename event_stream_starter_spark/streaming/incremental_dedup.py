@@ -127,3 +127,126 @@ class StreamingNearDup:
             self.process_batch(batch, batch_id)
 
         return write
+
+
+class StreamingSemDeDup:
+    """foreachBatch sink: incremental SEMANTIC dedup with a persisted
+    kept-vector index — the embedding-space sibling of StreamingNearDup,
+    same at-least-once protocol (append sinks deduplicated on read, the
+    CURRENT pointer written last).
+
+    The coarse quantizer is fitted ONCE (on the first batch, or passed
+    in) and frozen: increments reuse it, matching semdedup_increment's
+    immutable-history contract. Persisted state is the kept rows only —
+    dropped vectors never enter the index, so the per-cluster probe side
+    stays as small as the surviving corpus.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.95,
+        n_clusters: int = 16,
+        centroids: list[list[float]] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.n_clusters = n_clusters
+        self.centroids = centroids
+        os.makedirs(os.path.join(path, "kept"), exist_ok=True)
+        os.makedirs(os.path.join(path, "decisions"), exist_ok=True)
+
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def last_batch_id(self) -> int:
+        try:
+            with open(self._pointer()) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def _centroids_file(self) -> str:
+        return os.path.join(self.path, "centroids.json")
+
+    def _load_or_fit_centroids(self, batch: DataFrame) -> list[list[float]]:
+        import json
+
+        if self.centroids is not None:
+            return self.centroids
+        try:
+            with open(self._centroids_file()) as fh:
+                self.centroids = json.load(fh)
+        except FileNotFoundError:
+            from ..operators.similarity import kmeans_centroids
+
+            self.centroids = kmeans_centroids(
+                batch, self.vec_col, self.n_clusters, iters=2, id_col=self.id_col
+            )
+            tmp = self._centroids_file() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(self.centroids, fh)
+            os.replace(tmp, self._centroids_file())
+        return self.centroids
+
+    def read_kept(self) -> DataFrame | None:
+        kept_dir = os.path.join(self.path, "kept")
+        if not any(f.endswith(".parquet") for f in os.listdir(kept_dir)):
+            return None
+        return self.spark.read.parquet(kept_dir).dropDuplicates(["id"])
+
+    def decisions(self) -> DataFrame | None:
+        d = os.path.join(self.path, "decisions")
+        if not any(f.endswith(".parquet") for f in os.listdir(d)):
+            return None
+        return self.spark.read.parquet(d).dropDuplicates(["id"])
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import semdedup_increment
+
+        if batch_id <= self.last_batch_id():
+            return
+        centroids = self._load_or_fit_centroids(batch)
+        kept = self.read_kept()
+        caches: list = []
+        decisions, new_index = semdedup_increment(
+            batch,
+            kept,
+            centroids,
+            self.id_col,
+            self.vec_col,
+            threshold=self.threshold,
+            caches=caches,
+        )
+        decisions.write.mode("append").parquet(
+            os.path.join(self.path, "decisions")
+        )
+        # Append ONLY this batch's kept rows (O(batch) growth): the new
+        # index is kept ∪ newly-kept, so the increment is the anti-join
+        # of new_index against what we already stored — but since kept
+        # ids never change, the newly-kept rows are exactly the
+        # decisions marked is_kept joined back to their vectors.
+        newly = new_index if kept is None else new_index.join(
+            kept.select("id"), "id", "left_anti"
+        )
+        newly.write.mode("append").parquet(os.path.join(self.path, "kept"))
+        # Both sinks are materialized — release the increment's cache so
+        # a long-lived stream doesn't pin one frame per micro-batch.
+        for c in caches:
+            c.unpersist()
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, self._pointer())
+
+    def foreach_batch_writer(self):
+        def write(batch: DataFrame, batch_id: int) -> None:
+            self.process_batch(batch, batch_id)
+
+        return write

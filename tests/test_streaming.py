@@ -1238,3 +1238,65 @@ def test_lm_scored_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert len(got) == docs.count()
+
+
+def test_streaming_semdedup_invariants_and_replay_safe(spark, sf_dir, tmp_path):
+    """Embeddings streamed through the incremental SemDeDup sink: the
+    kept-set fixpoint holds over the accumulated index, history is
+    immutable across batches, caches are released per batch, and
+    replaying a committed batch is a no-op."""
+    import itertools
+
+    import numpy as np
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.streaming.incremental_dedup import (
+        StreamingSemDeDup,
+    )
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    land = tmp_path / "emb_landing"
+    emb.repartition(3).write.mode("overwrite").parquet(str(land))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    sd = StreamingSemDeDup(
+        spark, str(tmp_path / "sd_state"), threshold=0.95, n_clusters=8
+    )
+    cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    run_to_completion(stream, sd.foreach_batch_writer(), str(tmp_path / "sd_ck"))
+    assert (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= cached_before
+    )
+
+    decisions = sd.decisions()
+    assert decisions.count() == emb.count()
+    kept_rows = sd.read_kept().collect()
+    kept_ids = {r["id"] for r in kept_rows}
+    assert kept_ids == {
+        r["id"] for r in decisions.filter("is_kept").collect()
+    }
+    # Fixpoint over the accumulated kept set.
+    vecs = {r["id"]: np.asarray(r["v"], dtype=np.float64) for r in kept_rows}
+    by_cl: dict[int, list] = {}
+    for r in kept_rows:
+        by_cl.setdefault(r["cluster"], []).append(r["id"])
+    for cl, ids in by_cl.items():
+        for x, y in itertools.combinations(ids, 2):
+            vx, vy = vecs[x], vecs[y]
+            denom = np.linalg.norm(vx) * np.linalg.norm(vy)
+            if denom == 0:
+                continue
+            cos = float(vx @ vy) / denom
+            assert cos < 0.95 + 1e-9, f"kept pair {x},{y} cluster {cl}: {cos:.4f}"
+
+    # Replay: nothing changes.
+    n_kept = len(kept_ids)
+    last = sd.last_batch_id()
+    sd.process_batch(emb.limit(5), last)
+    assert sd.read_kept().count() == n_kept
+    assert sd.last_batch_id() == last
