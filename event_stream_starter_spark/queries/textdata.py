@@ -2133,3 +2133,67 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_sig"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility report (mixture-decision input)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x_token_fertility",
+    f"""
+    WITH t AS (
+        SELECT lang, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS_DUCK}) END AS ws_toks,
+               len(regexp_extract_all(lower(text),
+                   '([a-z]{{1,8}}|[0-9]{{1,3}}|[^a-z0-9\\s])')) AS bpe_toks
+        FROM documents
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ws_toks) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe_toks) AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(SUM(bpe_toks) AS DOUBLE) / greatest(SUM(ws_toks), 1), 6) + 0
+               AS fertility
+    FROM t
+    GROUP BY lang, source
+    """,
+    survey_ids=(
+        "training-pipeline: tokenizer fertility report per (lang, source) "
+        "— BPE-ish tokens per whitespace token, the cost signal mixture "
+        "weighting and budget planning read"
+    ),
+)
+def x_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (lang, source): how many BPE-ish pieces
+    each whitespace token explodes into. High-fertility slices cost more
+    context budget per word — the per-corpus statistic mixture weighting
+    and token-budget planning consume.
+
+    Scale: map-side token counts (integer sums are exact and
+    order-independent by construction), one partial-agg shuffle on the
+    low-cardinality (lang, source) key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    ws = textan.token_count(t).cast("long")
+    bpe = textan.bpe_ish_token_count(t).cast("long")
+    return (
+        docs.select("lang", "source", ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            (
+                F.round(
+                    F.sum("bpe").cast("double")
+                    / F.greatest(F.sum("ws"), F.lit(1)),
+                    6,
+                )
+                + 0
+            ).alias("fertility"),
+        )
+    )
