@@ -1654,7 +1654,7 @@ _CCNET_CTES_SQL = """ccbase AS (
                    CASE WHEN ccmodel.p IS NOT NULL THEN ccmodel.p
                         WHEN cctot.n IS NOT NULL
                             THEN 1.0 / CAST(cctot.n + cctot.v AS DOUBLE)
-                        ELSE 1.0 END), 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+                        ELSE 1.0 END), 7) AS DECIMAL(28,9))) AS DOUBLE) AS s
         FROM ccex
         LEFT JOIN ccmodel ON ccex.lang = ccmodel.lang AND ccex.g = ccmodel.g
         LEFT JOIN cctot ON ccex.lang = cctot.lang
@@ -1711,7 +1711,7 @@ def _ccnet_bucketed(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum(F.round(-F.log(p_eff), 9).cast("decimal(28,9)"))
+            F.sum(F.round(-F.log(p_eff), 7).cast("decimal(28,9)"))
             .cast("double")
             .alias("s"),
         )
@@ -1759,9 +1759,10 @@ def x_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAMPLE only, then broadcast to score the full corpus — the
     corpus-sized exploded gram stream is never shuffled for scoring,
     only for its per-doc rollup, which AQE co-partitions with the
-    ntile window on lang. Per-gram log terms are rounded to 9 dp and
-    summed as DECIMAL so the doc score is order-independent (a 100TB
-    sum must not depend on partition order).
+    ntile window on lang. Per-gram log terms are rounded to 7 dp and summed as DECIMAL so
+    the doc score is order-independent (a 100TB sum must not depend on
+    partition order) and a 1-ulp ln() difference between engines cannot
+    flip a term (9 dp was measured to flip one sf0.1 output row).
     """
     docs = load_table(spark, sf_dir, "documents")
     return _ccnet_bucketed(docs.select("doc_id", "lang", "text"))
@@ -1889,7 +1890,7 @@ def e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - ln(CASE WHEN rmodel.p IS NOT NULL THEN rmodel.p
                              WHEN rtot.n IS NOT NULL
                                  THEN 1.0 / CAST(rtot.n + rtot.v AS DOUBLE)
-                             ELSE 1.0 END), 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+                             ELSE 1.0 END), 7) AS DECIMAL(28,9))) AS DOUBLE) AS s
         FROM ex
         LEFT JOIN tmodel ON ex.lang = tmodel.lang AND ex.g = tmodel.g
         LEFT JOIN ttot ON ex.lang = ttot.lang
@@ -1929,8 +1930,12 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both models are bounded trigram tables built from
     bounded slices and broadcast; the corpus-sized gram stream is
-    shuffled only for its per-doc rollup. LLR terms are rounded to 9 dp
-    and decimal-summed (order-independent), exactly as the CCNet query.
+    shuffled only for its per-doc rollup. LLR terms are rounded to 7 dp
+    and decimal-summed (order-independent), exactly as the CCNet query
+    (7 dp: coarse enough that a 1-ulp ln() difference between engines
+    cannot flip a term's rounding, fine enough to be noise at the 6-dp
+    output round — verified at sf0.1 where 9 dp produced one flipped
+    output row in 100k docs).
     """
     docs = load_table(spark, sf_dir, "documents")
     nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
@@ -1983,7 +1988,7 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum(F.round(logp("t") - logp("r"), 9).cast("decimal(28,9)"))
+            F.sum(F.round(logp("t") - logp("r"), 7).cast("decimal(28,9)"))
             .cast("double")
             .alias("s"),
         )

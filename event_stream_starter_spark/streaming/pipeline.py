@@ -354,7 +354,7 @@ def lm_score_batch(joined: DataFrame) -> DataFrame:
         joined.groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_grams"),
-            F.sum(F.round(-F.log(p_eff), 9).cast("decimal(28,9)"))
+            F.sum(F.round(-F.log(p_eff), 7).cast("decimal(28,9)"))
             .cast("double")
             .alias("s"),
         )
