@@ -419,7 +419,7 @@ def semdedup_increment(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     caches: list | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental SemDeDup: dedup NEW vectors against the frozen kept
     set WITHOUT revisiting old decisions (the embedding-space analog of
     incremental_minhash_pairs — dedup-against-index semantics).
@@ -439,9 +439,12 @@ def semdedup_increment(
     members of a cluster are >= threshold-similar) still holds over
     the UNION after every increment — asserted in tests.
 
-    Returns (decisions, new_kept_index): decisions has one row per NEW
-    id (id, cluster, centroid_cos, is_kept); new_kept_index is
-    kept_index ∪ newly-kept rows, ready for the next run.
+    Returns (decisions, new_kept_index, newly_kept): decisions has one
+    row per NEW id (id, cluster, centroid_cos, is_kept); new_kept_index
+    is kept_index ∪ newly-kept rows, ready for the next run; newly_kept
+    is JUST this increment's kept rows — the O(batch) frame an
+    append-only index sink writes (re-deriving it from new_index would
+    cost a full-index anti-join).
 
     Scale shape: assignment is map-only; both the new-vs-kept probe and
     the new-vs-new pass are equi-joins on cluster id with one side
@@ -511,4 +514,4 @@ def semdedup_increment(
         if kept_index is None
         else kept_index.unionByName(newly_kept)
     )
-    return decisions.drop("v"), new_index
+    return decisions.drop("v"), new_index, newly_kept

@@ -33,7 +33,46 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.dedup import incremental_minhash_pairs, minhash_signatures
 
 
-class StreamingNearDup:
+class _PointerSink:
+    """Shared at-least-once sink plumbing: the CURRENT pointer records
+    the last committed batch id and is written LAST (tmp + atomic
+    rename); append directories are deduplicated on read. One
+    implementation so a protocol fix (fsync, commit shape) can never
+    drift between the MinHash and SemDeDup sinks."""
+
+    spark: SparkSession
+    path: str
+
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def last_batch_id(self) -> int:
+        try:
+            with open(self._pointer()) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def _commit(self, batch_id: int) -> None:
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, self._pointer())
+
+    def _read_dir(self, name: str, dedup_cols: list[str]) -> DataFrame | None:
+        d = os.path.join(self.path, name)
+        if not any(f.endswith(".parquet") for f in os.listdir(d)):
+            return None
+        return self.spark.read.parquet(d).dropDuplicates(dedup_cols)
+
+    def foreach_batch_writer(self):
+        def write(batch: DataFrame, batch_id: int) -> None:
+            self.process_batch(batch, batch_id)
+
+        return write
+
+
+class StreamingNearDup(_PointerSink):
     """foreachBatch sink: incremental near-dup with persisted index."""
 
     def __init__(
@@ -58,33 +97,14 @@ class StreamingNearDup:
         os.makedirs(os.path.join(path, "index"), exist_ok=True)
         os.makedirs(os.path.join(path, "pairs"), exist_ok=True)
 
-    def _pointer(self) -> str:
-        return os.path.join(self.path, "CURRENT")
-
-    def last_batch_id(self) -> int:
-        try:
-            with open(self._pointer()) as fh:
-                return int(fh.read().strip())
-        except (FileNotFoundError, ValueError):
-            return -1
-
     def read_index(self) -> DataFrame | None:
-        index_dir = os.path.join(self.path, "index")
-        if not any(f.endswith(".parquet") for f in os.listdir(index_dir)):
-            return None
         # Crash-replay can duplicate a batch's signature append before
         # the pointer advanced — collapse by id on read.
-        return self.spark.read.parquet(index_dir).dropDuplicates(["id"])
+        return self._read_dir("index", ["id"])
 
     def pairs(self) -> DataFrame | None:
-        pairs_dir = os.path.join(self.path, "pairs")
-        if not any(f.endswith(".parquet") for f in os.listdir(pairs_dir)):
-            return None
-        return (
-            self.spark.read.parquet(pairs_dir)
-            .dropDuplicates(["id_a", "id_b"])
-            .select("id_a", "id_b", "jaccard_sim")
-        )
+        out = self._read_dir("pairs", ["id_a", "id_b"])
+        return None if out is None else out.select("id_a", "id_b", "jaccard_sim")
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id <= self.last_batch_id():
@@ -117,19 +137,10 @@ class StreamingNearDup:
         # no-op.)
         all_sig.unpersist()
         sig_new.unpersist()
-        tmp = self._pointer() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(tmp, self._pointer())
-
-    def foreach_batch_writer(self):
-        def write(batch: DataFrame, batch_id: int) -> None:
-            self.process_batch(batch, batch_id)
-
-        return write
+        self._commit(batch_id)
 
 
-class StreamingSemDeDup:
+class StreamingSemDeDup(_PointerSink):
     """foreachBatch sink: incremental SEMANTIC dedup with a persisted
     kept-vector index — the embedding-space sibling of StreamingNearDup,
     same at-least-once protocol (append sinks deduplicated on read, the
@@ -162,16 +173,6 @@ class StreamingSemDeDup:
         os.makedirs(os.path.join(path, "kept"), exist_ok=True)
         os.makedirs(os.path.join(path, "decisions"), exist_ok=True)
 
-    def _pointer(self) -> str:
-        return os.path.join(self.path, "CURRENT")
-
-    def last_batch_id(self) -> int:
-        try:
-            with open(self._pointer()) as fh:
-                return int(fh.read().strip())
-        except (FileNotFoundError, ValueError):
-            return -1
-
     def _centroids_file(self) -> str:
         return os.path.join(self.path, "centroids.json")
 
@@ -196,26 +197,39 @@ class StreamingSemDeDup:
         return self.centroids
 
     def read_kept(self) -> DataFrame | None:
-        kept_dir = os.path.join(self.path, "kept")
-        if not any(f.endswith(".parquet") for f in os.listdir(kept_dir)):
-            return None
-        return self.spark.read.parquet(kept_dir).dropDuplicates(["id"])
+        return self._read_dir("kept", ["id"])
 
     def decisions(self) -> DataFrame | None:
-        d = os.path.join(self.path, "decisions")
-        if not any(f.endswith(".parquet") for f in os.listdir(d)):
-            return None
-        return self.spark.read.parquet(d).dropDuplicates(["id"])
+        return self._read_dir("decisions", ["id"])
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         from ..operators.similarity import semdedup_increment
 
         if batch_id <= self.last_batch_id():
             return
+        # Empty batch: advance the pointer and write nothing. CRITICAL
+        # on a cold start — fitting k-means on zero rows would persist
+        # an EMPTY centroid table forever (frozen quantizer), collapsing
+        # every future batch into one O(n^2) cluster.
+        if batch.limit(1).count() == 0:
+            self._commit(batch_id)
+            return
         centroids = self._load_or_fit_centroids(batch)
         kept = self.read_kept()
+        # Replay idempotence: a crash AFTER the kept append but BEFORE
+        # the pointer commit replays this batch against an index that
+        # already contains the batch's own kept rows — each would match
+        # itself at cosine 1.0 and flip to dropped. Anti-join the
+        # batch's ids out of the probe side so a replayed batch decides
+        # exactly as the original did (re-appends are then
+        # byte-identical and the read-side id-dedup absorbs them).
+        if kept is not None:
+            batch_ids = batch.select(F.col(self.id_col).alias("id"))
+            kept = kept.join(batch_ids, "id", "left_anti")
         caches: list = []
-        decisions, new_index = semdedup_increment(
+        decisions, _new_index, newly_kept = semdedup_increment(
             batch,
             kept,
             centroids,
@@ -227,26 +241,11 @@ class StreamingSemDeDup:
         decisions.write.mode("append").parquet(
             os.path.join(self.path, "decisions")
         )
-        # Append ONLY this batch's kept rows (O(batch) growth): the new
-        # index is kept ∪ newly-kept, so the increment is the anti-join
-        # of new_index against what we already stored — but since kept
-        # ids never change, the newly-kept rows are exactly the
-        # decisions marked is_kept joined back to their vectors.
-        newly = new_index if kept is None else new_index.join(
-            kept.select("id"), "id", "left_anti"
-        )
-        newly.write.mode("append").parquet(os.path.join(self.path, "kept"))
+        # Append ONLY this batch's kept rows (O(batch) growth) — the
+        # increment hands them back directly; no index re-scan.
+        newly_kept.write.mode("append").parquet(os.path.join(self.path, "kept"))
         # Both sinks are materialized — release the increment's cache so
         # a long-lived stream doesn't pin one frame per micro-batch.
         for c in caches:
             c.unpersist()
-        tmp = self._pointer() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(tmp, self._pointer())
-
-    def foreach_batch_writer(self):
-        def write(batch: DataFrame, batch_id: int) -> None:
-            self.process_batch(batch, batch_id)
-
-        return write
+        self._commit(batch_id)

@@ -474,7 +474,7 @@ def test_semdedup_increment_fixpoint_and_immutability(spark):
     # Increment 1: a dup pair in cluster A + one loner in B.
     inc1 = [(0, perturbed(a, 2, 0.0)), (1, perturbed(a, 2, 0.01)),
             (10, perturbed(b, 5, 0.9))]
-    dec1, idx1 = semdedup_increment(
+    dec1, idx1, _new1 = semdedup_increment(
         mk(inc1), None, centroids, "vec_id", "embedding", threshold=0.95
     )
     got1 = {r["id"]: r["is_kept"] for r in dec1.collect()}
@@ -498,7 +498,7 @@ def test_semdedup_increment_fixpoint_and_immutability(spark):
         (21, perturbed(a, 3, -0.9)),              # new direction, kept
         (30, perturbed(b, 6, 0.02)), (31, perturbed(b, 6, 0.025)),
     ]
-    dec2, idx2 = semdedup_increment(
+    dec2, idx2, new2 = semdedup_increment(
         mk(inc2), idx1, centroids, "vec_id", "embedding", threshold=0.95
     )
     got2 = {r["id"]: r["is_kept"] for r in dec2.collect()}

@@ -1300,3 +1300,44 @@ def test_streaming_semdedup_invariants_and_replay_safe(spark, sf_dir, tmp_path):
     sd.process_batch(emb.limit(5), last)
     assert sd.read_kept().count() == n_kept
     assert sd.last_batch_id() == last
+
+
+def test_streaming_semdedup_crash_replay_window_is_idempotent(spark, sf_dir, tmp_path):
+    """Crash AFTER the kept append but BEFORE the pointer commit: the
+    replayed batch must decide exactly as the original did (its own
+    kept rows are anti-joined out of the probe), so re-appends are
+    byte-identical and the invariant kept_ids == is_kept decisions
+    survives. Also: an empty cold-start batch must NOT fit (and freeze)
+    an empty centroid table."""
+    import os
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.streaming.incremental_dedup import (
+        StreamingSemDeDup,
+    )
+
+    sd = StreamingSemDeDup(
+        spark, str(tmp_path / "sd2_state"), threshold=0.95, n_clusters=8
+    )
+    # Empty cold start: pointer advances, no centroids frozen.
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    sd.process_batch(empty, 0)
+    assert sd.last_batch_id() == 0
+    assert not os.path.exists(sd._centroids_file())
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sd.process_batch(emb, 1)
+    assert os.path.exists(sd._centroids_file())
+    kept_before = {r["id"] for r in sd.read_kept().collect()}
+    assert kept_before
+
+    # Simulate the crash window: both sinks were appended for batch 1
+    # but the pointer never advanced — rewind it and replay batch 1.
+    with open(sd._pointer(), "w") as fh:
+        fh.write("0")
+    sd.process_batch(emb, 1)
+    kept_after = {r["id"] for r in sd.read_kept().collect()}
+    assert kept_after == kept_before
+    decisions = sd.decisions()
+    assert {r["id"] for r in decisions.filter("is_kept").collect()} == kept_before
+    assert decisions.count() == emb.count()
