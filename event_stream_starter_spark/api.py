@@ -234,3 +234,72 @@ class ReadApi:
         return build_prom_text(
             latency_samples_ms=samples, gauges=gauges, labeled=labeled
         )
+
+
+def register_sql_functions(spark: SparkSession) -> list[str]:
+    """Register the deterministic model-backed UDF family as SQL
+    functions (SURVEY §2.12: 'expose pandas_udf/SQL-function
+    registration natively') so plain ``spark.sql`` users can call the
+    same laws the DataFrame API ships:
+
+    - ``ess_refined_type(text)`` / ``ess_refined_summary(text)`` — U4
+      rules-refiner fields (bit-parity with functions/refine.py, the
+      seam's fallback twins);
+    - ``ess_sentiment_score(text)`` / ``ess_sentiment_label(text)`` —
+      U1 lexicon sentiment (c11 laws);
+    - ``ess_doc_fingerprint(text)`` — the C1-normalized exact-dedup key.
+
+    All are Arrow-vectorized pandas UDFs over the tested Python twins —
+    the SQL-surface convenience path. The column expressions remain the
+    hot path (JVM codegen); these exist so an ad-hoc SQL session
+    composes the laws without importing the package.
+    """
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from .functions import inference as INF
+
+    # Explicit return-type form (not type hints): this module uses
+    # `from __future__ import annotations`, which stringifies hints and
+    # breaks pandas_udf's hint inference.
+    def _refined_type(s):
+        return pd.Series(
+            [r["type"] for r in INF.rules_refine_batch(s.fillna("").tolist())]
+        )
+
+    def _refined_summary(s):
+        return pd.Series(
+            [r["summary"] for r in INF.rules_refine_batch(s.fillna("").tolist())]
+        )
+
+    def _sentiment_score(s):
+        return pd.Series([INF.rules_sentiment_one(t)["score"] for t in s.fillna("")])
+
+    def _sentiment_label(s):
+        return pd.Series([INF.rules_sentiment_one(t)["label"] for t in s.fillna("")])
+
+    _ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _doc_fingerprint(s):
+        # Twin of textan.doc_fingerprint: sha256 of whitespace-collapsed
+        # lowercase text (ASCII-space trim, Java-\s collapse), first 16
+        # hex chars.
+        def fp(t):
+            norm = _ws.sub(" ", t.lower()).strip(" ")
+            return hashlib.sha256(norm.encode("utf-8")).hexdigest()[:16]
+
+        return pd.Series([fp(t) for t in s.fillna("")])
+
+    fns = {
+        "ess_refined_type": pandas_udf(_refined_type, "string"),
+        "ess_refined_summary": pandas_udf(_refined_summary, "string"),
+        "ess_sentiment_score": pandas_udf(_sentiment_score, "double"),
+        "ess_sentiment_label": pandas_udf(_sentiment_label, "string"),
+        "ess_doc_fingerprint": pandas_udf(_doc_fingerprint, "string"),
+    }
+    for name, fn in fns.items():
+        spark.udf.register(name, fn)
+    return sorted(fns)

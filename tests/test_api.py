@@ -153,3 +153,51 @@ def test_register_catalog_sql_surface(spark, sf_dir):
         "JOIN documents x ON d.first_doc = x.doc_id"
     ).first()["n"]
     assert n > 0
+
+
+def test_register_sql_functions_match_column_laws(spark, sf_dir):
+    """The SQL-registered pandas UDFs must equal the column-expression
+    laws on the real corpus (bit parity, not approximation)."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.api import register_sql_functions
+    from event_stream_starter_spark.functions import refine as R
+    from event_stream_starter_spark.functions.scoring import (
+        lexicon_sentiment_label,
+        lexicon_sentiment_score,
+    )
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators import textan
+
+    names = register_sql_functions(spark)
+    assert "ess_doc_fingerprint" in names
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    docs.createOrReplaceTempView("sqlfn_docs")
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(
+            """
+            SELECT doc_id,
+                   ess_refined_type(text) AS rt,
+                   ess_refined_summary(text) AS rs,
+                   ess_sentiment_score(text) AS ss,
+                   ess_sentiment_label(text) AS sl,
+                   ess_doc_fingerprint(text) AS fp
+            FROM sqlfn_docs
+            """
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            R.refined_type(F.col("text")).alias("rt"),
+            R.refined_summary(F.col("text")).alias("rs"),
+            lexicon_sentiment_score(F.col("text")).alias("ss"),
+            lexicon_sentiment_label(lexicon_sentiment_score(F.col("text"))).alias("sl"),
+            textan.doc_fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert tuple(got[k]) == tuple(want[k]), f"doc {k}"
