@@ -2202,3 +2202,136 @@ def x_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (Robertson-Sparck Jones; k1=1.2, b=0.75)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "stream", "join")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TOPK = 20
+
+
+@query(
+    "x_bm25_topk",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), dl AS (
+        SELECT doc_id, toks, len(toks) AS dlen FROM t
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, dlen, term,
+               len(list_filter(toks, x -> x = term)) AS f
+        FROM dl, unnest({list(_BM25_TERMS)}) AS q(term)
+    ), df AS (
+        SELECT term, COUNT(*) FILTER (f > 0) AS dfreq FROM tf GROUP BY term
+    ), contrib AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                   ln((stats.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+                   * (tf.f * ({_BM25_K1} + 1.0))
+                   / (tf.f + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * tf.dlen / stats.avgdl)), 7)
+                   AS DECIMAL(28,7)) AS c
+        FROM tf, stats
+        JOIN df ON tf.term = df.term
+        WHERE tf.f > 0
+    ), scored AS (
+        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS s FROM contrib GROUP BY doc_id
+    ), ranked AS (
+        SELECT doc_id, ROUND(s, 6) + 0 AS bm25,
+               ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT doc_id, bm25, rank FROM ranked WHERE rank <= {_BM25_TOPK}
+    """,
+    survey_ids=(
+        "training-pipeline: BM25 lexical retrieval top-k "
+        "(k1=1.2, b=0.75; per-term contributions decimal-summed) — "
+        "the keyword-retrieval companion to the ANN family for "
+        "curation/decontamination candidate generation"
+    ),
+)
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the documents table for a fixed query
+    term set — lexical retrieval, the standard companion to embedding
+    ANN when assembling topical subsets or generating candidate pools
+    for dedup/decontamination.
+
+    Laws: Robertson IDF ln((N - df + 0.5)/(df + 0.5) + 1), k1=1.2,
+    b=0.75; per-term contributions are rounded to 7 dp and summed as
+    DECIMAL (the LM-score recipe: a 1-ulp ln() difference between
+    engines cannot flip a term, and a 100TB per-doc sum is
+    partition-order independent).
+
+    Scale shape: corpus stats (N, avgdl) are a 1-row broadcast; term
+    frequencies come from one map-side pass over tokens filtered to the
+    |Q| query terms (never a full inverted index); df is a |Q|-row
+    aggregate joined back by broadcast. The only corpus-sized shuffle
+    is the per-doc score rollup; the global top-k is a rank window over
+    docs that matched at least one term.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textan.tokens(F.col("text"))
+    dl = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("dlen")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    tf = dl.select(
+        "doc_id",
+        "dlen",
+        F.explode(terms).alias("term"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "dlen",
+        "term",
+        F.size(F.filter(F.col("toks"), lambda x: x == F.col("term"))).alias("f"),
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.when(F.col("f") > 0, 1)).alias("dfreq")
+    )
+    contrib = (
+        tf.filter(F.col("f") > 0)
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("dfreq") + 0.5)
+                    / (F.col("dfreq") + 0.5)
+                    + 1.0
+                )
+                * (F.col("f") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("f")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl"))
+                ),
+                7,
+            )
+            .cast("decimal(28,7)")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("s"))
+    w = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "doc_id",
+            (F.round("s", 6) + 0).alias("bm25"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
