@@ -69,6 +69,7 @@ HEADLINE = [
     "x_gopher_rules",
     "x_ccnet_lm_buckets",
     "x_dsir_select",
+    "x_bm25_topk",
     "a10_t7_batch_scan",
     "d6_cooldown_emit",
     "u4_u6_rules_refiner",
