@@ -33,8 +33,8 @@ volume, which is 1000x sf0.1's 256 pairs at only 10x the docs.
 Corpus-filter additions at the same 50k (best clean run): gopher
 rules 1.5s (map-only), ccnet LM buckets 9.5s (~10M exploded grams:
 sample-side model agg + broadcast-scored rollup), dsir select 7.4s
-(two models, two broadcast joins over the gram stream), e2e curation
-5.3s, u4 refine seam 2.7s (vectorized pandas rules batch; was 18.9s
+(two models, two broadcast joins over the gram stream), bm25 top-k
+2.7s, e2e curation 5.3s, u4 refine seam 2.7s (vectorized pandas rules batch; was 18.9s
 with the per-row fallback loop).
 Embedding family at 10x (5k synthetic 64-dim vectors, 50 planted
 clusters): brute cosine 1.1s, ivf 4.0s / lsh 2.8s (fit dominated at
@@ -98,6 +98,7 @@ DOC_QUERIES = [
     "x_gopher_rules",
     "x_ccnet_lm_buckets",
     "x_dsir_select",
+    "x_bm25_topk",
     "e2e_curation",
     "u4_refine_seam",
 ]
