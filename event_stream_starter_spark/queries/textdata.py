@@ -2335,3 +2335,58 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixed-size per-group sample (reservoir analog)
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 40
+
+
+@query(
+    "x_reservoir_sample",
+    f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               md5(CAST(doc_id AS VARCHAR) || ':rsv') AS hk
+        FROM documents
+    ), r AS (
+        SELECT doc_id, lang, hk,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+        FROM h
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_RESERVOIR_K}
+    """,
+    survey_ids=(
+        "training-pipeline: exact fixed-size per-group sample "
+        "(deterministic reservoir analog: rank by salted hash, keep "
+        "first k per lang) — the EXACT-k counterpart of the rate-based "
+        "mixture sampler"
+    ),
+)
+def x_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k documents per language, deterministically: rank rows by
+    a salted hash of the id and keep the first k per group — the
+    distributed, replayable analog of reservoir sampling (same sample
+    on every run and every partitioning, unlike rand()-based sampling).
+    The rate-based mixture sampler (x_mixture_sample) answers 'keep p%
+    of each slice'; this answers 'give me exactly k per slice'
+    (eval-set carving, per-lang probes, human-review batches).
+
+    Scale shape: one hash per row map-side, one shuffle on the group
+    key for the rank window. For k much smaller than the group, the
+    window sort can be replaced by a per-partition top-k + merge
+    (aggregate of sorted k-arrays) — same contract, no full-group sort;
+    at this k the window is already dominated by the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rsv")))
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        docs.select("doc_id", "lang", hk.alias("hk"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
