@@ -68,7 +68,11 @@ HEADLINE = [
     "x_boilerplate_strip",
     "x_gopher_rules",
     "x_ccnet_lm_buckets",
+    "x_ccnet_lm_buckets_approx",
     "x_dsir_select",
+    "x_dsir_select_approx",
+    "x_quality_bins_approx",
+    "x_reservoir_sample_topk",
     "x_bm25_topk",
     "a10_t7_batch_scan",
     "d6_cooldown_emit",

@@ -306,7 +306,14 @@ def _memo_put(
     kind: str, backend: str, text: str, now: float, ttl_s: float, result: dict
 ) -> None:
     if len(_MEMO) >= _MEMO_MAX:
-        _MEMO.clear()
+        # Sweep expired entries first — one high-cardinality batch must
+        # not flush every hot cached result (wholesale clear caused a
+        # latency spike on the batches that followed). Clear only if the
+        # memo is genuinely full of LIVE entries.
+        for k in [k for k, v in _MEMO.items() if v[0] <= now]:
+            _MEMO.pop(k, None)
+        if len(_MEMO) >= _MEMO_MAX:
+            _MEMO.clear()
     _MEMO[(kind, backend, text)] = (now + ttl_s, result)
 
 
@@ -426,6 +433,23 @@ _SENTIMENT_FIELDS = (
 )
 
 
+def _id_cols_ddl(df: DataFrame, text_col: str, id_cols: list[str]) -> str:
+    """DDL for the passthrough id columns, derived from id_cols DIRECTLY.
+
+    Deriving it positionally from select(*id_cols, text_col)[:-1] silently
+    misaligns when text_col is also listed in id_cols (duplicate column in
+    the select); that shape is ambiguous — reject it."""
+    if text_col in id_cols:
+        raise ValueError(
+            f"text_col {text_col!r} must not appear in id_cols {id_cols!r}"
+        )
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = [c for c in id_cols if c not in fields]
+    if missing:
+        raise ValueError(f"id_cols not in DataFrame: {missing}")
+    return ", ".join(f"{c} {fields[c]}" for c in id_cols)
+
+
 def refine_with_backend(
     df: DataFrame,
     text_col: str,
@@ -440,8 +464,7 @@ def refine_with_backend(
     default rules backend the output is bit-identical to the
     column-expression path in queries/udf_fallbacks.py (tested).
     """
-    in_schema = df.select(*id_cols, text_col).schema
-    id_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema[:-1])
+    id_ddl = _id_cols_ddl(df, text_col, id_cols)
     out_schema = f"{id_ddl}, {_REFINE_FIELDS}"
     # Resolve driver-side: runtime-registered backends live only in the
     # driver's registry; the callable ships in the task closure.
@@ -483,8 +506,7 @@ def sentiment_with_backend(
     memo_ttl_s: float = MEMO_TTL_S,
 ) -> DataFrame:
     """U1 sentiment over a DataFrame (label/score + degrade columns)."""
-    in_schema = df.select(*id_cols, text_col).schema
-    id_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema[:-1])
+    id_ddl = _id_cols_ddl(df, text_col, id_cols)
     out_schema = f"{id_ddl}, {_SENTIMENT_FIELDS}"
 
     def _validate(out: dict) -> dict:

@@ -10,6 +10,8 @@ pre-ingest contract; everything else matches.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -78,6 +80,77 @@ def normalize_url(url: Column) -> Column:
     c = F.regexp_replace(c, r"\?$", "")
     c = F.regexp_replace(c, r"/+$", "")
     return c
+
+
+_TRACKING_PARAM_KEYS = ("ref", "ref_src")
+
+
+def _canonical_url(u) -> str | None:
+    """Full-fidelity C2 canonicalization, one URL (pure Python).
+
+    The parser-needing residuals the column path can't express
+    (reference api/events.py:123-173): IDN hosts → punycode,
+    default-port dropping, and the (lowercased-key, value) TUPLE sort
+    of surviving query params (re-encoded, so '=' in a value is
+    percent-escaped). Faithful to the reference's quirks: the scheme is
+    normalized to https BEFORE the default-port check (so
+    ``http://h:80`` keeps its :80 — 80 is not https' default), a bare
+    host gains the root path '/', and any parse failure returns the
+    input UNCHANGED (fail-open; a malformed URL must not become NULL
+    and vanish from dedup keys).
+    """
+    if not u or not isinstance(u, str):
+        return None
+    try:
+        from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+        parts = urlsplit(u.strip())
+        scheme = (
+            "https" if parts.scheme in ("", "http", "https") else parts.scheme.lower()
+        )
+        host = parts.hostname or ""
+        try:
+            host = host.encode("idna").decode("ascii") if host else host
+        except Exception:
+            host = host.lower()
+        netloc = host
+        port = parts.port
+        if port and not (
+            (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+        ):
+            netloc = f"{host}:{port}"
+        kept = sorted(
+            ((k or "").lower(), v)
+            for k, v in parse_qsl(parts.query, keep_blank_values=True)
+            if not (k or "").lower().startswith("utm_")
+            and (k or "").lower() not in _TRACKING_PARAM_KEYS
+        )
+        path = parts.path or "/"
+        if path != "/":
+            path = re.sub(r"/+$", "", path)
+        return urlunsplit((scheme, netloc, path, urlencode(kept, doseq=True), ""))
+    except Exception:
+        return u
+
+
+def normalize_url_full(url: Column) -> Column:
+    """Arrow-batched pandas UDF wrapping :func:`_canonical_url`.
+
+    This is the slow-path sibling of :func:`normalize_url` (the JVM
+    column expression): use the column path in corpus-sized hot paths
+    (its residual divergences are exotic-URL-only) and this one where
+    full reference fidelity matters (key derivation for dedup across
+    mixed-case/IDN/ported URLs). Arrow batching keeps the Python
+    boundary one buffer per batch, not one call per row.
+    """
+    import pandas as pd  # noqa: F401  (pandas_udf requires pandas present)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(s):  # type: ignore[no-untyped-def]
+        return s.map(_canonical_url)
+
+    return _udf(url)
 
 
 def normalize_token_symbol(symbol: Column) -> Column:

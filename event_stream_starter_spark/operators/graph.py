@@ -21,12 +21,12 @@ Scale posture (100TB):
   never a cartesian. Cost is O(|E|) per iteration.
 - Iteration count is O(component diameter). Near-dup clusters are
   near-cliques (every member matches most others), so diameter is 2-3
-  and the loop exits in 3-4 rounds. For adversarial long-chain graphs,
-  the standard fix is large-star/small-star contraction
-  (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  SoCC'14) which converges in O(log^2 n); the label-propagation loop
-  below keeps the same join shape, so swapping the step function is
-  local to this file.
+  and the loop exits in 3-4 rounds. If max_iter rounds pass without a
+  fixpoint (adversarial long-chain graph), the loop escapes to
+  large-star/small-star contraction (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14; _star_contraction
+  below) which converges in O(log^2 n) rounds with the same
+  join+groupBy-min primitive per round.
 - `localCheckpoint(eager=True)` truncates lineage every iteration —
   without it the plan doubles per round and the driver OOMs on plan
   serialization long before data is the problem.
@@ -79,6 +79,80 @@ def _driver_union_find(rows: list) -> dict:
             lo, hi = (rs, rd) if rs < rd else (rd, rs)
             parent[hi] = lo
     return {n: find(n) for n in parent}
+
+
+def _star_contraction(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    adversarial-diameter escape for label propagation.
+
+    Label propagation needs O(diameter) rounds; a pathological chain
+    graph makes that O(n). Star contraction halves long paths every
+    alternation (large-star hangs every larger neighbor off the local
+    minimum, small-star re-hangs each star's leaves off the star's
+    minimum), converging in O(log² n) rounds worst-case — in practice
+    ~log n for chains. Same primitive per round as the propagation loop
+    (one groupBy-min + one equi-join on node id, never a cartesian);
+    lineage is localCheckpoint-truncated per round identically.
+
+    Takes the symmetric (s, d) edge frame; returns (node, label) with
+    label = component minimum — the same contract as the propagation
+    loop, because the fixpoint is a star from every non-min node to its
+    component min.
+    """
+    e = (
+        edges.select("s", "d")
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s").cast("decimal(38,0)")).alias("ss"),
+            F.sum(F.col("d").cast("decimal(38,0)")).alias("sd"),
+        ).collect()[0]
+        return (r["n"], r["ss"], r["sd"])
+
+    prev = None
+    for _ in range(max_rounds):
+        # Large-star: in the symmetric view, attach every neighbor larger
+        # than u to m = min(N(u) ∪ {u}).
+        sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        m = sym.groupBy("s").agg(F.least(F.min("d"), F.col("s")).alias("m"))
+        e = (
+            sym.join(m, "s")
+            .where(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .where(F.col("s") != F.col("d"))
+            .distinct()
+        )
+        # Small-star: orient each edge large→small, attach every small
+        # neighbor AND the center to the center's minimum neighbor.
+        oriented = e.select(
+            F.greatest("s", "d").alias("u"), F.least("s", "d").alias("v")
+        ).distinct()
+        mn = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        joined = oriented.join(mn, "u")
+        e = (
+            joined.select(F.col("v").alias("s"), F.col("m").alias("d"))
+            .union(joined.select(F.col("u").alias("s"), F.col("m").alias("d")))
+            .where(F.col("s") != F.col("d"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # Fixpoint: every non-min node carries exactly the edge (node → min).
+    return (
+        e.select(F.col("s").alias("node"), F.col("d").alias("label"))
+        .union(e.select(F.col("d").alias("node"), F.col("d").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
 
 
 def connected_components(
@@ -147,9 +221,12 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         if cur_sum == prev_sum:
-            break
+            return labels
         prev_sum = cur_sum
-    return labels
+    # max_iter exhausted without a fixpoint: the graph has an adversarial
+    # diameter (> max_iter). O(diameter)-round propagation is the wrong
+    # algorithm there — escape to O(log² n)-round star contraction.
+    return _star_contraction(edges)
 
 
 def canonical_assignments(

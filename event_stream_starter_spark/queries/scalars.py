@@ -16,6 +16,7 @@ from ..functions.normalize import (
     normalize_text,
     normalize_token_symbol,
     normalize_url,
+    normalize_url_full,
 )
 from ..functions.scoring import (
     NEGATIVE_WORDS,
@@ -51,10 +52,10 @@ from . import query
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                 lower(raw_text),
-                'https?://\\S+', '', 'g'),
-                'www\\.\\S+', '', 'g'),
-                '\\b[a-zA-Z0-9][a-zA-Z0-9-]*\\.(?:com|org|net|io|xyz|co|app|tech|ai|dev|finance|eth)[\\s,\\.!?;:]', ' ', 'g'),
-                '@\\w+', '', 'g'), '\\s+', ' ', 'g'))
+                'https?://[^ \\t\\n\\x0b\\f\\r]+', '', 'g'),
+                'www\\.[^ \\t\\n\\x0b\\f\\r]+', '', 'g'),
+                '\\b[a-zA-Z0-9][a-zA-Z0-9-]*\\.(?:com|org|net|io|xyz|co|app|tech|ai|dev|finance|eth)[ \\t\\n\\x0b\\f\\r,\\.!?;:]', ' ', 'g'),
+                '@\\w+', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
                AS text_norm,
            CASE WHEN length(regexp_replace(lower(trim(raw_symbol)), '^\\$+', '')) > 0
                 THEN '$' || regexp_replace(lower(trim(raw_symbol)), '^\\$+', '')
@@ -168,6 +169,56 @@ def c2_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", normalize_url(raw).alias("url_norm"))
 
 
+@query(
+    "c2_url_normalize_full",
+    """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://example.com:80/p/' || source || '?a=1&b=2'
+             WHEN 1 THEN 'https://x.com/a'
+             WHEN 2 THEN 'https://x.com/'
+             WHEN 3 THEN 'ftp://files.example.org:21/data/' || source
+             ELSE 'https://xn--bcher-kva.example/bücher'
+           END AS url_norm
+    FROM documents
+    """,
+    survey_ids=(
+        "C2 full fidelity (parser residuals): IDN punycode host, "
+        "default-port drop (post-scheme-normalization, the reference's "
+        "own quirk), lowercased-key tuple param sort, bare-host root "
+        "path — api/events.py:123-173"
+    ),
+)
+def c2_url_normalize_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full C2 law via the Arrow-batched URL-parser UDF
+    (functions/normalize.normalize_url_full). The oracle states the
+    EXPECTED canonical form per input shape as literals derived from the
+    reference law by hand — independent of both implementations, so a
+    UDF regression on any shape (mixed-case host, kept :80 after
+    http→https, dropped :443, trailing-slash collapse, bare-host '/',
+    exotic scheme with non-default port, IDN→punycode) flips the hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    raw = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("http://Example.com:80/p/"),
+                F.col("source"),
+                F.lit("?B=2&a=1&utm_source=x"),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.lit("https://x.com:443/a//"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("https://x.com"))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("ftp://Files.example.org:21/data/"), F.col("source")),
+        )
+        .otherwise(F.lit("https://BÜcher.example/bücher/"))
+    )
+    return docs.select("doc_id", normalize_url_full(raw).alias("url_norm"))
+
+
 # ---------------------------------------------------------------------------
 # C9 / C15: candidate score + 3-dp HALF_UP quantize/clamp
 # ---------------------------------------------------------------------------
@@ -221,7 +272,7 @@ def _words_sql(words: tuple[str, ...]) -> str:
     f"""
     WITH toks AS (
         SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\\s+') AS t
+               string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
         FROM documents
     ), scored AS (
         SELECT doc_id,

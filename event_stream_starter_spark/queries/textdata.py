@@ -24,7 +24,7 @@ _KEYWORDS = ("spark", "join", "stream")
 
 # DuckDB token expr (regexp_replace needs the 'g' flag there; Spark's
 # replaces all matches by default).
-_TOKS_DUCK = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+_TOKS_DUCK = "string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')"
 
 
 @query(
@@ -80,7 +80,7 @@ def _quality_duck() -> str:
     length_score = f"least({n_toks} / 100.0, 1.0)"
     n_chars = "CAST(greatest(length(text), 1) AS DOUBLE)"
     n_punct = (
-        "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+        "CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0b\\f\\r]', '', 'g')) AS DOUBLE)"
     )
     sw = (
         f"least(CAST(len(list_filter({_TOKS_DUCK}, x -> x IN ({en}))) AS DOUBLE)"
@@ -96,10 +96,10 @@ def _quality_duck() -> str:
     f"""
     SELECT doc_id,
            CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_DUCK}) END AS n_tokens,
-           len(regexp_extract_all(lower(text), '([a-z]{{1,8}}|[0-9]{{1,3}}|[^a-z0-9\\s])')) AS bpe_tokens,
+           len(regexp_extract_all(lower(text), '([a-z]{{1,8}}|[0-9]{{1,3}}|[^a-z0-9 \\t\\n\\x0b\\f\\r])')) AS bpe_tokens,
            ROUND({_quality_duck()}, 6) AS quality,
            {_detect_lang_duck()} AS lang_detected,
-           substring(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint
+           substring(sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 1, 16) AS fingerprint
     FROM documents
     """,
     survey_ids="text analysis: token count, BPE-ish count, quality score, language ID, C1-style fingerprint",
@@ -126,12 +126,12 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd_exact_dedup",
     """
-    SELECT substring(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+    SELECT substring(sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 1, 16)
                AS fingerprint,
            COUNT(*) AS dup_count,
            MIN(doc_id) AS first_doc
     FROM documents
-    GROUP BY substring(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+    GROUP BY substring(sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 1, 16)
     """,
     survey_ids="dedup: exact (hash-groupBy) over normalized text",
 )
@@ -342,9 +342,25 @@ def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids="dedup: MinHash+LSH (shingle→minhash→band→bucket-join→verify)",
 )
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered MinHash+LSH dedup with the mega-bucket cap ON.
+
+    max_bucket_size=512 bounds in-bucket pair expansion to C(512,2)
+    (~131k pairs) per band bucket — the O(n²) blowup guard for a
+    boilerplate family that survives upstream exact dedup at 100×
+    scale. 512 is far above any bucket the synthetic corpus produces
+    (the golden's exact pair-set comparison is unchanged at test SFs;
+    tests/test_neardup_golden.py asserts both the uncapped equivalence
+    here and the truncation behavior on a synthetic mega-bucket)."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.5, num_hashes=64, bands=16, shingle_n=5
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_hashes=64,
+        bands=16,
+        shingle_n=5,
+        max_bucket_size=512,
     ).select(
         "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
     )
@@ -362,7 +378,7 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FP_DUCK = (
-    "substring(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)"
+    "substring(sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 1, 16)"
 )
 
 
@@ -647,7 +663,7 @@ def x_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH fp AS (
         SELECT doc_id, source,
-               substring(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+               substring(sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 1, 16)
                    AS fingerprint
         FROM documents
     )
@@ -739,6 +755,58 @@ def x_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("lang").orderBy("quality", "doc_id")
     b = q.withColumn("bin", F.ntile(10).over(w).cast("long"))
+    return b.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("quality"), 6).alias("q_min"),
+        F.round(F.max("quality"), 6).alias("q_max"),
+    )
+
+
+@query(
+    "x_quality_bins_approx",
+    None,  # sketch-thresholded deciles; golden vs the exact twin
+    # (tests/test_scale_variants.py) — the a5_approx pattern.
+    survey_ids=(
+        "training-pipeline 100TB path: quality deciles via per-lang "
+        "approx_percentile cut points + map-only binning — the declared "
+        "scale substitute for x_quality_bins' per-lang ntile(10) "
+        "full-sort window"
+    ),
+)
+def x_quality_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of x_quality_bins: per-lang decile cut points from a
+    mergeable approx_percentile sketch (one small agg, no row sort),
+    broadcast back for a map-only bin assignment, then the same
+    (lang, bin) rollup. Ties at a cut point all take the lower bin and
+    sketch rank error can shift a boundary by ≤n/10000 rows — the
+    declared trade for removing the per-lang full-sort window, whose
+    partitions are ~20% of the corpus at ~5 langs (multi-TB single
+    tasks at 100TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = textan.tokens(t)
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.round(textan.quality_score(t, toks), 6).alias("quality"),
+    )
+    th = q.groupBy("lang").agg(
+        F.percentile_approx(
+            "quality",
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            F.lit(10000),
+        ).alias("th")
+    )
+    b = q.join(F.broadcast(th), "lang").select(
+        "lang",
+        "quality",
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("th"), lambda x: F.col("quality") > x))
+        )
+        .cast("long")
+        .alias("bin"),
+    )
     return b.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.min("quality"), 6).alias("q_min"),
@@ -1124,7 +1192,7 @@ _WIN_W = 8  # winnowing window (guarantee: any match >= w+k-1 chars shares a pri
     f"""
     WITH norm AS (
         SELECT doc_id,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+               trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS nt
         FROM documents
     ), codes AS (
         SELECT doc_id, nt,
@@ -1410,7 +1478,7 @@ def _e2e_training_prep_oracle() -> str:
         WHERE quality >= 0.5 AND ntok >= 5
     ), {ctes}, scrubbed AS (
         SELECT doc_id, ({n_sum}) AS n_pii,
-               substring(sha256(trim(regexp_replace(lower({cur}), '\\s+', ' ', 'g'))), 1, 16)
+               substring(sha256(trim(regexp_replace(lower({cur}), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 1, 16)
                    AS fp
         FROM {final_cte}
     ), joined AS (
@@ -1634,7 +1702,7 @@ def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # e2e_curation prepends the Gopher gate CTEs and formats with `gated`.
 _CCNET_CTES_SQL = """ccbase AS (
         SELECT doc_id, lang,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+               trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS nt
         FROM {src}
     ), ccex AS (
         SELECT doc_id, lang, substring(nt, CAST(i AS INTEGER), 3) AS g
@@ -1672,11 +1740,12 @@ _CCNET_CTES_SQL = """ccbase AS (
     )"""
 
 
-def _ccnet_bucketed(docs: DataFrame) -> DataFrame:
-    """CCNet scoring over a (doc_id, lang, text) frame: char-trigram
+def _ccnet_scored(docs: DataFrame) -> DataFrame:
+    """CCNet LM scoring over a (doc_id, lang, text) frame: char-trigram
     add-one LM trained on the deterministic ``doc_id % 7 = 0`` sample,
-    UNK mass 1/(N+V), per-lang head/middle/tail terciles. Returns
-    (doc_id, lang, n_grams, nll, ppl_bucket)."""
+    UNK mass 1/(N+V). Returns the pre-bucketing per-doc scores
+    (doc_id, lang, n_grams, s) — shared by the exact-tercile and the
+    approx-threshold bucketing variants."""
     nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     base = docs.select("doc_id", "lang", nt.alias("nt"))
     grams = F.expr(
@@ -1705,7 +1774,7 @@ def _ccnet_bucketed(docs: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(1.0))
     )
-    scored = (
+    return (
         ex.join(F.broadcast(model), ["lang", "g"], "left")
         .join(F.broadcast(tot), ["lang"], "left")
         .groupBy("doc_id", "lang")
@@ -1716,6 +1785,13 @@ def _ccnet_bucketed(docs: DataFrame) -> DataFrame:
             .alias("s"),
         )
     )
+
+
+def _ccnet_bucketed(docs: DataFrame) -> DataFrame:
+    """Exact per-lang head/middle/tail terciles over the CCNet scores
+    (ntile(3), doc_id tie-break). Returns
+    (doc_id, lang, n_grams, nll, ppl_bucket)."""
+    scored = _ccnet_scored(docs)
     w = Window.partitionBy("lang").orderBy(
         (F.col("s") / F.col("n_grams")).asc(), F.col("doc_id").asc()
     )
@@ -1766,6 +1842,56 @@ def x_ccnet_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return _ccnet_bucketed(docs.select("doc_id", "lang", "text"))
+
+
+@query(
+    "x_ccnet_lm_buckets_approx",
+    None,  # sketch-thresholded buckets: boundary ties/sketch error make
+    # exact SQL parity meaningless; golden-tested against the exact twin
+    # (tests/test_scale_variants.py) — the a5_approx pattern.
+    survey_ids=(
+        "training-pipeline 100TB path: CCNet buckets via per-lang "
+        "approx_percentile thresholds + map-only assignment — the "
+        "declared scale substitute for x_ccnet_lm_buckets' per-lang "
+        "ntile(3) full-sort window"
+    ),
+)
+def x_ccnet_lm_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of x_ccnet_lm_buckets (same scoring law, same output
+    schema) with the per-lang ntile(3) window replaced by
+    approx_percentile tercile thresholds.
+
+    Why: ntile needs every row of a language in ONE sorted task — with
+    ~5 languages each window partition is ~20% of the corpus, a
+    multi-TB single-task sort at 100TB. approx_percentile is a
+    mergeable KLL-family sketch: partial per-partition sketches combine
+    in one small agg (no row sort anywhere), then the 2-value-per-lang
+    threshold table broadcasts back for a map-only bucket assignment.
+
+    Divergence from the exact twin, by construction: ties AT a
+    threshold all take the lower bucket (ntile splits ties by doc_id),
+    and the sketch's rank error can shift boundaries by up to
+    n/accuracy rows (accuracy=10000 → ≤0.01%/lang). nll values are
+    bit-identical to the twin (shared _ccnet_scored)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _ccnet_scored(docs.select("doc_id", "lang", "text"))
+    raw = (F.col("s") / F.col("n_grams")).alias("raw")
+    sc = scored.select("doc_id", "lang", "n_grams", "s", raw)
+    th = sc.groupBy("lang").agg(
+        F.percentile_approx(
+            "raw", F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)), F.lit(10000)
+        ).alias("th")
+    )
+    return sc.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        (F.round(F.col("raw"), 6) + 0).alias("nll"),
+        F.when(F.col("raw") <= F.col("th")[0], F.lit("head"))
+        .when(F.col("raw") <= F.col("th")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1858,7 +1984,7 @@ def e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
         SELECT doc_id, lang, source,
-               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+               trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS nt
         FROM documents
     ), ex AS (
         SELECT doc_id, lang, source, substring(nt, CAST(i AS INTEGER), 3) AS g
@@ -1938,6 +2064,29 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     output row in 100k docs).
     """
     docs = load_table(spark, sf_dir, "documents")
+    scored = _dsir_scored(docs)
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("s") / F.col("n_grams")).desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_lang", F.count("*").over(Window.partitionBy("lang"))
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        (F.round(F.col("s") / F.col("n_grams"), 6) + 0).alias("llr"),
+        (
+            F.col("rk")
+            <= F.ceil(F.col("n_lang") / F.lit(5.0)).cast("bigint")
+        ).alias("selected"),
+    )
+
+
+def _dsir_scored(docs: DataFrame) -> DataFrame:
+    """DSIR per-doc LLR scoring (target LM over raw LM, char trigrams,
+    add-one smoothing). Returns (doc_id, lang, n_grams, s) — shared by
+    the exact top-20%-rank and the approx-threshold selection variants."""
     nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     base = docs.select("doc_id", "lang", "source", nt.alias("nt"))
     grams = F.expr(
@@ -1982,7 +2131,7 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(1.0))
         )
 
-    scored = (
+    return (
         ex.join(F.broadcast(models), ["lang", "g"], "left")
         .join(F.broadcast(langstats), ["lang"], "left")
         .groupBy("doc_id", "lang")
@@ -1993,21 +2142,43 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s"),
         )
     )
-    w = Window.partitionBy("lang").orderBy(
-        (F.col("s") / F.col("n_grams")).desc(), F.col("doc_id").asc()
+
+
+@query(
+    "x_dsir_select_approx",
+    None,  # sketch-thresholded selection; golden vs the exact twin
+    # (tests/test_scale_variants.py) — the a5_approx pattern.
+    survey_ids=(
+        "training-pipeline 100TB path: DSIR top-20% via per-lang "
+        "approx_percentile(0.8) threshold + map-only filter — the "
+        "declared scale substitute for x_dsir_select's per-lang "
+        "row_number full-sort window"
+    ),
+)
+def x_dsir_select_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of x_dsir_select: identical LLR scoring
+    (shared _dsir_scored), but `selected` comes from comparing each
+    doc's mean LLR to its language's 80th-percentile threshold
+    (mergeable approx_percentile sketch, broadcast back, map-only
+    filter) instead of an exact per-lang rank window whose partitions
+    are ~20% of the corpus. Ties at the threshold are all selected and
+    sketch rank error can move the count by ≤n/10000 per lang — the
+    selected SET may differ from the twin at the boundary; llr values
+    are bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _dsir_scored(docs)
+    sc = scored.select(
+        "doc_id", "lang", "n_grams", "s", (F.col("s") / F.col("n_grams")).alias("raw")
     )
-    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n_lang", F.count("*").over(Window.partitionBy("lang"))
+    th = sc.groupBy("lang").agg(
+        F.percentile_approx("raw", F.lit(0.8), F.lit(10000)).alias("t80")
     )
-    return ranked.select(
+    return sc.join(F.broadcast(th), "lang").select(
         "doc_id",
         "lang",
         "n_grams",
-        (F.round(F.col("s") / F.col("n_grams"), 6) + 0).alias("llr"),
-        (
-            F.col("rk")
-            <= F.ceil(F.col("n_lang") / F.lit(5.0)).cast("bigint")
-        ).alias("selected"),
+        (F.round(F.col("raw"), 6) + 0).alias("llr"),
+        (F.col("raw") >= F.col("t80")).alias("selected"),
     )
 
 
@@ -2021,7 +2192,7 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH fp AS (
         SELECT doc_id,
-               substring(sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
+               substring(sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 1, 16)
                    AS fingerprint
         FROM documents
     )
@@ -2153,7 +2324,7 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len({_TOKS_DUCK}) END AS ws_toks,
                len(regexp_extract_all(lower(text),
-                   '([a-z]{{1,8}}|[0-9]{{1,3}}|[^a-z0-9\\s])')) AS bpe_toks
+                   '([a-z]{{1,8}}|[0-9]{{1,3}}|[^a-z0-9 \\t\\n\\x0b\\f\\r])')) AS bpe_toks
         FROM documents
     )
     SELECT lang, source,
@@ -2325,10 +2496,15 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("s"))
+    # Global top-k WITHOUT a partition-less rank window: orderBy().limit(k)
+    # compiles to TakeOrderedAndProject (per-partition top-k + driver-side
+    # k-way merge), so no single task ever sorts the full match set — the
+    # 100TB-safe shape. Rank is then derived over the k-row result, where
+    # a single-task window is k rows by construction.
+    topk = scored.orderBy(F.col("s").desc(), F.col("doc_id").asc()).limit(_BM25_TOPK)
     w = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BM25_TOPK)
+        topk.withColumn("rank", F.row_number().over(w))
         .select(
             "doc_id",
             (F.round("s", 6) + 0).alias("bm25"),
@@ -2343,10 +2519,7 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RESERVOIR_K = 40
 
-
-@query(
-    "x_reservoir_sample",
-    f"""
+_RESERVOIR_ORACLE = f"""
     WITH h AS (
         SELECT doc_id, lang,
                md5(CAST(doc_id AS VARCHAR) || ':rsv') AS hk
@@ -2358,7 +2531,12 @@ _RESERVOIR_K = 40
     )
     SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
     FROM r WHERE rk <= {_RESERVOIR_K}
-    """,
+    """
+
+
+@query(
+    "x_reservoir_sample",
+    _RESERVOIR_ORACLE,
     survey_ids=(
         "training-pipeline: exact fixed-size per-group sample "
         "(deterministic reservoir analog: rank by salted hash, keep "
@@ -2387,6 +2565,56 @@ def x_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "lang", hk.alias("hk"))
         .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_RESERVOIR_SALTS = 64
+
+
+@query(
+    "x_reservoir_sample_topk",
+    _RESERVOIR_ORACLE,  # VALUE-IDENTICAL to x_reservoir_sample: the
+    # two-phase plan computes the same deterministic sample, so the
+    # exact twin's oracle hash-checks it.
+    survey_ids=(
+        "training-pipeline 100TB path: exact per-group k-sample via "
+        "salted two-phase top-k (per-(lang,salt) window, then a merge "
+        "window over ≤salts·k survivors) — same output as "
+        "x_reservoir_sample with no full-group sort anywhere"
+    ),
+)
+def x_reservoir_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of x_reservoir_sample producing the IDENTICAL sample
+    (same salted-hash order, same k) without ever sorting a whole
+    language in one task.
+
+    Phase 1 ranks within (lang, salt) — salt = hash(doc_id) mod 64
+    spreads each language over 64 sort partitions, each 1/64th of the
+    language — and keeps k per salted group (any row outside its
+    group's top-k cannot be in the group-union's top-k). Phase 2 ranks
+    the ≤64·k survivors per lang: that window partition is ≤2,560 rows
+    by construction, INDEPENDENT of corpus size. Two shuffles instead
+    of one, but the largest single-task sort shrinks from |lang| rows
+    to max(|lang|/64, 64k) — the trade that keeps the exact-k contract
+    at 100TB (the doc-sketched alternative for x_reservoir_sample's
+    acknowledged full-sort caveat)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rsv")))
+    salted = docs.select(
+        "doc_id",
+        "lang",
+        hk.alias("hk"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_RESERVOIR_SALTS)).alias("salt"),
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy("hk", "doc_id")
+    cand = salted.withColumn("rk1", F.row_number().over(w1)).filter(
+        F.col("rk1") <= _RESERVOIR_K
+    )
+    w2 = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= _RESERVOIR_K)
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
     )

@@ -34,7 +34,7 @@ from . import query
                     WHEN regexp_matches(lower(t), 'partner|integrat|collab') THEN 'partnership'
                     WHEN regexp_matches(lower(t), 'pump|dump|moon|crash') THEN 'market'
                     ELSE 'other' END AS refined_type,
-               substring(trim(regexp_replace(t, '\\s+', ' ', 'g')), 1, 80) AS refined_summary,
+               substring(trim(regexp_replace(t, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), 1, 80) AS refined_summary,
                (SELECT list(x ORDER BY fp)[:5] FROM (
                     SELECT x, MIN(o) AS fp
                     FROM (SELECT unnest(regexp_extract_all(upper(t), '\\$[A-Z]{2,10}')) AS x,
@@ -104,7 +104,7 @@ def u4_u6_rules_refiner(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN regexp_matches(lower(text), 'partner|integrat|collab') THEN 'partnership'
                     WHEN regexp_matches(lower(text), 'pump|dump|moon|crash') THEN 'market'
                     ELSE 'other' END AS refined_type,
-               substring(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, 80) AS s80,
+               substring(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), 1, 80) AS s80,
                (SELECT list(x ORDER BY fp)[:5] FROM (
                     SELECT x, MIN(o) AS fp
                     FROM (SELECT unnest(regexp_extract_all(upper(text), '\\$[A-Z]{2,10}')) AS x,
@@ -154,7 +154,7 @@ def u4_refine_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toks AS (
         SELECT doc_id,
-               string_split_regex(trim(lower(text)), '\\s+') AS t
+               string_split_regex(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS t
         FROM documents
     ), scored AS (
         SELECT doc_id,

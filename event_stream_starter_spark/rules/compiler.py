@@ -2,10 +2,11 @@
 
 Grammar (reference api/rules/eval_event.py:213-519, rules/rules.yml):
 - conditions are boolean expressions over a whitelisted field set with
-  comparisons (> >= < <= == !=), string equality, `is null` /
-  `is not null`, and/or/not, parentheses, numeric + quoted-string
-  literals, and `${ENV:default}` substitution (folded at compile time —
-  reference eval_event.py:102-125).
+  comparisons (> >= < <= == !=) including Python-style chains
+  (`a < b < 5`, desugared to conjunctions at compile time), string
+  equality, `is null` / `is not null`, and/or/not, parentheses, numeric
+  + quoted-string literals, and `${ENV:default}` substitution (folded at
+  compile time — reference eval_event.py:102-125).
 - each rule: {id, condition, score, reason, priority}; groups carry a
   priority; total_score = sum of matched scores; level thresholds
   (>= opportunity_threshold → 'opportunity', <= caution_threshold →
@@ -147,25 +148,16 @@ def substitute_env(cond: str, env: dict[str, str] | None = None) -> str:
     return _ENV_RE.sub(repl, cond)
 
 
-def compile_condition(
-    cond: str,
-    fields: frozenset[str] | set[str] = DEFAULT_FIELDS,
-    env: dict[str, str] | None = None,
-) -> str:
-    """Compile one Python-dialect condition to an ANSI-SQL boolean expr.
+def _tokenize(
+    cond: str, fields: frozenset[str] | set[str]
+) -> list[tuple[str, str]]:
+    """Whitelist-tokenize a condition into (kind, sql) pairs.
 
-    Raises RuleCompileError on any token outside the whitelist grammar.
-    """
-    cond = substitute_env(cond, env)
-    out: list[str] = []
+    Kinds: ``atom`` (field / number / string / TRUE / FALSE), ``cmp``
+    (binary comparison), ``nullcheck`` (postfix IS [NOT] NULL), ``logic``
+    (AND/OR/NOT), ``lparen``/``rparen``. Anything else raises."""
+    out: list[tuple[str, str]] = []
     pos = 0
-    # One comparison per boolean term: Python-ish chained comparisons
-    # (`a < b < 5`) tokenize entirely inside the whitelist but parse as
-    # `(a < b) < 5` in SQL — a type error at query time (or, crafted, a
-    # silent meaning change). Reject at compile time like the reference's
-    # AST guard (eval_event.py:213-260); the guard resets on and/or/not/(.
-    cmp_seen = False
-    _CMP = {"=", "<>", ">", ">=", "<", "<=", "IS NULL", "IS NOT NULL"}
     while pos < len(cond):
         if cond[pos].isspace():
             pos += 1
@@ -176,17 +168,23 @@ def compile_condition(
         tok = m.group(1)
         low = re.sub(r"\s+", " ", tok.lower())
         if low == "is null":
-            out.append("IS NULL")
+            out.append(("nullcheck", "IS NULL"))
         elif low == "is not null":
-            out.append("IS NOT NULL")
+            out.append(("nullcheck", "IS NOT NULL"))
+        elif low in ("true", "false"):
+            out.append(("atom", _KEYWORD_MAP[low]))
         elif low in _KEYWORD_MAP:
-            out.append(_KEYWORD_MAP[low])
+            out.append(("logic", _KEYWORD_MAP[low]))
         elif tok == "==":
-            out.append("=")
+            out.append(("cmp", "="))
         elif tok == "!=":
-            out.append("<>")
-        elif tok in {">", ">=", "<", "<=", "(", ")"}:
-            out.append(tok)
+            out.append(("cmp", "<>"))
+        elif tok in {">", ">=", "<", "<="}:
+            out.append(("cmp", tok))
+        elif tok == "(":
+            out.append(("lparen", tok))
+        elif tok == ")":
+            out.append(("rparen", tok))
         elif tok.startswith("'"):
             if "\\" in tok:
                 # The compiled condition is ONE string evaluated by both
@@ -195,25 +193,80 @@ def compile_condition(
                 raise RuleCompileError(
                     f"backslash not allowed in string literal: {tok!r}"
                 )
-            out.append(tok)
+            out.append(("atom", tok))
         elif re.fullmatch(r"-?\d+(?:\.\d+)?", tok):
-            out.append(tok)
+            out.append(("atom", tok))
         else:
             if tok not in fields:
                 raise RuleCompileError(
                     f"field {tok!r} not in whitelist {sorted(fields)}"
                 )
-            out.append(tok)
-        emitted = out[-1]
-        if emitted in ("AND", "OR", "NOT", "("):
+            out.append(("atom", tok))
+        pos = m.end()
+    return out
+
+
+def _desugar_chains(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Rewrite Python-style chained comparisons to conjunctions.
+
+    ``a < b < 5`` means ``a < b AND b < 5`` in the reference dialect
+    (Python semantics, api/rules/eval_event.py:213-260) but would parse
+    as ``(a < b) < 5`` in SQL. The grammar has no arithmetic, so every
+    comparison operand is a single atom — a chain is exactly the token
+    shape ATOM (CMP ATOM){2,}, rewritten here to a parenthesized AND of
+    adjacent pairs. Re-evaluating the shared middle atom is safe (field
+    refs and literals are pure)."""
+    out: list[tuple[str, str]] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        if toks[i][0] == "atom":
+            j = i
+            while j + 2 < n and toks[j + 1][0] == "cmp" and toks[j + 2][0] == "atom":
+                j += 2
+            n_cmps = (j - i) // 2
+            if n_cmps >= 2:
+                pieces = [
+                    f"{toks[i + 2 * k][1]} {toks[i + 2 * k + 1][1]} {toks[i + 2 * k + 2][1]}"
+                    for k in range(n_cmps)
+                ]
+                out.append(("atom", "(" + " AND ".join(pieces) + ")"))
+                i = j + 1
+                continue
+        out.append(toks[i])
+        i += 1
+    return out
+
+
+def compile_condition(
+    cond: str,
+    fields: frozenset[str] | set[str] = DEFAULT_FIELDS,
+    env: dict[str, str] | None = None,
+) -> str:
+    """Compile one Python-dialect condition to an ANSI-SQL boolean expr.
+
+    Chained comparisons (`a < b < 5`) are desugared to conjunctions at
+    compile time (Python semantics, matching the reference's safe-eval).
+    Raises RuleCompileError on any token outside the whitelist grammar.
+    """
+    cond = substitute_env(cond, env)
+    toks = _desugar_chains(_tokenize(cond, fields))
+    # Residual-chain guard: after desugaring, any comparison still
+    # adjacent to another (e.g. `(a < b) < 5` forced through parens)
+    # would be a SQL type error or a silent meaning change — reject,
+    # like the reference's AST guard. Resets on and/or/not/(.
+    cmp_seen = False
+    out: list[str] = []
+    for kind, sql in toks:
+        out.append(sql)
+        if kind in ("logic", "lparen"):
             cmp_seen = False
-        elif emitted in _CMP:
+        elif kind in ("cmp", "nullcheck"):
             if cmp_seen:
                 raise RuleCompileError(
                     f"chained comparison in condition {cond!r} — split with 'and'"
                 )
             cmp_seen = True
-        pos = m.end()
     return " ".join(out)
 
 

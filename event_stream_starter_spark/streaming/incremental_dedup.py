@@ -176,24 +176,46 @@ class StreamingSemDeDup(_PointerSink):
     def _centroids_file(self) -> str:
         return os.path.join(self.path, "centroids.json")
 
+    def _persist_centroids(self) -> None:
+        import json
+
+        tmp = self._centroids_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.centroids, fh)
+        os.replace(tmp, self._centroids_file())
+
     def _load_or_fit_centroids(self, batch: DataFrame) -> list[list[float]]:
         import json
 
-        if self.centroids is not None:
-            return self.centroids
+        # The persisted file is the source of truth: the kept index was
+        # built under ITS cluster assignment. A restart that reconstructs
+        # the sink with different constructor centroids would otherwise
+        # silently probe against mismatched cluster ids and let
+        # near-duplicates slip through — so the file always wins, and a
+        # conflicting explicit value is an error, not a refit.
         try:
             with open(self._centroids_file()) as fh:
-                self.centroids = json.load(fh)
+                persisted = json.load(fh)
         except FileNotFoundError:
+            persisted = None
+        if persisted is not None:
+            if self.centroids is not None and self.centroids != persisted:
+                raise ValueError(
+                    f"StreamingSemDeDup at {self.path}: constructor centroids "
+                    "differ from the persisted quantizer this index was built "
+                    "under; drop the argument (or the index) instead of mixing"
+                )
+            self.centroids = persisted
+            return self.centroids
+        if self.centroids is None:
             from ..operators.similarity import kmeans_centroids
 
             self.centroids = kmeans_centroids(
                 batch, self.vec_col, self.n_clusters, iters=2, id_col=self.id_col
             )
-            tmp = self._centroids_file() + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(self.centroids, fh)
-            os.replace(tmp, self._centroids_file())
+        # Persist explicitly-passed centroids too: the frozen-quantizer
+        # contract must survive a restart that doesn't re-supply them.
+        self._persist_centroids()
         return self.centroids
 
     def read_kept(self) -> DataFrame | None:

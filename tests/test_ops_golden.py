@@ -125,6 +125,47 @@ def test_connected_components_long_chain_and_union_find(spark):
     assert got == expected
 
 
+def test_star_contraction_escape_on_adversarial_chain(spark):
+    """A 512-node chain has diameter 511: label propagation capped at
+    max_iter=3 cannot finish, so connected_components must escape to
+    large-star/small-star contraction and still return exact components.
+    The contraction itself must do it in O(log n)-ish alternations — the
+    direct call is capped at 12 rounds (vs 511 propagation rounds), so a
+    slow-converging implementation fails the exactness check."""
+    from event_stream_starter_spark.operators.graph import (
+        _star_contraction,
+        connected_components,
+    )
+    from tests.oracle_utils import union_find_clusters
+
+    n = 512
+    edges = [(i, i + 1) for i in range(n - 1)] + [(900, 901), (901, 902)]
+    expected = set(union_find_clusters(edges).items())
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    # small_graph_limit=0 forces the distributed path; max_iter=3 forces
+    # the escape (the convergence sum cannot go flat in 3 rounds).
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components(
+            pairs, max_iter=3, small_graph_limit=0
+        ).collect()
+    }
+    assert got == expected
+
+    # Direct contraction under a tight round budget: 12 alternations for
+    # diameter 511 — only a path-halving algorithm converges in time.
+    import pyspark.sql.functions as F
+
+    p = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    sym = p.union(p.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    got2 = {
+        (r["node"], r["label"])
+        for r in _star_contraction(sym, max_rounds=12).collect()
+    }
+    assert got2 == expected
+
+
 def test_interval_join_equals_naive_range_join(spark):
     """Granule-bucketed interval join must EQUAL the naive range-predicate
     join: multi-granule intervals (longer than the granule) produce each

@@ -158,8 +158,13 @@ def test_compiled_conditions_agree_across_engines_fuzz(spark):
     numf = st.sampled_from(fields[:3])
     cmp_op = st.sampled_from([">", ">=", "<", "<=", "==", "!="])
 
+    rng_op = st.sampled_from(["<", "<="])
     atom = st.one_of(
         st.tuples(numf, cmp_op, num).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+        # Python-style chained comparison (desugared by the compiler)
+        st.tuples(num, rng_op, numf, rng_op, num).map(
+            lambda t: f"{t[0]} {t[1]} {t[2]} {t[3]} {t[4]}"
+        ),
         st.sampled_from(fields).map(lambda f: f"{f} is null"),
         st.sampled_from(fields).map(lambda f: f"{f} is not null"),
         st.sampled_from(["pos", "neg", "neu"]).map(
@@ -356,10 +361,13 @@ def test_reasons_dedup_by_text_keeps_higher_priority(spark):
     assert s == d == "dup reason;other"
 
 
-def test_compiler_rejects_chained_comparison_and_backslash():
-    """Chained comparisons parse as (a<b)<c in SQL — reject at compile
-    time; backslash in a shared-SQL string literal cannot mean the same
-    thing in Spark (escape char) and DuckDB (literal) — reject too."""
+def test_compiler_desugars_chained_comparison_rejects_backslash():
+    """Chained comparisons are Python semantics in the reference dialect
+    (api/rules/eval_event.py:213-260): `a < b < 5` == `a < b and b < 5`.
+    SQL would parse them as `(a < b) < 5`, so the compiler desugars to a
+    conjunction at compile time. Backslash in a shared-SQL string literal
+    cannot mean the same thing in Spark (escape char) and DuckDB
+    (literal) — still rejected."""
     import pytest
 
     from event_stream_starter_spark.rules.compiler import (
@@ -367,12 +375,53 @@ def test_compiler_rejects_chained_comparison_and_backslash():
         compile_condition,
     )
 
-    with pytest.raises(RuleCompileError, match="chained comparison"):
+    # accepted vectors (reference dialect)
+    assert (
         compile_condition("buy_tax < sell_tax < 5")
+        == "(buy_tax < sell_tax AND sell_tax < 5)"
+    )
+    assert (
+        compile_condition("0 <= buy_tax <= sell_tax < 5")
+        == "(0 <= buy_tax AND buy_tax <= sell_tax AND sell_tax < 5)"
+    )
+    # a desugared chain composes with the surrounding boolean grammar
+    assert compile_condition(
+        "honeypot == false and 1 < buy_tax < 3"
+    ) == "honeypot = FALSE AND (1 < buy_tax AND buy_tax < 3)"
+    # rejected vectors
     with pytest.raises(RuleCompileError, match="backslash"):
         compile_condition("last_sentiment == 'a\\b'")
+    # a paren-forced residual chain is still a compile error, not SQL
+    with pytest.raises(RuleCompileError, match="chained comparison"):
+        compile_condition("(buy_tax < sell_tax) < 5")
+    # postfix nullcheck after a comparison is not a chain — reject
+    with pytest.raises(RuleCompileError, match="chained comparison"):
+        compile_condition("buy_tax < sell_tax is null")
     # The guard resets across boolean operators and parens.
     assert compile_condition("buy_tax >= 1 and (sell_tax < 2 or honeypot == true)")
+
+
+def test_compiler_chained_comparison_evaluates_python_semantics(spark):
+    """The desugared SQL must evaluate like Python's chained comparison
+    in both dialects, including the NULL-middle case (no match)."""
+    import duckdb
+
+    from event_stream_starter_spark.rules.compiler import compile_condition
+
+    sql = compile_condition("0 < buy_tax < 0.3")
+    rows = [(0.1, "in"), (0.5, "out"), (None, "null")]
+    spark.createDataFrame(rows, "buy_tax double, tag string").createOrReplaceTempView(
+        "chaincheck"
+    )
+    got_s = {
+        r["tag"]
+        for r in spark.sql(f"SELECT tag FROM chaincheck WHERE {sql}").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE chaincheck(buy_tax DOUBLE, tag VARCHAR)")
+    con.executemany("INSERT INTO chaincheck VALUES (?, ?)", rows)
+    got_d = {r[0] for r in con.execute(f"SELECT tag FROM chaincheck WHERE {sql}").fetchall()}
+    assert got_s == got_d == {"in"}
 
 
 def test_reasons_sql_with_zero_rules_and_backslash_reason(spark):
@@ -509,6 +558,47 @@ def test_r4_market_risk_null_props_is_safe(spark):
     }
 
 
+def test_canonical_url_full_fidelity_vectors():
+    """Hand-derived vectors for the parser-path C2 residuals
+    (api/events.py:123-173): IDN punycode, default-port behavior AFTER
+    scheme normalization (the reference's quirk: http://h:80 keeps :80
+    because the check runs against the already-https scheme),
+    lowercased-key TUPLE sort, re-encoding ('=' in a value escapes to
+    %3D), blank values kept, bare host → '/', fail-open on junk."""
+    from event_stream_starter_spark.functions.normalize import _canonical_url
+
+    vectors = {
+        # IDN → punycode; unicode path survives; trailing slash collapsed
+        "https://BÜcher.example/bücher/": "https://xn--bcher-kva.example/bücher",
+        # http :80 survives scheme normalization (https default is 443)
+        "http://Example.com:80/a": "https://example.com:80/a",
+        "https://example.com:443/a": "https://example.com/a",
+        "http://example.com:8080/a": "https://example.com:8080/a",
+        # tuple sort on (lowercased key, value); tracking params dropped
+        "https://x.com/p?B=2&a=1&utm_x=1&REF=h": "https://x.com/p?a=1&b=2",
+        # '=' inside a value is percent-encoded by the re-encode
+        "https://x.com/q?k=v=w": "https://x.com/q?k=v%3Dw",
+        # blank values kept (keep_blank_values=True)
+        "https://x.com/q?a=&b=1": "https://x.com/q?a=&b=1",
+        # bare host gains the root path
+        "https://x.com": "https://x.com/",
+        # scheme-relative input: '' scheme normalizes to https
+        "//x.com/a": "https://x.com/a",
+        # whitespace stripped before parsing
+        "  https://x.com/a  ": "https://x.com/a",
+        # fragment dropped
+        "https://x.com/a#frag": "https://x.com/a",
+    }
+    for raw, want in vectors.items():
+        assert _canonical_url(raw) == want, raw
+    assert _canonical_url(None) is None
+    assert _canonical_url("") is None
+    assert _canonical_url(123) is None
+    # fail-open: an unparseable port returns the INPUT unchanged
+    junk = "https://x.com:notaport/a"
+    assert _canonical_url(junk) == junk
+
+
 def test_normalize_url_and_text_agree_across_engines_fuzz(spark):
     """Property fuzz of the C1/C2 normalization laws: generated URL and
     text shapes (tracking params in any position, fragments, trailing
@@ -565,12 +655,12 @@ def test_normalize_url_and_text_agree_across_engines_fuzz(spark):
     # whitespace collapse) — identical fragments to the c1 oracle SQL.
     txt_sql = """
         SELECT trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-            regexp_replace(lower(?), 'https?://\\S+', '', 'g'),
-            'www\\.\\S+', '', 'g'),
-            '\\b[a-zA-Z0-9][a-zA-Z0-9-]*\\.(?:com|org|net|io|xyz|co|app|tech|ai|dev|finance|eth)[\\s,\\.!?;:]',
+            regexp_replace(lower(?), 'https?://[^ \\t\\n\\x0b\\f\\r]+', '', 'g'),
+            'www\\.[^ \\t\\n\\x0b\\f\\r]+', '', 'g'),
+            '\\b[a-zA-Z0-9][a-zA-Z0-9-]*\\.(?:com|org|net|io|xyz|co|app|tech|ai|dev|finance|eth)[ \\t\\n\\x0b\\f\\r,\\.!?;:]',
             ' ', 'g'),
             '@\\w+', '', 'g'),
-            '\\s+', ' ', 'g')) AS n
+            '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS n
     """
     word = st.sampled_from(
         ["hello", "WORLD", "#tag", "@user", "token.com", "www.site.io",
@@ -579,7 +669,7 @@ def test_normalize_url_and_text_agree_across_engines_fuzz(spark):
 
     @settings(max_examples=40, deadline=None)
     @given(words=st.lists(word, min_size=0, max_size=6),
-           sep=st.sampled_from([" ", "  ", "\t", " , "]))
+           sep=st.sampled_from([" ", "  ", "\t", " , ", "\x0b", "\x0b "]))
     def run_text(words, sep):
         text = sep.join(words)
         sdf = spark.createDataFrame([(text,)], "text string")
