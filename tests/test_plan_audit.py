@@ -17,3 +17,29 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         if f.has_cartesian:
             offenders.append(name)
     assert not offenders, f"cartesian product in: {offenders}"
+
+
+def test_bm25_global_topk_is_take_ordered_not_full_sort(spark, sf_dir):
+    """x_bm25_topk's global top-k must compile to TakeOrderedAndProject
+    (per-partition top-k + driver merge of k rows), and the rank window
+    may only run over the k-row result — never a Window over the full
+    match set. Pins the round-3 de-windowing fix (queries/textdata.py
+    x_bm25_topk) so a refactor can't silently reintroduce the global
+    sort-window."""
+    plan = (
+        all_queries()["x_bm25_topk"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # The only Sort allowed is inside the k-row post-limit stage; the
+    # pre-limit match set must not be globally sorted. TakeOrdered
+    # itself prints no Sort node, so: at most one Sort, and it must
+    # appear after the TakeOrderedAndProject line (child stages print
+    # below their parents in this tree, so an earlier index = closer to
+    # the root = the bounded k-row side).
+    take_at = plan.index("TakeOrderedAndProject")
+    sorts = [i for i in range(len(plan)) if plan.startswith("Sort ", i)]
+    assert all(i < take_at for i in sorts), "full-match-set Sort below TakeOrdered"
