@@ -24,6 +24,87 @@ from . import query
 _TOP_K = 100
 
 
+def cards_from_state(upsert: DataFrame, facts: DataFrame, top_k: int = _TOP_K) -> DataFrame:
+    """The pipeline tail — A3/W5 heat ⋈ state → rules score → R9 routing
+    → T7 outbox top-k — as a pure function of the two state tables:
+
+    - ``upsert``: A1 keyed state, one row per (event_key, event_type)
+      with start_ts_us/last_ts_us/evidence_count/last_value (the shape
+      ``streaming.keyed_table`` maintains incrementally);
+    - ``facts``: survivor timestamps (event_type, ts_us) — the deduped
+      event log the trailing heat windows are computed over (at scale
+      this table is GC'd past the 20-minute heat horizon; heat never
+      reads older facts).
+
+    Shared by the batch ``e2e_pipeline_trace`` query and the integrated
+    streaming slice (streaming/e2e.py), so stream-vs-batch parity of the
+    tail holds by construction and the test certifies the STATE the
+    streaming stages produced."""
+    now_t = facts.agg(F.max("ts_us").alias("now_us"))
+    s = facts.crossJoin(F.broadcast(now_t))
+    heat = s.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("ts_us") > F.col("now_us") - 600_000_000, 1).otherwise(0)
+        ).alias("cnt_10m"),
+        F.sum(
+            F.when(
+                (F.col("ts_us") > F.col("now_us") - 1_200_000_000)
+                & (F.col("ts_us") <= F.col("now_us") - 600_000_000),
+                1,
+            ).otherwise(0)
+        ).alias("prev_10m"),
+    )
+
+    card = upsert.join(F.broadcast(heat), "event_type")
+    # Integer centi-point score — exact in both engines; the slope gate
+    # slope <= -0.2 is the integer fact cnt_10m - prev_10m <= -2
+    # (inclusive, matching the reference's trend thresholds).
+    score = (
+        F.col("evidence_count") * F.lit(50)
+        + F.col("cnt_10m")
+        + F.when(F.col("last_value") > 50, F.lit(500)).otherwise(F.lit(0))
+        + F.when(F.col("cnt_10m") - F.col("prev_10m") <= -2, F.lit(-300)).otherwise(
+            F.lit(0)
+        )
+    )
+    level = (
+        F.when(score >= 1200, "opportunity")
+        .when(score <= 200, "caution")
+        .otherwise("observe")
+    )
+    card_type = (
+        F.when((level == "opportunity") & (F.col("evidence_count") >= 10), "primary")
+        .when(level == "opportunity", "secondary")
+        .when(level == "caution", "market_risk")
+        .otherwise("topic")
+    )
+    priority = (
+        F.when(level == "opportunity", 0).when(level == "observe", 1).otherwise(2)
+    )
+    routed = card.select(
+        "event_key",
+        "event_type",
+        "evidence_count",
+        "last_ts_us",
+        F.round("last_value", 6).alias("last_value"),
+        score.cast("bigint").alias("score_centi"),
+        level.alias("level"),
+        card_type.alias("card_type"),
+        priority.alias("priority"),
+    )
+    # T7 outbox top-k: orderBy+limit plans TakeOrderedAndProject (no
+    # global sort); rank re-derived over the k survivors only.
+    top = routed.orderBy(
+        F.col("priority").asc(), F.col("last_ts_us").desc(), F.col("event_key").asc()
+    ).limit(top_k)
+    w = Window.orderBy(
+        F.col("priority").asc(), F.col("last_ts_us").desc(), F.col("event_key").asc()
+    )
+    return top.withColumn("outbox_rank", F.row_number().over(w).cast("long")).drop(
+        "priority"
+    )
+
+
 @query(
     "e2e_pipeline_trace",
     f"""
@@ -141,67 +222,7 @@ def e2e_pipeline_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         ].alias("last_value"),
     )
 
-    now_t = survivors.agg(F.max("ts_us").alias("now_us"))
-    s = survivors.crossJoin(F.broadcast(now_t))
-    heat = s.groupBy("event_type").agg(
-        F.sum(
-            F.when(F.col("ts_us") > F.col("now_us") - 600_000_000, 1).otherwise(0)
-        ).alias("cnt_10m"),
-        F.sum(
-            F.when(
-                (F.col("ts_us") > F.col("now_us") - 1_200_000_000)
-                & (F.col("ts_us") <= F.col("now_us") - 600_000_000),
-                1,
-            ).otherwise(0)
-        ).alias("prev_10m"),
-    )
-
-    card = upsert.join(F.broadcast(heat), "event_type")
-    # Integer centi-point score — exact in both engines; the slope gate
-    # slope <= -0.2 is the integer fact cnt_10m - prev_10m <= -2
-    # (inclusive, matching the reference's trend thresholds).
-    score = (
-        F.col("evidence_count") * F.lit(50)
-        + F.col("cnt_10m")
-        + F.when(F.col("last_value") > 50, F.lit(500)).otherwise(F.lit(0))
-        + F.when(F.col("cnt_10m") - F.col("prev_10m") <= -2, F.lit(-300)).otherwise(
-            F.lit(0)
-        )
-    )
-    level = (
-        F.when(score >= 1200, "opportunity")
-        .when(score <= 200, "caution")
-        .otherwise("observe")
-    )
-    card_type = (
-        F.when((level == "opportunity") & (F.col("evidence_count") >= 10), "primary")
-        .when(level == "opportunity", "secondary")
-        .when(level == "caution", "market_risk")
-        .otherwise("topic")
-    )
-    priority = (
-        F.when(level == "opportunity", 0).when(level == "observe", 1).otherwise(2)
-    )
-    routed = card.select(
-        "event_key",
-        "event_type",
-        "evidence_count",
-        "last_ts_us",
-        F.round("last_value", 6).alias("last_value"),
-        score.cast("bigint").alias("score_centi"),
-        level.alias("level"),
-        card_type.alias("card_type"),
-        priority.alias("priority"),
-    )
-    # T7 outbox top-k: orderBy+limit plans TakeOrderedAndProject (no
-    # global sort); rank re-derived over the k survivors only.
-    top = routed.orderBy(
-        F.col("priority").asc(), F.col("last_ts_us").desc(), F.col("event_key").asc()
-    ).limit(_TOP_K)
-    w = Window.orderBy(
-        F.col("priority").asc(), F.col("last_ts_us").desc(), F.col("event_key").asc()
-    )
-    return top.withColumn("outbox_rank", F.row_number().over(w).cast("long")).drop("priority")
+    return cards_from_state(upsert, survivors.select("event_type", "ts_us"))
 
 
 # slope_trend imported for parity with flagship; not used directly here.

@@ -31,11 +31,23 @@ STATE_COLS = [
     "last_batch_id",
 ]
 
+_VALUE_COLS = STATE_COLS[1:]
 
-def aggregate_batch(batch: DataFrame, key_col: str = "event_key") -> DataFrame:
+
+def _state_cols(key_cols: list[str]) -> list[str]:
+    return list(key_cols) + _VALUE_COLS
+
+
+def aggregate_batch(
+    batch: DataFrame, key_col: str | list[str] = "event_key"
+) -> DataFrame:
     """Collapse one micro-batch to per-key partial state (map-side
-    pre-aggregation: the shuffle carries one row per key, not per event)."""
-    return batch.groupBy(key_col).agg(
+    pre-aggregation: the shuffle carries one row per key, not per event).
+    ``key_col`` may be a list for composite upsert keys (e.g.
+    ``["event_key", "event_type"]`` — the reference's ON CONFLICT target
+    plus carried-along dimension columns it functionally determines)."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+    return batch.groupBy(*keys).agg(
         F.min("ts").alias("start_ts"),
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("evidence_count"),
@@ -49,7 +61,12 @@ def aggregate_batch(batch: DataFrame, key_col: str = "event_key") -> DataFrame:
     )
 
 
-def merge_states(current: DataFrame, incoming: DataFrame, batch_id: int) -> DataFrame:
+def merge_states(
+    current: DataFrame,
+    incoming: DataFrame,
+    batch_id: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
     """A1 merge laws over (current ⟗ incoming) per key:
     last_ts = greatest, start_ts = least, counts summed, weight = max,
     last_value = lexicographic greatest of (last_ts, last_value).
@@ -58,9 +75,14 @@ def merge_states(current: DataFrame, incoming: DataFrame, batch_id: int) -> Data
     last_batch_id is dropped before merging, making the sink idempotent
     under foreachBatch retries.
     """
-    cur = current.select(*STATE_COLS).alias("c")
+    keys = key_cols or ["event_key"]
+    cur = current.select(*_state_cols(keys)).alias("c")
     inc = incoming.withColumn("last_batch_id", F.lit(batch_id)).alias("i")
-    joined = cur.join(inc, F.col("c.event_key") == F.col("i.event_key"), "full_outer")
+    cond = None
+    for k in keys:
+        eq = F.col(f"c.{k}") == F.col(f"i.{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = cur.join(inc, cond, "full_outer")
     # Commutative last-value law: lexicographic greatest of
     # (last_ts, last_value) structs. A ">= incoming wins" rule would make
     # the merged value depend on batch ARRIVAL ORDER when two batches
@@ -73,7 +95,10 @@ def merge_states(current: DataFrame, incoming: DataFrame, batch_id: int) -> Data
     )["v"]
     replay = F.coalesce(F.col("i.last_batch_id") <= F.col("c.last_batch_id"), F.lit(False))
     merged = joined.select(
-        F.coalesce(F.col("c.event_key"), F.col("i.event_key")).alias("event_key"),
+        *[
+            F.coalesce(F.col(f"c.{k}"), F.col(f"i.{k}")).alias(k)
+            for k in keys
+        ],
         F.least(F.col("c.start_ts"), F.col("i.start_ts")).alias("start_ts"),
         F.greatest(F.col("c.last_ts"), F.col("i.last_ts")).alias("last_ts"),
         (
@@ -98,9 +123,16 @@ class KeyedParquetTable:
     the pointer last (rename is atomic on a POSIX fs; on object stores
     this layer is replaced by the table format's commit protocol)."""
 
-    def __init__(self, spark: SparkSession, path: str, keep_versions: int = 2):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keep_versions: int = 2,
+        key_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path
+        self.key_cols = list(key_cols) if key_cols else ["event_key"]
         # >= 2: the previous snapshot must outlive the pointer swap so an
         # in-flight reader that resolved CURRENT just before the swap can
         # finish its scan (a one-version grace period; a real table
@@ -125,15 +157,17 @@ class KeyedParquetTable:
         return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
 
     def upsert_batch(self, batch: DataFrame, batch_id: int) -> None:
-        incoming = aggregate_batch(batch)
+        incoming = aggregate_batch(batch, self.key_cols)
         current = self.read()
         if current is None:
             merged = incoming.withColumn("last_batch_id", F.lit(batch_id).cast("long"))
         else:
-            merged = merge_states(current, incoming, batch_id)
+            merged = merge_states(current, incoming, batch_id, self.key_cols)
         v = (self.current_version() or 0) + 1
         target = os.path.join(self.path, f"v{v}")
-        merged.select(*STATE_COLS).write.mode("overwrite").parquet(target)
+        merged.select(*_state_cols(self.key_cols)).write.mode("overwrite").parquet(
+            target
+        )
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(str(v))

@@ -1341,3 +1341,146 @@ def test_streaming_semdedup_crash_replay_window_is_idempotent(spark, sf_dir, tmp
     decisions = sd.decisions()
     assert {r["id"] for r in decisions.filter("is_kept").collect()} == kept_before
     assert decisions.count() == emb.count()
+
+
+def test_integrated_pipeline_stream_restart_matches_batch_trace(
+    spark, sf_dir, tmp_path
+):
+    """The §3.1 slice as ONE chained Structured Streaming DAG
+    (streaming/e2e.py): file source → C4 key → dropDuplicatesWithin-
+    Watermark → foreachBatch {A1 composite-key upsert + survivor facts},
+    then the read side derives heat → rules score → routing → outbox
+    top-k via the SAME cards_from_state the batch e2e_pipeline_trace
+    runs. Certifies the COMPOSITION: (a) end-state parity vs the batch
+    trace, (b) kill-and-restart from the checkpoint mid-corpus, (c)
+    foreachBatch at-least-once redelivery is a state no-op, (d) the
+    rules stage agrees with the R1 compiler on the same thresholds.
+
+    Events land in event-time order (one sorted slice file per
+    micro-batch) so keep-first-arrival == the batch keep-min(ts,
+    event_id) law — the ordered-ingest contract the reference's poller
+    provides (SURVEY §3.1; worker/tasks.py:104-140)."""
+    import shutil as _sh
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.streaming.e2e import (
+        integrated_sink,
+        read_cards,
+        start_integrated_pipeline,
+    )
+
+    expected = sorted(
+        tuple(r)
+        for r in all_queries()["e2e_pipeline_trace"].fn(spark, sf_dir).collect()
+    )
+
+    # Landing: 6 contiguous event-time slices, each a single sorted
+    # parquet file with strictly increasing mtimes (FileStreamSource
+    # orders by mod time; maxFilesPerTrigger=1 → one slice per batch).
+    ev = load_table(spark, sf_dir, "events")
+    sliced = ev.withColumn(
+        "slice", F.ntile(6).over(Window.orderBy("ts", "event_id"))
+    )
+    stage = tmp_path / "stage"
+    land = tmp_path / "land"
+    land.mkdir()
+    slice_files = []
+    for i in range(1, 7):
+        out = stage / f"s{i}"
+        sliced.filter(F.col("slice") == i).drop("slice").repartition(
+            1
+        ).sortWithinPartitions("ts", "event_id").write.mode("overwrite").parquet(
+            str(out)
+        )
+        parts = [p for p in out.iterdir() if p.name.endswith(".parquet")]
+        if not parts:
+            continue
+        dst = land / f"slice_{i:02d}.parquet"
+        slice_files.append((parts[0], dst, 1_700_000_000 + i * 10))
+    ck = str(tmp_path / "ck_e2e")
+    state = str(tmp_path / "state_e2e")
+
+    def _arm(k):  # place slice k into the landing dir with pinned mtime
+        src, dst, mt = slice_files[k]
+        _sh.copy(str(src), str(dst))
+        os.utime(str(dst), (mt, mt))
+
+    # Phase 1: first half of the corpus, then the query TERMINATES
+    # (availableNow) — the "kill" point, offsets committed.
+    for k in range(3):
+        _arm(k)
+    q, upsert, facts = start_integrated_pipeline(spark, str(land), state, ck)
+    q.awaitTermination()
+
+    # Phase 2: rest of the corpus lands; RESTART from the same
+    # checkpoint — only the new slices replay.
+    for k in range(3, len(slice_files)):
+        _arm(k)
+    q2, upsert, facts = start_integrated_pipeline(spark, str(land), state, ck)
+    q2.awaitTermination()
+
+    # (c) at-least-once redelivery: re-deliver the LAST deduped batch
+    # through the sink — facts overwrite their own batch dir (same
+    # rows), the upsert batch-id guard drops the replay per key — so
+    # BOTH state tables must be byte-identical afterwards. The batch is
+    # reconstructed by the batch dedup law (keep min(ts, event_id) per
+    # C4 key over the whole corpus, restricted to the last slice), which
+    # equals the streamed survivors under ordered ingest — exactly what
+    # parity (a) certifies.
+    before_state = sorted(tuple(r) for r in upsert.read().collect())
+    before_facts = sorted(tuple(r) for r in facts.read().collect())
+    last_bid = upsert.read().agg(F.max("last_batch_id")).first()[0]
+
+    from event_stream_starter_spark.functions.hashing import key_concat
+    from event_stream_starter_spark.operators.dedup import exact_dedup
+    from event_stream_starter_spark.streaming.pipeline import with_event_key
+
+    corpus = with_event_key(spark.read.parquet(str(land))).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    surv_all = exact_dedup(
+        corpus.filter(F.col("event_key").isNotNull()),
+        ["event_key"],
+        "ts_us",
+        tiebreak=["event_id"],
+    )
+    last_ids = spark.read.parquet(str(slice_files[-1][1])).select("event_id")
+    redelivered = (
+        surv_all.join(last_ids, "event_id")
+        .drop("event_key", "ts_us")
+        .withColumn(
+            "event_key",
+            F.substring(
+                F.sha2(
+                    key_concat(F.col("user_id").cast("string"), F.col("event_type")),
+                    256,
+                ),
+                1,
+                40,
+            ),
+        )
+    )
+    integrated_sink(upsert, facts)(redelivered, last_bid)
+    assert sorted(tuple(r) for r in upsert.read().collect()) == before_state
+    assert sorted(tuple(r) for r in facts.read().collect()) == before_facts
+
+    # (a)+(b): end-state parity vs the batch trace.
+    got = sorted(tuple(r) for r in read_cards(upsert, facts).collect())
+    assert got == expected
+
+    # (d) the rules stage through the R1 compiler: compiled thresholds
+    # reproduce the trace's level labels on the streamed card state.
+    from event_stream_starter_spark.rules.compiler import compile_condition
+
+    fieldset = frozenset({"score_centi"})
+    opp = compile_condition("score_centi >= 1200", fieldset)
+    cau = compile_condition("score_centi <= 200", fieldset)
+    cards = read_cards(upsert, facts)
+    relab = cards.withColumn(
+        "level2",
+        F.when(F.expr(opp), "opportunity")
+        .when(F.expr(cau), "caution")
+        .otherwise("observe"),
+    )
+    assert relab.filter(F.col("level") != F.col("level2")).count() == 0
