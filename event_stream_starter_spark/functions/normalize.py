@@ -4,8 +4,11 @@ Reference semantics (cited per function): api/events.py:123-207, 380-411;
 api/utils/ca.py:9-85. Re-expressed as Catalyst expressions — lowercase /
 regexp_replace chains — rather than imperative Python, so they vectorize
 and push into codegen. NFC unicode normalization (reference api/events.py:
-388) is intentionally NOT applied: the engine declares NFC as a
-pre-ingest contract; everything else matches.
+388) has two arms, like C2: the column fast path (:func:`normalize_text`)
+skips it — already-NFC ingest, the overwhelming case — and
+:func:`normalize_text_full` applies :func:`nfc` (Arrow-batched
+``unicodedata.normalize``) first for full reference fidelity on
+combining-character text.
 """
 
 from __future__ import annotations
@@ -43,6 +46,35 @@ def normalize_text(text: Column) -> Column:
     c = F.regexp_replace(c, _HANDLE_RE, "")
     c = F.regexp_replace(c, _SPACE_RE, " ")
     return F.trim(c)
+
+
+def nfc(text: Column) -> Column:
+    """NFC unicode normalization (reference api/events.py:388) as an
+    Arrow-batched pandas UDF — Spark SQL has no canonical-composition
+    builtin, so this is the honest slow-path sibling (same pattern as
+    :func:`normalize_url_full`). One Arrow buffer per batch; NULLs pass
+    through."""
+    import unicodedata
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(s):  # type: ignore[no-untyped-def]
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if isinstance(v, str) else v
+        )
+
+    return _udf(text)
+
+
+def normalize_text_full(text: Column) -> Column:
+    """C1 with full reference fidelity: NFC first (api/events.py:388),
+    then the same strip/collapse laws as :func:`normalize_text`. Use the
+    column fast path on corpus-sized hot paths whose ingest already
+    guarantees NFC; use this where combining-character input is possible
+    (the reference applies NFC unconditionally)."""
+    return normalize_text(nfc(text))
 
 
 def normalize_url(url: Column) -> Column:

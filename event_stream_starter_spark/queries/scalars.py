@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.normalize import (
+    nfc,
     normalize_ca,
     normalize_text,
     normalize_token_symbol,
@@ -88,6 +89,57 @@ def c1_c3_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_text(raw_text).alias("text_norm"),
         normalize_token_symbol(raw_symbol).alias("symbol_norm"),
         normalize_ca(raw_ca).alias("ca_norm"),
+    )
+
+
+@query(
+    "c1_normalize_nfc",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               nfc_normalize(
+                   'Cafe' || chr(769) || ' A' || chr(778) || 'ngstro' || chr(776)
+                   || 'm @user https://x.co/p ' || text || chr(769)
+               ) AS composed
+        FROM documents
+    )
+    SELECT doc_id,
+           length(composed) AS nfc_len,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                lower(composed),
+                'https?://[^ \\t\\n\\x0b\\f\\r]+', '', 'g'),
+                'www\\.[^ \\t\\n\\x0b\\f\\r]+', '', 'g'),
+                '\\b[a-zA-Z0-9][a-zA-Z0-9-]*\\.(?:com|org|net|io|xyz|co|app|tech|ai|dev|finance|eth)[ \\t\\n\\x0b\\f\\r,\\.!?;:]', ' ', 'g'),
+                '@\\w+', '', 'g'), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
+               AS text_norm
+    FROM base
+    """,
+    survey_ids=(
+        "C1 full fidelity: in-engine NFC unicode normalization "
+        "(api/events.py:388) ahead of the _normalize_text laws — "
+        "combining sequences (e+ U+0301, A+U+030A, o+U+0308, and a "
+        "data-dependent trailing U+0301) compose before lowercase/strip"
+    ),
+)
+def c1_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 with the reference's in-line NFC step, certified cross-engine:
+    the Spark arm runs the Arrow-batched ``unicodedata.normalize('NFC')``
+    UDF (functions/normalize.nfc) then the shared strip laws; the oracle
+    runs DuckDB's independent ``nfc_normalize`` then the same laws. The
+    emitted length column makes the hash sensitive to composition itself
+    (each combining pair must shrink to one codepoint), not just to the
+    final stripped text."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("Cafe\u0301 A\u030angstro\u0308m @user https://x.co/p "),
+        F.col("text"),
+        F.lit("\u0301"),
+    )
+    composed = nfc(raw)
+    return docs.select(
+        "doc_id",
+        F.length(composed).cast("long").alias("nfc_len"),
+        normalize_text(composed).alias("text_norm"),
     )
 
 

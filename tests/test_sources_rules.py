@@ -680,3 +680,44 @@ def test_normalize_url_and_text_agree_across_engines_fuzz(spark):
         assert got == want, f"text={text!r}: spark={got!r} duck={want!r}"
 
     run_text()
+
+
+def test_nfc_normalize_text_full_combining_vectors(spark):
+    """Hand-derived vectors for C1's in-engine NFC step (reference
+    api/events.py:388 normalizes unconditionally before the strip laws):
+    combining sequences compose BEFORE lowercase/strip, so a decomposed
+    input and its precomposed twin normalize identically, and the
+    composed string is shorter than the decomposed one."""
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from event_stream_starter_spark.functions.normalize import (
+        nfc,
+        normalize_text_full,
+    )
+
+    vectors = [
+        # (decomposed input, expected normalize_text_full output)
+        ("Cafe\u0301", "caf\u00e9"),
+        ("A\u030angstro\u0308m UNITS", "\u00e5ngstr\u00f6m units"),
+        ("@user e\u0301clair", "\u00e9clair"),
+        # combining mark glued to a URL token strips with the URL
+        ("https://x.co/p\u0301 rest", "rest"),
+        # precomposed twin of the first vector \u2014 same output
+        ("Caf\u00e9", "caf\u00e9"),
+        (None, None),    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(vectors)], "i long, raw string"
+    ).select("i", normalize_text_full(F.col("raw")).alias("out"),
+             F.length(nfc(F.col("raw"))).alias("nfc_len"),
+             F.length("raw").alias("raw_len"))
+    got = {r["i"]: (r["out"], r["nfc_len"], r["raw_len"]) for r in df.collect()}
+    for i, (raw, want) in enumerate(vectors):
+        out, nfc_len, raw_len = got[i]
+        assert out == want, (raw, out)
+        if raw is not None:
+            # composition really happened: length shrinks iff the input
+            # had composable combining pairs (python is the cross-check)
+            assert nfc_len == len(unicodedata.normalize("NFC", raw)), raw
+            assert raw_len == len(raw), raw
