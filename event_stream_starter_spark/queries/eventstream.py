@@ -356,6 +356,101 @@ def d4_source_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d4_dedup_keys_urlnorm",
+    """
+    WITH keyed AS (
+        SELECT event_id, ts, value,
+               CASE event_id % 4
+                 WHEN 0 THEN 'http://Example.com/p/' || CAST(event_id % 9 AS VARCHAR)
+                             || '/?utm_source=t&b=2&A=1'
+                 WHEN 1 THEN 'https://example.com:443/p/' || CAST(event_id % 9 AS VARCHAR)
+                             || '?A=1&b=2&ref=x'
+                 WHEN 2 THEN 'https://BÜcher.example/bücher/'
+                             || CAST(event_id % 9 AS VARCHAR) || '/'
+                 ELSE 'https://x.com/u/status/' || CAST(event_id % 500 AS VARCHAR)
+                      || '?utm_source=z'
+               END AS raw_url,
+               CASE WHEN event_id % 4 = 3
+                    THEN 'x:' || CAST(event_id % 500 AS VARCHAR)
+                    WHEN event_id % 4 = 2
+                    THEN 'x:https://xn--bcher-kva.example/bücher/'
+                         || CAST(event_id % 9 AS VARCHAR)
+                    ELSE 'x:https://example.com/p/' || CAST(event_id % 9 AS VARCHAR)
+                         || '?a=1&b=2'
+               END AS dedup_key
+        FROM events
+    )
+    SELECT dedup_key,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_ts_us,
+           ROUND(MAX(value), 6) AS max_weight,
+           COUNT(DISTINCT raw_url) AS n_raw_variants,
+           COUNT(*) AS merged_count
+    FROM keyed
+    GROUP BY dedup_key
+    """,
+    survey_ids=(
+        "D4 full-fidelity URL dedup keys: the x-source key falls back to "
+        "the PARSED canonical URL (C2 normalize_url_full — IDN punycode, "
+        "default-port drop, tuple param sort) exactly as the reference "
+        "keys evidence on _normalize_url (api/events.py:531-586 + 123-173)"
+    ),
+)
+def d4_dedup_keys_urlnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 evidence keying through the full C2 parser path — the consumer
+    of normalize_url_full: raw variants that differ in scheme, host case,
+    default port, tracking params, param order, trailing slashes or IDN
+    encoding must collapse to ONE dedup key (n_raw_variants shows the
+    collapse: the example.com keys merge two distinct raw spellings).
+    The oracle states the expected canonical key per synthesized shape
+    as hand-derived literals (independent of both implementations), the
+    same certification pattern as c2_url_normalize_full. The moduli (9,
+    4) are coprime so every (target, spelling-variant) pair occurs and
+    cross-variant collapse is actually exercised. Plan shape: the UDF is
+    one Arrow-batched projection; one shuffle on the canonical key."""
+    from ..functions.normalize import normalize_url_full
+
+    ev = _events(spark, sf_dir)
+    n = (F.col("event_id") % 9).cast("string")
+    variant = F.col("event_id") % 4
+    raw_url = (
+        F.when(
+            variant == 0,
+            F.concat(F.lit("http://Example.com/p/"), n, F.lit("/?utm_source=t&b=2&A=1")),
+        )
+        .when(
+            variant == 1,
+            F.concat(F.lit("https://example.com:443/p/"), n, F.lit("?A=1&b=2&ref=x")),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://BÜcher.example/bücher/"), n, F.lit("/")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://x.com/u/status/"),
+                (F.col("event_id") % 500).cast("string"),
+                F.lit("?utm_source=z"),
+            )
+        )
+    )
+    keyed = ev.select(
+        "ts", "value", raw_url.alias("raw_url")
+    ).withColumn("url_norm", normalize_url_full(F.col("raw_url")))
+    status_id = F.regexp_extract("url_norm", r"/status(?:es)?/([0-9]+)", 1)
+    key = F.when(status_id != "", F.concat(F.lit("x:"), status_id)).otherwise(
+        F.concat(F.lit("x:"), F.col("url_norm"))
+    )
+    return keyed.groupBy(key.alias("dedup_key")).agg(
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.round(F.max("value"), 6).alias("max_weight"),
+        F.countDistinct("raw_url").alias("n_raw_variants"),
+        F.count(F.lit(1)).alias("merged_count"),
+    )
+
+
+@query(
     "a2_topic_aggregate",
     """
     WITH topics AS (
