@@ -1054,11 +1054,17 @@ def a5_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TZ-independent in both engines). At 100TB only the persisted daily
     sketches are merged — the exact arm here exists to certify the bound
     at test SFs; bounded-error golden also in tests/test_ops_golden.py.
+
+    lgConfigK=14 (rsd ~0.81%) puts the certified 5% bound at ~6 sigma;
+    the default lgConfigK=12 (rsd ~1.6%) would leave it at ~3 sigma,
+    where a dense-mode sketch at real scale flips within_5pct FALSE
+    often enough to make the oracle hash nondeterministic. 16KB per
+    (event_type, day) sketch is still trivially storable.
     """
     ev = _events(spark, sf_dir)
     day = F.expr("unix_micros(ts) div 86400000000")
     daily = ev.groupBy("event_type", day.alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id", 14).alias("sk")
     )
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),

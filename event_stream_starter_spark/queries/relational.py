@@ -141,12 +141,20 @@ def a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole row. The approx path stays exercised — a sketch estimate
     outside 5% flips the boolean and fails the hash. At 100TB the exact
     countDistinct is dropped and only the sketch runs (the certified
-    error bound is the contract); here both share one shuffle."""
+    error bound is the contract); here both share one shuffle.
+
+    The sketch is configured at rsd=0.01 so the certified 5% bound sits
+    at ~5 sigma: with the default rsd=0.05 the bound is only ~1 sigma
+    once HLL++ leaves sparse mode, i.e. at real scale within_5pct would
+    flip FALSE with ~30% probability per group and the oracle hash would
+    fail nondeterministically. (Test SFs stay in the near-exact sparse
+    path either way; the tight rsd makes the certification honest at the
+    scale the query is registered for.)"""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+            F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
             F.countDistinct("l_suppkey").alias("exact_suppliers"),
             F.count(F.lit(1)).alias("tx_count"),
         )

@@ -206,6 +206,40 @@ def _tokenize(
     return out
 
 
+def _collapse_paren_atoms(
+    toks: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Collapse a parenthesized bare atom ``( x )`` into a single atom.
+
+    The reference dialect is Python's ast.Compare, where a parenthesized
+    operand still participates in a chain — ``(a) < b < 5`` IS a chained
+    comparison (api/rules/eval_event.py). Collapsing before desugaring
+    lets `_desugar_chains` recognize such chains instead of tripping the
+    residual-chain guard. Atoms are pure (field refs / literals), so the
+    parens are semantically inert; they are kept in the emitted SQL.
+    Runs to fixpoint so nested ``((a))`` collapses too."""
+    changed = True
+    while changed:
+        changed = False
+        out: list[tuple[str, str]] = []
+        i = 0
+        while i < len(toks):
+            if (
+                i + 2 < len(toks)
+                and toks[i][0] == "lparen"
+                and toks[i + 1][0] == "atom"
+                and toks[i + 2][0] == "rparen"
+            ):
+                out.append(("atom", f"({toks[i + 1][1]})"))
+                i += 3
+                changed = True
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
 def _desugar_chains(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """Rewrite Python-style chained comparisons to conjunctions.
 
@@ -215,7 +249,13 @@ def _desugar_chains(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
     comparison operand is a single atom — a chain is exactly the token
     shape ATOM (CMP ATOM){2,}, rewritten here to a parenthesized AND of
     adjacent pairs. Re-evaluating the shared middle atom is safe (field
-    refs and literals are pure)."""
+    refs and literals are pure).
+
+    The rewritten run is emitted with kind ``chain`` (not ``atom``) so
+    the residual-chain guard treats it like a comparison: a following
+    nullcheck or cmp (``a < b < 5 is null``) is rejected, matching the
+    single-comparison behavior and the reference's parse (which errors
+    rather than evaluating ``(a < b AND b < 5) IS NULL``)."""
     out: list[tuple[str, str]] = []
     i = 0
     n = len(toks)
@@ -230,7 +270,7 @@ def _desugar_chains(toks: list[tuple[str, str]]) -> list[tuple[str, str]]:
                     f"{toks[i + 2 * k][1]} {toks[i + 2 * k + 1][1]} {toks[i + 2 * k + 2][1]}"
                     for k in range(n_cmps)
                 ]
-                out.append(("atom", "(" + " AND ".join(pieces) + ")"))
+                out.append(("chain", "(" + " AND ".join(pieces) + ")"))
                 i = j + 1
                 continue
         out.append(toks[i])
@@ -250,18 +290,20 @@ def compile_condition(
     Raises RuleCompileError on any token outside the whitelist grammar.
     """
     cond = substitute_env(cond, env)
-    toks = _desugar_chains(_tokenize(cond, fields))
+    toks = _desugar_chains(_collapse_paren_atoms(_tokenize(cond, fields)))
     # Residual-chain guard: after desugaring, any comparison still
     # adjacent to another (e.g. `(a < b) < 5` forced through parens)
     # would be a SQL type error or a silent meaning change — reject,
-    # like the reference's AST guard. Resets on and/or/not/(.
+    # like the reference's AST guard. A desugared chain counts as a
+    # comparison here, so `a < b < 5 is null` is rejected too. Resets
+    # on and/or/not/(.
     cmp_seen = False
     out: list[str] = []
     for kind, sql in toks:
         out.append(sql)
         if kind in ("logic", "lparen"):
             cmp_seen = False
-        elif kind in ("cmp", "nullcheck"):
+        elif kind in ("cmp", "nullcheck", "chain"):
             if cmp_seen:
                 raise RuleCompileError(
                     f"chained comparison in condition {cond!r} — split with 'and'"

@@ -397,6 +397,27 @@ def test_compiler_desugars_chained_comparison_rejects_backslash():
     # postfix nullcheck after a comparison is not a chain — reject
     with pytest.raises(RuleCompileError, match="chained comparison"):
         compile_condition("buy_tax < sell_tax is null")
+    # ... and the same after a DESUGARED chain: `a < b < 5 is null` is a
+    # parse error in the reference (ast eval raises -> no match), so the
+    # compiler must reject it rather than emit `(...) IS NULL` (which
+    # would MATCH on NULL operands — silent divergence).
+    with pytest.raises(RuleCompileError, match="chained comparison"):
+        compile_condition("buy_tax < sell_tax < 5 is null")
+    # (whereas a trailing cmp+atom merely extends the chain, as in Python)
+    assert (
+        compile_condition("buy_tax < sell_tax < 5 == buy_tax")
+        == "(buy_tax < sell_tax AND sell_tax < 5 AND 5 = buy_tax)"
+    )
+    # Parenthesized bare atoms participate in chains (Python ast.Compare
+    # accepts `(a) < b < 5` as a chain); parens are kept in the SQL.
+    assert (
+        compile_condition("(buy_tax) < sell_tax < 5")
+        == "((buy_tax) < sell_tax AND sell_tax < 5)"
+    )
+    assert (
+        compile_condition("buy_tax < ((sell_tax)) < 5")
+        == "(buy_tax < ((sell_tax)) AND ((sell_tax)) < 5)"
+    )
     # The guard resets across boolean operators and parens.
     assert compile_condition("buy_tax >= 1 and (sell_tax < 2 or honeypot == true)")
 
