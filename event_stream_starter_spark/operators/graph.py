@@ -37,8 +37,18 @@ Scale posture (100TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+# Rounds used by the most recent _star_contraction call (driver-local).
+# Exposed so tests/monitoring can observe an adversarial-input
+# regression (a convergence slowdown is invisible in the result, which
+# stays exact — only the round count moves).
+last_contraction_rounds: int = 0
 
 
 # Below this many pairs the component computation runs as driver-side
@@ -100,6 +110,7 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     loop, because the fixpoint is a star from every non-min node to its
     component min.
     """
+    global last_contraction_rounds
     e = (
         edges.select("s", "d")
         .where(F.col("s") != F.col("d"))
@@ -107,16 +118,19 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    def checksum(df: DataFrame):
-        r = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("s").cast("decimal(38,0)")).alias("ss"),
-            F.sum(F.col("d").cast("decimal(38,0)")).alias("sd"),
-        ).collect()[0]
-        return (r["n"], r["ss"], r["sd"])
+    def edges_unchanged(new: DataFrame, old: DataFrame) -> bool:
+        # Exact fixpoint test: both frames are distinct, checkpointed
+        # edge sets, so an empty symmetric difference means set equality.
+        # A checksum (count + endpoint sums) is NOT sound here — neither
+        # quantity is monotone under the star operations (small-star can
+        # grow the edge count; distinct() can drop arbitrary-signed
+        # sums), so two different consecutive edge sets could collide
+        # and exit early with wrong labels. One isEmpty job per check.
+        return new.exceptAll(old).unionAll(old.exceptAll(new)).isEmpty()
 
-    prev = None
-    for _ in range(max_rounds):
+    prev = e
+    rounds = max_rounds
+    for i in range(max_rounds):
         # Large-star: in the symmetric view, attach every neighbor larger
         # than u to m = min(N(u) ∪ {u}).
         sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -142,10 +156,20 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        cur = checksum(e)
-        if cur == prev:
+        # `prev` tracks the previous ROUND (assigned every iteration, a
+        # free variable copy), so each executed check compares adjacent
+        # rounds — a genuine T(e)==e fixpoint test. Running it only on
+        # every other alternation halves the per-round driver job count;
+        # the worst case is one extra (idempotent — a star maps to
+        # itself) round past the fixpoint.
+        if (i % 2 == 1 or i == max_rounds - 1) and edges_unchanged(e, prev):
+            rounds = i + 1
             break
-        prev = cur
+        prev = e
+    last_contraction_rounds = rounds
+    logger.info(
+        "star contraction converged in %d/%d alternations", rounds, max_rounds
+    )
     # Fixpoint: every non-min node carries exactly the edge (node → min).
     return (
         e.select(F.col("s").alias("node"), F.col("d").alias("label"))

@@ -165,6 +165,14 @@ def test_star_contraction_escape_on_adversarial_chain(spark):
     }
     assert got2 == expected
 
+    # Convergence is observable: the operator records the alternations it
+    # used, so an adversarial-input slowdown (which cannot show up in the
+    # exact result) is still detectable. Diameter 511 must converge via
+    # path-halving well inside the 12-round budget, not exhaust it.
+    from event_stream_starter_spark.operators import graph as graph_mod
+
+    assert 1 <= graph_mod.last_contraction_rounds < 12
+
 
 def test_interval_join_equals_naive_range_join(spark):
     """Granule-bucketed interval join must EQUAL the naive range-predicate
