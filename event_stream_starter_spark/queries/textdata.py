@@ -151,6 +151,13 @@ _SHINGLE_DUCK = (
     f"i -> array_to_string(list_slice({_TOKS_DUCK}, i, i + 2), ' ')))"
 )
 
+# 5-token variant (the MinHash/SimHash pipelines shingle at n=5).
+_SHINGLE5_DUCK = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_TOKS_DUCK}) - 4, 1) + 1), "
+    f"i -> array_to_string(list_slice({_TOKS_DUCK}, i, i + 4), ' ')))"
+)
+
 
 @query(
     "dd_ngram_jaccard",
@@ -375,6 +382,134 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
+
+
+def _shingle5_hashed(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): xxhash64'd distinct 5-token shingle sets — the
+    ground-truth arm both dedup recall certs rank against."""
+    return docs.select(
+        "doc_id",
+        F.transform(token_shingles(F.col("text"), 5), lambda s: F.xxhash64(s)).alias(
+            "sh"
+        ),
+    )
+
+
+@query(
+    "dd_minhash_recall_cert",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLE5_DUCK} AS sh FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_sim,
+           TRUE AS lsh_recall_certified
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    survey_ids=(
+        "dedup: MinHash+LSH path certified in-plan (a5 pattern) — "
+        "pooled recall vs the exact PPJoin pair set >= 0.9 boolean; "
+        "oracle = exact arm + literal TRUE"
+    ),
+)
+def dd_minhash_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan certification of dd_minhash_lsh (the a5 pattern): runs
+    BOTH the exact prefix-filtered Jaccard self-join (ground truth,
+    SQL-expressible) and the registered MinHash+LSH configuration
+    (64 hashes, 16 bands, cap 512 — engine-specific xxhash64, NOT
+    SQL-expressible), computes pooled recall of LSH against the truth
+    pair set inside the plan, and emits the truth pairs with a
+    `recall >= 0.9` boolean. The DuckDB oracle reproduces the exact arm
+    plus a literal TRUE, so an LSH recall regression (banding bug, cap
+    over-truncation, signature skew) flips the boolean and fails the
+    value hash — the approximate path is load-bearing in the
+    correctness gate. Measured pooled recall on the frozen corpora:
+    1.000 at sf0.001/0.01/0.1 (LSH verify makes precision exactly 1, so
+    recall is the only free parameter). Deterministic: fixed xxhash64
+    seeds + frozen parquet inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = jaccard_prefix_join(
+        _shingle5_hashed(docs), "doc_id", "sh", threshold=0.5
+    )
+    lsh = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_hashes=64,
+        bands=16,
+        shingle_n=5,
+        max_bucket_size=512,
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    hits = truth.join(lsh, ["id_a", "id_b"], "left")
+    recall = hits.agg(
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+        ).alias("recall")
+    )
+    return hits.crossJoin(F.broadcast(recall)).select(
+        "id_a",
+        "id_b",
+        F.round("jaccard_sim", 6).alias("jaccard_sim"),
+        (F.col("recall") >= 0.9).alias("lsh_recall_certified"),
+    )
+
+
+@query(
+    "dd_simhash_recall_cert",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLE5_DUCK} AS sh FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_sim,
+           TRUE AS simhash_recall_certified
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.98
+    """,
+    survey_ids=(
+        "dedup: SimHash banding path certified in-plan (a5 pattern) — "
+        "pooled recall vs the exact near-identical (Jaccard >= 0.98) "
+        "pair set >= 0.9 boolean; oracle = exact arm + literal TRUE"
+    ),
+)
+def dd_simhash_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan certification of dd_simhash against near-identical
+    ground truth. SimHash(64-bit, hamming<=3, 4 bands) targets pairs at
+    cosine ~>= cos(3*pi/64) ~ 0.989, so the certifiable truth set is the
+    near-identical pairs (exact 5-shingle Jaccard >= 0.98, which is
+    SQL-expressible); looser truth thresholds are genuinely outside the
+    operator's detection radius (measured: recall vs J>=0.9 truth is
+    0.63-0.78 — that is the operator's published contract, not a bug).
+    Emits the truth pairs plus a pooled `recall >= 0.9` boolean
+    computed in-plan; the DuckDB oracle is the exact arm + literal
+    TRUE. Measured pooled recall on the frozen corpora: 1.000 / 1.000 /
+    0.930 at sf0.001/0.01/0.1 — constants, because both arms are
+    deterministic (fixed xxhash64 seeds) over frozen parquet."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = jaccard_prefix_join(
+        _shingle5_hashed(docs), "doc_id", "sh", threshold=0.98
+    )
+    sp = simhash_pairs(docs, "doc_id", "text", max_hamming=3, bands=4).select(
+        "id_a", "id_b", F.lit(1).alias("hit")
+    )
+    hits = truth.join(sp, ["id_a", "id_b"], "left")
+    recall = hits.agg(
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
+        ).alias("recall")
+    )
+    return hits.crossJoin(F.broadcast(recall)).select(
+        "id_a",
+        "id_b",
+        F.round("jaccard_sim", 6).alias("jaccard_sim"),
+        (F.col("recall") >= 0.9).alias("simhash_recall_certified"),
+    )
 
 
 _FP_DUCK = (
