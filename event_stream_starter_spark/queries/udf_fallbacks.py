@@ -197,13 +197,93 @@ def u1_sentiment_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB token expr mirroring Python str.split() whitespace semantics
+# (same as queries/textdata._TOKS_DUCK).
+_TOKS_DUCK = (
+    "string_split(trim(regexp_replace(lower(text),"
+    " '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ')"
+)
+
+# Greedy MMR as a DuckDB RECURSIVE CTE: each recursion step carries the
+# selected list (with per-token char sets) as STATE and appends the
+# argmax of 0.65*rel - 0.35*max_sim_to_selected, tie-broken by
+# first-seen order via lexicographic struct max over (score, -first_ord).
+# Bit-exact vs the Python core: rel (freq/n), sim (char-set Jaccard) and
+# the score are the same rational-arithmetic IEEE-double expressions in
+# both engines, so even float ties resolve identically (validated: 0
+# mismatching docs across sf0.001/0.01/0.1 against mmr_select).
+_MMR_ORACLE = f"""
+WITH RECURSIVE
+tok0 AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS ord
+  FROM (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents)
+),
+tokf AS (SELECT * FROM tok0 WHERE length(tok) >= 2),
+nn AS (SELECT doc_id, COUNT(*) AS n FROM tokf GROUP BY doc_id),
+cand AS (
+  SELECT doc_id, tok, MIN(ord) AS first_ord, COUNT(*) AS freq
+  FROM tokf GROUP BY doc_id, tok
+),
+cand2 AS (
+  SELECT c.doc_id, c.tok, c.first_ord,
+         CAST(c.freq AS DOUBLE) / n.n AS rel,
+         list_distinct(list_transform(range(1, length(c.tok)+1),
+                                      i -> substring(c.tok, i, 1))) AS ch
+  FROM cand c JOIN nn n USING (doc_id)
+),
+sel AS (
+  SELECT doc_id, 0 AS step,
+         CAST([] AS STRUCT(tok VARCHAR, ch VARCHAR[])[]) AS selected
+  FROM nn
+  UNION ALL
+  SELECT doc_id, step + 1,
+         list_append(selected, struct_pack(tok := picked.tok, ch := picked.ch))
+  FROM (
+    SELECT s.doc_id, s.step, s.selected,
+           max(struct_pack(
+                 score := CAST(0.65 AS DOUBLE) * c.rel
+                          - (CAST(1 AS DOUBLE) - CAST(0.65 AS DOUBLE)) *
+                            COALESCE(list_max(list_transform(s.selected,
+                              x -> CAST(len(list_intersect(c.ch, x.ch)) AS DOUBLE)
+                                   / len(list_distinct(list_concat(c.ch, x.ch))))),
+                            CAST(0 AS DOUBLE)),
+                 tie := -c.first_ord,
+                 tok := c.tok,
+                 ch := c.ch)) AS picked
+    FROM sel s JOIN cand2 c ON s.doc_id = c.doc_id
+    WHERE s.step < 5
+      AND NOT list_contains(list_transform(s.selected, x -> x.tok), c.tok)
+    GROUP BY s.doc_id, s.step, s.selected
+  )
+),
+fin AS (
+  SELECT doc_id, max_by(selected, step) AS sel_structs FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id,
+       array_to_string(COALESCE(list_transform(f.sel_structs, x -> x.tok),
+                                CAST([] AS VARCHAR[])), '|') AS mmr_phrases
+FROM documents d LEFT JOIN fin f USING (doc_id)
+"""
+
+
 @query(
     "t8_mmr_keyphrases",
-    None,  # Greedy MMR is iterative (each pick depends on prior picks) —
-    # not SQL-expressible; verified against the pure-Python core in
-    # tests/test_ops_golden.py.
+    _MMR_ORACLE,
     survey_ids="T8 (MMR top-k keyphrase selection, deterministic token fallback), U2 shape",
 )
 def t8_mmr_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR keyphrase top-k (reference api/keyphrases.py:164-188).
+
+    Iterative-greedy is usually the textbook non-SQL-expressible case,
+    but the selection loop is bounded (k=5) and its state is one small
+    list — so the DuckDB oracle expresses it as a RECURSIVE CTE whose
+    recursion step performs the argmax append (see _MMR_ORACLE). This
+    upgrades the query from rows-only+golden to a full value-hash
+    oracle; the pure-Python golden in tests/test_ops_golden.py stays as
+    the third, engine-independent arm. The phrase list is serialized
+    with '|' in both engines (the driver canonicalizer sorts cells, so
+    array cells must be strings — the c13 precedent)."""
     docs = load_table(spark, sf_dir, "documents")
-    return mmr_keyphrases(docs, k=5)
+    return mmr_keyphrases(docs, k=5).select(
+        "doc_id", F.array_join("mmr_phrases", "|").alias("mmr_phrases")
+    )

@@ -46,7 +46,7 @@ def test_t8_mmr_matches_python_core(spark, sf_dir):
     con.close()
     df = all_queries()["t8_mmr_keyphrases"].fn(spark, sf_dir)
     got = {
-        r["doc_id"]: list(r["mmr_phrases"])
+        r["doc_id"]: (r["mmr_phrases"].split("|") if r["mmr_phrases"] else [])
         for r in df.filter(df.doc_id.isin(*texts.keys())).collect()
     }
     for doc_id, text in texts.items():
