@@ -2883,3 +2883,68 @@ def x_quality_bins_agree_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c for c in rollup.columns],
         (F.col("agree") >= 0.9).alias("agreement_certified"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle: deterministic global training-order permutation
+# ---------------------------------------------------------------------------
+
+_EPOCH_SEED = 7
+_SHUFFLE_BUCKETS = 256  # = 16^2: bucket key is the md5 prefix, see below
+
+
+@query(
+    "x_epoch_shuffle",
+    f"""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':ep{_EPOCH_SEED}'),
+                        doc_id) - 1 AS pos
+    FROM documents
+    """,
+    survey_ids=(
+        "training-pipeline: deterministic epoch shuffle — seeded global "
+        "training-order permutation with NO global sort (hash-prefix "
+        "buckets + 256-row prefix-sum offsets)"
+    ),
+)
+def x_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle for a training dataloader:
+    every doc gets a position 0..n-1 in an order that is (a) seeded and
+    reproducible (md5(doc_id:epoch) — rerunning the epoch gives the
+    same order; changing the seed gives an independent permutation),
+    and (b) stable under partitioning (no rand(), whose sample depends
+    on task layout).
+
+    Scale shape — the naive form is ROW_NUMBER() OVER (ORDER BY hash):
+    a GLOBAL sort whose final window runs in ONE task over the whole
+    corpus. Instead the first 2 hex chars of the hash split the corpus
+    into 256 ordered buckets (lowercase-hex lexicographic order ==
+    numeric prefix order, so (bucket, hash) order == hash order); each
+    bucket ranks independently (largest single-task sort = ~n/256,
+    and the bucket count is a knob), while a 256-row count frame takes
+    the only global window — a prefix sum over bucket counts, broadcast
+    back as offsets. pos = bucket_offset + in-bucket rank reproduces
+    the exact global permutation; the DuckDB oracle IS the naive global
+    form, so the decomposition is value-hash-verified equal."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":ep{_EPOCH_SEED}"))
+    )
+    base = docs.select(
+        "doc_id",
+        h.alias("hk"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("bkt"),
+    )
+    wb = Window.partitionBy("bkt").orderBy("hk", "doc_id")
+    ranked = base.withColumn(
+        "rk", F.row_number().over(wb).cast("long") - F.lit(1)
+    )
+    counts = base.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    wo = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("n").over(wo), F.lit(0))
+    ).select("bkt", "off")
+    return ranked.join(F.broadcast(offsets), "bkt").select(
+        "doc_id", (F.col("off") + F.col("rk")).alias("pos")
+    )
