@@ -43,3 +43,28 @@ def test_bm25_global_topk_is_take_ordered_not_full_sort(spark, sf_dir):
     take_at = plan.index("TakeOrderedAndProject")
     sorts = [i for i in range(len(plan)) if plan.startswith("Sort ", i)]
     assert all(i < take_at for i in sorts), "full-match-set Sort below TakeOrdered"
+
+
+def test_epoch_shuffle_has_no_corpus_global_sort(spark, sf_dir):
+    """x_epoch_shuffle's permutation must rank inside hash-prefix
+    buckets — the only single-partition exchange allowed is the 256-row
+    offsets branch (child = the bucket-count HashAggregate). Pins the
+    decomposition so a refactor can't silently fall back to the naive
+    global ROW_NUMBER (whose plan is a SinglePartition exchange over
+    the whole corpus feeding an unpartitioned window)."""
+    plan = (
+        all_queries()["x_epoch_shuffle"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # The corpus ranking window is PARTITIONED by the bucket key.
+    assert "row_number() windowspecdefinition(bkt" in plan
+    # Exactly one single-partition exchange, and its immediate child is
+    # the bucket-count aggregate (256 rows), never the corpus.
+    occurrences = plan.count("Exchange SinglePartition")
+    assert occurrences == 1, plan
+    tail = plan[plan.index("Exchange SinglePartition"):]
+    first_child = tail.splitlines()[1] if len(tail.splitlines()) > 1 else ""
+    assert "HashAggregate" in first_child, plan
