@@ -159,6 +159,33 @@ _SHINGLE5_DUCK = (
 )
 
 
+def _exact_jaccard_duck(threshold: float, cert_col: str) -> str:
+    """DuckDB exact all-pairs 5-shingle Jaccard >= threshold, via an
+    inverted-index join (unnest shingles → equi-join on shingle →
+    per-pair intersection count; |A∪B| = |A|+|B|-|A∩B|). Value-identical
+    to the nested-loop list_intersect form but ~50x faster at sf0.1
+    (2s vs minutes at 500 docs, 17s at 5000) — the oracle mirrors the
+    PPJoin idea instead of brute force. Appends `cert_col` as literal
+    TRUE (the a5-pattern certification column)."""
+    return f"""
+    WITH sh AS (SELECT doc_id, {_SHINGLE5_DUCK} AS sh FROM documents),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+    posts AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+        FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard_sim,
+           TRUE AS {cert_col}
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}
+    """
+
+
 @query(
     "dd_ngram_jaccard",
     f"""
@@ -397,18 +424,7 @@ def _shingle5_hashed(docs: DataFrame) -> DataFrame:
 
 @query(
     "dd_minhash_recall_cert",
-    f"""
-    WITH sh AS (
-        SELECT doc_id, {_SHINGLE5_DUCK} AS sh FROM documents
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_sim,
-           TRUE AS lsh_recall_certified
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-    """,
+    _exact_jaccard_duck(0.5, "lsh_recall_certified"),
     survey_ids=(
         "dedup: MinHash+LSH path certified in-plan (a5 pattern) — "
         "pooled recall vs the exact PPJoin pair set >= 0.9 boolean; "
@@ -460,18 +476,7 @@ def dd_minhash_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dd_simhash_recall_cert",
-    f"""
-    WITH sh AS (
-        SELECT doc_id, {_SHINGLE5_DUCK} AS sh FROM documents
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard_sim,
-           TRUE AS simhash_recall_certified
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.98
-    """,
+    _exact_jaccard_duck(0.98, "simhash_recall_certified"),
     survey_ids=(
         "dedup: SimHash banding path certified in-plan (a5 pattern) — "
         "pooled recall vs the exact near-identical (Jaccard >= 0.98) "

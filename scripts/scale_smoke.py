@@ -108,6 +108,13 @@ DOC_QUERIES = [
     "x_bm25_topk",
     "e2e_curation",
     "u4_refine_seam",
+    # The registered 100TB scale paths — the whole point of these is
+    # behavior at multiples of the test SFs, so the smoke drives them.
+    "x_ccnet_lm_buckets_approx",
+    "x_dsir_select_approx",
+    "x_quality_bins_approx",
+    "x_reservoir_sample_topk",
+    "x_epoch_shuffle",
 ]
 
 # Embedding family on a 10x synthetic vector table (5k vectors, 64-dim,
