@@ -2953,3 +2953,68 @@ def x_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(offsets), "bkt").select(
         "doc_id", (F.col("off") + F.col("rk")).alias("pos")
     )
+
+
+@query(
+    "x_curriculum_order",
+    f"""
+    WITH q AS (
+        SELECT doc_id, ROUND(%%QD%%, 6) AS quality FROM documents
+    ), b AS (
+        SELECT doc_id,
+               CAST(floor(quality * 100) AS BIGINT) AS qbin,
+               md5(CAST(doc_id AS VARCHAR) || ':cur{_EPOCH_SEED}') AS hk
+        FROM q
+    )
+    SELECT doc_id, qbin,
+           ROW_NUMBER() OVER (ORDER BY qbin DESC, hk, doc_id) - 1 AS pos
+    FROM b
+    """.replace("%%QD%%", _quality_duck()),
+    survey_ids=(
+        "training-pipeline: curriculum training order — high-quality "
+        "bands first, seeded shuffle within band, global position with "
+        "NO global sort (ordered quality buckets + prefix-sum offsets)"
+    ),
+)
+def x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum dataloader order: docs stream highest-quality band
+    first (qbin = floor(quality*100), a ~100-value ordered difficulty
+    key), seeded-shuffled WITHIN each band so the model never sees
+    source/doc_id ordering artifacts. Same decomposition as
+    x_epoch_shuffle with the ordered bucket = the quality band itself:
+    per-band ranking windows (largest single-task sort = the biggest
+    band, bounded by the quality distribution and splittable by a
+    hash sub-bucket if one band dominates), plus a <=101-row prefix-sum
+    offsets frame ordered by band DESC. floor(round(quality,6)*100) is
+    the same IEEE-double expression in both engines, so band edges are
+    bit-identical; the oracle is the naive global ROW_NUMBER form."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = textan.tokens(t)
+    q = docs.select(
+        "doc_id",
+        F.round(textan.quality_score(t, toks), 6).alias("quality"),
+    )
+    hk = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":cur{_EPOCH_SEED}"))
+    )
+    b = q.select(
+        "doc_id",
+        F.floor(F.col("quality") * 100).cast("long").alias("qbin"),
+        hk.alias("hk"),
+    )
+    wb = Window.partitionBy("qbin").orderBy("hk", "doc_id")
+    ranked = b.withColumn(
+        "rk", F.row_number().over(wb).cast("long") - F.lit(1)
+    )
+    counts = b.groupBy("qbin").agg(F.count(F.lit(1)).alias("n"))
+    wo = (
+        Window.orderBy(F.col("qbin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("n").over(wo), F.lit(0))
+    ).select("qbin", "off")
+    return ranked.join(F.broadcast(offsets), "qbin").select(
+        "doc_id", "qbin", (F.col("off") + F.col("rk")).alias("pos")
+    )
