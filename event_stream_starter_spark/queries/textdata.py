@@ -3018,3 +3018,75 @@ def x_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(offsets), "qbin").select(
         "doc_id", "qbin", (F.col("off") + F.col("rk")).alias("pos")
     )
+
+
+@query(
+    "x_corpus_datacard",
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS_DUCK}) END AS ntok,
+               ROUND(%%QD2%%, 6) AS quality,
+               {_FP_DUCK} AS fp
+        FROM documents
+    ), dup AS (
+        SELECT fp, COUNT(*) AS n_copies FROM base GROUP BY fp
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_quality,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_dup_docs,
+           CAST(MIN(ntok) AS BIGINT) AS min_tokens,
+           CAST(MAX(ntok) AS BIGINT) AS max_tokens
+    FROM base JOIN dup USING (fp)
+    GROUP BY lang, source
+    """.replace("%%QD2%%", _quality_duck()),
+    survey_ids=(
+        "training-pipeline: corpus datacard — one-pass per-(lang,source) "
+        "datasheet (docs, tokens, mean quality, exact-dup mass, token "
+        "range; Gebru et al. 2021 'Datasheets for Datasets' shape)"
+    ),
+)
+def x_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inventory table a corpus release ships: per (lang, source)
+    partition — document and token counts, mean quality (summed as
+    DECIMAL so the 100TB aggregate is partition-order-independent),
+    how many docs belong to an exact-duplicate family (corpus-global
+    fingerprint, so cross-source copies are counted in every partition
+    they pollute), and the token range.
+
+    Scale shape: one map pass computes ntok/quality/fingerprint, one
+    fingerprint groupBy builds the dup dimension (output ~= distinct
+    docs, joined back on the 16-hex fp key), one (lang,source) rollup.
+    No windows, no self-joins; every aggregate is partial-before-
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        textan.token_count(t).cast("long").alias("ntok"),
+        F.round(textan.quality_score(t, textan.tokens(t)), 6).alias("quality"),
+        textan.doc_fingerprint(t).alias("fp"),
+    )
+    dup = base.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    joined = base.join(dup, "fp")
+    return joined.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("exact_dup_docs"),
+        F.min("ntok").cast("bigint").alias("min_tokens"),
+        F.max("ntok").cast("bigint").alias("max_tokens"),
+    )
