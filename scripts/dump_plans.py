@@ -99,6 +99,27 @@ SHOW = [
         "TakeOrderedAndProject (per-partition top-k + merge) — the rank "
         "window runs over the k-row result, never the full match set",
     ),
+    (
+        "x_epoch_shuffle",
+        "seeded global permutation: ranking window PARTITIONED by the "
+        "256-value hash-prefix bucket; the only SinglePartition "
+        "exchange is the 256-row bucket-count prefix sum, broadcast "
+        "back as offsets — no corpus-wide sort (pinned by "
+        "test_plan_audit)",
+    ),
+    (
+        "x_curriculum_order",
+        "curriculum order: same decomposition with the quality band as "
+        "the ordered bucket — per-band windows + a <=101-row band-DESC "
+        "prefix-sum offsets broadcast; no global sort",
+    ),
+    (
+        "x_corpus_datacard",
+        "corpus datasheet: one map pass (ntok/quality/fingerprint), "
+        "one fingerprint groupBy joined back, one (lang,source) "
+        "rollup — partial aggregation before every shuffle, no "
+        "windows or self-joins",
+    ),
 ]
 
 
