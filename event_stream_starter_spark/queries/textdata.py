@@ -3090,3 +3090,103 @@ def x_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ntok").cast("bigint").alias("min_tokens"),
         F.max("ntok").cast("bigint").alias("max_tokens"),
     )
+
+
+@query(
+    "x_contamination_report",
+    f"""
+    WITH g AS (
+        SELECT doc_id, source, {_shingle_duck_n(_DECON_N)} AS g
+        FROM documents
+    ), ev AS (
+        SELECT DISTINCT unnest(g) AS gram FROM g WHERE source = '{_EVAL_SRC}'
+    ), tr AS (
+        SELECT doc_id, source, len(g) AS n_grams, unnest(g) AS gram
+        FROM g WHERE source <> '{_EVAL_SRC}'
+    ), hits AS (
+        SELECT t.doc_id, t.source,
+               ROUND(CAST(COUNT(DISTINCT t.gram) AS DOUBLE) / MIN(t.n_grams), 6)
+                   AS hit_ratio
+        FROM tr t JOIN ev e ON t.gram = e.gram
+        GROUP BY t.doc_id, t.source
+    ), tot AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents
+        WHERE source <> '{_EVAL_SRC}' GROUP BY source
+    )
+    SELECT tot.source, tot.n_docs,
+           CAST(COUNT(hits.doc_id) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(COUNT(hits.doc_id) AS DOUBLE) / tot.n_docs, 6)
+               AS contamination_rate,
+           ROUND(COALESCE(
+               CAST(SUM(CAST(hits.hit_ratio AS DECIMAL(18,6))) AS DOUBLE)
+               / NULLIF(COUNT(hits.doc_id), 0), 0.0), 6) AS mean_hit_ratio
+    FROM tot LEFT JOIN hits ON tot.source = hits.source
+    GROUP BY tot.source, tot.n_docs
+    """,
+    survey_ids=(
+        "training-pipeline: contamination audit report — per-source "
+        "eval-overlap rate + mean hit ratio over the contaminated set "
+        "(the release-gate table next to x_decontaminate's per-doc drop "
+        "list)"
+    ),
+)
+def x_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination audit: how much of each training source
+    overlaps the held-out eval corpus at the 13-gram level — the table
+    a release review reads (x_decontaminate emits the per-doc drop
+    list; this is its rollup with zero-hit sources kept at rate 0).
+
+    Scale shape: identical to x_decontaminate (eval grams broadcast,
+    train side map-only explode + probe, per-doc agg over rare hits)
+    plus a per-source doc count and a LEFT join of the ~|sources|-row
+    rollups — both tiny. Mean hit ratio sums 6-dp DECIMALs so the
+    aggregate is partition-order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", "source", token_shingles(F.col("text"), _DECON_N).alias("g")
+    )
+    ev = (
+        g.filter(F.col("source") == _EVAL_SRC)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    tr = g.filter(F.col("source") != _EVAL_SRC).select(
+        "doc_id",
+        "source",
+        F.size("g").cast("long").alias("n_grams"),
+        F.explode("g").alias("gram"),
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.countDistinct("gram").cast("double") / F.min("n_grams"), 6
+            ).alias("hit_ratio")
+        )
+    )
+    tot = (
+        docs.filter(F.col("source") != _EVAL_SRC)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        tot.join(hits, "source", "left")
+        .groupBy("source", "n_docs")
+        .agg(
+            F.count("hit_ratio").cast("bigint").alias("n_contaminated"),
+            F.round(
+                F.count("hit_ratio").cast("double") / F.col("n_docs"), 6
+            ).alias("contamination_rate"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("hit_ratio").cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.nullif(F.count("hit_ratio"), F.lit(0)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mean_hit_ratio"),
+        )
+    )
