@@ -1484,3 +1484,73 @@ def test_integrated_pipeline_stream_restart_matches_batch_trace(
         .otherwise("observe"),
     )
     assert relab.filter(F.col("level") != F.col("level2")).count() == 0
+
+
+def test_streaming_datacard_matches_batch_query_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """Documents streamed in micro-batches through the incremental
+    datacard sink must converge to exactly the x_corpus_datacard batch
+    output — including the retroactive flip where a later batch delivers
+    the second copy of an earlier batch's doc (exact-dup mass is a
+    cross-batch property). Replaying a committed batch and a crash
+    re-append are both no-ops."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.streaming.datacard import StreamingDatacard
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    land = tmp_path / "dc_landing"
+    docs.repartition(4).write.mode("overwrite").parquet(str(land))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, lang string, source string, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    dc = StreamingDatacard(spark, str(tmp_path / "dc_state"))
+    run_to_completion(stream, dc.foreach_batch_writer(), str(tmp_path / "dc_ck"))
+
+    def as_map(df):
+        return {
+            (r["lang"], r["source"]): (
+                r["n_docs"],
+                r["total_tokens"],
+                round(r["mean_quality"], 6),
+                r["exact_dup_docs"],
+                r["min_tokens"],
+                r["max_tokens"],
+            )
+            for r in df.collect()
+        }
+
+    want = as_map(all_queries()["x_corpus_datacard"].fn(spark, sf_dir))
+    got = as_map(dc.datacard())
+    assert got == want
+
+    # Replay of a committed batch: pointer short-circuits, nothing changes.
+    last = dc.last_batch_id()
+    dc.process_batch(docs.limit(7), last)
+    assert as_map(dc.datacard()) == want
+
+    # Crash re-append (append landed, pointer did not advance): the
+    # deterministic batch-tagged partials collapse on read. Re-append
+    # batch 0's partials exactly as a replayed process_batch would.
+    import os as _os
+
+    import pyspark.sql.functions as F  # noqa: N812
+
+    stats0 = spark.read.parquet(_os.path.join(dc.path, "stats")).filter(
+        F.col("batch_id") == 0
+    )
+    stats0.write.mode("append").parquet(_os.path.join(dc.path, "stats"))
+    fp0 = spark.read.parquet(_os.path.join(dc.path, "fp")).filter(
+        F.col("batch_id") == 0
+    )
+    fp0.write.mode("append").parquet(_os.path.join(dc.path, "fp"))
+    assert as_map(dc.datacard()) == want
