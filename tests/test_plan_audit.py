@@ -68,3 +68,20 @@ def test_epoch_shuffle_has_no_corpus_global_sort(spark, sf_dir):
     tail = plan[plan.index("Exchange SinglePartition"):]
     first_child = tail.splitlines()[1] if len(tail.splitlines()) > 1 else ""
     assert "HashAggregate" in first_child, plan
+
+
+def test_plans_doc_in_sync_with_dump_script():
+    """Every query scripts/dump_plans.py promises a section for must
+    actually have one in the committed PLANS.md — the round-3 failure
+    mode was the script gaining an entry while the doc stayed stale."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import dump_plans
+
+    doc = open(
+        os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    ).read()
+    missing = [name for name, _ in dump_plans.SHOW if f"## {name}" not in doc]
+    assert not missing, f"PLANS.md stale — regenerate: {missing}"
