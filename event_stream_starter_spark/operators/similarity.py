@@ -273,16 +273,34 @@ def ivf_topk(
         centroids = kmeans_centroids(
             corpus, vec_col, n_clusters, iters=kmeans_iters, id_col=corpus_id
         )
+    assigned = ivf_assign(corpus, corpus_id, vec_col, centroids)
+    return ivf_probe(
+        assigned, queries, query_id, corpus_id, vec_col,
+        centroids=centroids, k=k, n_probe=n_probe,
+    )
+
+
+def _cluster_scores(vec: Column, centroids: list[list[float]]) -> Column:
     lit = _centroid_literal(centroids)
+    return F.transform(lit, lambda c: cosine(vec, c))
 
-    def cluster_scores(vec: Column) -> Column:
-        return F.transform(lit, lambda c: cosine(vec, c))
 
-    # Alias to fresh columns FIRST, then derive cluster expressions from
-    # the aliased columns: queries and corpus usually share lineage (a
-    # filter of the same table), and nested lambda expressions over the
-    # original attribute can bind to the wrong self-join instance.
-    c = corpus.select(
+def ivf_assign(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """Map-only inverted-list assignment: (cid, cvec, cluster) against a
+    broadcast centroid literal. This IS the persistable IVF index state
+    (write it bucketed-by-cluster once, reuse across query batches —
+    streaming/ann_index.StreamingIvfIndex appends it per micro-batch).
+
+    Aliases to fresh columns FIRST, then derives cluster expressions
+    from the aliased columns: queries and corpus usually share lineage
+    (a filter of the same table), and nested lambda expressions over
+    the original attribute can bind to the wrong self-join instance."""
+    return corpus.select(
         F.col(corpus_id).alias("cid"), F.col(vec_col).alias("cvec")
     ).withColumn(
         "cluster",
@@ -291,17 +309,33 @@ def ivf_topk(
         # probes.
         F.coalesce(
             F.array_position(
-                cluster_scores(F.col("cvec")),
-                F.array_max(cluster_scores(F.col("cvec"))),
+                _cluster_scores(F.col("cvec"), centroids),
+                F.array_max(_cluster_scores(F.col("cvec"), centroids)),
             )
             - 1,
             F.lit(0),
         ),
     )
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    queries: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe pre-assigned inverted lists (`assigned` = ivf_assign output,
+    fresh or loaded from a persisted index): top n_probe clusters per
+    query by centroid cosine, equi-join on cluster id, exact rank inside
+    the probed lists."""
     # Query side: top n_probe clusters by centroid cosine — sort the
     # (score, cluster_id) structs descending, take n_probe, explode.
     qscores = F.transform(
-        cluster_scores(F.col("qvec")),
+        _cluster_scores(F.col("qvec"), centroids),
         lambda s, i: F.struct(s.alias("s"), i.alias("cl")),
     )
     probes = F.slice(F.reverse(F.array_sort(qscores)), 1, n_probe)
@@ -311,7 +345,7 @@ def ivf_topk(
         .select("qid", "qvec", F.col("p.cl").cast("long").alias("cluster"))
     )
     scored = (
-        c.join(F.broadcast(q), on="cluster")
+        assigned.join(F.broadcast(q), on="cluster")
         .filter(F.col("qid") != F.col("cid"))
         .withColumn("cos_sim", cosine(F.col("qvec"), F.col("cvec")))
     )

@@ -140,7 +140,64 @@ class StreamingNearDup(_PointerSink):
         self._commit(batch_id)
 
 
-class StreamingSemDeDup(_PointerSink):
+class _FrozenQuantizerMixin:
+    """Persisted-coarse-quantizer contract shared by every sink whose
+    index is keyed on cluster ids (StreamingSemDeDup, StreamingIvfIndex):
+    fitted once (on the first non-empty batch, or passed in), written to
+    centroids.json, and NEVER refit — the index was built under the
+    persisted assignment, and a restart that reconstructs the sink with
+    different constructor centroids would silently probe mismatched
+    cluster ids, so the file always wins and a conflicting explicit
+    value is an error, not a refit."""
+
+    path: str
+    id_col: str
+    vec_col: str
+    n_clusters: int
+    centroids: list[list[float]] | None
+
+    def _centroids_file(self) -> str:
+        return os.path.join(self.path, "centroids.json")
+
+    def _persist_centroids(self) -> None:
+        import json
+
+        tmp = self._centroids_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.centroids, fh)
+        os.replace(tmp, self._centroids_file())
+
+    def _load_or_fit_centroids(self, batch: DataFrame) -> list[list[float]]:
+        import json
+
+        try:
+            with open(self._centroids_file()) as fh:
+                persisted = json.load(fh)
+        except FileNotFoundError:
+            persisted = None
+        if persisted is not None:
+            if self.centroids is not None and self.centroids != persisted:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: constructor "
+                    "centroids differ from the persisted quantizer this "
+                    "index was built under; drop the argument (or the "
+                    "index) instead of mixing"
+                )
+            self.centroids = persisted
+            return self.centroids
+        if self.centroids is None:
+            from ..operators.similarity import kmeans_centroids
+
+            self.centroids = kmeans_centroids(
+                batch, self.vec_col, self.n_clusters, iters=2, id_col=self.id_col
+            )
+        # Persist explicitly-passed centroids too: the frozen-quantizer
+        # contract must survive a restart that doesn't re-supply them.
+        self._persist_centroids()
+        return self.centroids
+
+
+class StreamingSemDeDup(_PointerSink, _FrozenQuantizerMixin):
     """foreachBatch sink: incremental SEMANTIC dedup with a persisted
     kept-vector index — the embedding-space sibling of StreamingNearDup,
     same at-least-once protocol (append sinks deduplicated on read, the
@@ -172,51 +229,6 @@ class StreamingSemDeDup(_PointerSink):
         self.centroids = centroids
         os.makedirs(os.path.join(path, "kept"), exist_ok=True)
         os.makedirs(os.path.join(path, "decisions"), exist_ok=True)
-
-    def _centroids_file(self) -> str:
-        return os.path.join(self.path, "centroids.json")
-
-    def _persist_centroids(self) -> None:
-        import json
-
-        tmp = self._centroids_file() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(self.centroids, fh)
-        os.replace(tmp, self._centroids_file())
-
-    def _load_or_fit_centroids(self, batch: DataFrame) -> list[list[float]]:
-        import json
-
-        # The persisted file is the source of truth: the kept index was
-        # built under ITS cluster assignment. A restart that reconstructs
-        # the sink with different constructor centroids would otherwise
-        # silently probe against mismatched cluster ids and let
-        # near-duplicates slip through — so the file always wins, and a
-        # conflicting explicit value is an error, not a refit.
-        try:
-            with open(self._centroids_file()) as fh:
-                persisted = json.load(fh)
-        except FileNotFoundError:
-            persisted = None
-        if persisted is not None:
-            if self.centroids is not None and self.centroids != persisted:
-                raise ValueError(
-                    f"StreamingSemDeDup at {self.path}: constructor centroids "
-                    "differ from the persisted quantizer this index was built "
-                    "under; drop the argument (or the index) instead of mixing"
-                )
-            self.centroids = persisted
-            return self.centroids
-        if self.centroids is None:
-            from ..operators.similarity import kmeans_centroids
-
-            self.centroids = kmeans_centroids(
-                batch, self.vec_col, self.n_clusters, iters=2, id_col=self.id_col
-            )
-        # Persist explicitly-passed centroids too: the frozen-quantizer
-        # contract must survive a restart that doesn't re-supply them.
-        self._persist_centroids()
-        return self.centroids
 
     def read_kept(self) -> DataFrame | None:
         return self._read_dir("kept", ["id"])

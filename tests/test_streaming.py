@@ -1554,3 +1554,74 @@ def test_streaming_datacard_matches_batch_query_and_replay_safe(
     )
     fp0.write.mode("append").parquet(_os.path.join(dc.path, "fp"))
     assert as_map(dc.datacard()) == want
+
+
+def test_streaming_ivf_index_matches_one_shot_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """Embeddings streamed in micro-batches into the persisted IVF index
+    must answer queries exactly like a one-shot ivf_topk over the full
+    corpus under the same frozen quantizer; committed-replay and crash
+    re-append are no-ops; a restart with conflicting centroids errors."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from event_stream_starter_spark.streaming.ann_index import StreamingIvfIndex
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+    import pyspark.sql.functions as F  # noqa: N812
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_centroids(emb, "embedding", 16, iters=2, id_col="vec_id")
+    land = tmp_path / "emb_landing"
+    emb.repartition(3).write.mode("overwrite").parquet(str(land))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    ix = StreamingIvfIndex(
+        spark, str(tmp_path / "ivf_state"), centroids=cents
+    )
+    run_to_completion(stream, ix.foreach_batch_writer(), str(tmp_path / "ivf_ck"))
+
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def as_set(df):
+        return {
+            (r["vec_id_q"], r["vec_id_c"], r["rank"]) for r in df.collect()
+        }
+
+    want = as_set(
+        ivf_topk(q, emb, "vec_id", "vec_id", "embedding", k=5, centroids=cents)
+    )
+    got = as_set(ix.query(q, k=5, n_probe=4))
+    assert got == want
+
+    # Committed replay: pointer short-circuits.
+    ix.process_batch(emb.limit(3), ix.last_batch_id())
+    assert as_set(ix.query(q, k=5, n_probe=4)) == want
+
+    # Crash re-append: re-append batch rows; read-side id dedup absorbs.
+    lists = spark.read.parquet(_os.path.join(ix.path, "lists")).limit(4)
+    lists.write.mode("append").parquet(_os.path.join(ix.path, "lists"))
+    assert as_set(ix.query(q, k=5, n_probe=4)) == want
+
+    # Restart with a CONFLICTING quantizer is an error, never a refit.
+    other = [[v + 1.0 for v in c] for c in cents]
+    bad = StreamingIvfIndex(
+        spark, str(tmp_path / "ivf_state"), centroids=other
+    )
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad.process_batch(emb.limit(3), ix.last_batch_id() + 1)
+
+    # Restart WITHOUT centroids loads the persisted ones and keeps
+    # answering identically.
+    again = StreamingIvfIndex(spark, str(tmp_path / "ivf_state"))
+    assert as_set(again.query(q, k=5, n_probe=4)) == want
