@@ -144,6 +144,53 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    planes: list[list[list[float]]],
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs at corpus scale: hyperplane-bucket
+    blocking instead of a label column (the 100TB path the plain
+    embedding_near_dup_pairs docstring defers to). Candidates meet only
+    inside a matching (table, bucket) cell across the L plane tables
+    (multi-probe OR), then exact cosine verifies — so precision is 1.0
+    by construction and recall is the banding probability
+    1-(1-p^b)^L, ~1 for near-identical vectors. Deterministic for fixed
+    literal planes, which also makes the WHOLE pipeline SQL-expressible
+    (the dd_embed_near_dup_lsh DuckDB oracle reproduces the bucket bits
+    exactly)."""
+    bucket_keys = F.array(
+        *[
+            F.concat(F.lit(f"{i}:"), hyperplane_bucket(F.col(vec_col), tbl))
+            for i, tbl in enumerate(planes)
+        ]
+    )
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(bucket_keys).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(c, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])  # pair may share several tables
+    )
+    return (
+        cand.withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,

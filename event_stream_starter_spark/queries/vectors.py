@@ -13,6 +13,7 @@ from ..io import load_table
 from ..operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     ivf_topk,
     kmeans_centroids,
     lsh_topk,
@@ -95,17 +96,13 @@ def _plane_tables(n_tables: int = 4, n_planes: int = 6, dim: int = 64):
     return [_fixed_planes(n_planes, dim, seed=42 + 97 * i) for i in range(n_tables)]
 
 
-def _lsh_oracle_sql() -> str:
-    """Full DuckDB oracle for ann_lsh_topk: the hyperplane tables are
-    compile-time literals, so the ENTIRE pipeline (sign-bit buckets →
-    bucket equi-join candidates → exact cosine rank) is SQL-expressible.
-
-    Bit-stability: both engines cast float32 elements to double and
-    left-fold the products in array order, so the bucket sign bits are
-    bit-identical (verified empirically: 0 mismatching buckets across
-    all of sf0.001/sf0.01/sf0.1 — and the parquet inputs are frozen, so
-    a passing comparison is stable). This upgrades the query from
-    rows-only to a full value-hash oracle."""
+def _buckets_cte() -> str:
+    """Shared DuckDB CTE text: literal hyperplane tables → per-(vec,
+    table) sign-bit bucket strings. Bit-stable across engines: both
+    cast float32 elements to double and left-fold the products in array
+    order, so the bucket bits are bit-identical (verified empirically:
+    0 mismatching buckets across all of sf0.001/0.01/0.1 on the frozen
+    parquet inputs)."""
     plane_rows = ", ".join(
         "({}, {}, [{}]::DOUBLE[])".format(
             ti, pi, ", ".join(repr(float(x)) for x in p)
@@ -113,8 +110,7 @@ def _lsh_oracle_sql() -> str:
         for ti, tbl in enumerate(_plane_tables(4, 6, 64))
         for pi, p in enumerate(tbl)
     )
-    return f"""
-    WITH planes(tbl, pid, pvec) AS (VALUES {plane_rows}),
+    return f"""planes(tbl, pid, pvec) AS (VALUES {plane_rows}),
     emb AS (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
@@ -125,7 +121,17 @@ def _lsh_oracle_sql() -> str:
                    AS bucket
         FROM emb e CROSS JOIN planes p
         GROUP BY e.vec_id, p.tbl
-    ),
+    )"""
+
+
+def _lsh_oracle_sql() -> str:
+    """Full DuckDB oracle for ann_lsh_topk: the hyperplane tables are
+    compile-time literals, so the ENTIRE pipeline (sign-bit buckets →
+    bucket equi-join candidates → exact cosine rank) is SQL-expressible
+    — a full value-hash oracle for an 'approximate' operator (see
+    _buckets_cte for the bit-stability argument)."""
+    return f"""
+    WITH {_buckets_cte()},
     cand AS (
         SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
         FROM buckets q JOIN buckets c
@@ -167,6 +173,57 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id_c",
         F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _embed_lsh_pairs_oracle() -> str:
+    """Full DuckDB oracle for dd_embed_near_dup_lsh: same literal-plane
+    bucket CTE as ann_lsh_topk, then same-(table,bucket) pair
+    candidates, exact cosine >= threshold."""
+    return f"""
+    WITH {_buckets_cte()},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+    FROM cand
+    JOIN emb ea ON ea.vec_id = cand.id_a
+    JOIN emb eb ON eb.vec_id = cand.id_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+    """
+
+
+@query(
+    "dd_embed_near_dup_lsh",
+    _embed_lsh_pairs_oracle(),
+    survey_ids=(
+        "dedup: embedding-cosine near-dup at corpus scale — hyperplane-"
+        "bucket blocking (no label column needed), exact-cosine verify; "
+        "FULL DuckDB oracle via the literal plane tables (the 100TB "
+        "path the label-blocked dd_embed_near_dup defers to)"
+    ),
+)
+def dd_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of dd_embed_near_dup: candidate pairs meet inside a
+    matching (plane-table, sign-bucket) cell instead of a label block —
+    the blocking a real corpus (which has no oracle label column) uses.
+    Precision 1.0 by construction (exact cosine verify); recall is the
+    banding probability 1-(1-p^6)^4, ~1 for near-identical vectors and
+    deliberately sublinear for weak pairs — and because the planes are
+    compile-time literals the ENTIRE pipeline is reproduced by the
+    DuckDB oracle, so the recall trade is value-hash-pinned, not just
+    documented. Threshold 0.35 matches dd_semdedup_cert's dup-structure
+    regime on this corpus (no pairs exist at the published 0.95)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs_lsh(
+        emb, "vec_id", _plane_tables(4, 6, 64), "embedding", threshold=0.35
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
     )
 
 
