@@ -120,9 +120,9 @@ NOTES = (
     "r01_comparable_total history: r1=44.71s r2=53.78s (two outliers, "
     "co-resident CPU bursts) r3=50.03s (outliers recovered with no code "
     "change: j3_card_merge 1.91->1.52s, x_pack_sequences 0.64->0.51s; "
-    "residual vs r1 is environmental). Two r4 probes on the same code: "
-    "48.75s and 53.92s, both with clean before/after fingerprints but "
-    "the slower one started at loadavg 13.9 and EVERY query inflated "
+    "residual vs r1 is environmental). Three r4 probes on the same code: "
+    "48.75s, 53.92s and 50.67s, all with clean before/after fingerprints but "
+    "the slow ones started at elevated loadavg and EVERY query inflated "
     "5-25% uniformly — whole-run background interference the endpoint "
     "fingerprint cannot see. Cross-run spread on identical code is "
     "~10%, which covers the entire residual vs r1. "
