@@ -87,6 +87,12 @@ HEADLINE = [
     "e2e_corpus_prep",
     "e2e_curation",
     "e2e_training_prep",
+    # round-4 additions (outside the frozen r01-comparable subtotal)
+    "x_epoch_shuffle",
+    "x_curriculum_order",
+    "x_corpus_datacard",
+    "x_contamination_report",
+    "dd_embed_near_dup_lsh",
 ]
 
 
