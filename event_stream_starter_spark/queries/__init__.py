@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QuerySpec]:
         rules_q,
         scalars,
         textdata,
+        tokenizer,
         udf_fallbacks,
         vectors,
     )

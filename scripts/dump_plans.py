@@ -120,6 +120,13 @@ SHOW = [
         "rollup — partial aggregation before every shuffle, no "
         "windows or self-joins",
     ),
+    (
+        "x_bpe_first_merge",
+        "BPE pair-counting core: corpus collapses to the distinct-word "
+        "table with one partial-agg shuffle, pair explode is map-side "
+        "over distinct words only, top-20 is TakeOrderedAndProject — "
+        "no full pair-histogram sort (pinned by test_plan_audit)",
+    ),
 ]
 
 

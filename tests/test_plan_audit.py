@@ -85,3 +85,21 @@ def test_plans_doc_in_sync_with_dump_script():
     ).read()
     missing = [name for name, _ in dump_plans.SHOW if f"## {name}" not in doc]
     assert not missing, f"PLANS.md stale — regenerate: {missing}"
+
+
+def test_bpe_pair_topk_is_take_ordered_not_full_sort(spark, sf_dir):
+    """x_bpe_first_merge's top-20 must be TakeOrderedAndProject over the
+    pair histogram — a full histogram sort would be the trainer's
+    per-round bottleneck at a 100M-word vocabulary (the argmax in
+    train_bpe shares this plan with limit(1))."""
+    plan = (
+        all_queries()["x_bpe_first_merge"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    take_at = plan.index("TakeOrderedAndProject")
+    sorts = [i for i in range(len(plan)) if plan.startswith("Sort ", i)]
+    assert all(i < take_at for i in sorts), "pair-histogram Sort below TakeOrdered"
