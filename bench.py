@@ -93,6 +93,9 @@ HEADLINE = [
     "x_corpus_datacard",
     "x_contamination_report",
     "dd_embed_near_dup_lsh",
+    "x_lr_quality_score_cert",
+    "x_hybrid_rrf",
+    "x_split_novelty",
 ]
 
 

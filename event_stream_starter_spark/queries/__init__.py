@@ -45,6 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules once.
     from . import (  # noqa: F401
         cards,
+        classifier,
         eventstream,
         flagship,
         keys_limits,
@@ -52,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         ops,
         pipeline_e2e,
         relational,
+        retrieval,
         rules_q,
         scalars,
         textdata,

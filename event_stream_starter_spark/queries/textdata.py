@@ -2524,70 +2524,17 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_TOPK = 20
 
 
-@query(
-    "x_bm25_topk",
-    f"""
-    WITH t AS (
-        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
-    ), dl AS (
-        SELECT doc_id, toks, len(toks) AS dlen FROM t
-    ), stats AS (
-        SELECT COUNT(*) AS n_docs,
-               CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
-        FROM dl
-    ), tf AS (
-        SELECT doc_id, dlen, term,
-               len(list_filter(toks, x -> x = term)) AS f
-        FROM dl, unnest({list(_BM25_TERMS)}) AS q(term)
-    ), df AS (
-        SELECT term, COUNT(*) FILTER (f > 0) AS dfreq FROM tf GROUP BY term
-    ), contrib AS (
-        SELECT tf.doc_id,
-               CAST(ROUND(
-                   ln((stats.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
-                   * (tf.f * ({_BM25_K1} + 1.0))
-                   / (tf.f + {_BM25_K1} * (1.0 - {_BM25_B}
-                      + {_BM25_B} * tf.dlen / stats.avgdl)), 7)
-                   AS DECIMAL(28,7)) AS c
-        FROM tf, stats
-        JOIN df ON tf.term = df.term
-        WHERE tf.f > 0
-    ), scored AS (
-        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS s FROM contrib GROUP BY doc_id
-    ), ranked AS (
-        SELECT doc_id, ROUND(s, 6) + 0 AS bm25,
-               ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
-        FROM scored
-    )
-    SELECT doc_id, bm25, rank FROM ranked WHERE rank <= {_BM25_TOPK}
-    """,
-    survey_ids=(
-        "training-pipeline: BM25 lexical retrieval top-k "
-        "(k1=1.2, b=0.75; per-term contributions decimal-summed) — "
-        "the keyword-retrieval companion to the ANN family for "
-        "curation/decontamination candidate generation"
-    ),
-)
-def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k retrieval over the documents table for a fixed query
-    term set — lexical retrieval, the standard companion to embedding
-    ANN when assembling topical subsets or generating candidate pools
-    for dedup/decontamination.
-
-    Laws: Robertson IDF ln((N - df + 0.5)/(df + 0.5) + 1), k1=1.2,
-    b=0.75; per-term contributions are rounded to 7 dp and summed as
-    DECIMAL (the LM-score recipe: a 1-ulp ln() difference between
-    engines cannot flip a term, and a 100TB per-doc sum is
-    partition-order independent).
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """Per-doc BM25 score (doc_id, s) for the fixed _BM25_TERMS query —
+    the lexical arm shared by x_bm25_topk and the hybrid RRF fusion
+    (queries/retrieval.py). Python twin of _BM25_SCORED_CTES.
 
     Scale shape: corpus stats (N, avgdl) are a 1-row broadcast; term
     frequencies come from one map-side pass over tokens filtered to the
     |Q| query terms (never a full inverted index); df is a |Q|-row
-    aggregate joined back by broadcast. The only corpus-sized shuffle
-    is the per-doc score rollup; the global top-k is a rank window over
-    docs that matched at least one term.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+    broadcast join-back; the only corpus-sized shuffle is the per-doc
+    score rollup. Contributions are rounded to 7 dp and decimal-summed
+    (partition-order independent)."""
     toks = textan.tokens(F.col("text"))
     dl = docs.select(
         "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("dlen")
@@ -2635,7 +2582,80 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c"),
         )
     )
-    scored = contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("s"))
+    return contrib.groupBy("doc_id").agg(F.sum("c").cast("double").alias("s"))
+
+
+# CTE chain through the per-doc BM25 score — shared by the x_bm25_topk
+# oracle and the hybrid-fusion oracle (queries/retrieval.py), so both
+# engines' lexical arms are one definition.
+_BM25_SCORED_CTES = f"""t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+    ), dl AS (
+        SELECT doc_id, toks, len(toks) AS dlen FROM t
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dlen) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ), tf AS (
+        SELECT doc_id, dlen, term,
+               len(list_filter(toks, x -> x = term)) AS f
+        FROM dl, unnest({list(_BM25_TERMS)}) AS q(term)
+    ), df AS (
+        SELECT term, COUNT(*) FILTER (f > 0) AS dfreq FROM tf GROUP BY term
+    ), contrib AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                   ln((stats.n_docs - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+                   * (tf.f * ({_BM25_K1} + 1.0))
+                   / (tf.f + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * tf.dlen / stats.avgdl)), 7)
+                   AS DECIMAL(28,7)) AS c
+        FROM tf, stats
+        JOIN df ON tf.term = df.term
+        WHERE tf.f > 0
+    ), scored AS (
+        SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS s FROM contrib GROUP BY doc_id
+    )"""
+
+
+@query(
+    "x_bm25_topk",
+    f"""
+    WITH {_BM25_SCORED_CTES}, ranked AS (
+        SELECT doc_id, ROUND(s, 6) + 0 AS bm25,
+               ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+        FROM scored
+    )
+    SELECT doc_id, bm25, rank FROM ranked WHERE rank <= {_BM25_TOPK}
+    """,
+    survey_ids=(
+        "training-pipeline: BM25 lexical retrieval top-k "
+        "(k1=1.2, b=0.75; per-term contributions decimal-summed) — "
+        "the keyword-retrieval companion to the ANN family for "
+        "curation/decontamination candidate generation"
+    ),
+)
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the documents table for a fixed query
+    term set — lexical retrieval, the standard companion to embedding
+    ANN when assembling topical subsets or generating candidate pools
+    for dedup/decontamination.
+
+    Laws: Robertson IDF ln((N - df + 0.5)/(df + 0.5) + 1), k1=1.2,
+    b=0.75; per-term contributions are rounded to 7 dp and summed as
+    DECIMAL (the LM-score recipe: a 1-ulp ln() difference between
+    engines cannot flip a term, and a 100TB per-doc sum is
+    partition-order independent).
+
+    Scale shape: corpus stats (N, avgdl) are a 1-row broadcast; term
+    frequencies come from one map-side pass over tokens filtered to the
+    |Q| query terms (never a full inverted index); df is a |Q|-row
+    aggregate joined back by broadcast. The only corpus-sized shuffle
+    is the per-doc score rollup; the global top-k is a rank window over
+    docs that matched at least one term.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scored(docs)
     # Global top-k WITHOUT a partition-less rank window: orderBy().limit(k)
     # compiles to TakeOrderedAndProject (per-partition top-k + driver-side
     # k-way merge), so no single task ever sorts the full match set — the
@@ -3189,4 +3209,108 @@ def x_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mean_hit_ratio"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split n-gram novelty (train-contamination audit of val/test)
+# ---------------------------------------------------------------------------
+
+_SPLIT_DUCK = """CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '028f' THEN 'val'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '051e' THEN 'test'
+               ELSE 'train'
+           END"""
+
+
+@query(
+    "x_split_novelty",
+    f"""
+    WITH t AS (
+        SELECT {_SPLIT_DUCK} AS split, {_TOKS_DUCK} AS toks FROM documents
+    ), g0 AS (
+        SELECT split,
+               unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram
+        FROM t
+    ), g AS (
+        SELECT DISTINCT split, gram FROM g0
+    ), tr AS (
+        SELECT gram FROM g WHERE split = 'train'
+    ), ev AS (
+        SELECT split, gram FROM g WHERE split <> 'train'
+    ), tot AS (
+        SELECT split, COUNT(*) AS n_grams FROM ev GROUP BY split
+    ), seen AS (
+        SELECT split, COUNT(*) AS n_seen FROM ev
+        WHERE gram IN (SELECT gram FROM tr)
+        GROUP BY split
+    )
+    SELECT tot.split,
+           CAST(tot.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(seen.n_seen, 0) AS BIGINT) AS n_seen_in_train,
+           ROUND(1.0 - CAST(COALESCE(seen.n_seen, 0) AS DOUBLE) / tot.n_grams, 6) + 0
+               AS novelty_rate
+    FROM tot LEFT JOIN seen ON tot.split = seen.split
+    """,
+    survey_ids=(
+        "training-pipeline: cross-split n-gram novelty audit — fraction "
+        "of each eval split's distinct 3-grams unseen in train (the "
+        "inverse of train->eval leakage; composes the x_split_assign "
+        "hash split with the x_decontaminate gram machinery)"
+    ),
+)
+def x_split_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-split novel-3-gram rate against the train split.
+
+    The metric a leakage-safe split is judged by: if val/test 3-grams
+    are mostly present in train, eval loss is memorization, not
+    generalization (the Lee et al. 2021 / Brown et al. 2020 dedup-and-
+    decontaminate rationale, measured split-to-split).
+
+    Scale shape: grams explode map-side; ONE distinct shuffle keyed by
+    (split, gram); the seen-in-train check is a gram-keyed left-semi
+    join (shuffle on gram, no broadcast needed — both sides are
+    corpus-gram-sized); the final rollup is a 2-row aggregate. No
+    windows, no full sorts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(bucket < "028f", F.lit("val"))
+        .when(bucket < "051e", F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    t = docs.select(split.alias("split"), textan.tokens(F.col("text")).alias("toks"))
+    g = (
+        t.select(
+            "split",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 2, 1)), "
+                    "i -> concat_ws(' ', slice(toks, i, 3)))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    train = g.filter(F.col("split") == "train").select("gram")
+    ev = g.filter(F.col("split") != "train")
+    tot = ev.groupBy("split").agg(F.count(F.lit(1)).alias("n_grams"))
+    seen = (
+        ev.join(train, "gram", "left_semi")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+    )
+    n_seen = F.coalesce(F.col("n_seen"), F.lit(0)).cast("bigint")
+    return tot.join(seen, "split", "left").select(
+        "split",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        n_seen.alias("n_seen_in_train"),
+        (
+            F.round(
+                F.lit(1.0) - n_seen.cast("double") / F.col("n_grams"), 6
+            )
+            + 0
+        ).alias("novelty_rate"),
     )

@@ -121,6 +121,12 @@ SHOW = [
         "windows or self-joins",
     ),
     (
+        "x_hybrid_rrf",
+        "hybrid RRF fusion: both retrieval arms end in "
+        "TakeOrderedAndProject(50) (no full sort at any corpus size); "
+        "the fusion join and rank windows run on two 50-row frames",
+    ),
+    (
         "x_bpe_first_merge",
         "BPE pair-counting core: corpus collapses to the distinct-word "
         "table with one partial-agg shuffle, pair explode is map-side "
