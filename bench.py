@@ -96,6 +96,8 @@ HEADLINE = [
     "x_lr_quality_score_cert",
     "x_hybrid_rrf",
     "x_split_novelty",
+    "x_exact_substr_spans",
+    "x_cms_heavy_hitters",
 ]
 
 

@@ -3314,3 +3314,264 @@ def x_split_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0
         ).alias("novelty_rate"),
     )
+
+
+# --- Exact substring deduplication (Lee et al. 2022, "Deduplicating
+# --- Training Data Makes Language Models Better": the ExactSubstr op) ------
+
+_SUBSTR_K = 20  # minimum duplicated-substring length, in characters
+
+
+def _exact_substr_spans_df(docs: DataFrame) -> DataFrame:
+    """All maximal duplicated spans of length >= _SUBSTR_K across the
+    corpus, as (doc_id, span_start, span_len). Two-phase exact:
+
+    1. Every k-gram start position is hashed (xxhash64, 8 bytes) and the
+       hash histogram is counted with map-side partial aggregation — the
+       corpus-wide shuffle carries fixed-width hashes, never the gram
+       strings.
+    2. Only positions whose hash count >= 2 (a superset of the true
+       duplicates: hash collisions add candidates, never drop them)
+       carry the actual 20-char gram through a second, survivor-sized
+       shuffle where an exact gram count confirms duplication — so the
+       result is exact, not probabilistic.
+
+    A position is covered iff its k-gram occurs >= 2 times anywhere in
+    the corpus (self-repeats included, per the paper); maximal runs of
+    covered positions are merged gaps-and-islands style (run id =
+    i - row_number, per-doc window — bounded by document length, never
+    corpus-wide). A duplicated substring of length L >= k yields a span
+    of exactly length L.
+
+    100 TB notes: phase 1 is the unavoidable corpus-sized shuffle any
+    non-suffix-array formulation pays, minimized to 8-byte keys with
+    combiner-friendly counts; phase 2 and the span merge are sized by
+    duplicated content only. Knobs at real scale: token-level grams
+    (~5x fewer positions than chars) and stride-s position sampling
+    (detects spans >= k+s-1, divides phase-1 volume by s).
+    """
+    pos = (
+        docs.filter(F.length("text") >= _SUBSTR_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(_SUBSTR_K - 1))
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id", "i", F.expr(f"substring(text, i, {_SUBSTR_K})").alias("gram")
+        )
+    )
+    hashed = pos.withColumn("h", F.xxhash64("gram"))
+    cand_h = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    surv = hashed.join(cand_h, "h", "left_semi")
+    dup_grams = (
+        surv.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    covered = surv.join(dup_grams, "gram", "left_semi").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = covered.withColumn("run", F.col("i") - F.row_number().over(w))
+    return runs.groupBy("doc_id", "run").agg(
+        F.min("i").cast("bigint").alias("span_start"),
+        (F.max("i") - F.min("i") + F.lit(_SUBSTR_K)).cast("bigint").alias("span_len"),
+    ).select("doc_id", "span_start", "span_len")
+
+
+_SUBSTR_SPANS_DUCK = f"""
+    WITH ipos AS (
+        SELECT doc_id, text,
+               unnest(range(1, CAST(length(text) AS BIGINT) - {_SUBSTR_K - 2})) AS i
+        FROM documents
+        WHERE length(text) >= {_SUBSTR_K}
+    ), pos AS (
+        SELECT doc_id, i,
+               substring(text, CAST(i AS INTEGER), {_SUBSTR_K}) AS gram
+        FROM ipos
+    ), dup AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS c FROM pos
+        ) WHERE c >= 2
+    ), runs AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS run
+        FROM dup
+    ), spans AS (
+        SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+               CAST(max(i) - min(i) + {_SUBSTR_K} AS BIGINT) AS span_len
+        FROM runs GROUP BY doc_id, run
+    )
+"""
+
+
+@query(
+    "x_exact_substr_spans",
+    _SUBSTR_SPANS_DUCK + "SELECT doc_id, span_start, span_len FROM spans",
+    survey_ids=(
+        "training-pipeline: exact substring deduplication (ExactSubstr, "
+        "Lee et al. 2022) — maximal duplicated spans >= 20 chars corpus-wide"
+    ),
+)
+def x_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _exact_substr_spans_df for the op; this registers it on the
+    documents table with its exact DuckDB oracle."""
+    return _exact_substr_spans_df(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_exact_substr_stats",
+    _SUBSTR_SPANS_DUCK
+    + """
+    SELECT d.doc_id,
+           CAST(count(s.span_start) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(sum(s.span_len), 0) AS BIGINT) AS dup_chars,
+           ROUND(coalesce(sum(s.span_len), 0)
+                 / greatest(length(d.text), 1), 6) AS dup_frac,
+           (coalesce(sum(s.span_len), 0)
+                 / greatest(length(d.text), 1)) <= 0.5 AS keep
+    FROM documents d LEFT JOIN spans s ON s.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.text
+    """,
+    survey_ids=(
+        "training-pipeline: per-document duplicated-content budget + "
+        "keep/drop decision from exact-substring spans"
+    ),
+)
+def x_exact_substr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rollup of the ExactSubstr spans: span count, total
+    duplicated characters (spans are maximal, hence disjoint, so the sum
+    is a true character budget), duplicated fraction, and the keep
+    decision (drop documents that are mostly duplicated content,
+    threshold 0.5). Left join keeps zero-span documents. The spans side
+    aggregates before the join, so the join is spans-sized x docs-sized
+    on doc_id — no position-level rows survive past the span merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _exact_substr_spans_df(docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_len").alias("dup_chars"),
+    )
+    dup_chars = F.coalesce(F.col("dup_chars"), F.lit(0)).cast("bigint")
+    frac = dup_chars.cast("double") / F.greatest(F.length("text"), F.lit(1))
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias(
+                "n_dup_spans"
+            ),
+            dup_chars.alias("dup_chars"),
+            F.round(frac, 6).alias("dup_frac"),
+            (frac <= 0.5).alias("keep"),
+        )
+    )
+
+
+# --- Mergeable count-min-sketch heavy hitters ------------------------------
+
+_CMS_D = 5  # sketch depth (independent hash rows)
+_CMS_W = 4096  # sketch width (buckets per row)
+
+
+@query(
+    "x_cms_heavy_hitters",
+    f"""
+    WITH t AS (
+        SELECT unnest({_TOKS_DUCK}) AS tok FROM documents
+        WHERE length(trim(text)) > 0
+    ), c AS (
+        SELECT tok, count(*) AS exact_cnt FROM t WHERE tok <> '' GROUP BY tok
+    )
+    SELECT tok, exact_cnt, TRUE AS cms_within_bound
+    FROM c ORDER BY exact_cnt DESC, tok ASC LIMIT 20
+    """,
+    survey_ids=(
+        "training-pipeline: mergeable count-min-sketch heavy hitters "
+        "(Cormode & Muthukrishnan 2005) certified in-plan vs exact counts"
+    ),
+)
+def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token heavy hitters via a count-min sketch, certified
+    against exact counts IN THE SAME PLAN (the a5_approx_distinct
+    pattern): output carries the exact count plus a Spark-computed
+    `cms_within_bound` boolean asserting the CMS guarantee
+    exact <= est <= exact + ceil(e/w * N), so the DuckDB oracle (exact
+    top-20 + literal TRUE) hash-checks the whole row while the sketch
+    path stays load-bearing — a broken estimate flips the boolean and
+    fails the hash.
+
+    The sketch itself is pure Catalyst: each token occurrence maps to
+    _CMS_D (row, bucket) pairs via seeded xxhash64, and one partial-agg
+    groupBy folds them into a d x w = {_CMS_D}x{_CMS_W} count table —
+    fixed size regardless of corpus, trivially mergeable across
+    partitions/days (counts add), which is the whole point at 100 TB:
+    the exact per-token groupBy here is the certification arm only; at
+    scale you keep the 20k-row table, probe any token in O(d), and union
+    daily tables by summing. The bound check is deterministic (fixed
+    hash seeds), so the certification cannot flip across runs; e/w ~
+    6.6e-4 makes the slack generous at any N while still catastrophic-
+    failure-tight (a collision-swamped row would overshoot it).
+    """
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(textan.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    jb = [
+        F.struct(
+            F.lit(j).alias("j"),
+            F.pmod(F.xxhash64("tok", F.lit(j)), F.lit(_CMS_W)).cast("int").alias("b"),
+        )
+        for j in range(_CMS_D)
+    ]
+    cms = (
+        toks.select(F.explode(F.array(*jb)).alias("jb"))
+        .select("jb.j", "jb.b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # N = corpus token count = sum of any sketch row; row 0 is cheapest.
+    n_total = cms.filter(F.col("j") == 0).agg(
+        F.sum("cnt").cast("bigint").alias("n_total")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(20)
+    )
+    probes = top.select(
+        "tok", "exact_cnt", F.explode(F.array(*jb)).alias("jb")
+    ).select("tok", "exact_cnt", "jb.j", "jb.b")
+    est = (
+        probes.join(cms, ["j", "b"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    slack = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(F.lit(math.e / _CMS_W) * F.col("n_total")).cast("bigint"),
+    )
+    return (
+        est.crossJoin(F.broadcast(n_total))
+        .select(
+            "tok",
+            "exact_cnt",
+            (
+                (F.col("cms_est") >= F.col("exact_cnt"))
+                & (F.col("cms_est") <= F.col("exact_cnt") + slack)
+            ).alias("cms_within_bound"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+    )

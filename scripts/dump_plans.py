@@ -127,6 +127,20 @@ SHOW = [
         "the fusion join and rank windows run on two 50-row frames",
     ),
     (
+        "x_exact_substr_spans",
+        "ExactSubstr spans: phase-1 candidate shuffle carries only "
+        "8-byte xxhash64 keys with map-side partial counts; the gram "
+        "strings shuffle only for hash-survivors; the run-merge window "
+        "is partitioned per doc_id (bounded by doc length)",
+    ),
+    (
+        "x_cms_heavy_hitters",
+        "count-min heavy hitters: occurrence explode folds into the "
+        "fixed d x w sketch table with one partial-agg shuffle; the "
+        "probe join is sketch-sized; exact arm is partial agg + "
+        "TakeOrderedAndProject(20)",
+    ),
+    (
         "x_bpe_first_merge",
         "BPE pair-counting core: corpus collapses to the distinct-word "
         "table with one partial-agg shuffle, pair explode is map-side "
