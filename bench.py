@@ -98,6 +98,9 @@ HEADLINE = [
     "x_split_novelty",
     "x_exact_substr_spans",
     "x_cms_heavy_hitters",
+    "x_exact_substr_strip",
+    "x_weighted_sample",
+    "x_bloom_decontaminate",
 ]
 
 

@@ -3575,3 +3575,320 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), F.asc("tok"))
     )
+
+
+@query(
+    "x_exact_substr_strip",
+    _SUBSTR_SPANS_DUCK
+    + """
+    , seg_pre AS (
+        SELECT doc_id, span_start,
+               coalesce(lag(span_start + span_len)
+                        OVER (PARTITION BY doc_id ORDER BY span_start), 1)
+                   AS seg_start
+        FROM spans
+    ), tails AS (
+        SELECT doc_id, max(span_start + span_len) AS seg_start
+        FROM spans GROUP BY doc_id
+    ), segs AS (
+        SELECT doc_id, seg_start, span_start - seg_start AS seg_len
+        FROM seg_pre
+        UNION ALL
+        SELECT t.doc_id, t.seg_start,
+               length(d.text) - t.seg_start + 1 AS seg_len
+        FROM tails t JOIN documents d USING (doc_id)
+    ), agg AS (
+        SELECT s.doc_id,
+               string_agg(substring(d.text, CAST(s.seg_start AS INTEGER),
+                                    CAST(greatest(s.seg_len, 0) AS INTEGER)),
+                          '' ORDER BY s.seg_start) AS cleaned
+        FROM segs s JOIN documents d USING (doc_id)
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id, coalesce(a.cleaned, d.text) AS text_clean,
+           CAST(length(d.text) - length(coalesce(a.cleaned, d.text))
+                AS BIGINT) AS chars_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    survey_ids=(
+        "training-pipeline: ExactSubstr REMOVAL — duplicated spans cut "
+        "out, document reassembled from the surviving segments in order"
+    ),
+)
+def x_exact_substr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite ExactSubstr actually performs (Lee et al. 2022 drop
+    every duplicated span): cut each doc's maximal duplicated spans and
+    emit the reassembled clean text plus the removed-character count.
+
+    Spans are disjoint and sorted per doc, so reassembly is a single
+    Catalyst `aggregate` fold over the collected per-doc span array —
+    cursor walks the text, keeping the gap before each span and the
+    tail after the last one. The span array is doc-bounded (collected
+    per doc_id, never corpus-wide); docs with no spans pass through the
+    left join with their text intact. Everything downstream of the span
+    op is one groupBy(doc_id) plus a map-side fold — no new corpus-
+    scale shuffle beyond x_exact_substr_spans itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _exact_substr_spans_df(docs)
+    arr = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("span_start", "span_len"))).alias(
+            "spans"
+        )
+    )
+    empty = F.expr("array()").cast("array<struct<span_start:bigint,span_len:bigint>>")
+    joined = docs.join(arr, "doc_id", "left").select(
+        "doc_id", "text", F.coalesce(F.col("spans"), empty).alias("spans")
+    )
+    cleaned = F.expr(
+        """
+        aggregate(
+            spans,
+            named_struct('out', '', 'cur', cast(1 as bigint)),
+            (acc, s) -> named_struct(
+                'out', concat(acc.out,
+                              substring(text, cast(acc.cur as int),
+                                        cast(s.span_start - acc.cur as int))),
+                'cur', s.span_start + s.span_len),
+            acc -> concat(acc.out,
+                          substring(text, cast(acc.cur as int),
+                                    greatest(0, length(text)
+                                             - cast(acc.cur as int) + 1)))
+        )
+        """
+    )
+    return joined.select(
+        "doc_id",
+        cleaned.alias("text_clean"),
+        (F.length("text") - F.length(cleaned)).cast("bigint").alias(
+            "chars_removed"
+        ),
+    )
+
+
+# --- Weighted reservoir sampling (Efraimidis & Spirakis 2006) --------------
+
+_WEIGHTED_K = 40
+_WEIGHTED_SALTS = 64
+
+
+@query(
+    "x_weighted_sample",
+    f"""
+    WITH h AS (
+        SELECT doc_id, lang, n_chars,
+               round(ln((CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8))
+                          AS BIGINT) + 0.5) / 4294967296.0)
+                     / greatest(n_chars, 1), 9) AS key
+        FROM documents
+    ), r AS (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY key DESC, doc_id) AS rk
+        FROM h
+    )
+    SELECT doc_id, lang, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_WEIGHTED_K}
+    """,
+    survey_ids=(
+        "training-pipeline: weight-proportional fixed-size per-group "
+        "sample (Efraimidis-Spirakis exponential keys), salted two-phase "
+        "top-k — no full-group sort"
+    ),
+)
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k docs per language sampled PROPORTIONALLY TO SIZE
+    (weight = n_chars), deterministic and replayable: the
+    Efraimidis-Spirakis reservoir key ln(u)/w with u derived from
+    md5(doc_id) — a doc's key never changes as the corpus grows, so the
+    sample is stable under ingestion (same property as
+    x_reservoir_sample's uniform variant; this is its weighted sibling
+    for char-budget-aware eval carving / review batches).
+
+    The key is rounded to 9 dp (cross-engine libm guard) with doc_id as
+    the total tie-break. Scale shape is the x_reservoir_sample_topk
+    two-phase: rank within (lang, salt=hash mod 64) keeping k, then
+    rank the <= 64k survivors per lang — the largest single-task sort
+    is max(|lang|/64, 64k) rows, never a whole language.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    key = F.round(
+        F.log((v.cast("double") + 0.5) / 4294967296.0)
+        / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
+        9,
+    )
+    salted = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        key.alias("key"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(_WEIGHTED_SALTS)).alias("salt"),
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy(F.desc("key"), F.asc("doc_id"))
+    cand = salted.withColumn("rk1", F.row_number().over(w1)).filter(
+        F.col("rk1") <= _WEIGHTED_K
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _WEIGHTED_K)
+        .select("doc_id", "lang", "n_chars", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# --- Bloom-filter decontamination (constant-size broadcast scale path) -----
+
+_BLOOM_M = 1 << 17  # bit-array size
+_BLOOM_K = 7  # hash functions
+
+
+def _bloom_pos_duck(j: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(gram || ':{j}'), 1, 8)) AS BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+def _bloom_membership_duck() -> str:
+    return " AND ".join(
+        f"({_bloom_pos_duck(j)}) IN (SELECT pos FROM bits)" for j in range(_BLOOM_K)
+    )
+
+
+@query(
+    "x_bloom_decontaminate",
+    f"""
+    WITH g AS (
+        SELECT doc_id, source, {_shingle_duck_n(_DECON_N)} AS g
+        FROM documents
+    ), ev AS (
+        SELECT DISTINCT unnest(g) AS gram FROM g WHERE source = '{_EVAL_SRC}'
+    ), bits AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(gram || ':' || CAST(j AS VARCHAR)),
+                                        1, 8)) AS BIGINT) % {_BLOOM_M} AS pos
+        FROM ev, range(0, {_BLOOM_K}) t(j)
+    ), occ AS (
+        SELECT doc_id, source, len(g) AS n_grams, unnest(g) AS gram
+        FROM g WHERE source <> '{_EVAL_SRC}'
+    ), m AS (
+        SELECT doc_id, source, n_grams, gram,
+               (gram IN (SELECT gram FROM ev)) AS eh,
+               ({_bloom_membership_duck()}) AS bh
+        FROM occ
+    )
+    SELECT doc_id, source, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN eh THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+           CAST(sum(CASE WHEN bh THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+           (sum(CASE WHEN eh THEN 1 ELSE 0 END) > 0) AS contaminated
+    FROM m WHERE bh OR eh
+    GROUP BY doc_id, source, n_grams
+    """,
+    survey_ids=(
+        "training-pipeline: Bloom-filter decontamination — constant-size "
+        "broadcast bit set replaces the eval gram-string broadcast; "
+        "false-positive behavior deterministic and oracle-replicated"
+    ),
+)
+def x_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_decontaminate's 100 TB-eval-set path: instead of broadcasting
+    the eval 13-gram STRINGS (GBs for a big benchmark suite), broadcast
+    a Bloom filter over them — <= 2^17 distinct set-bit positions
+    (16 KiB of information, fixed regardless of eval size; bits add
+    under union so per-benchmark filters merge for free). The probe is
+    {_BLOOM_K} map-side broadcast hash joins on 8-byte positions — the
+    training corpus is scanned once and never shuffled; only bloom-hit
+    grams (true hits + the sketch's false positives) reach the per-doc
+    aggregate.
+
+    Positions are md5-derived (not xxhash64) ON PURPOSE: the whole
+    sketch — including its false positives — is deterministic and
+    exactly replicated by the DuckDB oracle, so `bloom_hits` is
+    hash-checked value-for-value, a strictly stronger check than an
+    in-plan bound boolean. No false negatives by construction (an eval
+    gram's own positions are always set), so `exact_hits <=
+    bloom_hits` row-by-row; rows with exact_hits = 0 and bloom_hits > 0
+    are the observable FP rate of the m={_BLOOM_M}, k={_BLOOM_K}
+    configuration on this corpus.
+    """
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    def bloom_pos(col: Column, j: int) -> Column:
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(col, F.lit(f":{j}"))), 1, 8), 16, 10
+            ).cast("bigint"),
+            F.lit(_BLOOM_M),
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", "source", token_shingles(F.col("text"), _DECON_N).alias("g")
+    )
+    ev = (
+        g.filter(F.col("source") == _EVAL_SRC)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    bits = (
+        ev.select(
+            F.explode(
+                F.array(*[bloom_pos(F.col("gram"), j) for j in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = g.filter(F.col("source") != _EVAL_SRC).select(
+        "doc_id",
+        "source",
+        F.size("g").cast("long").alias("n_grams"),
+        F.explode("g").alias("gram"),
+    )
+    # One broadcast build, reusable 7 times: every join's build side is
+    # the SAME canonical `bits` subtree (only the alias differs, and
+    # canonicalization normalizes that away), so AQE's stage cache can
+    # serve one materialized broadcast to all 7 joins. Projecting the
+    # per-j marker INSIDE the broadcast (the obvious formulation) makes
+    # each build canonically distinct and forces 7 eval-scan rebuilds.
+    bitsb = F.broadcast(bits)
+    for j in range(_BLOOM_K):
+        bj = bitsb.alias(f"b{j}")
+        probe = (
+            probe.withColumn(f"pos{j}", bloom_pos(F.col("gram"), j))
+            .join(bj, F.col(f"pos{j}") == F.col(f"b{j}.pos"), "left")
+            .withColumn(f"f{j}", F.col(f"b{j}.pos").isNotNull())
+            .drop(F.col(f"b{j}.pos"))
+        )
+    probe = probe.join(
+        F.broadcast(ev.withColumn("ex", F.lit(True))), "gram", "left"
+    )
+    bh = _reduce(
+        _and, [F.coalesce(F.col(f"f{j}"), F.lit(False)) for j in range(_BLOOM_K)]
+    )
+    eh = F.coalesce(F.col("ex"), F.lit(False))
+    return (
+        probe.select("doc_id", "source", "n_grams", bh.alias("bh"), eh.alias("eh"))
+        .filter(F.col("bh") | F.col("eh"))
+        .groupBy("doc_id", "source", "n_grams")
+        .agg(
+            F.sum(F.col("eh").cast("long")).alias("exact_hits"),
+            F.sum(F.col("bh").cast("long")).alias("bloom_hits"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "exact_hits",
+            "bloom_hits",
+            (F.col("exact_hits") > 0).alias("contaminated"),
+        )
+    )

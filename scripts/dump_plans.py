@@ -141,6 +141,14 @@ SHOW = [
         "TakeOrderedAndProject(20)",
     ),
     (
+        "x_bloom_decontaminate",
+        "Bloom decontamination: the bit set and the eval gram set are "
+        "the only broadcast sides; the corpus scan feeds 7 map-side "
+        "BroadcastHashJoins on 8-byte positions plus the exact-arm "
+        "gram join — no shuffle of corpus data before the per-doc agg "
+        "of bloom-hit rows",
+    ),
+    (
         "x_bpe_first_merge",
         "BPE pair-counting core: corpus collapses to the distinct-word "
         "table with one partial-agg shuffle, pair explode is map-side "
