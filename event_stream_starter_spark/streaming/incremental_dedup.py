@@ -283,3 +283,143 @@ class StreamingSemDeDup(_PointerSink, _FrozenQuantizerMixin):
         for c in caches:
             c.unpersist()
         self._commit(batch_id)
+
+
+class StreamingExactSubstr(_PointerSink):
+    """Incremental ExactSubstr (Lee et al. 2022): a document stream
+    indexed per batch so duplicated spans >= k chars are maintained
+    continuously, with RETROACTIVE flagging — when a later document
+    duplicates text from an earlier one, the earlier document's spans
+    are recomputed and re-emitted, so the stream-end state equals the
+    one-shot batch operator (queries/textdata._exact_substr_spans_df)
+    exactly, not just one-directionally.
+
+    State: `index/` holds one row per k-gram start position —
+    (batch_id, doc_id, i, h1, h2) where (h1, h2) is a 128-bit seeded
+    xxhash64 pair of the gram. Storing hashes instead of gram strings
+    keeps the index at ~24 bytes/position; equality on the 128-bit pair
+    stands in for gram equality (collision probability ~n^2/2^128 —
+    negligible at any corpus size; the batch twin remains the
+    string-confirmed exact arm).
+
+    Per batch: only the batch's text is exploded/hashed (dominant cost
+    never re-runs for history); duplicated grams are recounted; the
+    AFFECTED doc set = docs holding a position of a duplicated gram
+    that this batch touched — batch docs plus any historical docs
+    retro-flagged by them. Their spans are recomputed from all their
+    covered positions and appended with the current batch_id; `spans()`
+    reads the LATEST emission per doc (span sets only grow, counts
+    never decrease). Replay safety: the probe reads index rows with
+    batch_id < current only, so a crash between the spans append and
+    the commit replays into byte-identical appends (deduplicated on
+    read), and a fully committed batch short-circuits on the pointer.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 20,
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        os.makedirs(os.path.join(path, "index"), exist_ok=True)
+        os.makedirs(os.path.join(path, "spans"), exist_ok=True)
+
+    def _positions(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        k = self.k
+        gram = F.expr(f"substring(_t, i, {k})")
+        return (
+            df.filter(F.length(self.text_col) >= k)
+            .select(
+                F.col(self.id_col).alias("doc_id"),
+                F.explode(
+                    F.sequence(
+                        F.lit(1), F.length(self.text_col) - F.lit(k - 1)
+                    )
+                ).alias("i"),
+                F.col(self.text_col).alias("_t"),
+            )
+            .select(
+                "doc_id",
+                "i",
+                F.xxhash64(gram).alias("h1"),
+                F.xxhash64(gram, F.lit(1)).alias("h2"),
+            )
+        )
+
+    def _index_df(self) -> DataFrame | None:
+        return self._read_dir("index", ["batch_id", "doc_id", "i"])
+
+    def spans(self) -> DataFrame | None:
+        from pyspark.sql import functions as F
+
+        s = self._read_dir("spans", ["batch_id", "doc_id", "span_start"])
+        if s is None:
+            return None
+        latest = s.groupBy("doc_id").agg(F.max("batch_id").alias("batch_id"))
+        return s.join(latest, ["doc_id", "batch_id"]).select(
+            "doc_id", "span_start", "span_len"
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if batch_id <= self.last_batch_id():
+            return  # replayed, fully committed batch
+        pos_new = self._positions(batch).persist()
+        hist = self._index_df()
+        if hist is not None:
+            # Crash-replay guard: an uncommitted prior attempt may have
+            # appended THIS batch's rows already — exclude them so the
+            # recomputation is deterministic.
+            hist = hist.filter(F.col("batch_id") < batch_id).select(
+                "doc_id", "i", "h1", "h2"
+            )
+            all_pos = hist.unionByName(pos_new)
+        else:
+            all_pos = pos_new
+        dup = (
+            all_pos.groupBy("h1", "h2")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("h1", "h2")
+        )
+        touched = dup.join(
+            pos_new.select("h1", "h2").distinct(), ["h1", "h2"], "left_semi"
+        )
+        affected = (
+            all_pos.join(touched, ["h1", "h2"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        apos = all_pos.join(affected, "doc_id", "left_semi")
+        covered = apos.join(dup, ["h1", "h2"], "left_semi").select("doc_id", "i")
+        w = Window.partitionBy("doc_id").orderBy("i")
+        runs = covered.withColumn("run", F.col("i") - F.row_number().over(w))
+        spans = (
+            runs.groupBy("doc_id", "run")
+            .agg(
+                F.min("i").cast("bigint").alias("span_start"),
+                (F.max("i") - F.min("i") + F.lit(self.k))
+                .cast("bigint")
+                .alias("span_len"),
+            )
+            .select("doc_id", "span_start", "span_len")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        spans.write.mode("append").parquet(os.path.join(self.path, "spans"))
+        # Append ONLY this batch's positions: index growth is O(batch).
+        pos_new.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(os.path.join(self.path, "index"))
+        pos_new.unpersist()
+        self._commit(batch_id)

@@ -103,3 +103,19 @@ def test_bpe_pair_topk_is_take_ordered_not_full_sort(spark, sf_dir):
     take_at = plan.index("TakeOrderedAndProject")
     sorts = [i for i in range(len(plan)) if plan.startswith("Sort ", i)]
     assert all(i < take_at for i in sorts), "pair-histogram Sort below TakeOrdered"
+
+
+def test_cms_exact_arm_is_take_ordered_not_full_sort(spark, sf_dir):
+    """x_cms_heavy_hitters' exact candidate arm must compile to
+    TakeOrderedAndProject over the token histogram — at corpus scale a
+    full histogram sort would dwarf the fixed-size sketch the query
+    exists to showcase. (The final 20-row orderBy sits above it; only
+    the histogram-sized sort is the hazard.)"""
+    plan = (
+        all_queries()["x_cms_heavy_hitters"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -250,3 +250,61 @@ def test_exact_substr_stats_keep_decision(spark):
     # b is 100% duplicated (span covers the whole doc) → dropped at 0.5.
     frac_b = rows["b"]["span_len"] / 80
     assert frac_b > 0.5
+
+
+def test_exact_substr_spans_matches_bruteforce_on_random_corpora(spark):
+    """Property check vs a pure-Python brute-force oracle: on seeded
+    random corpora (low-entropy alphabet so duplicates actually occur),
+    the operator's spans equal the ground truth computed by direct
+    k-gram counting — cross-doc, within-doc, and overlap-merge cases
+    arise naturally across the seeds."""
+    import random
+
+    from event_stream_starter_spark.queries.textdata import (
+        _SUBSTR_K,
+        _exact_substr_spans_df,
+    )
+
+    k = _SUBSTR_K
+
+    def brute(texts: dict[str, str]) -> set[tuple[str, int, int]]:
+        from collections import Counter
+
+        counts: Counter[str] = Counter()
+        for t in texts.values():
+            for i in range(len(t) - k + 1):
+                counts[t[i : i + k]] += 1
+        spans = set()
+        for d, t in texts.items():
+            covered = [
+                i for i in range(len(t) - k + 1) if counts[t[i : i + k]] >= 2
+            ]
+            run_start = None
+            prev = None
+            for i in covered + [None]:
+                if run_start is None:
+                    run_start = i
+                elif i is None or i != prev + 1:
+                    spans.add((d, run_start + 1, prev - run_start + k))
+                    run_start = i
+                prev = i
+        return spans
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        texts = {}
+        for d in range(8):
+            # 3-letter alphabet, words of 1-3 chars: 20-char repeats are
+            # common but not total, so spans have nontrivial boundaries.
+            n = rng.randint(5, 120)
+            texts[f"s{seed}d{d}"] = "".join(
+                rng.choice("abc") for _ in range(n)
+            )
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id string, text string"
+        )
+        got = {
+            (r["doc_id"], r["span_start"], r["span_len"])
+            for r in _exact_substr_spans_df(docs).collect()
+        }
+        assert got == brute(texts), f"seed {seed}"

@@ -1625,3 +1625,64 @@ def test_streaming_ivf_index_matches_one_shot_and_replay_safe(
     # answering identically.
     again = StreamingIvfIndex(spark, str(tmp_path / "ivf_state"))
     assert as_set(again.query(q, k=5, n_probe=4)) == want
+
+
+def test_streaming_exact_substr_matches_one_shot_and_retroflags(
+    spark, sf_dir, tmp_path
+):
+    """Documents streamed in micro-batches through the incremental
+    ExactSubstr sink must end with EXACTLY the one-shot batch
+    operator's span set — including retroactive spans on early docs
+    that only become duplicated when a later micro-batch arrives — and
+    replaying a committed batch must be a no-op."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries.textdata import (
+        _exact_substr_spans_df,
+    )
+    from event_stream_starter_spark.streaming.incremental_dedup import (
+        StreamingExactSubstr,
+    )
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    land = tmp_path / "ss_landing"
+    docs.repartition(4).write.mode("overwrite").parquet(str(land))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    sink = StreamingExactSubstr(spark, str(tmp_path / "ss_state"))
+    run_to_completion(stream, sink.foreach_batch_writer(), str(tmp_path / "ss_ck"))
+
+    def as_set(df):
+        return {(r["doc_id"], r["span_start"], r["span_len"]) for r in df.collect()}
+
+    got = as_set(sink.spans())
+    want = as_set(_exact_substr_spans_df(docs))
+    assert got == want and len(want) > 0
+
+    # Retroactive flagging must have actually occurred for the equality
+    # above to be meaningful: at least one doc's final span emission came
+    # from a LATER batch than the doc's own index rows (it was
+    # re-flagged after ingestion). With 4 shuffled micro-batches over a
+    # corpus full of cross-doc duplicates this holds by construction.
+    import os
+
+    sp = spark.read.parquet(os.path.join(sink.path, "spans"))
+    ix = spark.read.parquet(os.path.join(sink.path, "index"))
+    import pyspark.sql.functions as F
+
+    own = ix.groupBy("doc_id").agg(F.min("batch_id").alias("ingest_b"))
+    final = sp.groupBy("doc_id").agg(F.max("batch_id").alias("final_b"))
+    retro = own.join(final, "doc_id").filter(
+        F.col("final_b") > F.col("ingest_b")
+    )
+    assert retro.count() > 0
+
+    # Replay of a committed batch: state unchanged.
+    last = sink.last_batch_id()
+    one = docs.limit(3)
+    sink.process_batch(one, last)  # already committed -> short-circuit
+    assert as_set(sink.spans()) == want
