@@ -101,6 +101,7 @@ HEADLINE = [
     "x_exact_substr_strip",
     "x_weighted_sample",
     "x_bloom_decontaminate",
+    "dd_containment",
 ]
 
 

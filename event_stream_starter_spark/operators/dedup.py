@@ -196,6 +196,100 @@ def jaccard_prefix_join(
     )
 
 
+def containment_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    threshold: float,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Directed containment pairs C(A,B) = |A∩B| / |A| >= threshold via a
+    prefix-filtered inverted-index join — the ASYMMETRIC near-dup case
+    Jaccard misses: a short document wholly quoted inside a long one has
+    tiny resemblance (|A∩B|/|A∪B| shrinks with |B|) but containment ~1.
+    Training-data reality: quotes, excerpt pages, boilerplate inclusion.
+
+    Lossless prefix filter, probe side only: C >= t means |A∩B| >=
+    ceil(t*|A|) = a, so if none of A's first |A|-a+1 sorted shingles is
+    in B, all >= a intersection elements would have to fit in A's last
+    a-1 positions — impossible. The INDEX side (B) cannot be prefix-
+    truncated (the shared element may sit anywhere in B's order), so B
+    posts all shingles; A posts its prefix. Size prune: |B| >=
+    ceil(t*|A|) (B must hold the whole required intersection).
+
+    Input shingles must be array<long> (pre-hashed, distinct). Output:
+    (id_a, id_b, containment double, *block_cols), id_a != id_b,
+    directed (A contained in B); mutual near-equality yields both
+    directions. Same verify shape as jaccard_prefix_join: candidates
+    repartitioned by pair before the O(|A|+|B|) intersect.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(
+            *block_cols,
+            F.col(id_col).alias("__id"),
+            F.array_sort(F.col(shingles_col)).alias("__sh"),
+        )
+        .withColumn("__n", F.size("__sh"))
+        .filter(F.col("__n") > 0)
+        .persist()
+    )
+    base.count()  # populate before the fan-out (see jaccard_prefix_join)
+    a_req = F.ceil(F.lit(threshold) * F.col("__n")).cast("int")
+    probe = base.select(
+        *block_cols,
+        F.col("__id").alias("__id_a"),
+        F.col("__n").alias("__n_a"),
+        F.explode(
+            F.slice(F.col("__sh"), 1, (F.col("__n") - a_req + 1).cast("int"))
+        ).alias("__g"),
+    )
+    index = base.select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("__id").alias("__id_b"),
+        F.col("__n").alias("__n_b"),
+        F.explode(F.col("__sh")).alias("__g"),
+    )
+    join_cond = (
+        (F.col("__id_a") != F.col("__id_b"))
+        & (F.col("__n_b") >= F.ceil(F.lit(threshold) * F.col("__n_a")))
+    )
+    for c in block_cols:
+        join_cond = join_cond & (F.col(c) == F.col(f"__b_{c}"))
+    cand = (
+        probe.join(index, ["__g"], "inner")
+        .where(join_cond)
+        .select(*block_cols, "__id_a", "__id_b")
+        .repartition(par, "__id_a", "__id_b")
+        .dropDuplicates(["__id_a", "__id_b"])
+    )
+    verify = (
+        cand.join(
+            base.select(F.col("__id").alias("__id_a"), F.col("__sh").alias("__sh_a")),
+            "__id_a",
+        )
+        .join(
+            base.select(F.col("__id").alias("__id_b"), F.col("__sh").alias("__sh_b")),
+            "__id_b",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+                / F.size("__sh_a"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return verify.select(
+        F.col("__id_a").alias("id_a"),
+        F.col("__id_b").alias("id_b"),
+        "containment",
+        *block_cols,
+    )
+
+
 def minhash_signature_sql(col_name: str, num_hashes: int = 64) -> str:
     """SQL for a MinHash signature over PRE-HASHED shingles (array<long>):
     the i-th permutation is xxhash64(h, i) over the fixed-width long.

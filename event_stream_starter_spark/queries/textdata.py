@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators import textan
 from ..operators.dedup import (
+    containment_prefix_join,
     jaccard_prefix_join,
     minhash_lsh_pairs,
     simhash_pairs,
@@ -3892,3 +3893,58 @@ def x_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("exact_hits") > 0).alias("contaminated"),
         )
     )
+
+
+# --- Asymmetric containment near-dup ---------------------------------------
+
+_CONTAIN_T = 0.9
+
+
+@query(
+    "dd_containment",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, lang, source, {_SHINGLE_DUCK} AS sh
+        FROM documents
+    ), nz AS (
+        SELECT * FROM sh WHERE len(sh) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(a.sh), 6) AS containment
+    FROM nz a JOIN nz b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(a.sh) >= {_CONTAIN_T}
+    """,
+    survey_ids=(
+        "dedup: directed containment near-dup (|A∩B|/|A| — short doc "
+        "quoted/embedded inside a longer one, the asymmetric case "
+        "Jaccard resemblance misses); prefix-filtered inverted index"
+    ),
+)
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs C(A,B) = |A∩B|/|A| >= 0.9 over 3-token
+    shingles with (lang, source) blocking — finds documents mostly
+    CONTAINED in another (excerpts, quote pages, boilerplate inclusion)
+    which resemblance-based dedup structurally misses: a 100-shingle doc
+    inside a 10,000-shingle doc has Jaccard ~0.01 but containment 1.0.
+
+    Same 64-bit shingle-hash + prefix-filtered inverted-index machinery
+    as dd_ngram_jaccard; only the probe side prefix-truncates (the
+    index side must post all shingles — see
+    operators/dedup.containment_prefix_join for the losslessness
+    argument), and the size prune is one-directional (|B| >= t|A|).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.transform(token_shingles(F.col("text"), 3), lambda s: F.xxhash64(s)).alias(
+            "sh"
+        ),
+    )
+    return containment_prefix_join(
+        sh, "doc_id", "sh", threshold=_CONTAIN_T, block_cols=("lang", "source")
+    ).select("id_a", "id_b", "containment")

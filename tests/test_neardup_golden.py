@@ -519,3 +519,40 @@ def test_semdedup_increment_fixpoint_and_immutability(spark):
             vx, vy = vecs[x], vecs[y]
             cos = float(vx @ vy) / (np.linalg.norm(vx) * np.linalg.norm(vy))
             assert cos < 0.95, f"kept pair {x},{y} in cluster {cl}: {cos:.4f}"
+
+
+def test_containment_finds_embedded_doc_that_jaccard_misses(spark):
+    """The asymmetric case that motivates the operator: a short doc
+    quoted verbatim inside a much longer one has containment 1.0 but
+    Jaccard far below any dedup threshold — the containment join must
+    emit exactly the directed pair, and the Jaccard join must not."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.operators.dedup import (
+        containment_prefix_join,
+        jaccard_prefix_join,
+        token_shingles,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))  # 12 tokens, 10 shingles
+    long_doc = (
+        " ".join(f"a{i}" for i in range(300)) + " " + quote + " "
+        + " ".join(f"z{i}" for i in range(300))
+    )
+    other = " ".join(f"m{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, other)], "doc_id long, text string"
+    )
+    sh = docs.select(
+        "doc_id",
+        F.transform(token_shingles(F.col("text"), 3), lambda s: F.xxhash64(s)).alias(
+            "sh"
+        ),
+    )
+    cont = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in containment_prefix_join(sh, "doc_id", "sh", 0.9).collect()
+    }
+    assert cont == {(1, 2, 1.0)}  # directed: quote contained in long, only
+    jac = jaccard_prefix_join(sh, "doc_id", "sh", 0.5).collect()
+    assert jac == []
