@@ -3478,8 +3478,8 @@ def x_exact_substr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Mergeable count-min-sketch heavy hitters ------------------------------
 
-_CMS_D = 5  # sketch depth (independent hash rows)
-_CMS_W = 4096  # sketch width (buckets per row)
+from ..operators.sketch import CMS_D as _CMS_D
+from ..operators.sketch import CMS_W as _CMS_W
 
 
 @query(
@@ -3523,25 +3523,15 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
+    from ..operators.sketch import cms_estimate, cms_table
+
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.filter(F.length(F.trim("text")) > 0)
         .select(F.explode(textan.tokens(F.col("text"))).alias("tok"))
         .filter(F.col("tok") != "")
     )
-    jb = [
-        F.struct(
-            F.lit(j).alias("j"),
-            F.pmod(F.xxhash64("tok", F.lit(j)), F.lit(_CMS_W)).cast("int").alias("b"),
-        )
-        for j in range(_CMS_D)
-    ]
-    cms = (
-        toks.select(F.explode(F.array(*jb)).alias("jb"))
-        .select("jb.j", "jb.b")
-        .groupBy("j", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cms = cms_table(toks, "tok", _CMS_D, _CMS_W)
     # N = corpus token count = sum of any sketch row; row 0 is cheapest.
     n_total = cms.filter(F.col("j") == 0).agg(
         F.sum("cnt").cast("bigint").alias("n_total")
@@ -3552,14 +3542,7 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cnt"), F.asc("tok"))
         .limit(20)
     )
-    probes = top.select(
-        "tok", "exact_cnt", F.explode(F.array(*jb)).alias("jb")
-    ).select("tok", "exact_cnt", "jb.j", "jb.b")
-    est = (
-        probes.join(cms, ["j", "b"])
-        .groupBy("tok", "exact_cnt")
-        .agg(F.min("cnt").alias("cms_est"))
-    )
+    est = cms_estimate(cms, top, "tok", _CMS_D, _CMS_W)
     slack = F.greatest(
         F.lit(1).cast("bigint"),
         F.ceil(F.lit(math.e / _CMS_W) * F.col("n_total")).cast("bigint"),

@@ -114,6 +114,16 @@ def test_results_invariant_to_partition_count(spark, sf_dir):
         # is that claim's proof for the trigram-model family.
         "x_ccnet_lm_buckets",
         "x_dsir_select",
+        # Round-4 families: two-phase hash-prefilter span detection,
+        # fold-based strip reassembly, E-S salted two-phase top-k and
+        # the directed containment join must all be partition-count
+        # independent (windows have total orders, folds run on sorted
+        # per-doc arrays, counts are combiner-associative).
+        "x_exact_substr_spans",
+        "x_exact_substr_strip",
+        "x_weighted_sample",
+        "dd_containment",
+        "x_cms_heavy_hitters",
     ]
     specs = all_queries()
     old = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1686,3 +1686,56 @@ def test_streaming_exact_substr_matches_one_shot_and_retroflags(
     one = docs.limit(3)
     sink.process_batch(one, last)  # already committed -> short-circuit
     assert as_set(sink.spans()) == want
+
+
+def test_streaming_cms_partials_sum_to_one_shot_sketch(spark, sf_dir, tmp_path):
+    """Mergeability made operational: micro-batch CMS partials summed on
+    read must equal the one-shot sketch over the full corpus EXACTLY
+    (bucket-for-bucket — merging is lossless; approximation lives only
+    in probing), estimates must dominate exact counts, and a committed
+    batch replays as a no-op."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators.sketch import cms_table
+    from event_stream_starter_spark.operators.textan import tokens
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+    from event_stream_starter_spark.streaming.sketch_sink import StreamingCms
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    land = tmp_path / "cms_landing"
+    docs.repartition(4).write.mode("overwrite").parquet(str(land))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    sink = StreamingCms(spark, str(tmp_path / "cms_state"))
+    run_to_completion(stream, sink.foreach_batch_writer(), str(tmp_path / "cms_ck"))
+
+    def as_map(df):
+        return {(r["j"], r["b"]): r["cnt"] for r in df.collect()}
+
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    got = as_map(sink.sketch())
+    want = as_map(cms_table(toks))
+    assert got == want and len(want) > 0
+
+    # Estimates from the accumulated sketch dominate the exact counts.
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(10)
+    )
+    est = sink.estimate(top)
+    bad = est.filter(F.col("cms_est") < F.col("exact_cnt")).count()
+    assert bad == 0
+
+    # Replay of a committed batch: partials unchanged.
+    sink.process_batch(docs.limit(5), sink.last_batch_id())
+    assert as_map(sink.sketch()) == want
