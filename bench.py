@@ -144,7 +144,11 @@ NOTES = (
     "env.cpu_busy_frac_before/after fingerprint external load: >~0.2 "
     "while the suite is idle means a neighbor was bursting and "
     "per-query maxima are unreliable; best-of-4 full passes "
-    "decorrelates samples from bursts within a run, not across runs."
+    "decorrelates samples from bursts within a run, not across runs. "
+    "RESOLVED: a fourth r4 probe on an idle machine (loadavg settled, "
+    "busy_frac 0.002) measured r01_comparable_total=41.58s — FASTER "
+    "than r1's 44.71s on a strictly larger codebase, confirming the "
+    "r2/r3 residual was environmental, not a regression."
 )
 
 
