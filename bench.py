@@ -102,6 +102,7 @@ HEADLINE = [
     "x_weighted_sample",
     "x_bloom_decontaminate",
     "dd_containment",
+    "x_exact_substr_token_spans",
 ]
 
 

@@ -3338,11 +3338,14 @@ def _exact_substr_spans_df(docs: DataFrame) -> DataFrame:
        result is exact, not probabilistic.
 
     A position is covered iff its k-gram occurs >= 2 times anywhere in
-    the corpus (self-repeats included, per the paper); maximal runs of
-    covered positions are merged gaps-and-islands style (run id =
-    i - row_number, per-doc window — bounded by document length, never
-    corpus-wide). A duplicated substring of length L >= k yields a span
-    of exactly length L.
+    the corpus (self-repeats included, per the paper). Covered starts
+    are merged into islands with a gap threshold of k — starts i < j
+    cover overlapping-or-adjacent CHAR ranges iff j <= i + k — so the
+    emitted spans are maximal DISJOINT character intervals (span sums
+    are true character budgets; a start-gap-of-1 merge would emit
+    overlapping spans and double-count). Per-doc lag/cumsum window,
+    bounded by document length, never corpus-wide. A duplicated
+    substring of length L >= k yields a span of exactly length L.
 
     100 TB notes: phase 1 is the unavoidable corpus-sized shuffle any
     non-suffix-array formulation pays, minimized to 8-byte keys with
@@ -3380,7 +3383,12 @@ def _exact_substr_spans_df(docs: DataFrame) -> DataFrame:
     )
     covered = surv.join(dup_grams, "gram", "left_semi").select("doc_id", "i")
     w = Window.partitionBy("doc_id").orderBy("i")
-    runs = covered.withColumn("run", F.col("i") - F.row_number().over(w))
+    brk = F.when(F.col("i") - F.lag("i").over(w) <= _SUBSTR_K, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    runs = covered.withColumn("brk", brk).withColumn(
+        "run", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
     return runs.groupBy("doc_id", "run").agg(
         F.min("i").cast("bigint").alias("span_start"),
         (F.max("i") - F.min("i") + F.lit(_SUBSTR_K)).cast("bigint").alias("span_len"),
@@ -3401,10 +3409,17 @@ _SUBSTR_SPANS_DUCK = f"""
         SELECT doc_id, i FROM (
             SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS c FROM pos
         ) WHERE c >= 2
+    ), brks AS (
+        SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         <= {_SUBSTR_K}
+                    THEN 0 ELSE 1 END AS brk
+        FROM dup
     ), runs AS (
         SELECT doc_id, i,
-               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS run
-        FROM dup
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS run
+        FROM brks
     ), spans AS (
         SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
                CAST(max(i) - min(i) + {_SUBSTR_K} AS BIGINT) AS span_len
@@ -3561,10 +3576,9 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x_exact_substr_strip",
-    _SUBSTR_SPANS_DUCK
-    + """
+# Shared oracle tail: segments between the (disjoint, ordered) spans,
+# reassembled with an ordered string_agg. Appended to either spans CTE.
+_SUBSTR_STRIP_TAIL_DUCK = """
     , seg_pre AS (
         SELECT doc_id, span_start,
                coalesce(lag(span_start + span_len)
@@ -3593,16 +3607,12 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(d.text) - length(coalesce(a.cleaned, d.text))
                 AS BIGINT) AS chars_removed
     FROM documents d LEFT JOIN agg a USING (doc_id)
-    """,
-    survey_ids=(
-        "training-pipeline: ExactSubstr REMOVAL — duplicated spans cut "
-        "out, document reassembled from the surviving segments in order"
-    ),
-)
-def x_exact_substr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The rewrite ExactSubstr actually performs (Lee et al. 2022 drop
-    every duplicated span): cut each doc's maximal duplicated spans and
-    emit the reassembled clean text plus the removed-character count.
+    """
+
+
+def _strip_text(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Cut `spans` (disjoint, per-doc) out of `docs` text and return
+    (doc_id, text_clean, chars_removed).
 
     Spans are disjoint and sorted per doc, so reassembly is a single
     Catalyst `aggregate` fold over the collected per-doc span array —
@@ -3611,10 +3621,8 @@ def x_exact_substr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc_id, never corpus-wide); docs with no spans pass through the
     left join with their text intact. Everything downstream of the span
     op is one groupBy(doc_id) plus a map-side fold — no new corpus-
-    scale shuffle beyond x_exact_substr_spans itself.
+    scale shuffle beyond the span op itself.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    spans = _exact_substr_spans_df(docs)
     arr = spans.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("span_start", "span_len"))).alias(
             "spans"
@@ -3648,6 +3656,123 @@ def x_exact_substr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_removed"
         ),
     )
+
+
+@query(
+    "x_exact_substr_strip",
+    _SUBSTR_SPANS_DUCK + _SUBSTR_STRIP_TAIL_DUCK,
+    survey_ids=(
+        "training-pipeline: ExactSubstr REMOVAL — duplicated spans cut "
+        "out, document reassembled from the surviving segments in order"
+    ),
+)
+def x_exact_substr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remove-everything rewrite: cut each doc's maximal duplicated
+    spans (BOTH copies of duplicated text) and emit the reassembled
+    clean text plus the removed-character count. See _strip_text for the
+    fold; x_exact_substr_strip_keep_one is the keep-one-copy variant the
+    ExactSubstr paper actually deploys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _strip_text(docs, _exact_substr_spans_df(docs))
+
+
+_SUBSTR_SPANS_KEEP1_DUCK = _SUBSTR_SPANS_DUCK.replace(
+    """, dup AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS c FROM pos
+        ) WHERE c >= 2
+    )""",
+    f""", dup AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS c,
+                   row_number() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, i) AS rn
+            FROM pos
+        ) WHERE c >= 2 AND rn > 1
+    )""",
+)
+assert _SUBSTR_SPANS_KEEP1_DUCK != _SUBSTR_SPANS_DUCK  # replace() must hit
+
+
+@query(
+    "x_exact_substr_strip_keep_one",
+    _SUBSTR_SPANS_KEEP1_DUCK + _SUBSTR_STRIP_TAIL_DUCK,
+    survey_ids=(
+        "training-pipeline: ExactSubstr keep-one-copy removal (the "
+        "paper's deployed semantics) — non-canonical duplicated "
+        "occurrences stripped, the globally-first occurrence preserved"
+    ),
+)
+def x_exact_substr_strip_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-one-copy rewrite ExactSubstr deploys (Lee et al. 2022
+    keep one occurrence of each duplicated substring): a position is
+    stripped iff its k-gram occurs >= 2 times AND the position is not
+    the gram's CANONICAL occurrence (global minimum (doc_id, i) — a
+    total, deterministic order, so exactly one copy of every duplicated
+    gram survives corpus-wide).
+
+    The canonical map is one combiner-friendly groupBy-min over the
+    confirmed-duplicate positions (min of a (doc_id, i) struct — no
+    per-gram window, so a mega-duplicated gram costs a partial agg, not
+    a single-task sort of its occurrence list). Islands, fold and the
+    scale shape are shared with the remove-everything variant.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.filter(F.length("text") >= _SUBSTR_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(_SUBSTR_K - 1))
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id", "i", F.expr(f"substring(text, i, {_SUBSTR_K})").alias("gram")
+        )
+    )
+    hashed = pos.withColumn("h", F.xxhash64("gram"))
+    cand_h = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    surv = hashed.join(cand_h, "h", "left_semi")
+    dup_grams = (
+        surv.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    surv_dup = surv.join(dup_grams, "gram", "left_semi")
+    canon = surv_dup.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "i")).alias("c")
+    )
+    covered = (
+        surv_dup.join(canon, "gram")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("c.doc_id"))
+                & (F.col("i") == F.col("c.i"))
+            )
+        )
+        .select("doc_id", "i")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(F.col("i") - F.lag("i").over(w) <= _SUBSTR_K, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    runs = covered.withColumn("brk", brk).withColumn(
+        "run", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = runs.groupBy("doc_id", "run").agg(
+        F.min("i").cast("bigint").alias("span_start"),
+        (F.max("i") - F.min("i") + F.lit(_SUBSTR_K)).cast("bigint").alias(
+            "span_len"
+        ),
+    ).select("doc_id", "span_start", "span_len")
+    return _strip_text(docs, spans)
 
 
 # --- Weighted reservoir sampling (Efraimidis & Spirakis 2006) --------------
@@ -3931,3 +4056,100 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_prefix_join(
         sh, "doc_id", "sh", threshold=_CONTAIN_T, block_cols=("lang", "source")
     ).select("id_a", "id_b", "containment")
+
+
+_SUBSTR_TOK_K = 5  # minimum duplicated run, in tokens
+
+
+@query(
+    "x_exact_substr_token_spans",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+        WHERE len({_TOKS_DUCK}) >= {_SUBSTR_TOK_K}
+          AND length(trim(text)) > 0
+    ), pos AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(toks, CAST(i AS INTEGER),
+                               CAST(i + {_SUBSTR_TOK_K - 1} AS INTEGER)), ' ')
+                   AS gram
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, CAST(len(toks) AS BIGINT)
+                                     - {_SUBSTR_TOK_K - 2})) AS i
+              FROM t)
+    ), dup AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS c FROM pos
+        ) WHERE c >= 2
+    ), brks AS (
+        SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         <= {_SUBSTR_TOK_K}
+                    THEN 0 ELSE 1 END AS brk
+        FROM dup
+    ), runs AS (
+        SELECT doc_id, i,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS run
+        FROM brks
+    )
+    SELECT doc_id, CAST(min(i) AS BIGINT) AS tok_start,
+           CAST(max(i) - min(i) + {_SUBSTR_TOK_K} AS BIGINT) AS tok_len
+    FROM runs GROUP BY doc_id, run
+    """,
+    survey_ids=(
+        "training-pipeline 100TB path: token-level ExactSubstr — the "
+        "declared volume knob of x_exact_substr_spans made real "
+        "(~5x fewer positions than char grams at the same semantic "
+        "dedup power)"
+    ),
+)
+def x_exact_substr_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level twin of x_exact_substr_spans: maximal duplicated runs
+    of >= 5 TOKENS, positions indexed in token space. Same two-phase
+    exact machinery (8-byte hash prefilter, gram confirm on survivors,
+    per-doc gaps-and-islands merge) over ~5x fewer positions than the
+    char-gram arm — this is the volume knob the char version's
+    docstring names for 100 TB, registered with its own exact oracle
+    (Lee et al. 2022 dedup at 50-token granularity is the published
+    operating point; 5 here so the frozen corpora exercise nontrivial
+    spans).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k = _SUBSTR_TOK_K
+    t = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", textan.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= k)
+    pos = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1))).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        "i",
+        F.expr(f"concat_ws(' ', slice(toks, i, {k}))").alias("gram"),
+    )
+    hashed = pos.withColumn("h", F.xxhash64("gram"))
+    cand_h = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    surv = hashed.join(cand_h, "h", "left_semi")
+    dup_grams = (
+        surv.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    covered = surv.join(dup_grams, "gram", "left_semi").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(F.col("i") - F.lag("i").over(w) <= k, F.lit(0)).otherwise(F.lit(1))
+    runs = covered.withColumn("brk", brk).withColumn(
+        "run", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return runs.groupBy("doc_id", "run").agg(
+        F.min("i").cast("bigint").alias("tok_start"),
+        (F.max("i") - F.min("i") + F.lit(k)).cast("bigint").alias("tok_len"),
+    ).select("doc_id", "tok_start", "tok_len")

@@ -403,8 +403,16 @@ class StreamingExactSubstr(_PointerSink):
         )
         apos = all_pos.join(affected, "doc_id", "left_semi")
         covered = apos.join(dup, ["h1", "h2"], "left_semi").select("doc_id", "i")
+        # Same island rule as the batch op: starts whose char ranges
+        # overlap or abut (gap <= k) merge, so spans are DISJOINT char
+        # intervals — required for batch==stream parity.
         w = Window.partitionBy("doc_id").orderBy("i")
-        runs = covered.withColumn("run", F.col("i") - F.row_number().over(w))
+        brk = F.when(
+            F.col("i") - F.lag("i").over(w) <= self.k, F.lit(0)
+        ).otherwise(F.lit(1))
+        runs = covered.withColumn("brk", brk).withColumn(
+            "run", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
         spans = (
             runs.groupBy("doc_id", "run")
             .agg(

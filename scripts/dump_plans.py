@@ -149,6 +149,13 @@ SHOW = [
         "of bloom-hit rows",
     ),
     (
+        "dd_containment",
+        "containment join: probe side posts only its prefix, index side "
+        "posts all shingles; the candidate join parallelizes on distinct "
+        "shingles, the verify repartitions on the pair key — no "
+        "per-block cross product anywhere",
+    ),
+    (
         "x_bpe_first_merge",
         "BPE pair-counting core: corpus collapses to the distinct-word "
         "table with one partial-agg shuffle, pair explode is map-side "

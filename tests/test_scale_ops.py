@@ -224,16 +224,15 @@ def test_exact_substr_spans_hand_corpus(spark):
         (r["doc_id"], r["span_start"], r["span_len"])
         for r in _exact_substr_spans_df(docs).collect()
     }
-    # d3: the two rep copies abut, but only the two ALIGNED positions
-    # (41, 61) have a repeating 20-gram — boundary-straddling grams occur
-    # once — so two exact 20-char spans, not one 40-char span. (A doc
-    # like "X"*60 has every position covered and merges to one span; see
-    # the next test.)
+    # d3: only the two ALIGNED positions (41, 61) have a repeating
+    # 20-gram (boundary-straddling grams occur once), but their char
+    # ranges 41..60 and 61..80 abut — the island rule (start gap <= k)
+    # merges them into ONE disjoint 40-char interval. Spans never
+    # overlap in char space, so span_len sums are true char budgets.
     assert got == {
         ("d1", 41, len(shared)),
         ("d2", 1, len(shared)),
-        ("d3", 41, 20),
-        ("d3", 61, 20),
+        ("d3", 41, 40),
     }
 
 
@@ -294,7 +293,10 @@ def test_exact_substr_spans_matches_bruteforce_on_random_corpora(spark):
             for i in covered + [None]:
                 if run_start is None:
                     run_start = i
-                elif i is None or i != prev + 1:
+                elif i is None or i - prev > k:
+                    # gap > k: the char ranges no longer overlap/abut —
+                    # close the disjoint interval (same island rule as
+                    # the operator).
                     spans.add((d, run_start + 1, prev - run_start + k))
                     run_start = i
                 prev = i
@@ -318,3 +320,63 @@ def test_exact_substr_spans_matches_bruteforce_on_random_corpora(spark):
             for r in _exact_substr_spans_df(docs).collect()
         }
         assert got == brute(texts), f"seed {seed}"
+
+
+def test_exact_substr_family_coherent(spark, sf_dir):
+    """Family invariant: the strip query's chars_removed must equal the
+    stats query's dup_chars for every doc (spans are disjoint, so the
+    removed mass and the budgeted mass are the same number), and every
+    keep=False doc must have dup_frac > 0.5."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.queries import all_queries
+
+    qs = all_queries()
+    stats = qs["x_exact_substr_stats"].fn(spark, sf_dir).alias("s")
+    strip = qs["x_exact_substr_strip"].fn(spark, sf_dir).alias("r")
+    j = stats.join(strip, "doc_id")
+    assert j.filter(F.col("s.dup_chars") != F.col("r.chars_removed")).count() == 0
+    assert (
+        stats.filter((~F.col("keep")) & (F.col("dup_frac") <= 0.5)).count() == 0
+    )
+
+
+def test_exact_substr_keep_one_preserves_canonical_copy(spark, tmp_path, sf_dir):
+    """Keep-one semantics on a hand corpus: of two copies of a
+    duplicated span, exactly the canonical (lowest (doc_id, i)) copy
+    survives, and keep-one always removes no more than remove-all."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.queries import all_queries
+
+    shared = "The quick brown fox jumps over the lazy dog tonight!"
+    uniq_a = "".join(chr(0x100 + i) for i in range(40))
+    uniq_b = "".join(chr(0x200 + i) for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, uniq_a + shared), (2, shared + uniq_b)],
+        "doc_id long, text string",
+    )
+    land = tmp_path / "keep1"
+    docs.write.parquet(str(land / "documents.parquet"))
+    qs = all_queries()
+    rows = {
+        r["doc_id"]: (r["text_clean"], r["chars_removed"])
+        for r in qs["x_exact_substr_strip_keep_one"].fn(spark, str(land)).collect()
+    }
+    # Canonical copy = global min (doc_id, i) = doc 1's occurrence.
+    assert rows[1] == (uniq_a + shared, 0)
+    assert rows[2] == (uniq_b, len(shared))
+    # Remove-all strips BOTH copies.
+    both = {
+        r["doc_id"]: r["chars_removed"]
+        for r in qs["x_exact_substr_strip"].fn(spark, str(land)).collect()
+    }
+    assert both == {1: len(shared), 2: len(shared)}
+
+    # On the real corpus: keep-one removes strictly <= remove-all per doc.
+    ka = qs["x_exact_substr_strip_keep_one"].fn(spark, sf_dir).alias("k")
+    ra = qs["x_exact_substr_strip"].fn(spark, sf_dir).alias("r")
+    j = ka.join(ra, "doc_id")
+    assert (
+        j.filter(F.col("k.chars_removed") > F.col("r.chars_removed")).count() == 0
+    )
