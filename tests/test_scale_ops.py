@@ -380,3 +380,44 @@ def test_exact_substr_keep_one_preserves_canonical_copy(spark, tmp_path, sf_dir)
     assert (
         j.filter(F.col("k.chars_removed") > F.col("r.chars_removed")).count() == 0
     )
+
+
+def test_exact_substr_family_short_corpus_edges(spark, tmp_path):
+    """Docs all shorter than k: spans empty (correct schema), strip
+    passes every doc through untouched, stats emits keep=TRUE zero
+    budgets — the no-duplicates path must not error or drop rows."""
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries.textdata import (
+        _exact_substr_spans_df,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, ""), (3, "nineteen chars max!")],
+        "doc_id long, text string",
+    )
+    spans = _exact_substr_spans_df(docs)
+    assert spans.columns == ["doc_id", "span_start", "span_len"]
+    assert spans.count() == 0
+
+    land = tmp_path / "short"
+    docs.write.parquet(str(land / "documents.parquet"))
+    qs = all_queries()
+    strip = {
+        r["doc_id"]: (r["text_clean"], r["chars_removed"])
+        for r in qs["x_exact_substr_strip"].fn(spark, str(land)).collect()
+    }
+    assert strip == {1: ("tiny", 0), 2: ("", 0), 3: ("nineteen chars max!", 0)}
+    stats = qs["x_exact_substr_stats"].fn(spark, str(land)).collect()
+    assert len(stats) == 3
+    assert all(r["keep"] and r["dup_frac"] == 0.0 for r in stats)
+
+
+def test_exact_substr_dup_frac_bounded(spark, sf_dir):
+    """Disjoint spans make dup_frac a true fraction: <= 1.0 everywhere
+    (the pre-fix overlapping-span sum could exceed 1)."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.queries import all_queries
+
+    stats = all_queries()["x_exact_substr_stats"].fn(spark, sf_dir)
+    assert stats.filter(F.col("dup_frac") > 1.0).count() == 0
