@@ -127,6 +127,18 @@ def jaccard_prefix_join(
 
     Input shingles must be array<long> (pre-hashed). Output:
     (id_a, id_b, jaccard_sim double, *block_cols) with id_a < id_b.
+
+    Cache lifetime: `base` (the sorted-shingle map) is persisted here
+    because it feeds four concurrent attach points of one job, and the
+    CALLER owns its release — the returned frame is lazy, so this
+    function cannot know when the last downstream materialization
+    happens. Unpersist by plan identity
+    (`spark.catalog.clearCache()` or re-persist/unpersist of the same
+    logical plan) once the pairs are materialized; same contract as
+    incremental_minhash_pairs. Repeat invocations with identical
+    inputs re-hit the one cached plan (CacheManager matches on the
+    analyzed plan), so the steady-state footprint is one shingle map
+    per distinct corpus, not per call.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     blocks = [F.col(c) for c in block_cols]
@@ -222,6 +234,11 @@ def containment_prefix_join(
     directed (A contained in B); mutual near-equality yields both
     directions. Same verify shape as jaccard_prefix_join: candidates
     repartitioned by pair before the O(|A|+|B|) intersect.
+
+    Cache lifetime: as in jaccard_prefix_join, `base` is persisted for
+    the multi-attach fan-out and the CALLER owns its release (the
+    returned frame is lazy); identical re-invocations share the one
+    cached plan via CacheManager plan-identity matching.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     base = (
@@ -273,19 +290,19 @@ def containment_prefix_join(
             "__id_b",
         )
         .withColumn(
-            "containment",
-            F.round(
-                F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
-                / F.size("__sh_a"),
-                6,
-            ),
+            "__c_raw",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+            / F.size("__sh_a"),
         )
-        .filter(F.col("containment") >= threshold)
+        # Threshold on the RAW ratio (like jaccard_prefix_join) so the
+        # boundary matches an exact-arithmetic oracle; rounding is
+        # presentation-only, applied in the output projection below.
+        .filter(F.col("__c_raw") >= threshold)
     )
     return verify.select(
         F.col("__id_a").alias("id_a"),
         F.col("__id_b").alias("id_b"),
-        "containment",
+        F.round(F.col("__c_raw"), 6).alias("containment"),
         *block_cols,
     )
 

@@ -3518,8 +3518,9 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token heavy hitters via a count-min sketch, certified
     against exact counts IN THE SAME PLAN (the a5_approx_distinct
     pattern): output carries the exact count plus a Spark-computed
-    `cms_within_bound` boolean asserting the CMS guarantee
-    exact <= est <= exact + ceil(e/w * N), so the DuckDB oracle (exact
+    `cms_within_bound` boolean asserting the (probabilistic — see
+    below) CMS bound exact <= est <= exact + 2*ceil(e/w * N), so the
+    DuckDB oracle (exact
     top-20 + literal TRUE) hash-checks the whole row while the sketch
     path stays load-bearing — a broken estimate flips the boolean and
     fails the hash.
@@ -3531,10 +3532,19 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions/days (counts add), which is the whole point at 100 TB:
     the exact per-token groupBy here is the certification arm only; at
     scale you keep the 20k-row table, probe any token in O(d), and union
-    daily tables by summing. The bound check is deterministic (fixed
-    hash seeds), so the certification cannot flip across runs; e/w ~
-    6.6e-4 makes the slack generous at any N while still catastrophic-
-    failure-tight (a collision-swamped row would overshoot it).
+    daily tables by summing.
+
+    Bound semantics — PROBABILISTIC, frozen-corpus-verified: the CMS
+    error bound est <= exact + e/w*N holds with probability >= 1-e^-d
+    per probe (Markov over d independent rows), not surely; a correctly
+    functioning sketch can legitimately exceed it on some corpus. The
+    certification therefore allows 2x that slack (>= 2 sigma of
+    headroom beyond the expected-collision mass e/w*N ~ N*6.6e-4 per
+    row-min), and with fixed hash seeds the check is deterministic PER
+    CORPUS — verified on the frozen test corpora, and loose enough
+    that only a catastrophic failure (collision-swamped row, broken
+    merge) flips it. It is a regression tripwire, not a universal
+    guarantee.
     """
     import math
 
@@ -3559,8 +3569,8 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = cms_estimate(cms, top, "tok", _CMS_D, _CMS_W)
     slack = F.greatest(
-        F.lit(1).cast("bigint"),
-        F.ceil(F.lit(math.e / _CMS_W) * F.col("n_total")).cast("bigint"),
+        F.lit(2).cast("bigint"),
+        F.lit(2) * F.ceil(F.lit(math.e / _CMS_W) * F.col("n_total")).cast("bigint"),
     )
     return (
         est.crossJoin(F.broadcast(n_total))

@@ -292,7 +292,12 @@ class StreamingExactSubstr(_PointerSink):
     duplicates text from an earlier one, the earlier document's spans
     are recomputed and re-emitted, so the stream-end state equals the
     one-shot batch operator (queries/textdata._exact_substr_spans_df)
-    exactly, not just one-directionally.
+    bidirectionally — equal MODULO ~2^-128 hash-pair collisions: this
+    index confirms duplicate grams by their 128-bit seeded-xxhash64
+    pair, while the batch twin string-confirms survivors, so a
+    colliding gram pair (probability ~n^2/2^128, negligible at any
+    corpus size but not zero) could diverge the two. The batch twin
+    remains the exact arm of record.
 
     State: `index/` holds one row per k-gram start position —
     (batch_id, doc_id, i, h1, h2) where (h1, h2) is a 128-bit seeded
