@@ -103,6 +103,8 @@ HEADLINE = [
     "x_bloom_decontaminate",
     "dd_containment",
     "x_exact_substr_token_spans",
+    # round-5 additions (outside the frozen r01-comparable subtotal)
+    "x_exact_substr_spans_stride",
 ]
 
 

@@ -126,12 +126,94 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+# Driver-side merge-loop gate: when the distinct-word vocabulary fits
+# this many rows, collect the (word, cnt) histogram ONCE and run the
+# merge loop in driver Python — identical merges (pinned by
+# tests/test_bpe.py::test_driver_and_distributed_paths_agree), zero
+# per-merge Spark jobs. Budget: a (word, cnt) row is ~60 bytes of
+# driver memory (avg word ~10 chars + long + list overhead), so 2M rows
+# is ~120MB transient plus the symbol lists (~3x) — comfortably inside
+# a multi-GB driver, the same posture as graph.py's
+# SMALL_GRAPH_PAIR_LIMIT. Vocabulary grows ~log with corpus size
+# (Heaps' law): even 100TB corpora land in the 10-100M range, so real
+# deployments raise the limit with driver RAM or keep the distributed
+# path; the GATE is what makes 24 merges cost ~1 vocab aggregation
+# instead of 24 jobs on every corpus that fits.
+SMALL_VOCAB_LIMIT = 2_000_000
+
+
+def _apply_merge_py(syms: list[str], left: str, right: str) -> list[str]:
+    """The reference merge scan (left-to-right, non-overlapping,
+    i += 2 after a merge) — shared by the driver trainer and the
+    encode kernel so all paths merge identically."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_bpe_driver(
+    word_counts: list[tuple[str, int]], num_merges: int, min_pair_count: int
+) -> list[dict]:
+    """Driver-Python merge loop over a collected (word, cnt) histogram.
+
+    Semantics identical to the distributed loop by construction: initial
+    symbols are codepoints with END_OF_WORD glued to the last one
+    (list(word) iterates codepoints, matching F.substring's codepoint
+    indexing); pair counts are adjacent-with-multiplicity weighted by
+    word frequency; the argmax tie-breaks on (count DESC, left ASC,
+    right ASC) — Python's codepoint string order equals Spark's UTF-8
+    binary order because UTF-8 is order-preserving; the merge scan is
+    _apply_merge_py, the same scan merge_pair folds.
+    """
+    vocab = [
+        ([*word[:-1], word[-1] + END_OF_WORD], cnt)
+        for word, cnt in word_counts
+        if word
+    ]
+    merges: list[dict] = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append(
+            {
+                "rank": rank,
+                "left": left,
+                "right": right,
+                "merged": left + right,
+                "pair_count": int(cnt),
+            }
+        )
+        vocab = [
+            (_apply_merge_py(syms, left, right) if left in syms else syms, c)
+            for syms, c in vocab
+        ]
+    return merges
+
+
 def train_bpe(
     docs_text: DataFrame,
     num_merges: int,
     text_col: str = "text",
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
+    small_vocab_limit: int | None = SMALL_VOCAB_LIMIT,
 ) -> list[dict]:
     """Learn up to ``num_merges`` BPE merges from a text column.
 
@@ -143,12 +225,27 @@ def train_bpe(
     engines and partitionings. Stops early when no pair reaches
     ``min_pair_count`` (merging singletons is pure overfit).
 
-    Driver-loop cost: one vocab-table aggregation + a 1-row collect
-    per round — num_merges jobs over the (small) word table, never
-    the corpus. localCheckpoint every ``checkpoint_every`` rounds
-    bounds the fold-expression lineage depth.
+    Two execution tiers (the graph.py small-graph pattern):
+
+    - vocab rows <= ``small_vocab_limit``: ONE corpus pass builds the
+      word histogram, one count + one collect, and the merge loop runs
+      in driver Python (_train_bpe_driver) — identical merge sequence,
+      ~2 Spark jobs total instead of one per merge. This is the fix
+      for the real-vocab-size cost problem: a 32k-merge tokenizer must
+      not be 32k Spark jobs when the vocabulary (corpus-VOCABULARY-
+      sized, Heaps' law) fits the documented driver budget.
+    - above the gate (or ``small_vocab_limit=None``/0): the fully
+      distributed loop — one vocab-table pair aggregation + a 1-row
+      collect per round, never touching the corpus again;
+      localCheckpoint every ``checkpoint_every`` rounds bounds the
+      fold-expression lineage depth.
     """
     vocab = build_word_vocab(docs_text, text_col).localCheckpoint(eager=True)
+    if small_vocab_limit and vocab.count() <= small_vocab_limit:
+        rows = vocab.select("word", "cnt").collect()
+        return _train_bpe_driver(
+            [(r["word"], r["cnt"]) for r in rows], num_merges, min_pair_count
+        )
     merges: list[dict] = []
     for rank in range(1, num_merges + 1):
         top = (
@@ -201,16 +298,7 @@ def _encode_word_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
     syms = list(word)
     syms[-1] = syms[-1] + END_OF_WORD
     for left, right in merges:
-        out: list[str] = []
-        i = 0
-        while i < len(syms):
-            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                out.append(left + right)
-                i += 2
-            else:
-                out.append(syms[i])
-                i += 1
-        syms = out
+        syms = _apply_merge_py(syms, left, right)
     return syms
 
 

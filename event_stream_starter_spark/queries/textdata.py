@@ -3323,7 +3323,7 @@ def x_split_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_K = 20  # minimum duplicated-substring length, in characters
 
 
-def _exact_substr_spans_df(docs: DataFrame) -> DataFrame:
+def _exact_substr_spans_df(docs: DataFrame, stride: int = 1) -> DataFrame:
     """All maximal duplicated spans of length >= _SUBSTR_K across the
     corpus, as (doc_id, span_start, span_len). Two-phase exact:
 
@@ -3351,18 +3351,38 @@ def _exact_substr_spans_df(docs: DataFrame) -> DataFrame:
     non-suffix-array formulation pays, minimized to 8-byte keys with
     combiner-friendly counts; phase 2 and the span merge are sized by
     duplicated content only. Knobs at real scale: token-level grams
-    (~5x fewer positions than chars) and stride-s position sampling
-    (detects spans >= k+s-1, divides phase-1 volume by s).
+    (~5x fewer positions than chars — x_exact_substr_token_spans) and
+    stride-s position sampling (this function's `stride` argument,
+    registered as x_exact_substr_spans_stride).
+
+    stride > 1 restricts the position lattice to i == 1 (mod stride):
+    explode volume, hash volume AND the phase-1 shuffle all divide by
+    s. The operator stays EXACT over the sampled lattice (hash
+    prefilter is still a superset, survivors still string-confirm, the
+    same gaps-and-islands merge applies — consecutive covered sampled
+    starts are s <= k apart, so contiguous duplicated regions still
+    merge into one island). As a detector of TRUE duplicated spans it
+    is a sampling of the exact arm: every emitted span is contained in
+    an exact span (sampled-gram counts never exceed full counts — see
+    x_exact_substr_stride_cert for the in-plan proof); duplicate pairs
+    whose occurrences share alignment mod s and have length >= k+s-1
+    are always caught (each occurrence's start window spans >= s
+    consecutive positions, so the SAME lattice-sampled gram appears in
+    both); unaligned pairs are caught when any shared gram lands on
+    both occurrences' lattices; and realized recall on a given corpus
+    is what the cert query measures against the exact arm. This is
+    the affordability lever Lee et al. 2022 reach for suffix arrays to
+    get: s=4 cuts the dominant corpus-sized shuffle 4x.
     """
+    stop = F.length("text") - F.lit(_SUBSTR_K - 1)
+    seq = (
+        F.sequence(F.lit(1), stop)
+        if stride == 1
+        else F.sequence(F.lit(1), stop, F.lit(stride))
+    )
     pos = (
         docs.filter(F.length("text") >= _SUBSTR_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("text") - F.lit(_SUBSTR_K - 1))
-            ).alias("i"),
-            "text",
-        )
+        .select("doc_id", F.explode(seq).alias("i"), "text")
         .select(
             "doc_id", "i", F.expr(f"substring(text, i, {_SUBSTR_K})").alias("gram")
         )
@@ -3395,37 +3415,46 @@ def _exact_substr_spans_df(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "span_start", "span_len")
 
 
-_SUBSTR_SPANS_DUCK = f"""
-    WITH ipos AS (
+def _substr_spans_ctes(stride: int = 1, sfx: str = "") -> str:
+    """DuckDB CTE chain ending in spans{sfx}(doc_id, span_start,
+    span_len) — WITHOUT the leading WITH, so two chains (e.g. exact +
+    stride) compose in one statement. stride > 1 restricts the position
+    lattice to i == 1 (mod stride) via a range() step, mirroring the
+    `stride` argument of _exact_substr_spans_df."""
+    step = f", {stride}" if stride != 1 else ""
+    return f"""ipos{sfx} AS (
         SELECT doc_id, text,
-               unnest(range(1, CAST(length(text) AS BIGINT) - {_SUBSTR_K - 2})) AS i
+               unnest(range(1, CAST(length(text) AS BIGINT) - {_SUBSTR_K - 2}{step})) AS i
         FROM documents
         WHERE length(text) >= {_SUBSTR_K}
-    ), pos AS (
+    ), pos{sfx} AS (
         SELECT doc_id, i,
                substring(text, CAST(i AS INTEGER), {_SUBSTR_K}) AS gram
-        FROM ipos
-    ), dup AS (
+        FROM ipos{sfx}
+    ), dup{sfx} AS (
         SELECT doc_id, i FROM (
-            SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS c FROM pos
+            SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS c FROM pos{sfx}
         ) WHERE c >= 2
-    ), brks AS (
+    ), brks{sfx} AS (
         SELECT doc_id, i,
                CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
                          <= {_SUBSTR_K}
                     THEN 0 ELSE 1 END AS brk
-        FROM dup
-    ), runs AS (
+        FROM dup{sfx}
+    ), runs{sfx} AS (
         SELECT doc_id, i,
                SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
                               ROWS UNBOUNDED PRECEDING) AS run
-        FROM brks
-    ), spans AS (
+        FROM brks{sfx}
+    ), spans{sfx} AS (
         SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
                CAST(max(i) - min(i) + {_SUBSTR_K} AS BIGINT) AS span_len
-        FROM runs GROUP BY doc_id, run
+        FROM runs{sfx} GROUP BY doc_id, run
     )
 """
+
+
+_SUBSTR_SPANS_DUCK = "\n    WITH " + _substr_spans_ctes()
 
 
 @query(
@@ -4163,3 +4192,116 @@ def x_exact_substr_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("i").cast("bigint").alias("tok_start"),
         (F.max("i") - F.min("i") + F.lit(k)).cast("bigint").alias("tok_len"),
     ).select("doc_id", "tok_start", "tok_len")
+
+
+_SUBSTR_STRIDE = 4  # position-lattice sampling step for the stride variant
+
+
+@query(
+    "x_exact_substr_spans_stride",
+    "WITH " + _substr_spans_ctes(_SUBSTR_STRIDE)
+    + "SELECT doc_id, span_start, span_len FROM spans",
+    survey_ids=(
+        "training-pipeline 100TB path: stride-sampled ExactSubstr — the "
+        "second declared volume knob of x_exact_substr_spans made real "
+        "(position lattice i==1 mod s; explode, hash and the dominant "
+        "phase-1 shuffle all divide by s)"
+    ),
+)
+def x_exact_substr_spans_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-s twin of x_exact_substr_spans (s=4): the same two-phase
+    hash-prefilter machinery over the i == 1 (mod s) position lattice.
+    See _exact_substr_spans_df's stride notes for exactly what is and
+    is not guaranteed; x_exact_substr_stride_cert certifies span
+    containment (a theorem) and measures realized recall against the
+    exact arm. The oracle is _substr_spans_ctes with a range() step —
+    the identical SQL shape as the exact oracle, so the hash gate
+    checks the sampled operator's full output, not a summary."""
+    return _exact_substr_spans_df(
+        load_table(spark, sf_dir, "documents"), stride=_SUBSTR_STRIDE
+    )
+
+
+@query(
+    "x_exact_substr_stride_cert",
+    "WITH " + _substr_spans_ctes() + ", " + _substr_spans_ctes(_SUBSTR_STRIDE, "_s")
+    + """
+    , ed AS (
+        SELECT doc_id, sum(span_len) AS exact_dup_chars
+        FROM spans GROUP BY doc_id
+    ), sd AS (
+        SELECT doc_id, sum(span_len) AS stride_dup_chars
+        FROM spans_s GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(ed.exact_dup_chars, 0) AS BIGINT) AS exact_dup_chars,
+           CAST(coalesce(sd.stride_dup_chars, 0) AS BIGINT) AS stride_dup_chars,
+           TRUE AS contained_in_exact
+    FROM documents d
+    LEFT JOIN ed ON ed.doc_id = d.doc_id
+    LEFT JOIN sd ON sd.doc_id = d.doc_id
+    """,
+    survey_ids=(
+        "training-pipeline: agreement certification of the stride-sampled "
+        "ExactSubstr vs the exact arm (a5 pattern) — per-doc recall "
+        "observable, span containment certified in-plan"
+    ),
+)
+def x_exact_substr_stride_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the stride variant against the exact arm, per document:
+
+    - exact_dup_chars / stride_dup_chars: duplicated-character budgets
+      from each arm (spans are disjoint in both, so sums are true
+      budgets) — BOTH value-checked against a DuckDB oracle that
+      recomputes both span sets, so the stride arm's whole output is
+      re-derived independently, and realized recall
+      (stride/exact) is directly observable per doc and corpus-wide.
+    - contained_in_exact: Spark-computed `forall(stride spans, exists
+      exact span containing it)`; oracle side is literal TRUE because
+      containment is a THEOREM — a stride-covered position's gram is
+      duplicated among sampled grams, hence corpus-wide, hence
+      exact-covered, and island merging over a position superset with
+      the same gap rule only extends intervals. A violation means the
+      implementation (not the sampling) broke, flipping the boolean
+      and failing the hash gate.
+
+    Scale shape: both arms' span outputs are duplicated-content-sized;
+    the per-doc span arrays are doc-bounded, the containment check is a
+    higher-order forall/exists over those arrays (no join explosion),
+    and the only corpus-sized input is the shared documents scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ex = _exact_substr_spans_df(docs)
+    st = _exact_substr_spans_df(docs, stride=_SUBSTR_STRIDE)
+    span_arr = F.array_sort(F.collect_list(F.struct("span_start", "span_len")))
+    earr = ex.groupBy("doc_id").agg(span_arr.alias("e"))
+    sarr = st.groupBy("doc_id").agg(span_arr.alias("s"))
+    empty = F.expr("array()").cast(
+        "array<struct<span_start:bigint,span_len:bigint>>"
+    )
+    j = (
+        docs.select("doc_id")
+        .join(earr, "doc_id", "left")
+        .join(sarr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("e", empty).alias("e"),
+            F.coalesce("s", empty).alias("s"),
+        )
+    )
+
+    def _sum_len(c: str):
+        return F.expr(
+            f"aggregate({c}, cast(0 as bigint), (acc, x) -> acc + x.span_len)"
+        )
+
+    contained = F.expr(
+        "forall(s, sp -> exists(e, ep -> ep.span_start <= sp.span_start"
+        " and sp.span_start + sp.span_len <= ep.span_start + ep.span_len))"
+    )
+    return j.select(
+        "doc_id",
+        _sum_len("e").alias("exact_dup_chars"),
+        _sum_len("s").alias("stride_dup_chars"),
+        contained.alias("contained_in_exact"),
+    )

@@ -116,7 +116,11 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tests/test_bpe.py: exact merge-SEQUENCE equality against a
     pure-Python Sennrich reference trainer on the same corpus — every
     rank, pair, and count must match, so the distributed pair count,
-    tie-break, and merge application are all load-bearing.
+    tie-break, and merge application are all load-bearing. Below
+    bpe.SMALL_VOCAB_LIMIT the trainer runs its size-gated driver loop
+    (2 jobs total, identical merges — path equality pinned by
+    test_driver_and_distributed_paths_agree); the distributed
+    per-merge loop engages only above the documented driver budget.
     """
     merges = _trained_merges(spark, sf_dir)
     schema = "rank INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT"

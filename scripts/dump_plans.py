@@ -134,6 +134,13 @@ SHOW = [
         "is partitioned per doc_id (bounded by doc length)",
     ),
     (
+        "x_exact_substr_spans_stride",
+        "stride-sampled ExactSubstr: identical two-phase shape to the "
+        "exact arm but the position explode is a stride-4 sequence — "
+        "the 8-byte phase-1 shuffle (the operator's dominant 100TB "
+        "cost) carries 1/4 of the rows; run-merge window still per-doc",
+    ),
+    (
         "x_cms_heavy_hitters",
         "count-min heavy hitters: occurrence explode folds into the "
         "fixed d x w sketch table with one partial-agg shuffle; the "

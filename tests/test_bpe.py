@@ -63,12 +63,26 @@ TINY = [
 
 
 def test_train_matches_python_reference_tiny(spark):
+    # small_vocab_limit=None forces the fully DISTRIBUTED per-merge
+    # loop, keeping it reference-pinned even though the size gate
+    # routes small vocabularies to the driver loop by default.
     df = spark.createDataFrame([(t,) for t in TINY], ["text"])
     got = [
         (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
-        for m in bpe.train_bpe(df, 15)
+        for m in bpe.train_bpe(df, 15, small_vocab_limit=None)
     ]
     assert got == py_train(TINY, 15)
+
+
+def test_driver_and_distributed_paths_agree(spark, sf_dir):
+    """The size-gated driver loop (the default below SMALL_VOCAB_LIMIT)
+    and the fully distributed per-merge loop must learn the IDENTICAL
+    merge table — every rank, pair, and count."""
+    docs = load_table(spark, sf_dir, "documents").select("text").limit(120)
+    fast = bpe.train_bpe(docs, 12)
+    dist = bpe.train_bpe(docs, 12, small_vocab_limit=None)
+    assert fast == dist
+    assert len(fast) == 12
 
 
 def test_train_matches_python_reference_corpus(spark, sf_dir):

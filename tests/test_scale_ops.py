@@ -120,6 +120,8 @@ def test_results_invariant_to_partition_count(spark, sf_dir):
         # independent (windows have total orders, folds run on sorted
         # per-doc arrays, counts are combiner-associative).
         "x_exact_substr_spans",
+        "x_exact_substr_spans_stride",
+        "x_exact_substr_stride_cert",
         "x_exact_substr_strip",
         "x_weighted_sample",
         "dd_containment",
