@@ -105,6 +105,9 @@ HEADLINE = [
     "x_exact_substr_token_spans",
     # round-5 additions (outside the frozen r01-comparable subtotal)
     "x_exact_substr_spans_stride",
+    "x_hybrid_rrf_batch",
+    "x_pack_bucketed",
+    "x_decontaminate_strip",
 ]
 
 

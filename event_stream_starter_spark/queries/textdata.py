@@ -710,6 +710,170 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_decontaminate_strip",
+    f"""
+    WITH g AS (
+        SELECT doc_id, source, {_shingle_duck_n(_DECON_N)} AS g
+        FROM documents
+    ), ev AS (
+        SELECT DISTINCT unnest(g) AS gram FROM g WHERE source = '{_EVAL_SRC}'
+    ), tt AS (
+        SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+        WHERE source <> '{_EVAL_SRC}'
+    ), pos AS (
+        SELECT doc_id, i,
+               array_to_string(list_slice(toks, CAST(i AS INTEGER),
+                               CAST(i + {_DECON_N - 1} AS INTEGER)), ' ') AS gram
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, CAST(len(toks) AS BIGINT)
+                                     - {_DECON_N - 2})) AS i
+              FROM tt WHERE len(toks) >= {_DECON_N})
+    ), cov AS (
+        SELECT p.doc_id, p.i FROM pos p JOIN ev e ON p.gram = e.gram
+    ), brks AS (
+        SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         <= {_DECON_N}
+                    THEN 0 ELSE 1 END AS brk
+        FROM cov
+    ), runs AS (
+        SELECT doc_id, i,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS run
+        FROM brks
+    ), spans AS (
+        SELECT doc_id, CAST(min(i) AS BIGINT) AS s,
+               CAST(max(i) - min(i) + {_DECON_N} AS BIGINT) AS l
+        FROM runs GROUP BY doc_id, run
+    ), idx AS (
+        SELECT doc_id, toks, unnest(range(1, CAST(len(toks) AS BIGINT) + 1)) AS j
+        FROM tt
+    ), cpos AS (
+        SELECT doc_id, unnest(range(s, s + l)) AS j FROM spans
+    ), kept AS (
+        SELECT i.doc_id, i.j, i.toks[CAST(i.j AS INTEGER)] AS tok
+        FROM idx i ANTI JOIN cpos c ON c.doc_id = i.doc_id AND c.j = i.j
+    ), agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text_clean
+        FROM kept GROUP BY doc_id
+    ), rem AS (
+        SELECT doc_id, SUM(l) AS toks_removed, COUNT(*) AS n_spans
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           CAST(coalesce(r.toks_removed, 0) AS BIGINT) AS toks_removed,
+           CAST(coalesce(r.n_spans, 0) AS BIGINT) AS n_spans
+    FROM tt t
+    LEFT JOIN agg a ON a.doc_id = t.doc_id
+    LEFT JOIN rem r ON r.doc_id = t.doc_id
+    """,
+    survey_ids=(
+        "training-pipeline: contamination-aware span STRIPPING — the "
+        "eval-colliding 13-gram islands are cut out of training docs "
+        "(the C4/RealNews deployed behavior) instead of dropping whole "
+        "documents; ExactSubstr span-merge machinery composed with the "
+        "x_decontaminate gram probe"
+    ),
+)
+def x_decontaminate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove the CONTAMINATED SPANS, keep the document: every training
+    token position whose 13-gram appears in the eval corpus is covered;
+    covered positions merge into islands (the ExactSubstr
+    gaps-and-islands rule in token space, gap = 13) and the islands are
+    cut, the doc reassembled from the surviving tokens — what C4 /
+    RealNews-style pipelines deploy, since dropping a whole book for
+    one quoted benchmark paragraph wastes data (x_decontaminate's
+    doc-level verdict remains the audit view).
+
+    Output per train doc: text_clean (surviving tokens of the
+    normalized token stream, space-joined — the representation the
+    gram law itself is defined on), toks_removed, n_spans. Spans
+    require true 13-token gram collisions, so sub-13-token docs are
+    never stripped. Full oracle: the identical gaps-and-islands SQL
+    plus an anti-join reassembly.
+
+    Scale shape: x_decontaminate's exactly — eval grams collapse to a
+    broadcast DISTINCT set, the corpus is scanned once map-side, and
+    only HIT positions (rare) reach the shuffle/window; the span merge
+    and the strip fold are per-doc bounded (the _strip_text pattern on
+    token arrays). No corpus-sized shuffle anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", "source", token_shingles(F.col("text"), _DECON_N).alias("g")
+    )
+    ev = (
+        g.filter(F.col("source") == _EVAL_SRC)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    tt = docs.filter(F.col("source") != _EVAL_SRC).select(
+        "doc_id", textan.tokens(F.col("text")).alias("toks")
+    )
+    pos = (
+        tt.filter(F.size("toks") >= _DECON_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(_DECON_N - 1))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.expr(f"concat_ws(' ', slice(toks, i, {_DECON_N}))").alias("gram"),
+        )
+    )
+    cov = pos.join(F.broadcast(ev), "gram", "left_semi").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(
+        F.col("i") - F.lag("i").over(w) <= _DECON_N, F.lit(0)
+    ).otherwise(F.lit(1))
+    runs = cov.withColumn("brk", brk).withColumn(
+        "run", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = runs.groupBy("doc_id", "run").agg(
+        F.min("i").cast("bigint").alias("s"),
+        (F.max("i") - F.min("i") + F.lit(_DECON_N)).cast("bigint").alias("l"),
+    )
+    arr = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "l"))).alias("spans")
+    )
+    empty = F.expr("array()").cast("array<struct<s:bigint,l:bigint>>")
+    joined = tt.join(arr, "doc_id", "left").select(
+        "doc_id", "toks", F.coalesce(F.col("spans"), empty).alias("spans")
+    )
+    kept = F.expr(
+        """
+        aggregate(
+            spans,
+            named_struct('out', cast(array() as array<string>),
+                         'cur', cast(1 as bigint)),
+            (acc, sp) -> named_struct(
+                'out', concat(acc.out,
+                              slice(toks, cast(acc.cur as int),
+                                    cast(sp.s - acc.cur as int))),
+                'cur', sp.s + sp.l),
+            acc -> concat(acc.out,
+                          slice(toks, cast(acc.cur as int),
+                                greatest(0, cast(size(toks) - acc.cur + 1
+                                                 as int))))
+        )
+        """
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.expr(
+            "aggregate(spans, cast(0 as bigint), (acc, sp) -> acc + sp.l)"
+        ).alias("toks_removed"),
+        F.size("spans").cast("bigint").alias("n_spans"),
+    )
+
+
+@query(
     "x_ngram_topk",
     f"""
     WITH t AS (
@@ -1315,6 +1479,183 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"(cum_prev + greatest(ntok, 1) - 1) div {_PACK_BUDGET}"
         ).alias("seq_end"),
+    )
+
+
+# Length-bucketed batching: the padding-world alternative to
+# concat-then-chunk. Docs are padded (never split), but to their
+# LENGTH BUCKET's boundary instead of the max context — the standard
+# waste-reducing move x_padding_waste only *measured* until now.
+_PACK_BUCKETS_DUCK = f"""t AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS_DUCK}) END AS ntok
+        FROM documents
+    ), b AS (
+        SELECT doc_id, source,
+               least(CAST(ntok AS BIGINT), 512) AS eff_tok,
+               CAST(CASE WHEN ntok <= 64 THEN 64
+                    WHEN ntok <= 128 THEN 128
+                    WHEN ntok <= 256 THEN 256
+                    ELSE 512 END AS BIGINT) AS bucket
+        FROM t
+    )"""
+
+
+def _bucketed_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, eff_tok, bucket) — shared by the bucketed-pack
+    assignment and its waste cert; the Spark twin of _PACK_BUCKETS_DUCK
+    and the same bucketing law as x_padding_waste."""
+    ntok = (
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(textan.tokens(F.col("text"))))
+        .cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.least(ntok, F.lit(512)).alias("eff_tok"),
+        F.when(ntok <= 64, 64)
+        .when(ntok <= 128, 128)
+        .when(ntok <= 256, 256)
+        .otherwise(512)
+        .cast("long")
+        .alias("bucket"),
+    )
+
+
+@query(
+    "x_pack_bucketed",
+    f"""
+    WITH {_PACK_BUCKETS_DUCK}, r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source, bucket
+                                     ORDER BY doc_id) AS rn
+        FROM b
+    )
+    SELECT doc_id, source, eff_tok, bucket,
+           CAST((rn - 1) // ({_PACK_BUDGET} // bucket) AS BIGINT) AS batch_id,
+           CAST((rn - 1) % ({_PACK_BUDGET} // bucket) AS BIGINT) AS slot,
+           bucket - eff_tok AS padding
+    FROM r
+    """,
+    survey_ids=(
+        "training-pipeline: length-bucketed batch assembly — docs padded "
+        "to their {64,128,256,512} bucket boundary and batched within "
+        "(source, bucket) at a fixed 512-token compute budget per batch "
+        "(8/4/2/1 rows), the padding-world alternative to "
+        "x_pack_sequences' concat-then-chunk"
+    ),
+)
+def x_pack_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bucketed-batch assignment: each doc joins batch
+    ``batch_id`` at slot ``slot`` inside its (source, length-bucket)
+    group, deterministic doc_id order. Every batch costs exactly
+    PACK_BUDGET=512 tokens of padded compute (bucket * rows_per_batch,
+    rows_per_batch = 512 // bucket), so the data loader sees uniform
+    step cost while short docs stop paying max-context padding —
+    sum(padding) here vs pad-to-512 is certified by
+    x_pack_bucketed_waste_cert. Docs are padded, never split
+    (batch_id/slot, vs x_pack_sequences' seq_id/seq_offset/seq_end
+    straddles). Integer arithmetic throughout: bit-reproducible.
+
+    Scale shape: one shuffle keyed by (source, bucket), a row_number
+    window inside each group — the same distributed-prefix posture as
+    x_pack_sequences, with the same skew remedy (salt a mega group by
+    doc_id range, re-base rn by the bucket's global prefix counts).
+    """
+    r = _bucketed_docs(load_table(spark, sf_dir, "documents")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source", "bucket").orderBy("doc_id")
+        ),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "eff_tok",
+        "bucket",
+        F.expr(f"(rn - 1) div ({_PACK_BUDGET} div bucket)")
+        .cast("bigint")
+        .alias("batch_id"),
+        F.expr(f"(rn - 1) % ({_PACK_BUDGET} div bucket)")
+        .cast("bigint")
+        .alias("slot"),
+        (F.col("bucket") - F.col("eff_tok")).alias("padding"),
+    )
+
+
+@query(
+    "x_pack_bucketed_waste_cert",
+    f"""
+    WITH {_PACK_BUCKETS_DUCK}, g AS (
+        SELECT source, bucket, COUNT(*) AS n_docs,
+               SUM(eff_tok) AS sum_tokens,
+               SUM(bucket - eff_tok) AS sum_padding,
+               SUM(512 - eff_tok) AS sum_padding_greedy
+        FROM b GROUP BY source, bucket
+    )
+    SELECT source, bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((n_docs + ({_PACK_BUDGET} // bucket) - 1)
+                // ({_PACK_BUDGET} // bucket) AS BIGINT) AS n_batches,
+           CAST(sum_tokens AS BIGINT) AS sum_tokens,
+           CAST(sum_padding AS BIGINT) AS sum_padding,
+           CAST(sum_padding_greedy AS BIGINT) AS sum_padding_greedy,
+           ROUND(CAST(sum_padding AS DOUBLE) / (n_docs * bucket), 6)
+               AS waste_frac,
+           TRUE AS waste_le_greedy
+    FROM g
+    """,
+    survey_ids=(
+        "training-pipeline: bucketed-batching waste certification (a5 "
+        "pattern) — per-(source,bucket) padding rollup vs pad-to-max, "
+        "padding_waste(bucketed) <= padding_waste(greedy) certified "
+        "in-plan"
+    ),
+)
+def x_pack_bucketed_waste_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The waste-reduction receipt for x_pack_bucketed: per
+    (source, bucket), both exact padding rollups — bucketed
+    (pad to bucket) and greedy (pad every doc to the 512 max) — plus
+    batch counts and the in-plan boolean
+    ``sum_padding <= sum_padding_greedy``. The oracle recomputes every
+    rollup and states the boolean as literal TRUE (it is a theorem:
+    bucket <= 512 pointwise), so a bucketing/aggregation bug flips the
+    hash. Padding counts occupied slots only (a short final batch runs
+    smaller, it doesn't pad phantom rows). One scan, one small groupBy
+    — no window; the cert adds nothing to the assignment op's cost.
+    """
+    g = (
+        _bucketed_docs(load_table(spark, sf_dir, "documents"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("eff_tok").alias("sum_tokens"),
+            F.sum(F.col("bucket") - F.col("eff_tok")).alias("sum_padding"),
+            F.sum(F.lit(512) - F.col("eff_tok")).alias("sum_padding_greedy"),
+        )
+    )
+    return g.select(
+        "source",
+        "bucket",
+        "n_docs",
+        F.expr(
+            f"(n_docs + ({_PACK_BUDGET} div bucket) - 1)"
+            f" div ({_PACK_BUDGET} div bucket)"
+        )
+        .cast("bigint")
+        .alias("n_batches"),
+        F.col("sum_tokens").cast("bigint").alias("sum_tokens"),
+        F.col("sum_padding").cast("bigint").alias("sum_padding"),
+        F.col("sum_padding_greedy").cast("bigint").alias("sum_padding_greedy"),
+        F.round(
+            F.col("sum_padding").cast("double")
+            / (F.col("n_docs") * F.col("bucket")),
+            6,
+        ).alias("waste_frac"),
+        (F.col("sum_padding") <= F.col("sum_padding_greedy")).alias(
+            "waste_le_greedy"
+        ),
     )
 
 

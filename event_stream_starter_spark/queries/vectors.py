@@ -14,6 +14,7 @@ from ..operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
+    ivf_assign,
     ivf_topk,
     kmeans_centroids,
     lsh_topk,
@@ -336,6 +337,129 @@ def ann_ivf_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id_q",
         "kth_exact_cos",
         (F.col("recall") >= 0.8).alias("recall_certified"),
+    )
+
+
+_FROZEN_CENTROIDS: dict[str, list[list[float]]] = {}
+
+
+def _frozen_half_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Stand-in for a streaming index's t0-frozen quantizer: k-means fit
+    on the corpus PREFIX (vec_id < n/2 — the first half of the stream),
+    cached per sf_dir like _ivf_centroids. The registered drift cert
+    compares this against the full-corpus fit; the identical query shape
+    pointed at a StreamingIvfIndex/StreamingSemDeDup sidecar centroid
+    file is the production staleness monitor."""
+    if sf_dir not in _FROZEN_CENTROIDS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        half = emb.count() // 2
+        _FROZEN_CENTROIDS[sf_dir] = kmeans_centroids(
+            emb.filter(F.col("vec_id") < half),
+            "embedding",
+            n_clusters=16,
+            iters=2,
+            id_col="vec_id",
+        )
+    return _FROZEN_CENTROIDS[sf_dir]
+
+
+@query(
+    "ann_quantizer_drift_cert",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS assignment_stability_ok,
+           TRUE AS quant_error_ok
+    FROM embeddings
+    """,
+    survey_ids=(
+        "similarity search: quantizer-drift certification for the frozen "
+        "streaming ANN/SemDeDup indexes (a5 pattern) — pairwise "
+        "co-assignment Rand index and quantization-error inflation of "
+        "the t0-frozen quantizer vs a fresh full-corpus k-means, "
+        "certified in-plan with a documented re-index threshold"
+    ),
+)
+def ann_quantizer_drift_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Makes streaming-index staleness OBSERVABLE instead of assumed:
+    StreamingIvfIndex and StreamingSemDeDup freeze their coarse
+    quantizer at t0 (the frozen-quantizer restart contract); this cert
+    measures, wholly in-plan, how far that frozen model has drifted
+    from what a fresh fit on the CURRENT corpus would produce, and
+    certifies two bounds (the a5 pattern — oracle = n_vecs + literal
+    TRUEs, so a drift regression flips a boolean and fails the hash):
+
+    - assignment_stability_ok: pairwise co-assignment agreement (Rand
+      index) between the frozen-quantizer clustering and the fresh one
+      >= 0.8. Label-alignment-free: computed from the 16x16 assignment
+      contingency table as 1 - [(Σrow² + Σcol²)/2 - Σcell²] / C(n,2),
+      so it never needs to match cluster ids across the two models.
+    - quant_error_ok: mean quantization error (1 - cosine to the
+      nearest centroid) under the frozen model <= 1.10x the fresh
+      model's. THE RE-INDEX THRESHOLD: >10% quantization-error
+      inflation is the documented trigger to re-fit the quantizer and
+      rebuild the inverted lists (both indexes carry frozen-model
+      sidecars precisely so this swap is an offline rebuild, not a
+      stream restart).
+
+    The frozen model here is fit on the stream prefix (first half by
+    vec_id) — exactly what a t0-frozen index would have seen; at
+    production the same query runs against the index's persisted
+    centroid sidecar. Scale shape: both assignments are map-only
+    against broadcast centroid literals; the contingency table is 256
+    cells; the error means are one aggregate each — nothing bigger
+    than the corpus scan runs anywhere.
+    """
+    from ..operators.similarity import _cluster_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    frozen = _frozen_half_centroids(spark, sf_dir)
+    fresh = _ivf_centroids(spark, sf_dir)
+
+    af = ivf_assign(emb, "vec_id", "embedding", frozen).select(
+        "cid", F.col("cluster").alias("cf")
+    )
+    ag = ivf_assign(emb, "vec_id", "embedding", fresh).select(
+        "cid", F.col("cluster").alias("cg")
+    )
+    cells = af.join(ag, "cid").groupBy("cf", "cg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = cells.agg(
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("scc"),
+        F.sum("c").cast("double").alias("n"),
+    )
+    rows_sq = (
+        cells.groupBy("cf")
+        .agg(F.sum("c").alias("rc"))
+        .agg(F.sum(F.col("rc") * F.col("rc")).cast("double").alias("srow"))
+    )
+    cols_sq = (
+        cells.groupBy("cg")
+        .agg(F.sum("c").alias("cc"))
+        .agg(F.sum(F.col("cc") * F.col("cc")).cast("double").alias("scol"))
+    )
+    err = emb.agg(
+        F.avg(
+            1.0 - F.array_max(_cluster_scores(F.col("embedding"), frozen))
+        ).alias("ef"),
+        F.avg(
+            1.0 - F.array_max(_cluster_scores(F.col("embedding"), fresh))
+        ).alias("eg"),
+    )
+    rand = (
+        F.lit(1.0)
+        - ((F.col("srow") + F.col("scol")) / 2.0 - F.col("scc"))
+        / (F.col("n") * (F.col("n") - 1.0) / 2.0)
+    )
+    return (
+        tot.crossJoin(F.broadcast(rows_sq))
+        .crossJoin(F.broadcast(cols_sq))
+        .crossJoin(F.broadcast(err))
+        .select(
+            F.col("n").cast("bigint").alias("n_vecs"),
+            (rand >= 0.8).alias("assignment_stability_ok"),
+            (F.col("ef") <= 1.10 * F.col("eg")).alias("quant_error_ok"),
+        )
     )
 
 

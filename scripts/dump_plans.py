@@ -134,6 +134,21 @@ SHOW = [
         "is partitioned per doc_id (bounded by doc length)",
     ),
     (
+        "x_decontaminate_strip",
+        "span decontamination: eval grams collapse to a broadcast "
+        "DISTINCT set probed map-side; only HIT positions reach the "
+        "island window (per-doc bounded); the strip is a per-doc "
+        "aggregate fold — no corpus-sized shuffle",
+    ),
+    (
+        "x_hybrid_rrf_batch",
+        "batched hybrid RRF: one corpus scan scores all queries per "
+        "arm (distinct-term / query-vector broadcasts); per-qid top-N "
+        "is two salted bounded windows, never a per-query job or "
+        "corpus-wide single-partition sort; fusion joins two "
+        "<=Q*50-row frames",
+    ),
+    (
         "x_exact_substr_spans_stride",
         "stride-sampled ExactSubstr: identical two-phase shape to the "
         "exact arm but the position explode is a stride-4 sequence — "

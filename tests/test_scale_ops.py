@@ -126,6 +126,12 @@ def test_results_invariant_to_partition_count(spark, sf_dir):
         "x_weighted_sample",
         "dd_containment",
         "x_cms_heavy_hitters",
+        # Round-5 families: the salted per-qid two-phase rank, the
+        # token-space island strip fold and the bucketed-batch window
+        # must be partition-count independent.
+        "x_hybrid_rrf_batch",
+        "x_decontaminate_strip",
+        "x_pack_bucketed",
     ]
     specs = all_queries()
     old = spark.conf.get("spark.sql.shuffle.partitions")
