@@ -108,6 +108,10 @@ HEADLINE = [
     "x_hybrid_rrf_batch",
     "x_pack_bucketed",
     "x_decontaminate_strip",
+    "x_exact_substr_spans_cds",
+    "x_temperature_resample",
+    "x_token_budget_alloc",
+    "x_shard_plan",
 ]
 
 

@@ -3664,7 +3664,9 @@ def x_split_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTR_K = 20  # minimum duplicated-substring length, in characters
 
 
-def _exact_substr_spans_df(docs: DataFrame, stride: int = 1) -> DataFrame:
+def _exact_substr_spans_df(
+    docs: DataFrame, stride: int = 1, sample_mod: int | None = None
+) -> DataFrame:
     """All maximal duplicated spans of length >= _SUBSTR_K across the
     corpus, as (doc_id, span_start, span_len). Two-phase exact:
 
@@ -3714,6 +3716,23 @@ def _exact_substr_spans_df(docs: DataFrame, stride: int = 1) -> DataFrame:
     is what the cert query measures against the exact arm. This is
     the affordability lever Lee et al. 2022 reach for suffix arrays to
     get: s=4 cuts the dominant corpus-sized shuffle 4x.
+
+    sample_mod > 1 (mutually composable with stride but used alone by
+    the registered x_exact_substr_spans_cds) keeps only CONTENT-DEFINED
+    sampled grams — those whose md5-derived 32-bit hash is 0 mod s (the
+    winnowing/MOD-p idea; hash chosen for cross-engine replication, see
+    _CDS_PRED_DUCK). Unlike the stride lattice this is
+    ALIGNMENT-INVARIANT: a gram is sampled in EVERY occurrence or none,
+    so sampled-gram duplicate counts equal full counts and
+    covered(cds) = exact-covered ∩ sampled — a true duplicated region
+    of length L is detected whenever ANY of its L-k+1 grams is
+    selected (miss mass ~(1-1/s)^(L-k+1), content-deterministic),
+    with no phase condition at all. Cost profile: map-side explode and
+    hashing still run at full volume (every gram must be hashed to
+    decide selection), but the phase-1 SHUFFLE — the operator's
+    dominant 100 TB cost — carries 1/s of the rows. Stride cuts CPU
+    too but pays the alignment condition; CDS is the knob to prefer
+    when the network, not the scan, is the bottleneck.
     """
     stop = F.length("text") - F.lit(_SUBSTR_K - 1)
     seq = (
@@ -3728,6 +3747,12 @@ def _exact_substr_spans_df(docs: DataFrame, stride: int = 1) -> DataFrame:
             "doc_id", "i", F.expr(f"substring(text, i, {_SUBSTR_K})").alias("gram")
         )
     )
+    if sample_mod and sample_mod > 1:
+        pos = pos.filter(
+            F.expr("conv(substr(md5(gram), 1, 8), 16, 10)").cast("bigint")
+            % sample_mod
+            == 0
+        )
     hashed = pos.withColumn("h", F.xxhash64("gram"))
     cand_h = (
         hashed.groupBy("h")
@@ -3756,13 +3781,25 @@ def _exact_substr_spans_df(docs: DataFrame, stride: int = 1) -> DataFrame:
     ).select("doc_id", "span_start", "span_len")
 
 
-def _substr_spans_ctes(stride: int = 1, sfx: str = "") -> str:
+def _substr_spans_ctes(
+    stride: int = 1, sfx: str = "", sample_pred: str | None = None
+) -> str:
     """DuckDB CTE chain ending in spans{sfx}(doc_id, span_start,
     span_len) — WITHOUT the leading WITH, so two chains (e.g. exact +
     stride) compose in one statement. stride > 1 restricts the position
     lattice to i == 1 (mod stride) via a range() step, mirroring the
-    `stride` argument of _exact_substr_spans_df."""
+    `stride` argument of _exact_substr_spans_df; sample_pred (a SQL
+    predicate over `gram`) restricts to content-defined-sampled grams,
+    mirroring `sample_mod`."""
     step = f", {stride}" if stride != 1 else ""
+    if sample_pred:
+        samp = f""", samp{sfx} AS (
+        SELECT doc_id, i, gram FROM pos{sfx} WHERE {sample_pred}
+    )"""
+        dup_src = f"samp{sfx}"
+    else:
+        samp = ""
+        dup_src = f"pos{sfx}"
     return f"""ipos{sfx} AS (
         SELECT doc_id, text,
                unnest(range(1, CAST(length(text) AS BIGINT) - {_SUBSTR_K - 2}{step})) AS i
@@ -3772,9 +3809,9 @@ def _substr_spans_ctes(stride: int = 1, sfx: str = "") -> str:
         SELECT doc_id, i,
                substring(text, CAST(i AS INTEGER), {_SUBSTR_K}) AS gram
         FROM ipos{sfx}
-    ), dup{sfx} AS (
+    ){samp}, dup{sfx} AS (
         SELECT doc_id, i FROM (
-            SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS c FROM pos{sfx}
+            SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS c FROM {dup_src}
         ) WHERE c >= 2
     ), brks{sfx} AS (
         SELECT doc_id, i,
@@ -4612,11 +4649,26 @@ def x_exact_substr_stride_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the only corpus-sized input is the shared documents scan.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return _substr_sampled_cert_df(
+        docs, _exact_substr_spans_df(docs, stride=_SUBSTR_STRIDE),
+        "stride_dup_chars",
+    )
+
+
+def _substr_sampled_cert_df(
+    docs: DataFrame, sampled: DataFrame, sampled_col: str
+) -> DataFrame:
+    """Shared body of the sampled-ExactSubstr agreement certs (stride +
+    content-defined): per-doc dup-char budgets from the exact arm and
+    the sampled arm, plus the span-containment theorem boolean. See
+    x_exact_substr_stride_cert for the proof sketch; it applies to ANY
+    sampled position subset — both stride lattices and content-defined
+    gram selection produce covered sets that are subsets of the exact
+    covered set, so island merging can only yield contained spans."""
     ex = _exact_substr_spans_df(docs)
-    st = _exact_substr_spans_df(docs, stride=_SUBSTR_STRIDE)
     span_arr = F.array_sort(F.collect_list(F.struct("span_start", "span_len")))
     earr = ex.groupBy("doc_id").agg(span_arr.alias("e"))
-    sarr = st.groupBy("doc_id").agg(span_arr.alias("s"))
+    sarr = sampled.groupBy("doc_id").agg(span_arr.alias("s"))
     empty = F.expr("array()").cast(
         "array<struct<span_start:bigint,span_len:bigint>>"
     )
@@ -4643,6 +4695,486 @@ def x_exact_substr_stride_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "doc_id",
         _sum_len("e").alias("exact_dup_chars"),
-        _sum_len("s").alias("stride_dup_chars"),
+        _sum_len("s").alias(sampled_col),
         contained.alias("contained_in_exact"),
+    )
+
+
+_CDS_MOD = 4  # expected 1-in-4 content-defined gram sampling
+# Cross-engine sampling hash: first 8 md5 hex chars as a 32-bit int —
+# Spark conv(substr(md5(g),1,8),16,10) == DuckDB CAST('0x'||... AS BIGINT)
+# (the repo's deterministic-randomness convention; xxhash64 has no DuckDB
+# twin).
+_CDS_PRED_DUCK = (
+    f"CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) % {_CDS_MOD} = 0"
+)
+
+
+@query(
+    "x_exact_substr_spans_cds",
+    "WITH " + _substr_spans_ctes(sample_pred=_CDS_PRED_DUCK)
+    + "SELECT doc_id, span_start, span_len FROM spans",
+    survey_ids=(
+        "training-pipeline 100TB path: content-defined-sampled "
+        "ExactSubstr (winnowing/MOD-p gram selection, hash % 4 == 0) — "
+        "ALIGNMENT-INVARIANT volume knob: the phase-1 shuffle carries "
+        "1/s of the rows and a gram is sampled in every occurrence or "
+        "none, so detection has no phase condition"
+    ),
+)
+def x_exact_substr_spans_cds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-sampling twin of x_exact_substr_spans: keep only
+    grams whose md5-derived 32-bit hash is 0 mod 4, then run the
+    identical two-phase machinery and island merge. See
+    _exact_substr_spans_df's sample_mod notes for the exact semantics
+    and the stride-vs-CDS cost trade; x_exact_substr_cds_cert
+    certifies containment and measures realized recall. Full DuckDB
+    oracle — the sampling predicate replicates bit-for-bit across
+    engines."""
+    return _exact_substr_spans_df(
+        load_table(spark, sf_dir, "documents"), sample_mod=_CDS_MOD
+    )
+
+
+@query(
+    "x_exact_substr_cds_cert",
+    "WITH " + _substr_spans_ctes()
+    + ", "
+    + _substr_spans_ctes(sfx="_s", sample_pred=_CDS_PRED_DUCK)
+    + """
+    , ed AS (
+        SELECT doc_id, sum(span_len) AS exact_dup_chars
+        FROM spans GROUP BY doc_id
+    ), sd AS (
+        SELECT doc_id, sum(span_len) AS cds_dup_chars
+        FROM spans_s GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(ed.exact_dup_chars, 0) AS BIGINT) AS exact_dup_chars,
+           CAST(coalesce(sd.cds_dup_chars, 0) AS BIGINT) AS cds_dup_chars,
+           TRUE AS contained_in_exact
+    FROM documents d
+    LEFT JOIN ed ON ed.doc_id = d.doc_id
+    LEFT JOIN sd ON sd.doc_id = d.doc_id
+    """,
+    survey_ids=(
+        "training-pipeline: agreement certification of the "
+        "content-defined-sampled ExactSubstr vs the exact arm (a5 "
+        "pattern) — realized recall observable per doc, span "
+        "containment certified in-plan"
+    ),
+)
+def x_exact_substr_cds_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_exact_substr_stride_cert's twin for the content-defined
+    sampling arm: both dup-char budgets value-checked (the oracle
+    recomputes both span sets, sampling predicate replicated), span
+    containment certified in-plan. The containment theorem is even
+    tighter here: a sampled gram's count among sampled positions EQUALS
+    its full count (alignment invariance), so covered(cds) is exactly
+    exact-covered ∩ selected."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _substr_sampled_cert_df(
+        docs,
+        _exact_substr_spans_df(docs, sample_mod=_CDS_MOD),
+        "cds_dup_chars",
+    )
+
+
+# --- Temperature-based mixture resampling + token-budget allocation --------
+# The multilingual pre-training mixture law (Conneau et al. 2020 XLM-R /
+# Xue et al. 2021 mT5): sampling share q_i proportional to p_i^alpha
+# flattens the language distribution (alpha < 1 upsamples low-resource
+# languages), and a fixed token budget is then apportioned across
+# languages by q_i.
+
+_TEMP_ALPHA = 0.3  # the XLM-R operating point
+_TEMP_BUDGET = 10_000  # corpus token budget for the allocator
+
+# Per-lang temperature weights as a DuckDB CTE chain ending in
+# qs(lang, n_l, n, q). Double discipline: the alpha-power is rounded to
+# 9dp and summed as DECIMAL (partition-order independence + a 1-ulp
+# cross-engine pow() difference cannot leak past the rounding), q is
+# re-rounded to 9dp after the normalization divide.
+_TEMP_QS_CTES = f"""lc AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+        FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(n_l) AS BIGINT) AS n FROM lc
+    ), wts AS (
+        SELECT lang, n_l, n,
+               CAST(ROUND(POWER(CAST(n_l AS DOUBLE) / n, {_TEMP_ALPHA}), 9)
+                    AS DECIMAL(18,9)) AS w
+        FROM lc, tot
+    ), sw AS (
+        SELECT CAST(SUM(w) AS DECIMAL(28,9)) AS s FROM wts
+    ), qs AS (
+        SELECT lang, n_l, n,
+               ROUND(CAST(w AS DOUBLE) / CAST(s AS DOUBLE), 9) AS q
+        FROM wts, sw
+    )"""
+
+
+def _lang_temperature_q(docs: DataFrame) -> DataFrame:
+    """Spark twin of _TEMP_QS_CTES: (lang, n_l, n, q). The per-lang
+    table is |langs| rows (a model-sized frame); every arithmetic step
+    mirrors the SQL exactly — 9dp-rounded DECIMAL power sum, 9dp q."""
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = lc.agg(F.sum("n_l").cast("bigint").alias("n"))
+    wts = lc.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        "n",
+        F.round(
+            F.pow(F.col("n_l").cast("double") / F.col("n"), _TEMP_ALPHA), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("w"),
+    )
+    sw = wts.agg(F.sum("w").cast("decimal(28,9)").alias("s"))
+    return wts.crossJoin(F.broadcast(sw)).select(
+        "lang",
+        "n_l",
+        "n",
+        F.round(F.col("w").cast("double") / F.col("s").cast("double"), 9).alias(
+            "q"
+        ),
+    )
+
+
+@query(
+    "x_temperature_resample",
+    f"""
+    WITH {_TEMP_QS_CTES}, rates AS (
+        SELECT lang, n_l, ROUND(n * q / n_l, 6) AS rate FROM qs
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(r.n_l AS BIGINT) AS n_docs_lang,
+           r.rate AS sample_rate,
+           CAST(FLOOR(r.rate) AS BIGINT)
+               + CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT) % 1000000
+                       < CAST(ROUND((r.rate - FLOOR(r.rate)) * 1000000)
+                              AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    """,
+    survey_ids=(
+        "training-pipeline: temperature mixture resampling (Conneau 2020 "
+        "alpha=0.3) — per-lang rate n*q_i/n_i, per-doc deterministic "
+        "copy count (floor + hash-Bernoulli on the fraction); upsampled "
+        "languages repeat docs, downsampled ones drop them"
+    ),
+)
+def x_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to the temperature mixture: language i's
+    expected share of the resampled corpus is q_i ∝ p_i^0.3, keeping
+    total size N. Per-doc copy count is floor(rate) plus a
+    deterministic hash-Bernoulli draw on the fractional part (the
+    repo's md5-conv uniform, compared as integers in millionths so a
+    1-ulp pow() divergence cannot flip a draw) — n_copies=0 drops the
+    doc, >=2 repeats it (the standard low-resource upsampling
+    semantics). Scale shape: the mixture table is |langs| rows
+    (broadcast); the corpus is scanned once map-side; no shuffle of
+    document data at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rates = _lang_temperature_q(docs).select(
+        "lang",
+        "n_l",
+        F.round(F.col("n") * F.col("q") / F.col("n_l"), 6).alias("rate"),
+    )
+    u6 = (
+        F.expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)")
+        .cast("bigint")
+        % 1000000
+    )
+    thresh = F.round((F.col("rate") - F.floor("rate")) * 1000000).cast("bigint")
+    return docs.join(F.broadcast(rates), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("n_l").cast("bigint").alias("n_docs_lang"),
+        F.col("rate").alias("sample_rate"),
+        (
+            F.floor("rate").cast("bigint")
+            + F.when(u6 < thresh, 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+
+
+@query(
+    "x_token_budget_alloc",
+    f"""
+    WITH {_TEMP_QS_CTES}, rem AS (
+        SELECT lang, q,
+               CAST(FLOOR({_TEMP_BUDGET} * q) AS BIGINT) AS base,
+               {_TEMP_BUDGET} * q - FLOOR({_TEMP_BUDGET} * q) AS r
+        FROM qs
+    ), lv AS (
+        SELECT CAST({_TEMP_BUDGET} - SUM(base) AS BIGINT) AS leftover FROM rem
+    ), rk AS (
+        SELECT lang, base,
+               ROW_NUMBER() OVER (ORDER BY r DESC, lang) AS rr
+        FROM rem
+    ), alloc AS (
+        SELECT lang,
+               base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS b_l
+        FROM rk, lv
+    ), t AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS_DUCK}) END AS ntok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, ntok,
+               CAST(COALESCE(SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_prev
+        FROM t
+    )
+    SELECT c.doc_id, c.lang, CAST(c.ntok AS BIGINT) AS ntok,
+           CAST(a.b_l AS BIGINT) AS lang_budget,
+           c.cum_prev,
+           CAST(least(greatest(a.b_l - c.cum_prev, 0), c.ntok) AS BIGINT)
+               AS tokens_taken,
+           least(greatest(a.b_l - c.cum_prev, 0), c.ntok) > 0 AS kept
+    FROM c JOIN alloc a ON c.lang = a.lang
+    """,
+    survey_ids=(
+        "training-pipeline: token-budget allocation — a fixed corpus "
+        "budget apportioned across languages by the temperature mixture "
+        "(largest-remainder rounding, sums exactly to the budget), then "
+        "filled per lang by deterministic prefix-sum greedy selection "
+        "with a truncated boundary doc"
+    ),
+)
+def x_token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a {_TEMP_BUDGET}-token corpus budget at the temperature
+    mixture: each language gets b_i tokens by largest-remainder
+    apportionment of B*q_i (the b_i sum to B exactly — floor everything,
+    then +1 to the largest fractional remainders, ties by lang), and
+    docs fill their language's budget in deterministic doc_id order via
+    the x_pack_sequences prefix-sum, the boundary doc truncated
+    (tokens_taken < ntok). Output per doc: its language's budget, its
+    cumulative offset, tokens taken, kept flag.
+
+    Scale shape: the apportionment is a |langs|-row frame (its rank
+    window is |langs| rows on one partition — model-sized by
+    construction); the corpus side is ONE shuffle keyed by lang for the
+    running-sum window, the same distributed-prefix posture (and the
+    same mega-partition salting remedy) as x_pack_sequences; the
+    budget table joins back by broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.lit(_TEMP_BUDGET)
+    rem = _lang_temperature_q(docs).select(
+        "lang",
+        F.floor(b * F.col("q")).cast("bigint").alias("base"),
+        (b * F.col("q") - F.floor(b * F.col("q"))).alias("r"),
+    )
+    lv = rem.agg((b - F.sum("base")).cast("bigint").alias("leftover"))
+    rk = rem.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("r"), F.asc("lang")))
+    )
+    alloc = rk.crossJoin(F.broadcast(lv)).select(
+        "lang",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("b_l"),
+    )
+    ntok = (
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(textan.tokens(F.col("text"))))
+        .cast("long")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = docs.select("doc_id", "lang", ntok.alias("ntok")).withColumn(
+        "cum_prev", F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("bigint")
+    )
+    taken = F.least(
+        F.greatest(F.col("b_l") - F.col("cum_prev"), F.lit(0)), F.col("ntok")
+    )
+    return c.join(F.broadcast(alloc), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("ntok").cast("bigint").alias("ntok"),
+        F.col("b_l").cast("bigint").alias("lang_budget"),
+        "cum_prev",
+        taken.cast("bigint").alias("tokens_taken"),
+        (taken > 0).alias("kept"),
+    )
+
+
+# --- Output shard planning + manifest ---------------------------------------
+# The write side of a curation engine: lay the corpus into fixed-size
+# output shards in a deterministic global order and emit the manifest a
+# downstream loader (or an integrity audit) consumes. Distinct from
+# x_pack_sequences: BYTE-level, CROSS-source global layout, plus a
+# content fingerprint per shard.
+
+_SHARD_BYTES = 8192
+
+
+@query(
+    "x_shard_plan",
+    f"""
+    WITH c AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS bytes,
+               CAST(COALESCE(SUM(n_chars) OVER (ORDER BY source, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_prev
+        FROM documents
+    )
+    SELECT doc_id, source, bytes,
+           cum_prev // {_SHARD_BYTES} AS shard_id,
+           cum_prev % {_SHARD_BYTES} AS shard_offset,
+           (cum_prev + greatest(bytes, 1) - 1) // {_SHARD_BYTES} AS shard_end
+    FROM c
+    """,
+    survey_ids=(
+        "training-pipeline: output shard planner — deterministic global "
+        "(source, doc_id) byte layout into fixed 8 KiB shards WITHOUT a "
+        "global sort (per-source prefix sums + a |sources|-row offset "
+        "frame; oracle is the naive global window, value-hash-proving "
+        "the decomposition)"
+    ),
+)
+def x_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every doc its byte position in the corpus's output shard
+    layout: docs laid end-to-end in global (source, doc_id) order, cut
+    into {_SHARD_BYTES}-byte shards; emitted per doc: starting shard,
+    byte offset there, and the shard its tail lands in (shard_end >
+    shard_id = the doc straddles a boundary, exactly like
+    x_pack_sequences' seq_end).
+
+    NO GLOBAL SORT: the x_epoch_shuffle decomposition — the running sum
+    inside each source partitions by source, the cross-source offset is
+    a |sources|-row prefix-summed frame joined back by broadcast, and
+    their sum equals the global prefix sum because the global order is
+    (source, doc_id) and every earlier source contributes its whole
+    byte total. The ORACLE is the naive single global window, so the
+    hash gate proves the decomposition value-identical. At 100 TB the
+    per-source windows are the only corpus-touching stage (one shuffle
+    keyed by source; mega-source skew salts by doc_id range like
+    x_pack_sequences documents).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("bytes")
+    )
+    w_in = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_in_src", F.coalesce(F.sum("bytes").over(w_in), F.lit(0))
+    )
+    # |sources|-row frame: totals prefix-summed in source order. The
+    # window runs on one partition of ~|sources| rows — model-sized by
+    # construction, never corpus-sized.
+    w_off = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        t.groupBy("source")
+        .agg(F.sum("bytes").alias("tot"))
+        .withColumn("src_off", F.coalesce(F.sum("tot").over(w_off), F.lit(0)))
+        .select("source", "src_off")
+    )
+    plan = c.join(F.broadcast(offs), "source").withColumn(
+        "cum_prev", (F.col("src_off") + F.col("cum_in_src")).cast("bigint")
+    )
+    return plan.select(
+        "doc_id",
+        "source",
+        "bytes",
+        F.expr(f"cum_prev div {_SHARD_BYTES}").alias("shard_id"),
+        (F.col("cum_prev") % _SHARD_BYTES).alias("shard_offset"),
+        F.expr(
+            f"(cum_prev + greatest(bytes, 1) - 1) div {_SHARD_BYTES}"
+        ).alias("shard_end"),
+    )
+
+
+@query(
+    "x_shard_manifest",
+    f"""
+    WITH c AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS bytes, text,
+               CAST(COALESCE(SUM(n_chars) OVER (ORDER BY source, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_prev
+        FROM documents
+    ), p AS (
+        SELECT doc_id, bytes, cum_prev,
+               cum_prev // {_SHARD_BYTES} AS shard_id,
+               CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+        FROM c
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bytes) AS BIGINT) AS sum_bytes,
+           arg_min(doc_id, cum_prev) AS first_doc_id,
+           arg_max(doc_id, cum_prev) AS last_doc_id,
+           CAST(SUM(h) AS BIGINT) AS content_sum
+    FROM p GROUP BY shard_id
+    """,
+    survey_ids=(
+        "training-pipeline: shard manifest — per-shard doc count, byte "
+        "total, first/last doc and an order-independent md5-derived "
+        "content checksum (the loader/integrity-audit sidecar of "
+        "x_shard_plan)"
+    ),
+)
+def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest a loader consumes next to x_shard_plan's layout:
+    for each shard (docs attributed to the shard they START in),
+    the doc count, byte total, first/last doc ids (min/max by byte
+    position — a total order, so deterministic), and a content
+    checksum: the exact BIGINT sum of each doc's md5-derived 32-bit
+    hash — order-independent (sum), overflow-free (2^32 per term), and
+    replicated bit-for-bit by the DuckDB oracle, so a corrupted or
+    misattributed doc anywhere flips the manifest row. Same plan as
+    x_shard_plan plus one combiner-friendly groupBy(shard_id).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("bytes"),
+        F.expr("CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)").alias(
+            "h"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_in_src", F.coalesce(F.sum("bytes").over(w_in), F.lit(0))
+    )
+    w_off = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        t.groupBy("source")
+        .agg(F.sum("bytes").alias("tot"))
+        .withColumn("src_off", F.coalesce(F.sum("tot").over(w_off), F.lit(0)))
+        .select("source", "src_off")
+    )
+    p = (
+        c.join(F.broadcast(offs), "source")
+        .withColumn(
+            "cum_prev", (F.col("src_off") + F.col("cum_in_src")).cast("bigint")
+        )
+        .withColumn("shard_id", F.expr(f"cum_prev div {_SHARD_BYTES}"))
+    )
+    return p.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bytes").cast("bigint").alias("sum_bytes"),
+        F.min_by("doc_id", "cum_prev").alias("first_doc_id"),
+        F.max_by("doc_id", "cum_prev").alias("last_doc_id"),
+        F.sum("h").cast("bigint").alias("content_sum"),
     )

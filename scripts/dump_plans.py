@@ -156,6 +156,20 @@ SHOW = [
         "cost) carries 1/4 of the rows; run-merge window still per-doc",
     ),
     (
+        "x_exact_substr_spans_cds",
+        "content-defined-sampled ExactSubstr: full-volume map-side gram "
+        "hash, but the phase-1 shuffle (the dominant cost) carries only "
+        "hash%4==0 grams — alignment-invariant sampling, same two-phase "
+        "+ per-doc island merge",
+    ),
+    (
+        "x_shard_plan",
+        "shard planner: per-source running-sum windows + a "
+        "|sources|-row prefix-summed offset frame joined by broadcast — "
+        "global byte layout with NO corpus-wide sort or single "
+        "partition; oracle is the naive global window",
+    ),
+    (
         "x_cms_heavy_hitters",
         "count-min heavy hitters: occurrence explode folds into the "
         "fixed d x w sketch table with one partial-agg shuffle; the "

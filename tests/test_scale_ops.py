@@ -132,6 +132,9 @@ def test_results_invariant_to_partition_count(spark, sf_dir):
         "x_hybrid_rrf_batch",
         "x_decontaminate_strip",
         "x_pack_bucketed",
+        "x_exact_substr_spans_cds",
+        "x_token_budget_alloc",
+        "x_shard_plan",
     ]
     specs = all_queries()
     old = spark.conf.get("spark.sql.shuffle.partitions")

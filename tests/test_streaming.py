@@ -1739,3 +1739,53 @@ def test_streaming_cms_partials_sum_to_one_shot_sketch(spark, sf_dir, tmp_path):
     # Replay of a committed batch: partials unchanged.
     sink.process_batch(docs.limit(5), sink.last_batch_id())
     assert as_map(sink.sketch()) == want
+
+
+def test_streaming_decontaminator_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-end contamination verdicts == the one-shot batch op:
+    frozen eval gram sidecar + per-batch map-side probing must
+    reproduce x_decontaminate exactly on the contaminated subset, emit
+    a verdict for EVERY ingested doc, and be replay-idempotent."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.streaming.decontaminate import (
+        StreamingDecontaminator,
+    )
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    tr = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+
+    land = tmp_path / "dc_landing"
+    tr.repartition(4).write.mode("overwrite").parquet(str(land))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    sink = StreamingDecontaminator(
+        spark, str(tmp_path / "dc_state"), eval_docs=ev
+    )
+    run_to_completion(stream, sink.foreach_batch_writer(), str(tmp_path / "dc_ck"))
+
+    got_all = sink.verdicts()
+    assert got_all.count() == tr.count()  # every ingested doc has a verdict
+    got = {
+        (r["doc_id"], r["n_hit_grams"], r["n_grams"], r["hit_ratio"])
+        for r in got_all.filter(F.col("contaminated")).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_hit_grams"], r["n_grams"], r["hit_ratio"])
+        for r in all_queries()["x_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # Replay of a committed batch: verdicts unchanged (pointer short-circuit).
+    n_before = got_all.count()
+    sink.process_batch(tr.limit(5), sink.last_batch_id())
+    assert sink.verdicts().count() == n_before
+
+    # Restart against the frozen sidecar: no eval_docs needed, same grams.
+    sink2 = StreamingDecontaminator(spark, str(tmp_path / "dc_state"))
+    assert sink2.eval_grams().count() == sink.eval_grams().count()
