@@ -112,6 +112,9 @@ HEADLINE = [
     "x_temperature_resample",
     "x_token_budget_alloc",
     "x_shard_plan",
+    "x_hard_negatives",
+    "x_eval_exposure",
+    "e2e_export_prep",
 ]
 
 

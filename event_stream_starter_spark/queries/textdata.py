@@ -4794,10 +4794,13 @@ _TEMP_BUDGET = 10_000  # corpus token budget for the allocator
 # qs(lang, n_l, n, q). Double discipline: the alpha-power is rounded to
 # 9dp and summed as DECIMAL (partition-order independence + a 1-ulp
 # cross-engine pow() difference cannot leak past the rounding), q is
-# re-rounded to 9dp after the normalization divide.
-_TEMP_QS_CTES = f"""lc AS (
+# re-rounded to 9dp after the normalization divide. `src` parametrizes
+# the input relation so e2e slices can run the mixture law over an
+# already-gated corpus CTE.
+def _temp_qs_ctes(src: str = "documents") -> str:
+    return f"""lc AS (
         SELECT lang, CAST(count(*) AS BIGINT) AS n_l
-        FROM documents GROUP BY lang
+        FROM {src} GROUP BY lang
     ), tot AS (
         SELECT CAST(SUM(n_l) AS BIGINT) AS n FROM lc
     ), wts AS (
@@ -4812,6 +4815,9 @@ _TEMP_QS_CTES = f"""lc AS (
                ROUND(CAST(w AS DOUBLE) / CAST(s AS DOUBLE), 9) AS q
         FROM wts, sw
     )"""
+
+
+_TEMP_QS_CTES = _temp_qs_ctes()
 
 
 def _lang_temperature_q(docs: DataFrame) -> DataFrame:
@@ -5177,4 +5183,265 @@ def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("doc_id", "cum_prev").alias("first_doc_id"),
         F.max_by("doc_id", "cum_prev").alias("last_doc_id"),
         F.sum("h").cast("bigint").alias("content_sum"),
+    )
+
+
+@query(
+    "x_eval_exposure",
+    f"""
+    WITH g AS (
+        SELECT doc_id, source, {_shingle_duck_n(_DECON_N)} AS g
+        FROM documents
+    ), ev AS (
+        SELECT doc_id, g FROM g WHERE source = '{_EVAL_SRC}'
+    ), evg AS (
+        SELECT doc_id, unnest(g) AS gram FROM ev
+    ), tr AS (
+        SELECT doc_id AS tdoc, unnest(g) AS gram
+        FROM g WHERE source <> '{_EVAL_SRC}'
+    ), hits AS (
+        SELECT e.doc_id, e.gram, t.tdoc FROM evg e JOIN tr t ON e.gram = t.gram
+    ), per AS (
+        SELECT doc_id, COUNT(DISTINCT gram) AS n_hit_grams,
+               COUNT(DISTINCT tdoc) AS n_train_docs
+        FROM hits GROUP BY doc_id
+    )
+    SELECT ev.doc_id,
+           CAST(len(ev.g) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           CAST(COALESCE(p.n_train_docs, 0) AS BIGINT)
+               AS n_exposing_train_docs,
+           ROUND(CAST(COALESCE(p.n_hit_grams, 0) AS DOUBLE)
+                 / greatest(len(ev.g), 1), 6) AS exposure,
+           COALESCE(p.n_hit_grams, 0) > 0 AS compromised
+    FROM ev LEFT JOIN per p ON p.doc_id = ev.doc_id
+    """,
+    survey_ids=(
+        "training-pipeline: eval-set EXPOSURE report — the reverse "
+        "direction of decontamination: per benchmark item, how many of "
+        "its 13-grams and how many distinct training docs expose it "
+        "(the 'which eval items must be discarded/renormalized' release "
+        "table, GPT-3 appendix C's dirty-eval accounting)"
+    ),
+)
+def x_eval_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_decontaminate looks from the training side (drop dirty train
+    docs); this looks from the EVAL side: a benchmark item that leaked
+    into training can't be fixed by dropping train docs you already
+    trained on — the standard remedy is scoring clean and dirty eval
+    subsets separately, which requires exactly this table: per eval
+    doc, distinct 13-grams, how many are exposed in ANY training doc,
+    how many distinct training docs expose it, and the compromised
+    flag. Zero-hit items kept (the clean subset is the point).
+
+    Scale shape: the EVAL side is the small one — exploded it stays
+    benchmark-sized and broadcasts; the training corpus streams
+    map-side through the broadcast hash join, and only HIT rows (rare)
+    reach the per-eval-doc distinct aggregation. One corpus scan, no
+    corpus shuffle — the mirror image of x_decontaminate's plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", "source", token_shingles(F.col("text"), _DECON_N).alias("g")
+    )
+    ev = g.filter(F.col("source") == _EVAL_SRC).select("doc_id", "g")
+    evg = ev.select("doc_id", F.explode("g").alias("gram"))
+    tr = g.filter(F.col("source") != _EVAL_SRC).select(
+        F.col("doc_id").alias("tdoc"), F.explode("g").alias("gram")
+    )
+    per = (
+        tr.join(F.broadcast(evg), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_hit_grams"),
+            F.countDistinct("tdoc").alias("n_train_docs"),
+        )
+    )
+    n_hit = F.coalesce("n_hit_grams", F.lit(0)).cast("bigint")
+    return (
+        ev.select("doc_id", F.size("g").cast("long").alias("n_grams"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_hit.alias("n_hit_grams"),
+            F.coalesce("n_train_docs", F.lit(0))
+            .cast("bigint")
+            .alias("n_exposing_train_docs"),
+            F.round(
+                n_hit.cast("double") / F.greatest(F.col("n_grams"), F.lit(1)),
+                6,
+            ).alias("exposure"),
+            (n_hit > 0).alias("compromised"),
+        )
+    )
+
+
+@query(
+    "e2e_export_prep",
+    f"""
+    WITH g0 AS (
+        SELECT doc_id, lang, source, text, CAST(n_chars AS BIGINT) AS bytes,
+               ROUND({{QD}}, 6) AS quality,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS_DUCK}) END AS ntok
+        FROM documents
+    ), gate AS (
+        SELECT * FROM g0
+        WHERE quality >= 0.5 AND ntok >= 5 AND source <> '{_EVAL_SRC}'
+    ), evg AS (
+        SELECT DISTINCT unnest({_shingle_duck_n(_DECON_N)}) AS gram
+        FROM documents WHERE source = '{_EVAL_SRC}'
+    ), dirty AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest({_shingle_duck_n(_DECON_N)}) AS gram
+              FROM gate) t
+        JOIN evg e ON t.gram = e.gram
+    ), clean AS (
+        SELECT g.* FROM gate g ANTI JOIN dirty d ON d.doc_id = g.doc_id
+    ), {_temp_qs_ctes("clean")}, rem AS (
+        SELECT lang, q,
+               CAST(FLOOR({_TEMP_BUDGET} * q) AS BIGINT) AS base,
+               {_TEMP_BUDGET} * q - FLOOR({_TEMP_BUDGET} * q) AS r
+        FROM qs
+    ), lv AS (
+        SELECT CAST({_TEMP_BUDGET} - SUM(base) AS BIGINT) AS leftover FROM rem
+    ), rk AS (
+        SELECT lang, base,
+               ROW_NUMBER() OVER (ORDER BY r DESC, lang) AS rr
+        FROM rem
+    ), alloc AS (
+        SELECT lang,
+               base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS b_l
+        FROM rk, lv
+    ), cum AS (
+        SELECT c.doc_id, c.lang, c.ntok, c.bytes, a.b_l,
+               CAST(COALESCE(SUM(c.ntok) OVER (PARTITION BY c.lang
+                   ORDER BY c.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_prev
+        FROM clean c JOIN alloc a ON c.lang = a.lang
+    ), sel AS (
+        SELECT doc_id, lang, ntok, bytes FROM cum
+        WHERE cum_prev + ntok <= b_l
+    ), laid AS (
+        SELECT doc_id, lang, ntok,
+               CAST(COALESCE(SUM(bytes) OVER (ORDER BY lang, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_b
+        FROM sel
+    )
+    SELECT doc_id, lang, CAST(ntok AS BIGINT) AS ntok,
+           cum_b // {_SHARD_BYTES} AS shard_id,
+           cum_b % {_SHARD_BYTES} AS shard_offset
+    FROM laid
+    """.replace("{QD}", _quality_duck()),
+    survey_ids=(
+        "training-pipeline e2e: EXPORT preparation — quality/length gate "
+        "-> doc-level decontamination drop -> temperature token-budget "
+        "apportionment over the CLEAN corpus -> whole-doc greedy fill "
+        "-> shard layout (composes x_text_stats, x_decontaminate, "
+        "x_token_budget_alloc, x_shard_plan into one dataflow)"
+    ),
+)
+def e2e_export_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus EXPORT pipeline as one dataflow: gate on quality and
+    length, drop eval-contaminated docs (doc-level x_decontaminate
+    semantics — the strict export posture; x_decontaminate_strip is the
+    salvage alternative), apportion the {_TEMP_BUDGET}-token budget
+    across languages with the temperature mixture computed over the
+    CLEAN corpus (post-gate counts — the mixture a curator actually
+    wants), fill each language's budget with WHOLE docs in
+    deterministic order (the boundary doc is left out here, unlike the
+    component op's truncation: an export ships complete documents),
+    and lay the selected docs into output shards. One DuckDB oracle
+    certifies the whole composition.
+
+    Scale shape: every stage inherits its component's plan — map-side
+    gate, broadcast gram probe, |langs|-row apportionment, one
+    lang-keyed prefix window, and the shard layout's per-source...
+    per-lang decomposition (the final global window here runs over the
+    SELECTED set, which is budget-bounded — <= B tokens of docs — not
+    corpus-sized, so the naive window IS the scale plan for the laid
+    stage).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = textan.tokens(t)
+    ntok = (
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("long")
+    )
+    g0 = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.col("n_chars").cast("long").alias("bytes"),
+        F.round(textan.quality_score(t, toks), 6).alias("quality"),
+        ntok.alias("ntok"),
+    )
+    gate = g0.filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("ntok") >= 5)
+        & (F.col("source") != _EVAL_SRC)
+    )
+    evg = (
+        docs.filter(F.col("source") == _EVAL_SRC)
+        .select(F.explode(token_shingles(t, _DECON_N)).alias("gram"))
+        .distinct()
+    )
+    dirty = (
+        gate.select("doc_id", F.explode(token_shingles(t, _DECON_N)).alias("gram"))
+        .join(F.broadcast(evg), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = gate.join(dirty, "doc_id", "left_anti")
+    b = F.lit(_TEMP_BUDGET)
+    rem = _lang_temperature_q(clean).select(
+        "lang",
+        F.floor(b * F.col("q")).cast("bigint").alias("base"),
+        (b * F.col("q") - F.floor(b * F.col("q"))).alias("r"),
+    )
+    lv = rem.agg((b - F.sum("base")).cast("bigint").alias("leftover"))
+    rk = rem.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("r"), F.asc("lang")))
+    )
+    alloc = rk.crossJoin(F.broadcast(lv)).select(
+        "lang",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("b_l"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        clean.join(F.broadcast(alloc), "lang")
+        .withColumn(
+            "cum_prev", F.coalesce(F.sum("ntok").over(w), F.lit(0)).cast("bigint")
+        )
+    )
+    sel = cum.filter(F.col("cum_prev") + F.col("ntok") <= F.col("b_l")).select(
+        "doc_id", "lang", "ntok", "bytes"
+    )
+    # The selected set is budget-bounded (<= B tokens of whole docs), so
+    # one global ordered window here is model-sized, not corpus-sized.
+    w_g = Window.orderBy("lang", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    laid = sel.withColumn(
+        "cum_b", F.coalesce(F.sum("bytes").over(w_g), F.lit(0)).cast("bigint")
+    )
+    return laid.select(
+        "doc_id",
+        "lang",
+        F.col("ntok").cast("bigint").alias("ntok"),
+        F.expr(f"cum_b div {_SHARD_BYTES}").alias("shard_id"),
+        (F.col("cum_b") % _SHARD_BYTES).alias("shard_offset"),
     )

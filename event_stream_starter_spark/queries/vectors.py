@@ -6,7 +6,7 @@ training-pipeline similarity ops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -588,5 +588,86 @@ def dd_semdedup_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_sim", 6).alias("cos_sim"),
             (F.col("n_unjustified") == 0).alias("drops_justified"),
             (F.col("cov") >= 0.8).alias("coverage_certified"),
+        )
+    )
+
+
+_HN_K = 3  # hard negatives kept per query
+
+
+@query(
+    "x_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qvec
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.qid, e.vec_id AS cid, e.label AS neg_label,
+               list_cosine_similarity(
+                   list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS cos_raw
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.qlabel
+    ), ranked AS (
+        SELECT qid, cid, neg_label, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_raw DESC, cid ASC) AS rank
+        FROM scored
+    )
+    SELECT qid AS vec_id_q, cid AS vec_id_neg, neg_label,
+           ROUND(cos_raw, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= {_HN_K}
+    """,
+    survey_ids=(
+        "similarity search: hard-negative mining for contrastive "
+        "training — per query, the top-k most-similar vectors with a "
+        "DIFFERENT label (the near-miss negatives a retrieval/embedding "
+        "trainer wants; in-batch-random negatives are too easy)"
+    ),
+)
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine hard negatives: for each query vector, the most cosine-
+    similar CROSS-LABEL vectors — maximally confusable examples, the
+    standard hard-negative set for training retrievers / contrastive
+    encoders (random negatives are trivially separable; the near
+    misses carry the gradient signal).
+
+    Same exact-scoring shape as ann_cosine_topk (map-side broadcast
+    scoring, per-query rank window) with the label-mismatch predicate
+    pushed into the scoring filter, so the candidate set shrinks
+    BEFORE ranking; at scale the same IVF/LSH blocking substitutes for
+    the brute-force arm (probe lists, drop same-label candidates at
+    the probe join) with this query as its certification twin. Full
+    DuckDB oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    from ..operators.similarity import cosine as _cos
+
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("neg_label"),
+            _cos(F.col("embedding"), F.col("qvec")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_raw").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select(
+            F.col("qid").alias("vec_id_q"),
+            F.col("cid").alias("vec_id_neg"),
+            "neg_label",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
         )
     )

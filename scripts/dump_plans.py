@@ -134,6 +134,13 @@ SHOW = [
         "is partitioned per doc_id (bounded by doc length)",
     ),
     (
+        "e2e_export_prep",
+        "export slice: map-side gate, broadcast eval-gram anti probe, "
+        "|langs|-row apportionment, one lang-keyed prefix window; the "
+        "final layout window runs over the budget-bounded SELECTED set "
+        "only",
+    ),
+    (
         "x_decontaminate_strip",
         "span decontamination: eval grams collapse to a broadcast "
         "DISTINCT set probed map-side; only HIT positions reach the "

@@ -135,6 +135,8 @@ def test_results_invariant_to_partition_count(spark, sf_dir):
         "x_exact_substr_spans_cds",
         "x_token_budget_alloc",
         "x_shard_plan",
+        "x_eval_exposure",
+        "e2e_export_prep",
     ]
     specs = all_queries()
     old = spark.conf.get("spark.sql.shuffle.partitions")
