@@ -161,7 +161,13 @@ NOTES = (
     "RESOLVED: a fourth r4 probe on an idle machine (loadavg settled, "
     "busy_frac 0.002) measured r01_comparable_total=41.58s — FASTER "
     "than r1's 44.71s on a strictly larger codebase, confirming the "
-    "r2/r3 residual was environmental, not a regression."
+    "r2/r3 residual was environmental, not a regression. "
+    "r5 idle probe: 42.17s (busy_frac 0.000/0.003) on 91 headline "
+    "queries — inside the 41.6-44.7s idle band, no regression. Sampled "
+    "ExactSubstr twins at sf0.1: stride 1.54s vs exact 2.46s (the 4x "
+    "position cut is visible even CPU-bound); CDS 2.56s — the md5 "
+    "sampling hash dominates locally, its 4x SHUFFLE-byte cut is the "
+    "win local[32] cannot price (documented in the operator)."
 )
 
 

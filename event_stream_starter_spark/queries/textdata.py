@@ -3729,10 +3729,17 @@ def _exact_substr_spans_df(
     selected (miss mass ~(1-1/s)^(L-k+1), content-deterministic),
     with no phase condition at all. Cost profile: map-side explode and
     hashing still run at full volume (every gram must be hashed to
-    decide selection), but the phase-1 SHUFFLE — the operator's
-    dominant 100 TB cost — carries 1/s of the rows. Stride cuts CPU
-    too but pays the alignment condition; CDS is the knob to prefer
-    when the network, not the scan, is the bottleneck.
+    decide selection — and the sampling hash must be md5, the only
+    cheap-enough hash both engines replicate bit-for-bit), but the
+    phase-1 SHUFFLE — the operator's dominant 100 TB cost — carries
+    1/s of the rows. Stride cuts CPU too but pays the alignment
+    condition; CDS is the knob to prefer when the network, not the
+    scan, is the bottleneck. Measured at sf0.1 local[32] (r5 bench):
+    stride 1.54s, exact 2.46s, CDS 2.56s — local mode prices CPU, not
+    shuffle bytes, so CDS's md5 shows and its 4x network cut doesn't;
+    on a real cluster the trade reverses (and a deployment free of the
+    cross-engine-oracle constraint would use xxhash64 for sampling,
+    making CDS strictly cheaper map-side too).
     """
     stop = F.length("text") - F.lit(_SUBSTR_K - 1)
     seq = (
