@@ -115,6 +115,7 @@ HEADLINE = [
     "x_hard_negatives",
     "x_eval_exposure",
     "e2e_export_prep",
+    "x_contrastive_pairs",
 ]
 
 

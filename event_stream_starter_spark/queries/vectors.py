@@ -671,3 +671,89 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@query(
+    "x_contrastive_pairs",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qvec
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.qid, e.vec_id AS cid, e.label AS clabel,
+               (e.label = q.qlabel) AS same_label,
+               list_cosine_similarity(
+                   list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS cos_raw
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.qid
+    ), pos AS (
+        SELECT qid, cid, clabel, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_raw DESC, cid ASC) AS rank
+        FROM scored WHERE same_label
+    ), neg AS (
+        SELECT qid, cid, clabel, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos_raw DESC, cid ASC) AS rank
+        FROM scored WHERE NOT same_label
+    )
+    SELECT qid AS vec_id_q, 'pos' AS role, cid AS vec_id_p,
+           clabel AS partner_label, ROUND(cos_raw, 6) AS cos_sim, rank
+    FROM pos WHERE rank <= 1
+    UNION ALL
+    SELECT qid AS vec_id_q, 'neg' AS role, cid AS vec_id_p,
+           clabel AS partner_label, ROUND(cos_raw, 6) AS cos_sim, rank
+    FROM neg WHERE rank <= {_HN_K}
+    """,
+    survey_ids=(
+        "similarity search: contrastive training-pair export — per "
+        "anchor, the nearest SAME-label positive plus the top-k "
+        "CROSS-label hard negatives as one (anchor, role, partner) "
+        "table, the artifact a contrastive/retriever trainer consumes"
+    ),
+)
+def x_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-pair table contrastive/embedding training consumes:
+    for each anchor, ONE positive (the most-similar same-label vector —
+    the hardest positive is the informative one too) and the top-k
+    hard negatives (x_hard_negatives' law), unioned with a role column.
+    One scoring pass serves both arms (same broadcast-scored frame,
+    split by the label predicate before ranking); full DuckDB oracle.
+    At 100 TB the brute-force arm swaps for the IVF/LSH blocking under
+    the identical (role, rank) output contract.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import cosine as _cos
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clabel"),
+            (F.col("label") == F.col("qlabel")).alias("same_label"),
+            _cos(F.col("embedding"), F.col("qvec")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("qid", "same_label").orderBy(
+        F.col("cos_raw").desc(), F.col("cid").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    keep = (
+        (F.col("same_label") & (F.col("rank") <= 1))
+        | (~F.col("same_label") & (F.col("rank") <= _HN_K))
+    )
+    return ranked.filter(keep).select(
+        F.col("qid").alias("vec_id_q"),
+        F.when(F.col("same_label"), "pos").otherwise("neg").alias("role"),
+        F.col("cid").alias("vec_id_p"),
+        F.col("clabel").alias("partner_label"),
+        F.round("cos_raw", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
