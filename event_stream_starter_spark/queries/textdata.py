@@ -2720,6 +2720,203 @@ def x_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-document LINE-level dedup (the RefinedWeb/CCNet deployed law)
+# ---------------------------------------------------------------------------
+# Line unit: newline-bounded segments, hard-wrapped at _LINE_W tokens.
+# The frozen test corpora are single-line (no '\n' anywhere), so without
+# the wrap the law would be vacuously exercised; hard-wrapping long
+# lines at a fixed token width is itself standard crawled-text
+# normalization, and the dedup LAW below is defined on the line unit
+# whatever the splitter. K = _LINE_K: a line occurring in >= K distinct
+# documents is boilerplate (nav bars, cookie banners, licence headers)
+# and is stripped from EVERY document carrying it.
+
+_LINE_W = 8
+_LINE_K = 2
+
+# Shared DuckDB CTE chain ending in h(doc_id, line_idx, line, line_hash)
+# and g(line_hash, n_docs).
+_LINES_DUCK = f"""t AS (
+        SELECT doc_id, list_filter({_TOKS_DUCK}, w -> w <> '') AS toks
+        FROM documents
+    ), l AS (
+        SELECT doc_id, i AS line_idx,
+               array_to_string(toks[{_LINE_W}*i+1:{_LINE_W}*i+{_LINE_W}], ' ')
+                   AS line
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, (len(toks) + {_LINE_W - 1}) // {_LINE_W}))
+                         AS i
+              FROM t)
+    ), h AS (
+        SELECT doc_id, line_idx, line,
+               substring(sha256(line), 1, 16) AS line_hash
+        FROM l
+    ), g AS (
+        SELECT line_hash, COUNT(DISTINCT doc_id) AS n_docs
+        FROM h GROUP BY line_hash
+    )"""
+
+
+def _doc_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, line_idx, line, line_hash) — the Spark twin of
+    _LINES_DUCK's h: filtered whitespace tokens hard-wrapped into
+    _LINE_W-token lines, one map-side explode (no shuffle)."""
+    toks = F.filter(textan.tokens(F.col("text")), lambda w: F.length(w) > 0)
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, ((size(toks) + {_LINE_W - 1})"
+                f" div {_LINE_W}) - 1),"
+                f" i -> named_struct("
+                f"'line_idx', cast(i as bigint),"
+                f" 'line', concat_ws(' ', slice(toks,"
+                f" cast(i*{_LINE_W}+1 as int), {_LINE_W}))))"
+            )
+        ).alias("x"),
+    ).select(
+        "doc_id",
+        F.col("x.line_idx").alias("line_idx"),
+        F.col("x.line").alias("line"),
+        F.substring(F.sha2(F.col("x.line"), 256), 1, 16).alias("line_hash"),
+    )
+
+
+@query(
+    "x_line_dedup",
+    f"""
+    WITH {_LINES_DUCK}
+    SELECT h.doc_id, CAST(h.line_idx AS BIGINT) AS line_idx, h.line_hash,
+           CAST(g.n_docs AS BIGINT) AS n_docs_with_line,
+           g.n_docs >= {_LINE_K} AS is_boilerplate
+    FROM h JOIN g USING (line_hash)
+    """,
+    survey_ids=(
+        "training-pipeline: cross-document LINE-level dedup verdicts "
+        "(RefinedWeb/CCNet law: a line occurring in >= k distinct docs "
+        "is boilerplate) — one line-hash groupBy, no position explode; "
+        "the cheap deployed alternative to ExactSubstr for line-shaped "
+        "duplication"
+    ),
+)
+def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per line occurrence: its hash, how many DISTINCT documents carry
+    the line corpus-wide, and the boilerplate verdict (>= {_LINE_K}
+    docs). The line-unit law production curation pipelines actually run
+    (RefinedWeb §"line-wise corrections", CCNet paragraph hashing):
+    ExactSubstr subsumes it semantically for long lines, but this costs
+    one line-hash groupBy instead of a position explode — no
+    gaps-and-islands, no per-position shuffle rows.
+
+    Scale shape: the line explode is map-side; the groupBy(line_hash)
+    is ONE shuffle whose rows are (16-char hash, doc_id) pairs with
+    partial distinct aggregation; the verdict join back is keyed by the
+    same hash, so AQE reuses the partitioning. At 100 TB line-hash keys
+    are near-uniform (hash-distributed) — no skew remedy needed, unlike
+    the prefix-sum family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = _doc_lines(docs)
+    g = h.groupBy("line_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return h.join(g, "line_hash").select(
+        "doc_id",
+        "line_idx",
+        "line_hash",
+        F.col("n_docs").cast("bigint").alias("n_docs_with_line"),
+        (F.col("n_docs") >= _LINE_K).alias("is_boilerplate"),
+    )
+
+
+@query(
+    "x_line_dedup_strip",
+    f"""
+    WITH {_LINES_DUCK}, kept AS (
+        SELECT h.doc_id, h.line_idx, h.line
+        FROM h JOIN g USING (line_hash) WHERE g.n_docs < {_LINE_K}
+    ), agg AS (
+        SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS text_clean,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ), tot AS (
+        SELECT doc_id, COUNT(*) AS n_lines FROM h GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           CAST(coalesce(t2.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(t2.n_lines, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+               AS n_lines_removed
+    FROM documents d
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    LEFT JOIN tot t2 ON t2.doc_id = d.doc_id
+    """,
+    survey_ids=(
+        "training-pipeline: line-level boilerplate STRIP — every "
+        "occurrence of a >= k-doc line is removed and the document "
+        "reassembled from its surviving lines (the RefinedWeb deployed "
+        "transformation; the line-unit sibling of x_decontaminate_strip)"
+    ),
+)
+def x_line_dedup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply x_line_dedup's verdicts: cut every boilerplate line (all
+    copies — the law's point is that nav-bar/licence text carries no
+    training signal anywhere), reassemble each doc from its surviving
+    lines in order. Emits text_clean (space-joined, the token-stream
+    representation the wrap law is defined on), n_lines,
+    n_lines_removed; docs reduced to nothing keep a row with
+    text_clean = '' (the curation step after this one decides whether
+    empty docs drop).
+
+    Scale shape: the boilerplate hash SET (duplicated lines only —
+    tiny relative to the corpus) broadcasts into a map-side anti-join;
+    the doc reassembly groupBy(doc_id) is the one corpus shuffle, and
+    line boundaries are free (no gaps-and-islands pass, vs
+    x_decontaminate_strip's span merge).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = _doc_lines(docs)
+    boiler = (
+        h.groupBy("line_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= _LINE_K)
+        .select("line_hash")
+    )
+    kept = h.join(F.broadcast(boiler), "line_hash", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("line_idx", "line"))).alias(
+            "arr"
+        ),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    tot = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .join(tot, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.concat_ws(
+                    " ", F.expr("transform(arr, x -> x.line)")
+                ),
+                F.lit(""),
+            ).alias("text_clean"),
+            F.coalesce(F.col("n_lines"), F.lit(0))
+            .cast("bigint")
+            .alias("n_lines"),
+            (
+                F.coalesce(F.col("n_lines"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Context-window chunking (the dual of sequence packing)
 # ---------------------------------------------------------------------------
 
@@ -5190,6 +5387,128 @@ def x_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("doc_id", "cum_prev").alias("first_doc_id"),
         F.max_by("doc_id", "cum_prev").alias("last_doc_id"),
         F.sum("h").cast("bigint").alias("content_sum"),
+    )
+
+
+# Salt-bucket width for the skew-remedy twin: doc_id ranges of this
+# width become independent prefix-sum partitions. Data-independent (a
+# pure function of doc_id), so the bucket boundaries never depend on a
+# statistics pass; at 100 TB the width is sized to (mega-source rows /
+# desired parallelism) the same way.
+_SALT_W = 64
+
+
+@query(
+    "x_shard_plan_salted",
+    f"""
+    WITH c AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS bytes,
+               CAST(COALESCE(SUM(n_chars) OVER (ORDER BY source, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_prev
+        FROM documents
+    )
+    SELECT doc_id, source, bytes,
+           cum_prev // {_SHARD_BYTES} AS shard_id,
+           cum_prev % {_SHARD_BYTES} AS shard_offset,
+           (cum_prev + greatest(bytes, 1) - 1) // {_SHARD_BYTES} AS shard_end
+    FROM c
+    """,
+    survey_ids=(
+        "training-pipeline: SALTED shard planner — the mega-source skew "
+        "remedy for the whole distributed-prefix family made checkable: "
+        "every source's running sum is split into doc_id-range salt "
+        "buckets (independent window partitions), re-based by the "
+        "bucket-totals prefix frame; the ORACLE is the unsalted naive "
+        "global window, so the hash gate value-proves the three-level "
+        "decomposition"
+    ),
+)
+def x_shard_plan_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_shard_plan's output, computed through the SKEW REMEDY that the
+    prefix-sum family (x_pack_sequences, x_token_budget_alloc,
+    x_shard_plan) documents in prose: no window partition is ever a
+    whole source. Each source's docs are split into doc_id-range salt
+    buckets of width {_SALT_W} (data-independent, order-preserving:
+    bucket order == doc_id order), the running sum is computed inside
+    each (source, salt) bucket, and two model-sized prefix frames
+    re-base it — per-source bucket totals prefix-summed in salt order
+    (|sources|x|salts| rows), then per-corpus source totals
+    prefix-summed in source order (|sources| rows), both broadcast.
+
+    cum_prev = src_off + bucket_off + cum_in_bucket equals the global
+    prefix sum because the global order is (source, doc_id), doc_id
+    order refines salt order, and every earlier bucket/source
+    contributes its whole byte total. The ORACLE is x_shard_plan's
+    naive single global window — identical output by construction, so
+    the driver's value hash PROVES the salted decomposition (the
+    x_epoch_shuffle pattern). At 100 TB this is the plan you actually
+    run: a CommonCrawl-shaped mega-source no longer serializes into
+    one window partition; the widest corpus-touching stage is keyed by
+    (source, salt) with bounded partition width, and the only
+    serial structures are the two broadcast frames.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("bytes"),
+        F.expr(f"doc_id div {_SALT_W}").alias("salt"),
+    )
+    # Level 1: running sum INSIDE each (source, salt) bucket — the
+    # corpus-touching window; partition width <= _SALT_W by construction.
+    w_in = (
+        Window.partitionBy("source", "salt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_in_bucket", F.coalesce(F.sum("bytes").over(w_in), F.lit(0))
+    )
+    # Level 2: per-(source) bucket totals, prefix-summed in salt order.
+    # |sources| x |salt buckets| rows — model-sized, broadcast back.
+    w_salt = (
+        Window.partitionBy("source")
+        .orderBy("salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boffs = (
+        t.groupBy("source", "salt")
+        .agg(F.sum("bytes").alias("btot"))
+        .withColumn(
+            "bucket_off", F.coalesce(F.sum("btot").over(w_salt), F.lit(0))
+        )
+        .select("source", "salt", "bucket_off", "btot")
+    )
+    # Level 3: cross-source offsets — x_shard_plan's |sources|-row frame,
+    # derived from the SAME bucket totals (no second corpus pass).
+    w_off = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        boffs.groupBy("source")
+        .agg(F.sum("btot").alias("tot"))
+        .withColumn("src_off", F.coalesce(F.sum("tot").over(w_off), F.lit(0)))
+        .select("source", "src_off")
+    )
+    plan = (
+        c.join(F.broadcast(boffs.select("source", "salt", "bucket_off")),
+               ["source", "salt"])
+        .join(F.broadcast(offs), "source")
+        .withColumn(
+            "cum_prev",
+            (
+                F.col("src_off") + F.col("bucket_off") + F.col("cum_in_bucket")
+            ).cast("bigint"),
+        )
+    )
+    return plan.select(
+        "doc_id",
+        "source",
+        "bytes",
+        F.expr(f"cum_prev div {_SHARD_BYTES}").alias("shard_id"),
+        (F.col("cum_prev") % _SHARD_BYTES).alias("shard_offset"),
+        F.expr(
+            f"(cum_prev + greatest(bytes, 1) - 1) div {_SHARD_BYTES}"
+        ).alias("shard_end"),
     )
 
 
