@@ -5112,6 +5112,172 @@ def x_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_temperature_resample_dedup",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               substring(sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 1, 16)
+                   AS fingerprint
+        FROM documents
+    ), wdoc AS (
+        SELECT doc_id, lang,
+               CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+                   AS n_copies,
+               CAST(ROUND(CAST(1.0 AS DOUBLE)
+                          / COUNT(*) OVER (PARTITION BY fingerprint), 9)
+                    AS DECIMAL(18,9)) AS w
+        FROM fp
+    ), lc AS (
+        SELECT lang, CAST(SUM(w) AS DECIMAL(28,9)) AS n_eff,
+               CAST(COUNT(*) AS BIGINT) AS n_raw
+        FROM wdoc GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(n_eff) AS DECIMAL(38,9)) AS n_eff_tot,
+               CAST(SUM(n_raw) AS BIGINT) AS n
+        FROM lc
+    ), wts AS (
+        SELECT lang, n_eff, n,
+               CAST(ROUND(POWER(CAST(n_eff AS DOUBLE)
+                                / CAST(n_eff_tot AS DOUBLE), {_TEMP_ALPHA}), 9)
+                    AS DECIMAL(18,9)) AS tw
+        FROM lc, tot
+    ), sw AS (
+        SELECT CAST(SUM(tw) AS DECIMAL(28,9)) AS s FROM wts
+    ), qs AS (
+        SELECT lang, n_eff, n,
+               ROUND(CAST(tw AS DOUBLE) / CAST(s AS DOUBLE), 9) AS q
+        FROM wts, sw
+    ), rated AS (
+        SELECT d.doc_id, d.lang, d.n_copies,
+               ROUND(CAST(r.n_eff AS DOUBLE), 6) AS eff_docs_lang,
+               ROUND(r.n * r.q * CAST(d.w AS DOUBLE)
+                     / CAST(r.n_eff AS DOUBLE), 6) AS sample_rate
+        FROM wdoc d JOIN qs r ON d.lang = r.lang
+    )
+    SELECT doc_id, lang, n_copies, eff_docs_lang, sample_rate,
+           CAST(FLOOR(sample_rate) AS BIGINT)
+               + CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8)) AS BIGINT) % 1000000
+                       < CAST(ROUND((sample_rate - FLOOR(sample_rate))
+                                    * 1000000) AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_draws
+    FROM rated
+    """,
+    survey_ids=(
+        "training-pipeline: DEDUP-AWARE temperature resampling — the "
+        "mixture law over effective counts n_eff = sum(1/n_copies) "
+        "(x_soft_dedup_weights composed into the Conneau 2020 law), so "
+        "duplicate-heavy languages stop buying budget with boilerplate "
+        "and a doc's rate is shared across its copy family"
+    ),
+)
+def x_temperature_resample_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_temperature_resample with the honest interaction of its two
+    certified inputs: raw per-lang counts overstate a language whose
+    mass is exact-duplicate boilerplate, so the mixture weights are
+    computed over EFFECTIVE counts n_eff_l = sum over docs of
+    1/n_copies (the x_soft_dedup_weights suppression weight), and each
+    doc's rate is its weighted share of the language budget —
+    rate = N * q_l * w_doc / n_eff_l. Copies of a k-family split one
+    doc's worth of rate k ways (total corpus-mass law: rates sum to N
+    exactly as in the raw op), and a language that is 90% duplicates
+    gets the budget of its unique content, not its row count.
+
+    Decimal discipline as the raw op, one level deeper: w_doc is
+    1/n_copies rounded 9dp then summed as DECIMAL (order-independent),
+    the alpha-power of the effective share is 9dp DECIMAL, q re-rounded
+    9dp, the per-doc rate 6dp; the Bernoulli draw compares integer
+    millionths of the ROUNDED rate, so a 1-ulp pow()/divide divergence
+    cannot flip a draw.
+
+    Scale shape: ONE corpus shuffle (the fingerprint window — shared
+    with x_soft_dedup_weights's plan, same key); the lang frames are
+    model-sized broadcasts; the rate/draw stage is map-side. The only
+    addition over the raw op's zero-shuffle plan is the dedup
+    fingerprint exchange the weights op already pays.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wfp = Window.partitionBy("fingerprint")
+    wdoc = docs.select(
+        "doc_id",
+        "lang",
+        textan.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.count("*").over(wfp).cast("bigint").alias("n_copies"),
+        F.round(F.lit(1.0) / F.count("*").over(wfp), 9)
+        .cast("decimal(18,9)")
+        .alias("w"),
+    )
+    lc = wdoc.groupBy("lang").agg(
+        F.sum("w").cast("decimal(28,9)").alias("n_eff"),
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+    )
+    tot = lc.agg(
+        F.sum("n_eff").cast("decimal(38,9)").alias("n_eff_tot"),
+        F.sum("n_raw").cast("bigint").alias("n"),
+    )
+    wts = lc.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_eff",
+        "n",
+        F.round(
+            F.pow(
+                F.col("n_eff").cast("double")
+                / F.col("n_eff_tot").cast("double"),
+                _TEMP_ALPHA,
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("tw"),
+    )
+    sw = wts.agg(F.sum("tw").cast("decimal(28,9)").alias("s"))
+    qs = wts.crossJoin(F.broadcast(sw)).select(
+        "lang",
+        "n_eff",
+        "n",
+        F.round(F.col("tw").cast("double") / F.col("s").cast("double"), 9).alias(
+            "q"
+        ),
+    )
+    rate = F.round(
+        F.col("n")
+        * F.col("q")
+        * F.col("w").cast("double")
+        / F.col("n_eff").cast("double"),
+        6,
+    )
+    rated = wdoc.join(F.broadcast(qs), "lang").select(
+        "doc_id",
+        "lang",
+        "n_copies",
+        F.round(F.col("n_eff").cast("double"), 6).alias("eff_docs_lang"),
+        rate.alias("sample_rate"),
+    )
+    u6 = (
+        F.expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)")
+        .cast("bigint")
+        % 1000000
+    )
+    thresh = F.round(
+        (F.col("sample_rate") - F.floor("sample_rate")) * 1000000
+    ).cast("bigint")
+    return rated.select(
+        "doc_id",
+        "lang",
+        "n_copies",
+        "eff_docs_lang",
+        "sample_rate",
+        (
+            F.floor("sample_rate").cast("bigint")
+            + F.when(u6 < thresh, 1).otherwise(0)
+        ).alias("n_draws"),
+    )
+
+
+@query(
     "x_token_budget_alloc",
     f"""
     WITH {_TEMP_QS_CTES}, rem AS (

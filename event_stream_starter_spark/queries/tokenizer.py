@@ -160,6 +160,152 @@ def x_bpe_encode_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Frozen-tokenizer tier -------------------------------------------------
+# A production pipeline does not retrain its tokenizer per run: it ships
+# a FROZEN merge table (tokenizer.json) and every downstream op counts
+# in that tokenizer's pieces. _FROZEN_MERGES is this engine's frozen
+# artifact — the first 12 merges trained once on the sf0.001 corpus
+# (bpe.train_bpe, min_pair_count=2; same provenance pattern as
+# vectors._frozen_half_centroids' frozen-quantizer contract). Freezing
+# makes the encoder a pure function of (text, constant list), which is
+# what buys the FULL DuckDB oracle below: each merge round is one
+# list_reduce fold over the symbol string, bit-for-bit the
+# operators/bpe.merge_pair law (greedy left-to-right non-overlapping).
+_FROZEN_MERGES: list[tuple[str, str]] = [
+    ("e", "r</w>"),
+    ("o", "w</w>"),
+    ("o", "r"),
+    ("l", "u"),
+    ("i", "n"),
+    ("a", "r"),
+    ("p", "ar"),  # cascades on rank-6's output: ordering is load-bearing
+    ("e", "r"),
+    ("a", "s"),
+    ("t", "o"),
+    ("a", "t"),
+    ("a", "n</w>"),
+]
+
+# Symbol separator for the SQL fold representation. Stripped from the
+# input in BOTH engines first (replace/translate), so a symbol can never
+# contain it and "ends_with(acc, SEP || left)" tests exactly 'tail
+# symbol == left'.
+_SEP = "\x1f"
+
+
+def _frozen_encode_duck(var: str) -> str:
+    """DuckDB scalar expression: BPE-encode word `var` under
+    _FROZEN_MERGES, returning the SEP-joined piece string.
+
+    Representation: symbols joined by _SEP; one list_reduce per merge.
+    The fold carries the encoded-so-far string: when the accumulator's
+    tail SYMBOL equals `left` and the next symbol equals `right`,
+    appending `right` bare (no separator) IS the merge — the tail
+    becomes left||right, and merge_pair's non-remergeability argument
+    (a just-merged tail can't equal `left` again) carries over verbatim.
+    """
+    chars = f"regexp_extract_all({var}, '.')"
+    e = (
+        f"array_to_string(list_concat({chars}[1:len({chars})-1],"
+        f" [{chars}[-1] || '{bpe.END_OF_WORD}']), '{_SEP}')"
+    )
+    for left, right in _FROZEN_MERGES:
+        e = (
+            f"list_reduce(list_prepend('', string_split({e}, '{_SEP}')),"
+            f" (a, x) -> CASE WHEN x = '{right}' AND (a = '{left}'"
+            f" OR ends_with(a, '{_SEP}{left}')) THEN a || '{right}'"
+            f" WHEN a = '' THEN x ELSE a || '{_SEP}' || x END)"
+        )
+    return e
+
+
+# documents -> (doc_id, source, words, pieces) in DuckDB: chr(31) is
+# stripped up front (the representation constraint), words are filtered
+# non-empty exactly like encode_text_expr's filter.
+_FROZEN_DOCS_DUCK = f"""t AS (
+        SELECT doc_id, source, lang, replace(text, chr(31), '') AS text
+        FROM documents
+    ), w AS (
+        SELECT doc_id, source, lang,
+               list_filter({_TOKS_DUCK}, w -> w <> '') AS words
+        FROM t
+    ), p AS (
+        SELECT doc_id, source, lang, len(words) AS n_words,
+               flatten(list_transform(words,
+                   w -> string_split({_frozen_encode_duck('w')}, '{_SEP}')))
+                   AS pieces
+        FROM w
+    )"""
+
+
+def _frozen_pieces(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, lang, n_words, pieces) — Spark twin of
+    _FROZEN_DOCS_DUCK's p: the pure-Column fold encoder (codegen, zero
+    Python) over the frozen merge table."""
+    clean = F.translate(F.col("text"), _SEP, "")
+    words = F.filter(textan.tokens(clean), lambda w: F.length(w) > 0)
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(words).alias("n_words"),
+        bpe.encode_text_expr(clean, _FROZEN_MERGES).alias("pieces"),
+    )
+
+
+@query(
+    "x_bpe_encode_frozen",
+    f"""
+    WITH {_FROZEN_DOCS_DUCK}
+    SELECT doc_id, source,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(len(pieces) AS BIGINT) AS n_pieces,
+           array_to_string(pieces[1:8], ' ') AS pieces_head,
+           ROUND(CAST(len(pieces) AS DOUBLE) / greatest(n_words, 1), 6)
+               AS fertility
+    FROM p
+    """,
+    survey_ids=(
+        "beyond-ref: FROZEN-tokenizer BPE encoding with a FULL DuckDB "
+        "oracle — every piece of every document value-hash-checked (the "
+        "merge fold replicated as list_reduce per merge round); the "
+        "shipped-tokenizer.json contract that x_bpe_encode's trained "
+        "tier plugs into"
+    ),
+)
+def x_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_bpe_encode under the FROZEN merge table: per-doc word count,
+    BPE piece count, first-8 pieces and fertility — with every output
+    value hash-checked against a DuckDB replica of the encoder itself
+    (not a cert: the oracle re-derives the pieces). The trained-tier
+    encoder (x_bpe_encode) can only be golden-tested because its merge
+    list is data-dependent; freezing the merges — what production
+    pipelines do anyway — makes the whole encoding law externally
+    checkable, and gives the export slice (e2e_tokenize_export) a
+    token accounting both engines agree on piece-for-piece.
+
+    Scale shape: map-only, zero Python — the merge table is baked into
+    the plan as literals (12 chained array folds per word inside
+    whole-stage codegen); no shuffle anywhere. At a 32k-merge vocab the
+    same query swaps to the Arrow-batched UDF tier via the
+    bpe_encode_udf seam (x_bpe_encode_cert pins the two tiers equal).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = _frozen_pieces(docs)
+    return p.select(
+        "doc_id",
+        "source",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.size("pieces").cast("bigint").alias("n_pieces"),
+        F.concat_ws(" ", F.slice("pieces", 1, 8)).alias("pieces_head"),
+        F.round(
+            F.size("pieces").cast("double")
+            / F.greatest(F.col("n_words"), F.lit(1)),
+            6,
+        ).alias("fertility"),
+    )
+
+
 @query(
     "x_bpe_encode",
     None,  # depends on the trained merge list: not SQL-expressible
@@ -188,4 +334,134 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "fertility",
         F.round(F.col("n_pieces") / F.greatest(F.col("n_words"), F.lit(1)), 6),
+    )
+
+# Export-slice constants: the x_pack_bucketed law re-counted in frozen
+# BPE pieces, then batches laid into fixed shards of _BATCHES_PER_SHARD
+# 512-token batches (2048 padded tokens per shard).
+_PACK_BUDGET = 512
+_BATCHES_PER_SHARD = 4
+
+
+@query(
+    "e2e_tokenize_export",
+    f"""
+    WITH {_FROZEN_DOCS_DUCK}, b AS (
+        SELECT doc_id, source,
+               CAST(len(pieces) AS BIGINT) AS n_pieces,
+               CAST(CASE WHEN len(pieces) <= 64 THEN 64
+                         WHEN len(pieces) <= 128 THEN 128
+                         WHEN len(pieces) <= 256 THEN 256
+                         ELSE 512 END AS BIGINT) AS bucket
+        FROM p
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source, bucket
+                                     ORDER BY doc_id) AS rn
+        FROM b
+    ), g AS (
+        SELECT source, bucket,
+               (COUNT(*) + ({_PACK_BUDGET} // bucket) - 1)
+                   // ({_PACK_BUDGET} // bucket) AS n_batches
+        FROM b GROUP BY source, bucket
+    ), o AS (
+        SELECT source, bucket,
+               CAST(COALESCE(SUM(n_batches) OVER (ORDER BY source, bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS off
+        FROM g
+    )
+    SELECT r.doc_id, r.source, r.n_pieces, r.bucket,
+           CAST((rn - 1) // ({_PACK_BUDGET} // r.bucket) AS BIGINT)
+               AS batch_id,
+           CAST((rn - 1) % ({_PACK_BUDGET} // r.bucket) AS BIGINT) AS slot,
+           CAST(o.off + (rn - 1) // ({_PACK_BUDGET} // r.bucket) AS BIGINT)
+               AS global_batch,
+           CAST((o.off + (rn - 1) // ({_PACK_BUDGET} // r.bucket))
+                // {_BATCHES_PER_SHARD} AS BIGINT) AS shard_id
+    FROM r JOIN o ON r.source = o.source AND r.bucket = o.bucket
+    """,
+    survey_ids=(
+        "training-pipeline e2e: TOKENIZER-CONSISTENT export slice — "
+        "frozen-BPE encode -> length-bucketed batch assembly -> global "
+        "shard layout, all on the SAME piece accounting (the artifact a "
+        "trainer consumes); closes the whitespace-vs-BPE accounting seam "
+        "between the packing family and the tokenizer family"
+    ),
+)
+def e2e_tokenize_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export a trainer actually loads: every document is encoded
+    with the FROZEN tokenizer (x_bpe_encode_frozen's fold), bucketed
+    and batched on its PIECE count (the x_pack_bucketed law, which by
+    itself counts whitespace tokens), and every 512-piece batch is
+    assigned a global shard. One token accounting end-to-end — a doc's
+    bucket, batch slot and shard all follow from the same n_pieces the
+    tokenizer reports, so loader-side bookkeeping can't drift from
+    encoder-side truth. Full oracle: DuckDB re-derives the pieces
+    (frozen fold), the batch assembly and the shard layout.
+
+    Scale shape: encode is map-only codegen; ONE corpus shuffle keyed
+    by (source, bucket) for the batch row_number (the x_pack_bucketed
+    posture, same salting remedy — proven by x_shard_plan_salted); the
+    global batch layout is a |sources|x|buckets|-row prefix frame
+    joined back by broadcast (the x_shard_plan decomposition, here on
+    batch counts instead of bytes).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = _frozen_pieces(docs).select(
+        "doc_id",
+        "source",
+        F.size("pieces").cast("bigint").alias("n_pieces"),
+        F.when(F.size("pieces") <= 64, 64)
+        .when(F.size("pieces") <= 128, 128)
+        .when(F.size("pieces") <= 256, 256)
+        .otherwise(512)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    r = b.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source", "bucket").orderBy("doc_id")
+        ),
+    )
+    # Model-sized frame: batch counts per (source, bucket), prefix-summed
+    # in (source, bucket) order — |sources| x 4 rows on one partition.
+    w_off = Window.orderBy("source", "bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    o = (
+        b.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "bucket",
+            F.expr(
+                f"(n_docs + ({_PACK_BUDGET} div bucket) - 1)"
+                f" div ({_PACK_BUDGET} div bucket)"
+            ).alias("n_batches"),
+        )
+        .withColumn(
+            "off", F.coalesce(F.sum("n_batches").over(w_off), F.lit(0))
+        )
+        .select("source", "bucket", "off")
+    )
+    batch_id = F.expr(f"(rn - 1) div ({_PACK_BUDGET} div bucket)")
+    return r.join(F.broadcast(o), ["source", "bucket"]).select(
+        "doc_id",
+        "source",
+        "n_pieces",
+        "bucket",
+        batch_id.cast("bigint").alias("batch_id"),
+        F.expr(f"(rn - 1) % ({_PACK_BUDGET} div bucket)")
+        .cast("bigint")
+        .alias("slot"),
+        (F.col("off") + batch_id).cast("bigint").alias("global_batch"),
+        F.expr(
+            f"(off + (rn - 1) div ({_PACK_BUDGET} div bucket))"
+            f" div {_BATCHES_PER_SHARD}"
+        )
+        .cast("bigint")
+        .alias("shard_id"),
     )
