@@ -556,3 +556,60 @@ def test_containment_finds_embedded_doc_that_jaccard_misses(spark):
     assert cont == {(1, 2, 1.0)}  # directed: quote contained in long, only
     jac = jaccard_prefix_join(sh, "doc_id", "sh", 0.5).collect()
     assert jac == []
+
+
+def _py_para_vectors(sf_dir: str, w: int = 32, d: int = 64):
+    """Pure-python recompute of queries/vectors._para_vectors: 32-token
+    wrap units, md5-derived 64-dim hashing count vectors."""
+    import hashlib
+
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    ).fetchall()
+    con.close()
+    out = {}
+    for doc_id, text in rows:
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+        for i in range(0, (len(toks) + w - 1) // w):
+            vec = np.zeros(d)
+            for t in toks[i * w : (i + 1) * w]:
+                vec[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % d] += 1.0
+            out[(doc_id, i)] = vec
+    return out
+
+
+def test_semdedup_para_kept_set_invariant(spark, sf_dir):
+    """Paragraph-granular SemDeDup: the featurization matches a pure
+    hashlib/numpy recompute, no two KEPT members of a cluster are
+    >= 0.95-similar (the drop law's fixpoint), every cluster keeps at
+    least one member, and every paragraph unit is covered."""
+    import numpy as np
+
+    out = all_queries()["dd_semdedup_para"].fn(spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    vecs = _py_para_vectors(sf_dir)
+    assert len(out) == len(vecs)  # every unit got a verdict
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        assert (r["doc_id"], r["para_idx"]) in vecs
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    dropped = sum(1 for r in out if not r["is_kept"])
+    assert dropped > 0  # the corpus has real structure at 0.95
+    for cl, members in by_cluster.items():
+        kept = [m for m in members if m["is_kept"]]
+        assert kept, f"cluster {cl} kept nothing"
+        for x, y in itertools.combinations(kept, 2):
+            vx = vecs[(x["doc_id"], x["para_idx"])]
+            vy = vecs[(y["doc_id"], y["para_idx"])]
+            cos = float(vx @ vy) / (
+                np.linalg.norm(vx) * np.linalg.norm(vy)
+            )
+            assert cos < 0.95 + 1e-9, (
+                f"kept pair {x['doc_id']}:{x['para_idx']},"
+                f"{y['doc_id']}:{y['para_idx']} in cluster {cl} "
+                f"is {cos:.4f}-similar"
+            )

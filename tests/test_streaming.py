@@ -1789,3 +1789,67 @@ def test_streaming_decontaminator_matches_batch(spark, sf_dir, tmp_path):
     # Restart against the frozen sidecar: no eval_docs needed, same grams.
     sink2 = StreamingDecontaminator(spark, str(tmp_path / "dc_state"))
     assert sink2.eval_grams().count() == sink.eval_grams().count()
+
+
+def test_streaming_mixture_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-end mixture report == the one-shot batch computation:
+    per-lang doc/token counts merge exactly across micro-batches, the
+    temperature target q equals the batch family's
+    (_lang_temperature_q) bit-for-bit, drift/obs_share follow, and a
+    replayed committed batch is a no-op."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators import textan
+    from event_stream_starter_spark.queries.textdata import (
+        _lang_temperature_q,
+    )
+    from event_stream_starter_spark.streaming.mixture_monitor import (
+        StreamingMixtureMonitor,
+    )
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    land = tmp_path / "mm_landing"
+    docs.repartition(4).write.mode("overwrite").parquet(str(land))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    sink = StreamingMixtureMonitor(spark, str(tmp_path / "mm_state"))
+    run_to_completion(stream, sink.foreach_batch_writer(), str(tmp_path / "mm_ck"))
+
+    got = {r["lang"]: r for r in sink.report().collect()}
+
+    # One-shot twin: counts + token sums straight off the corpus, q via
+    # the batch family's helper (a different code path than the sink's).
+    counts = {
+        r["lang"]: (r["n_docs"], r["n_tokens"])
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(textan.token_count(F.col("text")).cast("long"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .collect()
+    }
+    q_want = {
+        r["lang"]: r["q"] for r in _lang_temperature_q(docs).collect()
+    }
+    assert set(got) == set(counts) and len(got) > 1
+    t_total = sum(v[1] for v in counts.values())
+    for lang, (nd, nt) in counts.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_tokens"]) == (nd, nt)
+        assert r["target_q"] == q_want[lang]
+        obs = round(nt / t_total, 6)
+        assert r["obs_share"] == obs
+        assert r["drift"] == round(obs - q_want[lang], 6)
+        assert r["over_target"] == (obs > q_want[lang])
+
+    # Replay of a committed batch: report unchanged (pointer short-circuit).
+    before = sorted(tuple(r) for r in sink.report().collect())
+    sink.process_batch(docs.limit(7), sink.last_batch_id())
+    assert sorted(tuple(r) for r in sink.report().collect()) == before
