@@ -116,6 +116,19 @@ HEADLINE = [
     "x_eval_exposure",
     "e2e_export_prep",
     "x_contrastive_pairs",
+    # round-6 additions (outside the frozen r01-comparable subtotal)
+    "x_shard_plan_salted",
+    "x_line_dedup",
+    "x_line_dedup_strip",
+    "x_temperature_resample_dedup",
+    "x_bpe_encode_frozen",
+    "e2e_tokenize_export",
+    "x_pack_sequences_salted",
+    "x_token_budget_dedup",
+    "x_bpe_fertility_by_lang",
+    "x_export_manifest",
+    "x_semantic_decontaminate",
+    "ann_pq_topk",
 ]
 
 

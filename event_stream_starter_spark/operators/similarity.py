@@ -242,23 +242,35 @@ def _centroid_literal(centroids: list[list[float]]) -> Column:
     return F.expr(f"array({rows})")
 
 
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance between two equal-length arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     vec_col: str,
     n_clusters: int,
     iters: int = 2,
     id_col: str | None = None,
+    metric: str = "cosine",
 ) -> list[list[float]]:
     """Deterministic distributed Lloyd iterations for an IVF coarse
     quantizer. Returns the centroid table (n_clusters x dim floats).
 
     Seeds are the first n_clusters rows in id order (deterministic across
     runs/partitionings). Each iteration is: map-side assign (argmax cosine
-    against the broadcast centroid literal) -> posexplode dims ->
-    groupBy(cluster, dim) avg -> collect n_clusters*dim aggregated cells.
-    The collect is bounded by the MODEL size (k x dim), never the data
-    size — the same contract as MLlib's KMeans driver loop. Empty
-    clusters keep their previous centroid.
+    or argmin L2 against the broadcast centroid literal — `metric`) ->
+    posexplode dims -> groupBy(cluster, dim) avg -> collect
+    n_clusters*dim aggregated cells. The collect is bounded by the MODEL
+    size (k x dim), never the data size — the same contract as MLlib's
+    KMeans driver loop. Empty clusters keep their previous centroid.
+    L2 is the product-quantization convention (Jegou 2011); cosine is
+    the IVF/SemDeDup one.
     """
     vec = F.col(vec_col)
     order = [F.col(id_col)] if id_col else [F.col(vec_col).cast("string")]
@@ -269,15 +281,18 @@ def kmeans_centroids(
     centroids = seeds
     for _ in range(iters):
         lit = _centroid_literal(centroids)
-        scores = F.transform(lit, lambda c: cosine(vec, c))
+        if metric == "l2":
+            dists = F.transform(lit, lambda c: l2_sq(vec, c))
+            pick = F.array_position(dists, F.array_min(dists)) - 1
+        else:
+            scores = F.transform(lit, lambda c: cosine(vec, c))
+            pick = F.array_position(scores, F.array_max(scores)) - 1
         # A zero-norm vector (padding/missing-embedding artifact) has
         # NULL cosine to every centroid → NULL argmax; coalesce it into
         # cluster 0 deterministically instead of crashing the driver
         # update loop with a None index.
         assigned = corpus.select(
-            F.coalesce(
-                F.array_position(scores, F.array_max(scores)) - 1, F.lit(0)
-            ).alias("cluster"),
+            F.coalesce(pick, F.lit(0)).alias("cluster"),
             vec.alias("v"),
         )
         cells = (
@@ -596,3 +611,71 @@ def semdedup_increment(
         else kept_index.unionByName(newly_kept)
     )
     return decisions.drop("v"), new_index, newly_kept
+
+
+# --- Product quantization (Jegou et al. 2011) -------------------------------
+# The memory-side half of IVF-PQ, the standard billion-vector ANN
+# layout: each vector is stored as M subspace code bytes instead of
+# dim floats, and query-time distance is the sum of M codebook-lookup
+# terms (asymmetric distance computation, ADC). Everything below is
+# deterministic: codebooks are per-subspace L2 k-means with id-ordered
+# seeds, code assignment is a first-argmin pure column expression of
+# the broadcast codebook literal, and ADC is a literal-lookup fold —
+# the broadcast-a-model shape shared with ivf_topk.
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train M per-subspace L2 codebooks (each k x dim/m). Model-sized:
+    M bounded kmeans runs, each collecting k*(dim/m) cells."""
+    ds = dim // m
+    out = []
+    for i in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("id"),
+            F.slice(F.col(vec_col), i * ds + 1, ds).alias("sub"),
+        )
+        out.append(
+            kmeans_centroids(sub, "sub", k, iters=iters, id_col="id", metric="l2")
+        )
+    return out
+
+
+def pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of M subspace codes: per subspace, the index of the
+    L2-closest codeword (first-argmin tie-break — deterministic).
+    Map-only; the codebooks ride the plan as literals."""
+    ds = len(codebooks[0][0])
+    codes = []
+    for i, cb in enumerate(codebooks):
+        sub = F.slice(vec, i * ds + 1, ds)
+        dists = F.transform(_centroid_literal(cb), lambda c: l2_sq(sub, c))
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_adc_sq_expr(
+    qvec: Column, codes: Column, codebooks: list[list[list[float]]]
+) -> Column:
+    """Squared ADC distance: sum over subspaces of ||q_sub -
+    codeword[code]||^2 — the PQ approximation of ||q - x||^2. Pure
+    column fold over the codebook literals (at real scale the per-query
+    LUT is precomputed once; the algebra here is identical)."""
+    ds = len(codebooks[0][0])
+    total = F.lit(0.0)
+    for i, cb in enumerate(codebooks):
+        cent = F.element_at(
+            _centroid_literal(cb),
+            (F.element_at(codes, i + 1) + F.lit(1)).cast("int"),
+        )
+        total = total + l2_sq(F.slice(qvec, i * ds + 1, ds), cent)
+    return total

@@ -873,6 +873,124 @@ def x_decontaminate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Semantic decontamination: x_decontaminate catches VERBATIM 13-gram
+# overlap; paraphrased or lightly-edited benchmark leakage needs a
+# similarity test instead (the SemDeDup-style cross-set screen modern
+# curation adds on top of the n-gram law). Unit vectors: the same
+# deterministic md5-hashing featurization as dd_semdedup_para, at doc
+# granularity.
+_SEMDECON_T = 0.95
+_SEMDECON_D = 64
+
+
+@query(
+    "x_semantic_decontaminate",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, list_filter({_TOKS_DUCK}, w -> w <> '') AS toks
+        FROM documents
+    ), hd AS (
+        SELECT doc_id, source,
+               list_transform(toks,
+                   t -> CAST(concat('0x', substr(md5(t), 1, 8))
+                             AS BIGINT) % {_SEMDECON_D}) AS dims
+        FROM t
+    ), v AS (
+        SELECT doc_id, source,
+               list_transform(generate_series(0, {_SEMDECON_D - 1}),
+                   d -> CAST(len(list_filter(dims, h -> h = d)) AS DOUBLE))
+                   AS vec
+        FROM hd
+    ), ev AS (
+        SELECT doc_id, vec FROM v WHERE source = '{_EVAL_SRC}'
+    ), tr AS (
+        SELECT doc_id, source, vec FROM v WHERE source <> '{_EVAL_SRC}'
+    ), mx AS (
+        SELECT tr.doc_id, tr.source,
+               max(list_cosine_similarity(tr.vec, ev.vec)) AS mc,
+               CAST(SUM(CASE WHEN list_cosine_similarity(tr.vec, ev.vec)
+                                  >= {_SEMDECON_T} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_eval_hits
+        FROM tr, ev GROUP BY tr.doc_id, tr.source
+    )
+    SELECT doc_id, source, ROUND(mc, 6) AS max_eval_cos, n_eval_hits,
+           mc >= {_SEMDECON_T} AS contaminated
+    FROM mx
+    """,
+    survey_ids=(
+        "training-pipeline: SEMANTIC decontamination — per train doc, "
+        "max cosine to ANY eval doc over deterministic hashing vectors "
+        "+ contaminated flag at 0.95 (the paraphrase-robust screen on "
+        "top of x_decontaminate's verbatim 13-gram law; SemDeDup-style "
+        "cross-set similarity, full oracle)"
+    ),
+)
+def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-set sibling of x_decontaminate: verbatim-gram overlap
+    misses paraphrased benchmark leakage, so every training document
+    is also screened by SIMILARITY against the eval corpus — max
+    cosine to any eval doc over the engine's deterministic hashing
+    featurization (the documented stand-in for an embedding encoder
+    behind the same seam; the law downstream is encoder-agnostic).
+    Emits every train doc with its max eval cosine, the number of
+    >= 0.95 eval neighbours, and the contaminated flag — the audit
+    table whose 'contaminated' column a gate composes exactly like
+    x_decontaminate's.
+
+    Scale shape: the EVAL side is benchmark-sized — its vectors
+    broadcast; the train corpus takes one scan through the broadcast
+    nested-loop compare and a per-doc partial-aggregated max/count.
+    No corpus-side shuffle beyond the per-doc rollup; at real scale
+    the eval side stays a few thousand rows (the x_decontaminate
+    posture, with vectors instead of a gram set).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(textan.tokens(F.col("text")), lambda w: F.length(w) > 0)
+    dims = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        % _SEMDECON_D,
+    )
+    vec = F.expr(
+        f"transform(sequence(0, {_SEMDECON_D - 1}),"
+        f" d -> cast(size(filter(dims, h -> h = cast(d as bigint)))"
+        f" as double))"
+    )
+    v = docs.select(
+        "doc_id", "source", dims.alias("dims")
+    ).select("doc_id", "source", vec.alias("vec"))
+    ev = v.filter(F.col("source") == _EVAL_SRC).select(
+        F.col("vec").alias("evec")
+    )
+    tr = v.filter(F.col("source") != _EVAL_SRC)
+    cos = F.expr(
+        "aggregate(zip_with(vec, evec, (a, b) -> a * b), 0D, (s, x) -> s + x)"
+        " / (sqrt(aggregate(zip_with(vec, vec, (a, b) -> a * b), 0D,"
+        " (s, x) -> s + x))"
+        " * sqrt(aggregate(zip_with(evec, evec, (a, b) -> a * b), 0D,"
+        " (s, x) -> s + x)))"
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "doc_id", "source", cos.alias("c")
+    )
+    return (
+        scored.groupBy("doc_id", "source")
+        .agg(
+            F.max("c").alias("mc"),
+            F.sum(F.when(F.col("c") >= _SEMDECON_T, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_eval_hits"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.round("mc", 6).alias("max_eval_cos"),
+            "n_eval_hits",
+            (F.col("mc") >= _SEMDECON_T).alias("contaminated"),
+        )
+    )
+
+
 @query(
     "x_ngram_topk",
     f"""
@@ -1476,6 +1594,102 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ntok",
         F.expr(f"cum_prev div {_PACK_BUDGET}").alias("seq_id"),
         (F.col("cum_prev") % b).alias("seq_offset"),
+        F.expr(
+            f"(cum_prev + greatest(ntok, 1) - 1) div {_PACK_BUDGET}"
+        ).alias("seq_end"),
+    )
+
+
+@query(
+    "x_pack_sequences_salted",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS_DUCK}) END AS ntok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, ntok,
+               CAST(COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS cum_prev
+        FROM t
+    )
+    SELECT doc_id, source, ntok,
+           cum_prev // {_PACK_BUDGET} AS seq_id,
+           cum_prev % {_PACK_BUDGET} AS seq_offset,
+           (cum_prev + greatest(ntok, 1) - 1) // {_PACK_BUDGET} AS seq_end
+    FROM c
+    """,
+    survey_ids=(
+        "training-pipeline: SALTED sequence packing — the mega-source "
+        "skew remedy in TOKEN space (doc_id-range salt buckets, "
+        "per-bucket running sums, model-sized re-basing frame); oracle "
+        "is the unsalted per-source window, value-hash-proving the "
+        "decomposition for the packing family too (byte space is "
+        "x_shard_plan_salted)"
+    ),
+)
+def x_pack_sequences_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_pack_sequences' output computed through the documented skew
+    remedy: the per-source running token sum is split into
+    doc_id-range salt buckets (width _SALT_W=64, data-independent and
+    order-preserving), summed independently per (source, salt), and
+    re-based by the per-source bucket-totals prefix frame
+    (|sources| x |salts| rows, broadcast). cum_prev = bucket_off +
+    cum_in_bucket equals the per-source prefix sum because doc_id
+    order refines salt order within a source. The ORACLE is the
+    unsalted arm, so the hash gate value-proves the decomposition —
+    together with x_shard_plan_salted this covers both prefix-sum
+    spaces (tokens here, bytes there) the family's ops document.
+
+    At 100 TB: a CommonCrawl-shaped mega-source stops serializing into
+    one window partition; every corpus-touching window has width
+    <= salt bucket size, chosen as (source rows / target parallelism).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = (
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(textan.tokens(F.col("text"))))
+        .cast("long")
+    )
+    t = docs.select(
+        "doc_id",
+        "source",
+        ntok.alias("ntok"),
+        F.expr(f"doc_id div {_SALT_W}").alias("salt"),
+    )
+    w_in = (
+        Window.partitionBy("source", "salt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_in_bucket", F.coalesce(F.sum("ntok").over(w_in), F.lit(0))
+    )
+    w_salt = (
+        Window.partitionBy("source")
+        .orderBy("salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boffs = (
+        t.groupBy("source", "salt")
+        .agg(F.sum("ntok").alias("btot"))
+        .withColumn(
+            "bucket_off", F.coalesce(F.sum("btot").over(w_salt), F.lit(0))
+        )
+        .select("source", "salt", "bucket_off")
+    )
+    plan = c.join(F.broadcast(boffs), ["source", "salt"]).withColumn(
+        "cum_prev",
+        (F.col("bucket_off") + F.col("cum_in_bucket")).cast("bigint"),
+    )
+    return plan.select(
+        "doc_id",
+        "source",
+        "ntok",
+        F.expr(f"cum_prev div {_PACK_BUDGET}").alias("seq_id"),
+        (F.col("cum_prev") % _PACK_BUDGET).alias("seq_offset"),
         F.expr(
             f"(cum_prev + greatest(ntok, 1) - 1) div {_PACK_BUDGET}"
         ).alias("seq_end"),
@@ -5385,6 +5599,194 @@ def x_token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_token_budget_dedup",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({_TOKS_DUCK}) END AS ntok,
+               substring(sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 1, 16)
+                   AS fingerprint
+        FROM documents
+    ), wdoc AS (
+        SELECT doc_id, lang, ntok,
+               ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id)
+                   = 1 AS is_canonical,
+               CAST(ROUND(CAST(1.0 AS DOUBLE)
+                          / COUNT(*) OVER (PARTITION BY fingerprint), 9)
+                    AS DECIMAL(18,9)) AS w
+        FROM fp
+    ), lc AS (
+        SELECT lang, CAST(SUM(w) AS DECIMAL(28,9)) AS n_eff FROM wdoc
+        GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(n_eff) AS DECIMAL(38,9)) AS n_eff_tot FROM lc
+    ), wts AS (
+        SELECT lang,
+               CAST(ROUND(POWER(CAST(n_eff AS DOUBLE)
+                                / CAST(n_eff_tot AS DOUBLE), {_TEMP_ALPHA}), 9)
+                    AS DECIMAL(18,9)) AS tw
+        FROM lc, tot
+    ), sw AS (
+        SELECT CAST(SUM(tw) AS DECIMAL(28,9)) AS s FROM wts
+    ), qs AS (
+        SELECT lang, ROUND(CAST(tw AS DOUBLE) / CAST(s AS DOUBLE), 9) AS q
+        FROM wts, sw
+    ), rem AS (
+        SELECT lang,
+               CAST(FLOOR({_TEMP_BUDGET} * q) AS BIGINT) AS base,
+               {_TEMP_BUDGET} * q - FLOOR({_TEMP_BUDGET} * q) AS r
+        FROM qs
+    ), lv AS (
+        SELECT CAST({_TEMP_BUDGET} - SUM(base) AS BIGINT) AS leftover FROM rem
+    ), rk AS (
+        SELECT lang, base,
+               ROW_NUMBER() OVER (ORDER BY r DESC, lang) AS rr
+        FROM rem
+    ), alloc AS (
+        SELECT lang,
+               base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS b_l
+        FROM rk, lv
+    ), c AS (
+        SELECT doc_id, lang, ntok, is_canonical,
+               CASE WHEN is_canonical THEN
+                   CAST(COALESCE(SUM(CASE WHEN is_canonical THEN ntok END)
+                       OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT)
+               ELSE -1 END AS cum_prev
+        FROM wdoc
+    )
+    SELECT c.doc_id, c.lang, c.is_canonical, CAST(c.ntok AS BIGINT) AS ntok,
+           CAST(a.b_l AS BIGINT) AS lang_budget, c.cum_prev,
+           CAST(CASE WHEN c.is_canonical
+                THEN least(greatest(a.b_l - c.cum_prev, 0), c.ntok)
+                ELSE 0 END AS BIGINT) AS tokens_taken,
+           c.is_canonical
+               AND least(greatest(a.b_l - c.cum_prev, 0), c.ntok) > 0 AS kept
+    FROM c JOIN alloc a ON c.lang = a.lang
+    """,
+    survey_ids=(
+        "training-pipeline: DEDUP-AWARE token budget — apportionment "
+        "over effective counts n_eff = sum(1/n_copies) and greedy fill "
+        "over hard-dedup CANONICAL docs only (the 'budget the clean "
+        "corpus' law: three certified ops — soft-dedup weights, "
+        "temperature mixture, largest-remainder budget — composed into "
+        "the run a curation owner actually executes)"
+    ),
+)
+def x_token_budget_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_token_budget_alloc with dedup composed in at both ends: the
+    per-lang budget shares q come from EFFECTIVE counts (duplicates
+    can't buy budget — x_temperature_resample_dedup's law), and the
+    greedy prefix-sum fill runs over the hard-dedup CANONICAL docs
+    only (a duplicate never spends budget its family already spent;
+    non-canonical docs emit tokens_taken = 0, kept = false, cum_prev
+    = -1 sentinel). Budgets still sum exactly to B (largest-remainder
+    over the dedup-aware q).
+
+    Scale shape: ONE fingerprint-keyed shuffle (shared with the
+    soft-dedup-weights plan) + ONE lang-keyed prefix window over the
+    canonical subset (same posture and salting remedy as
+    x_token_budget_alloc — proven by x_pack_sequences_salted); all
+    mixture/apportionment frames are |langs|-row broadcasts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = (
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(textan.tokens(F.col("text"))))
+        .cast("long")
+    )
+    wfp = Window.partitionBy("fingerprint")
+    wfo = Window.partitionBy("fingerprint").orderBy("doc_id")
+    wdoc = docs.select(
+        "doc_id",
+        "lang",
+        ntok.alias("ntok"),
+        textan.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    ).select(
+        "doc_id",
+        "lang",
+        "ntok",
+        (F.row_number().over(wfo) == 1).alias("is_canonical"),
+        F.round(F.lit(1.0) / F.count("*").over(wfp), 9)
+        .cast("decimal(18,9)")
+        .alias("w"),
+    )
+    lc = wdoc.groupBy("lang").agg(
+        F.sum("w").cast("decimal(28,9)").alias("n_eff")
+    )
+    tot = lc.agg(F.sum("n_eff").cast("decimal(38,9)").alias("n_eff_tot"))
+    wts = lc.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.round(
+            F.pow(
+                F.col("n_eff").cast("double")
+                / F.col("n_eff_tot").cast("double"),
+                _TEMP_ALPHA,
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("tw"),
+    )
+    sw = wts.agg(F.sum("tw").cast("decimal(28,9)").alias("s"))
+    qs = wts.crossJoin(F.broadcast(sw)).select(
+        "lang",
+        F.round(F.col("tw").cast("double") / F.col("s").cast("double"), 9).alias(
+            "q"
+        ),
+    )
+    b = F.lit(_TEMP_BUDGET)
+    rem = qs.select(
+        "lang",
+        F.floor(b * F.col("q")).cast("bigint").alias("base"),
+        (b * F.col("q") - F.floor(b * F.col("q"))).alias("r"),
+    )
+    lv = rem.agg((b - F.sum("base")).cast("bigint").alias("leftover"))
+    rk = rem.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("r"), F.asc("lang")))
+    )
+    alloc = rk.crossJoin(F.broadcast(lv)).select(
+        "lang",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("b_l"),
+    )
+    wl = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    canon_tok = F.when(F.col("is_canonical"), F.col("ntok"))
+    c = wdoc.withColumn(
+        "cum_prev",
+        F.when(
+            F.col("is_canonical"),
+            F.coalesce(F.sum(canon_tok).over(wl), F.lit(0)).cast("bigint"),
+        ).otherwise(F.lit(-1)),
+    )
+    taken = F.when(
+        F.col("is_canonical"),
+        F.least(
+            F.greatest(F.col("b_l") - F.col("cum_prev"), F.lit(0)),
+            F.col("ntok"),
+        ),
+    ).otherwise(F.lit(0))
+    return c.join(F.broadcast(alloc), "lang").select(
+        "doc_id",
+        "lang",
+        "is_canonical",
+        F.col("ntok").cast("bigint").alias("ntok"),
+        F.col("b_l").cast("bigint").alias("lang_budget"),
+        "cum_prev",
+        taken.cast("bigint").alias("tokens_taken"),
+        (F.col("is_canonical") & (taken > 0)).alias("kept"),
+    )
+
+
 # --- Output shard planning + manifest ---------------------------------------
 # The write side of a curation engine: lay the corpus into fixed-size
 # output shards in a deterministic global order and emit the manifest a
@@ -5595,7 +5997,7 @@ def x_shard_plan_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-sum family (x_pack_sequences, x_token_budget_alloc,
     x_shard_plan) documents in prose: no window partition is ever a
     whole source. Each source's docs are split into doc_id-range salt
-    buckets of width {_SALT_W} (data-independent, order-preserving:
+    buckets of width _SALT_W=64 (data-independent, order-preserving:
     bucket order == doc_id order), the running sum is computed inside
     each (source, salt) bucket, and two model-sized prefix frames
     re-base it — per-source bucket totals prefix-summed in salt order

@@ -343,10 +343,10 @@ _PACK_BUDGET = 512
 _BATCHES_PER_SHARD = 4
 
 
-@query(
-    "e2e_tokenize_export",
-    f"""
-    WITH {_FROZEN_DOCS_DUCK}, b AS (
+# The export chain as shared CTEs (ending in exp = the per-doc
+# assignment table) so the slice and its manifest provably read the
+# same layout in BOTH engines.
+_EXPORT_CTES = f"""{_FROZEN_DOCS_DUCK}, b AS (
         SELECT doc_id, source,
                CAST(len(pieces) AS BIGINT) AS n_pieces,
                CAST(CASE WHEN len(pieces) <= 64 THEN 64
@@ -369,16 +369,27 @@ _BATCHES_PER_SHARD = 4
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS BIGINT) AS off
         FROM g
-    )
-    SELECT r.doc_id, r.source, r.n_pieces, r.bucket,
-           CAST((rn - 1) // ({_PACK_BUDGET} // r.bucket) AS BIGINT)
-               AS batch_id,
-           CAST((rn - 1) % ({_PACK_BUDGET} // r.bucket) AS BIGINT) AS slot,
-           CAST(o.off + (rn - 1) // ({_PACK_BUDGET} // r.bucket) AS BIGINT)
-               AS global_batch,
-           CAST((o.off + (rn - 1) // ({_PACK_BUDGET} // r.bucket))
-                // {_BATCHES_PER_SHARD} AS BIGINT) AS shard_id
-    FROM r JOIN o ON r.source = o.source AND r.bucket = o.bucket
+    ), exp AS (
+        SELECT r.doc_id, r.source, r.n_pieces, r.bucket,
+               CAST((rn - 1) // ({_PACK_BUDGET} // r.bucket) AS BIGINT)
+                   AS batch_id,
+               CAST((rn - 1) % ({_PACK_BUDGET} // r.bucket) AS BIGINT)
+                   AS slot,
+               CAST(o.off + (rn - 1) // ({_PACK_BUDGET} // r.bucket)
+                    AS BIGINT) AS global_batch,
+               CAST((o.off + (rn - 1) // ({_PACK_BUDGET} // r.bucket))
+                    // {_BATCHES_PER_SHARD} AS BIGINT) AS shard_id
+        FROM r JOIN o ON r.source = o.source AND r.bucket = o.bucket
+    )"""
+
+
+@query(
+    "e2e_tokenize_export",
+    f"""
+    WITH {_EXPORT_CTES}
+    SELECT doc_id, source, n_pieces, bucket, batch_id, slot,
+           global_batch, shard_id
+    FROM exp
     """,
     survey_ids=(
         "training-pipeline e2e: TOKENIZER-CONSISTENT export slice — "
@@ -406,9 +417,16 @@ def e2e_tokenize_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back by broadcast (the x_shard_plan decomposition, here on
     batch counts instead of bytes).
     """
+    docs = load_table(spark, sf_dir, "documents")
+    return _export_assignments(docs)
+
+
+def _export_assignments(docs: DataFrame) -> DataFrame:
+    """Spark twin of _EXPORT_CTES' exp: the per-doc export assignment
+    (doc_id, source, n_pieces, bucket, batch_id, slot, global_batch,
+    shard_id) — shared by the slice and its manifest."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     b = _frozen_pieces(docs).select(
         "doc_id",
         "source",
@@ -464,4 +482,122 @@ def e2e_tokenize_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("shard_id"),
+    )
+
+
+@query(
+    "x_bpe_fertility_by_lang",
+    f"""
+    WITH {_FROZEN_DOCS_DUCK}
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS sum_words,
+           CAST(SUM(len(pieces)) AS BIGINT) AS sum_pieces,
+           ROUND(CAST(SUM(len(pieces)) AS DOUBLE)
+                 / greatest(SUM(n_words), 1), 6) AS fertility,
+           ROUND(CAST(SUM(len(pieces)) AS DOUBLE) / COUNT(*), 6)
+               AS mean_pieces_per_doc
+    FROM p GROUP BY lang
+    """,
+    survey_ids=(
+        "beyond-ref: per-language tokenizer economics under the frozen "
+        "merge table — corpus-exact fertility (pieces/word) and piece "
+        "mass per language, the release table that decides whether a "
+        "tokenizer starves a language (Rust et al. 2021's fertility "
+        "audit); integer sums, fully oracle-checked"
+    ),
+)
+def x_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fairness audit: per language, document count, total
+    whitespace words, total frozen-BPE pieces, fertility (pieces per
+    word) and mean pieces per doc. High-fertility languages pay more
+    compute per sentence and hit context limits sooner — this table is
+    what a curation owner reads next to the temperature mixture when
+    the tokenizer is frozen corpus-wide. All sums are integers
+    (order-independent, overflow-safe), so the rollup is exact and the
+    oracle re-derives it from raw text through the same fold encoder.
+
+    Scale shape: map-only encode (codegen) + ONE |langs|-group partial
+    aggregation — no joins, no windows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = _frozen_pieces(docs)
+    return p.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("sum_words"),
+        F.sum(F.size("pieces")).cast("bigint").alias("sum_pieces"),
+        F.round(
+            F.sum(F.size("pieces")).cast("double")
+            / F.greatest(F.sum("n_words"), F.lit(1)),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.size("pieces")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_pieces_per_doc"),
+    )
+
+
+@query(
+    "x_export_manifest",
+    f"""
+    WITH {_EXPORT_CTES}, pos AS (
+        SELECT e.*, e.global_batch * {_PACK_BUDGET} + e.slot AS pos,
+               CAST(concat('0x', substr(md5(t.text), 1, 8)) AS BIGINT) AS h
+        FROM exp e JOIN t ON t.doc_id = e.doc_id
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT global_batch) AS BIGINT) AS n_batches,
+           CAST(SUM(n_pieces) AS BIGINT) AS sum_pieces,
+           CAST(SUM(bucket) AS BIGINT) AS sum_padded,
+           arg_min(doc_id, pos) AS first_doc_id,
+           arg_max(doc_id, pos) AS last_doc_id,
+           CAST(SUM(h) AS BIGINT) AS content_sum
+    FROM pos GROUP BY shard_id
+    """,
+    survey_ids=(
+        "training-pipeline: export MANIFEST — per-shard doc/batch "
+        "counts, exact piece and padded-token mass, first/last doc by "
+        "(batch, slot) position and an order-independent md5-derived "
+        "content checksum; the loader/integrity sidecar of "
+        "e2e_tokenize_export (x_shard_manifest's role, in BPE-piece "
+        "space)"
+    ),
+)
+def x_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a training loader consumes next to the tokenize-export
+    layout: for each shard, doc and batch counts, the exact BPE piece
+    mass and padded compute mass (sum of bucket sizes — what the GPU
+    actually pays), the first/last doc by in-shard position (a total
+    order: batches are disjoint and slots unique within a batch), and
+    the x_shard_manifest-style content checksum (exact BIGINT sum of
+    md5-derived 32-bit doc hashes — order-independent, replicated
+    bit-for-bit in DuckDB, so one corrupted or misattributed doc flips
+    the row). Both engines derive the layout from the SAME export
+    chain (_EXPORT_CTES / _export_assignments), so manifest and slice
+    cannot disagree by construction.
+
+    Scale shape: the export chain's cost plus one combiner-friendly
+    groupBy(shard_id) — counts/sums are mergeable partials.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Hash the SEP-stripped text — the representation the export chain
+    # (oracle CTE `t`) is defined on, so both engines hash one string.
+    clean = F.translate(F.col("text"), _SEP, "")
+    hashes = docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(clean), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    e = _export_assignments(docs).join(hashes, "doc_id")
+    pos = (F.col("global_batch") * _PACK_BUDGET + F.col("slot")).alias("pos")
+    return e.withColumn("pos", pos).groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("global_batch").cast("bigint").alias("n_batches"),
+        F.sum("n_pieces").cast("bigint").alias("sum_pieces"),
+        F.sum("bucket").cast("bigint").alias("sum_padded"),
+        F.min_by("doc_id", "pos").alias("first_doc_id"),
+        F.max_by("doc_id", "pos").alias("last_doc_id"),
+        F.sum("h").cast("bigint").alias("content_sum"),
     )

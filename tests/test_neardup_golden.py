@@ -613,3 +613,62 @@ def test_semdedup_para_kept_set_invariant(spark, sf_dir):
                 f"{y['doc_id']}:{y['para_idx']} in cluster {cl} "
                 f"is {cos:.4f}-similar"
             )
+
+
+def test_pq_codes_and_adc_match_numpy(spark, sf_dir):
+    """PQ encoding + ADC math golden: GIVEN the trained codebooks, the
+    per-vector codes and the re-ranked top-k must equal a pure numpy
+    recompute exactly (first-argmin ties included). Isolates the
+    encode/ADC/re-rank law from k-means (seeded deterministically and
+    covered by the cert's recall bound)."""
+    import numpy as np
+
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries.vectors import (
+        _N_QUERIES,
+        _PQ_SHORTLIST,
+        _TOP_K,
+        _pq_codebooks,
+    )
+    from event_stream_starter_spark.io import load_table
+
+    cbs = _pq_codebooks(spark, sf_dir)
+    rows = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    M = len(cbs)
+    ds = dim // M
+    C = [np.array(cb, dtype=np.float64) for cb in cbs]
+    codes = np.zeros((n, M), dtype=int)
+    for m in range(M):
+        d = ((X[:, None, m * ds:(m + 1) * ds] - C[m][None, :, :]) ** 2).sum(-1)
+        codes[:, m] = d.argmin(1)  # numpy argmin = first min, same tie-break
+
+    got = all_queries()["ann_pq_topk"].fn(spark, sf_dir).collect()
+    want = {}
+    for qi in np.where(ids < _N_QUERIES)[0]:
+        qv = X[qi]
+        adc = np.zeros(n)
+        for m in range(M):
+            lut = ((C[m] - qv[m * ds:(m + 1) * ds]) ** 2).sum(-1)
+            adc += lut[codes[:, m]]
+        order = [i for i in np.lexsort((ids, adc)) if i != qi]
+        short = order[:_PQ_SHORTLIST]
+        exact = np.sqrt(((X[short] - qv) ** 2).sum(1))
+        rr = [short[j] for j in np.lexsort((ids[short], exact))][:_TOP_K]
+        for rank, i in enumerate(rr, 1):
+            want[(int(ids[qi]), int(ids[i]))] = (
+                round(float(np.sqrt(adc[i])), 6),
+                round(float(np.sqrt(((X[i] - qv) ** 2).sum())), 6),
+                rank,
+            )
+    got_map = {
+        (r["vec_id_q"], r["vec_id_c"]): (
+            r["adc_dist"],
+            r["exact_dist"],
+            r["rank"],
+        )
+        for r in got
+    }
+    assert got_map == want and len(want) == _N_QUERIES * _TOP_K

@@ -122,3 +122,42 @@ def test_scale_variant_plans_have_no_full_partition_sort(spark, sf_dir):
         )
         assert "Window" not in plan, name
         assert "ntile(" not in plan, name  # NB: "percentile_approx" contains "ntile"
+
+
+def test_salted_prefix_twins_plan_properties(spark, sf_dir):
+    """The salted twins must actually implement the skew remedy in the
+    PLAN, not just match values: every corpus-touching window partition
+    includes the salt column (no per-source-wide partition), the
+    re-basing frames arrive via broadcast joins, and there is no
+    cartesian/single-partition corpus exchange."""
+    for name, corpus_keys in (
+        ("x_shard_plan_salted", "[source#, salt#"),
+        ("x_pack_sequences_salted", "[source#, salt#"),
+    ):
+        plan = (
+            all_queries()[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re as _re
+
+        norm = _re.sub(r"#\d+L?", "#", plan)
+        # The corpus running-sum window is keyed by (source, salt) —
+        # a window partitioned by source ALONE must not exist.
+        win_specs = _re.findall(
+            r"windowspecdefinition\(([^)]*?)specifiedwindowframe", norm
+        )
+        assert win_specs, name
+        for spec in win_specs:
+            cols = spec.split(", ")
+            if "salt#" in spec:
+                continue  # the salted corpus window
+            # any other window must be a model-sized frame (bucket
+            # totals / source offsets), whose input is an aggregate,
+            # never the raw corpus scan — approximated here by
+            # requiring it to NOT carry doc_id ordering.
+            assert "doc_id#" not in spec, (name, spec)
+        assert "BroadcastHashJoin" in norm, name
+        assert "CartesianProduct" not in norm, name

@@ -1853,3 +1853,67 @@ def test_streaming_mixture_monitor_matches_batch(spark, sf_dir, tmp_path):
     before = sorted(tuple(r) for r in sink.report().collect())
     sink.process_batch(docs.limit(7), sink.last_batch_id())
     assert sorted(tuple(r) for r in sink.report().collect()) == before
+
+
+def test_streaming_line_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-end line verdicts == the one-shot x_line_dedup, including
+    RETROACTIVE flips (an early occurrence must read boilerplate once a
+    later batch repeats its line); replayed committed batches are
+    no-ops."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.streaming.line_dedup import (
+        StreamingLineDedup,
+    )
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    land = tmp_path / "ld_landing"
+    docs.repartition(4).write.mode("overwrite").parquet(str(land))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    sink = StreamingLineDedup(spark, str(tmp_path / "ld_state"))
+    run_to_completion(stream, sink.foreach_batch_writer(), str(tmp_path / "ld_ck"))
+
+    got = {
+        (r["doc_id"], r["line_idx"]): (
+            r["line_hash"],
+            r["n_docs_with_line"],
+            r["is_boilerplate"],
+        )
+        for r in sink.verdicts().collect()
+    }
+    want = {
+        (r["doc_id"], r["line_idx"]): (
+            r["line_hash"],
+            r["n_docs_with_line"],
+            r["is_boilerplate"],
+        )
+        for r in all_queries()["x_line_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(v[2] for v in want.values())  # the law actually fires
+    # Retroactivity really exercised: some boilerplate line's occurrences
+    # span more than one micro-batch (so an early verdict depended on a
+    # later batch's count partial).
+    lines = sink._read_dir("lines", ["batch_id", "doc_id", "line_idx"])
+    boiler_hashes = {
+        r["line_hash"]
+        for r in sink.line_counts().filter(F.col("n_docs") >= 2).collect()
+    }
+    spans = (
+        lines.filter(F.col("line_hash").isin(list(boiler_hashes)))
+        .groupBy("line_hash")
+        .agg(F.countDistinct("batch_id").alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .count()
+    )
+    assert spans > 0
+
+    # Replay of a committed batch: verdicts unchanged.
+    before = len(got)
+    sink.process_batch(docs.limit(9), sink.last_batch_id())
+    assert sink.verdicts().count() == before
