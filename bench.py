@@ -129,6 +129,8 @@ HEADLINE = [
     "x_export_manifest",
     "x_semantic_decontaminate",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "x_line_dedup_strip_keep_first",
 ]
 
 
@@ -181,7 +183,16 @@ NOTES = (
     "ExactSubstr twins at sf0.1: stride 1.54s vs exact 2.46s (the 4x "
     "position cut is visible even CPU-bound); CDS 2.56s — the md5 "
     "sampling hash dominates locally, its 4x SHUFFLE-byte cut is the "
-    "win local[32] cannot price (documented in the operator)."
+    "win local[32] cannot price (documented in the operator). "
+    "r6 idle probe: 39.51s (busy_frac 0.000/0.000) on 104 headline "
+    "queries — best idle number recorded; the salted prefix twins cost "
+    "what their unsalted arms cost (x_shard_plan_salted 1.05s vs "
+    "x_shard_plan 0.94s; x_pack_sequences_salted 0.80s vs 0.52s — the "
+    "re-basing frames are noise, the remedy is free at the plan level). "
+    "Frozen-BPE consumers (x_bpe_encode_frozen 2.43s, e2e_tokenize_"
+    "export 4.69s, x_export_manifest 4.81s) pay the 12-fold codegen "
+    "encode per doc — at production vocab the Arrow UDF tier replaces "
+    "the fold via the bpe_encode_udf seam, plumbing unchanged."
 )
 
 

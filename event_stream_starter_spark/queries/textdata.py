@@ -3130,6 +3130,98 @@ def x_line_dedup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_line_dedup_strip_keep_first",
+    f"""
+    WITH {_LINES_DUCK}, rk AS (
+        SELECT h.doc_id, h.line_idx, h.line, g.n_docs,
+               ROW_NUMBER() OVER (PARTITION BY h.line_hash
+                                  ORDER BY h.doc_id, h.line_idx) AS occ
+        FROM h JOIN g USING (line_hash)
+    ), kept AS (
+        SELECT doc_id, line_idx, line FROM rk
+        WHERE n_docs < {_LINE_K} OR occ = 1
+    ), agg AS (
+        SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) AS text_clean,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ), tot AS (
+        SELECT doc_id, COUNT(*) AS n_lines FROM h GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           CAST(coalesce(t2.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(t2.n_lines, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+               AS n_lines_removed
+    FROM documents d
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    LEFT JOIN tot t2 ON t2.doc_id = d.doc_id
+    """,
+    survey_ids=(
+        "training-pipeline: line-level dedup, KEEP-FIRST semantics — "
+        "boilerplate lines keep exactly their first occurrence (global "
+        "(doc_id, line_idx) order) and lose the rest; the CCNet "
+        "paragraph-hash deployment, vs x_line_dedup_strip's "
+        "remove-everywhere law (both published semantics registered, "
+        "the x_exact_substr_strip / _keep_one precedent)"
+    ),
+)
+def x_line_dedup_strip_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_line_dedup_strip's sibling under the OTHER published law:
+    CCNet-style paragraph hashing keeps ONE copy of a duplicated line
+    (its first occurrence in global (doc_id, line_idx) order — a total
+    order, so deterministic) instead of stripping the text entirely;
+    content survives somewhere, repetition mass still drops to one.
+
+    Scale shape: the keep-first law needs per-line occurrence RANK, so
+    the tiny boilerplate-set broadcast of the strip variant is replaced
+    by one line_hash-keyed shuffle shared between the count aggregate
+    and the occurrence window (same key — AQE reuses the exchange),
+    then the doc-keyed reassembly. Line-hash keys are uniform; no skew
+    remedy needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = _doc_lines(docs)
+    g = h.groupBy("line_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    w_occ = Window.partitionBy("line_hash").orderBy("doc_id", "line_idx")
+    rk = h.join(g, "line_hash").withColumn(
+        "occ", F.row_number().over(w_occ)
+    )
+    kept = rk.filter(
+        (F.col("n_docs") < _LINE_K) | (F.col("occ") == 1)
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("line_idx", "line"))).alias(
+            "arr"
+        ),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    tot = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .join(tot, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.concat_ws(" ", F.expr("transform(arr, x -> x.line)")),
+                F.lit(""),
+            ).alias("text_clean"),
+            F.coalesce(F.col("n_lines"), F.lit(0))
+            .cast("bigint")
+            .alias("n_lines"),
+            (
+                F.coalesce(F.col("n_lines"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Context-window chunking (the dual of sequence packing)
 # ---------------------------------------------------------------------------

@@ -1198,3 +1198,97 @@ def ann_pq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kth_exact_dist",
         (F.col("recall") >= 0.6).alias("recall_certified"),
     )
+
+
+@query(
+    "ann_ivfpq_topk",
+    None,  # both models (coarse quantizer, PQ codebooks) are runtime-
+    # fitted k-means — rows not static-SQL-expressible. The two halves
+    # are certified separately (ann_ivf_recall_cert, ann_pq_recall_cert)
+    # and the composition is golden-tested against a pure numpy
+    # recompute in tests/test_neardup_golden.py.
+    survey_ids=(
+        "similarity search: IVF-PQ — the standard billion-vector serving "
+        "layout composed end-to-end: coarse-quantizer probes (n_probe=4 "
+        "of 16 lists), ADC ranking over 16-byte codes inside the probed "
+        "lists, exact re-rank of the shortlist"
+    ),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ query path (Jegou 2011 §IV): the persistable
+    index state is (vec_id, cluster, 16-byte PQ codes) — float vectors
+    appear ONLY in the final re-rank; each query probes its n_probe=4
+    closest inverted lists, ADC-ranks the ~n_probe/n_clusters of the
+    corpus inside them, and the top-{_PQ_SHORTLIST} shortlist is
+    re-ranked exactly. Emits (vec_id_q, vec_id_c, adc_dist, exact_dist,
+    rank).
+
+    Scale shape: index build is map-only against two broadcast model
+    literals (write it bucketed-by-cluster once — the
+    StreamingIvfIndex contract, now with codes instead of floats: 16
+    bytes/vector of scan state); the probe join touches n_probe/16 of
+    the code table per query; the only corpus-ish shuffle is the
+    per-query bounded shortlist window; re-rank reads |Q| x
+    {_PQ_SHORTLIST} float vectors. This is the plan a 1e9-vector
+    deployment actually runs.
+    """
+    from ..operators.similarity import (
+        ivf_assign,
+        l2_sq,
+        pq_adc_sq_expr,
+        pq_code_expr,
+    )
+
+    cents = _ivf_centroids(spark, sf_dir)
+    cbs = _pq_codebooks(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Index state: cluster + codes, vectors dropped.
+    assigned = ivf_assign(emb, "vec_id", "embedding", cents).select(
+        "cid", "cluster", pq_code_expr(F.col("cvec"), cbs).alias("codes")
+    )
+    from ..operators.similarity import _cluster_scores
+
+    qscores = F.transform(
+        _cluster_scores(F.col("qvec"), cents),
+        lambda s, i: F.struct(s.alias("s"), i.alias("cl")),
+    )
+    probes = F.slice(F.reverse(F.array_sort(qscores)), 1, 4)
+    q = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+        .withColumn("p", F.explode(probes))
+        .select("qid", "qvec", F.col("p.cl").cast("long").alias("cluster"))
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cluster")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), cbs))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("cid").asc())
+    short = scored.withColumn("srank", F.row_number().over(w)).filter(
+        F.col("srank") <= _PQ_SHORTLIST
+    )
+    rer = short.join(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        "cid",
+    ).withColumn(
+        "dist",
+        F.sqrt(
+            l2_sq(
+                F.transform(F.col("qvec"), lambda x: x.cast("double")),
+                F.transform(F.col("cvec"), lambda x: x.cast("double")),
+            )
+        ),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            F.col("qid").alias("vec_id_q"),
+            F.col("cid").alias("vec_id_c"),
+            F.round(F.sqrt("adc"), 6).alias("adc_dist"),
+            F.round("dist", 6).alias("exact_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

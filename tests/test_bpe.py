@@ -140,3 +140,18 @@ def test_merged_symbol_never_remerges_as_left_within_round(spark):
         bpe.encode_text_expr(F.col("text"), [("a", "a")]).alias("p")
     ).first()["p"]
     assert got == ["aa", "a", "a</w>"] == bpe.encode_text_py("aaaa", [("a", "a")])
+
+
+def test_frozen_merges_provenance(spark):
+    """_FROZEN_MERGES is declared as the first 12 merges trained on the
+    sf0.001 corpus — pin that provenance so the constant can't silently
+    drift from the corpus it claims to come from."""
+    from event_stream_starter_spark.queries.tokenizer import (
+        _FROZEN_MERGES,
+        _trained_merges,
+    )
+
+    trained = _trained_merges(spark, "/root/testdata/sf0.001")
+    assert [(m["left"], m["right"]) for m in trained[: len(_FROZEN_MERGES)]] == list(
+        _FROZEN_MERGES
+    )

@@ -672,3 +672,70 @@ def test_pq_codes_and_adc_match_numpy(spark, sf_dir):
         for r in got
     }
     assert got_map == want and len(want) == _N_QUERIES * _TOP_K
+
+
+def test_ivfpq_composition_matches_numpy(spark, sf_dir):
+    """IVF-PQ composition golden: GIVEN the trained coarse quantizer and
+    PQ codebooks, the probe -> ADC -> re-rank chain must equal a numpy
+    recompute exactly (assignment argmax, probe ordering, shortlist and
+    re-rank tie-breaks included)."""
+    import numpy as np
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries.vectors import (
+        _N_QUERIES,
+        _PQ_SHORTLIST,
+        _TOP_K,
+        _ivf_centroids,
+        _pq_codebooks,
+    )
+
+    cents = np.array(_ivf_centroids(spark, sf_dir), dtype=np.float64)
+    cbs = [np.array(c, dtype=np.float64) for c in _pq_codebooks(spark, sf_dir)]
+    rows = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    M = len(cbs)
+    ds = dim // M
+
+    def cos_to_cents(v):
+        num = cents @ v
+        den = np.linalg.norm(cents, axis=1) * np.linalg.norm(v)
+        return num / den
+
+    cluster = np.array([int(np.argmax(cos_to_cents(x))) for x in X])
+    codes = np.zeros((n, M), dtype=int)
+    for m in range(M):
+        d = ((X[:, None, m * ds:(m + 1) * ds] - cbs[m][None, :, :]) ** 2).sum(-1)
+        codes[:, m] = d.argmin(1)
+
+    want = {}
+    for qi in np.where(ids < _N_QUERIES)[0]:
+        qv = X[qi]
+        s = cos_to_cents(qv)
+        # reverse(array_sort(struct(s, cl))): desc by s, ties desc by cl
+        probe = sorted(range(len(s)), key=lambda j: (-s[j], -j))[:4]
+        cand = [
+            i for i in range(n)
+            if cluster[i] in probe and i != qi
+        ]
+        adc = np.zeros(n)
+        for m in range(M):
+            lut = ((cbs[m] - qv[m * ds:(m + 1) * ds]) ** 2).sum(-1)
+            adc += lut[codes[:, m]]
+        cand.sort(key=lambda i: (adc[i], ids[i]))
+        short = cand[:_PQ_SHORTLIST]
+        short.sort(key=lambda i: (np.sqrt(((X[i] - qv) ** 2).sum()), ids[i]))
+        for rank, i in enumerate(short[:_TOP_K], 1):
+            want[(int(ids[qi]), int(ids[i]))] = (
+                round(float(np.sqrt(adc[i])), 6),
+                round(float(np.sqrt(((X[i] - qv) ** 2).sum())), 6),
+                rank,
+            )
+    got = {
+        (r["vec_id_q"], r["vec_id_c"]): (r["adc_dist"], r["exact_dist"], r["rank"])
+        for r in all_queries()["ann_ivfpq_topk"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) == _N_QUERIES * _TOP_K
