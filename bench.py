@@ -131,6 +131,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "x_line_dedup_strip_keep_first",
+    "x_sq8_quantize",
 ]
 
 

@@ -1292,3 +1292,127 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# --- Scalar quantization (SQ8) ----------------------------------------------
+# PQ's codebooks are a trained model (rows-only + cert); SQ8 is the
+# OTHER standard vector-compression tier (FAISS SQ8 / int8 serving):
+# per-dimension min/max affine quantization to uint8. No trained model
+# — the scale params are plain aggregates — so the WHOLE operator is
+# SQL-expressible and gets a full value-hash oracle, making it the
+# hash-checked anchor of the quantization family.
+
+_SQ_DIM = 64
+
+
+def _sq8_minmax_duck() -> str:
+    mins = ", ".join(
+        f"min(embedding[{i + 1}]) AS mn{i}" for i in range(_SQ_DIM)
+    )
+    maxs = ", ".join(
+        f"max(embedding[{i + 1}]) AS mx{i}" for i in range(_SQ_DIM)
+    )
+    return f"SELECT {mins}, {maxs} FROM embeddings"
+
+
+@query(
+    "x_sq8_quantize",
+    f"""
+    WITH st AS ({_sq8_minmax_duck()}),
+    stl AS (
+        SELECT [{", ".join(f"CAST(mn{i} AS DOUBLE)" for i in range(_SQ_DIM))}] AS mn,
+               [{", ".join(f"CAST(mx{i} AS DOUBLE)" for i in range(_SQ_DIM))}] AS mx
+        FROM st
+    ), coded AS (
+        SELECT e.vec_id,
+               list_transform(generate_series(1, {_SQ_DIM}),
+                   i -> CAST(floor(
+                       (CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) - s.mn[CAST(i AS INTEGER)])
+                       / (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)]) * 255 + 0.5)
+                       AS BIGINT)) AS codes,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+               s.mn AS mn, s.mx AS mx
+        FROM embeddings e CROSS JOIN stl s
+    )
+    SELECT vec_id,
+           array_to_string(codes[1:8], ' ') AS code_head,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           ROUND(sqrt(list_sum(list_transform(generate_series(1, {_SQ_DIM}),
+               i -> power(v[CAST(i AS INTEGER)]
+                          - (mn[CAST(i AS INTEGER)] + codes[CAST(i AS INTEGER)]
+                             * (mx[CAST(i AS INTEGER)] - mn[CAST(i AS INTEGER)]) / 255), 2)))), 6)
+               AS recon_err,
+           TRUE AS recon_ok
+    FROM coded
+    """,
+    survey_ids=(
+        "similarity search: SQ8 scalar quantization (FAISS int8 tier) — "
+        "per-dim min/max affine codes with FULL value-hash oracle "
+        "(stats, codes, reconstruction error and the recon bound all "
+        "re-derived in DuckDB); the hash-checked anchor of the "
+        "quantization family (PQ's trained tier is cert-checked)"
+    ),
+)
+def x_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize every embedding to 64 uint8 codes with per-dimension
+    min/max affine scaling — the int8 serving tier (4x compression,
+    exact de-quantization law). Per vector: the first-8 code string,
+    an order-independent code checksum, the exact L2 reconstruction
+    error of the de-quantized vector, and recon_ok certifying error
+    <= the lattice bound (half a quantization step per dim:
+    ||err|| <= sqrt(sum_i (step_i/2)^2), a THEOREM of the floor(+0.5)
+    rounding — the oracle states it as literal TRUE, so a scaling or
+    rounding regression flips the hash). Unlike PQ, no trained model:
+    the scale params are corpus aggregates, so the ENTIRE operator is
+    re-derived by the DuckDB oracle value-for-value.
+
+    Scale shape: the stats pass is one 128-aggregate partial-combine
+    reduce (a 1-row frame, broadcast back); coding is map-only. Codes
+    are emitted as checksums (head + sum) rather than raw arrays per
+    the registry's hash-gate hygiene.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = emb.agg(
+        F.array(
+            *[F.min(F.col("embedding")[i]).cast("double") for i in range(_SQ_DIM)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.col("embedding")[i]).cast("double") for i in range(_SQ_DIM)]
+        ).alias("mx"),
+    )
+    coded = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(1, {_SQ_DIM}),"
+            " i -> cast(floor((cast(embedding[i - 1] as double) - mn[i - 1])"
+            " / (mx[i - 1] - mn[i - 1]) * 255 + 0.5) as bigint))"
+        ).alias("codes"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        "mn",
+        "mx",
+    )
+    recon_err = F.round(
+        F.sqrt(
+            F.expr(
+                f"aggregate(transform(sequence(1, {_SQ_DIM}),"
+                " i -> power(v[i - 1] - (mn[i - 1] + codes[i - 1]"
+                " * (mx[i - 1] - mn[i - 1]) / 255), 2)),"
+                " 0D, (s, x) -> s + x)"
+            )
+        ),
+        6,
+    )
+    bound = F.sqrt(
+        F.expr(
+            f"aggregate(transform(sequence(1, {_SQ_DIM}),"
+            " i -> power((mx[i - 1] - mn[i - 1]) / 510, 2)),"
+            " 0D, (s, x) -> s + x)"
+        )
+    )
+    return coded.select(
+        "vec_id",
+        F.concat_ws(" ", F.slice("codes", 1, 8)).alias("code_head"),
+        F.expr("aggregate(codes, 0L, (s, x) -> s + x)").alias("code_sum"),
+        recon_err.alias("recon_err"),
+        (recon_err <= bound + F.lit(1e-9)).alias("recon_ok"),
+    )

@@ -161,3 +161,31 @@ def test_salted_prefix_twins_plan_properties(spark, sf_dir):
             assert "doc_id#" not in spec, (name, spec)
         assert "BroadcastHashJoin" in norm, name
         assert "CartesianProduct" not in norm, name
+
+
+def test_export_chain_plan_properties(spark, sf_dir):
+    """e2e_tokenize_export / x_export_manifest: the only corpus window
+    is keyed by (source, bucket) — the global batch layout must arrive
+    as a broadcast frame, never an unpartitioned corpus window or a
+    cartesian product."""
+    import re as _re
+
+    for name in ("e2e_tokenize_export", "x_export_manifest"):
+        plan = (
+            all_queries()[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        norm = _re.sub(r"#\d+L?", "#", plan)
+        specs = _re.findall(
+            r"windowspecdefinition\(([^)]*?)specifiedwindowframe", norm
+        )
+        assert specs, name
+        for spec in specs:
+            if "doc_id#" in spec:
+                # the corpus batch-assembly window: must be keyed
+                assert "source#" in spec and "bucket#" in spec, (name, spec)
+        assert "BroadcastHashJoin" in norm, name
+        assert "CartesianProduct" not in norm, name
