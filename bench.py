@@ -193,7 +193,10 @@ NOTES = (
     "Frozen-BPE consumers (x_bpe_encode_frozen 2.43s, e2e_tokenize_"
     "export 4.69s, x_export_manifest 4.81s) pay the 12-fold codegen "
     "encode per doc — at production vocab the Arrow UDF tier replaces "
-    "the fold via the bpe_encode_udf seam, plumbing unchanged."
+    "the fold via the bpe_encode_udf seam, plumbing unchanged. A second "
+    "r6 probe on the final 107-query registry read 42.95s (busy_frac "
+    "0.001/0.003) — both probes inside the idle band; the spread is the "
+    "documented ~10% cross-run environmental variance."
 )
 
 
