@@ -624,7 +624,7 @@ def semdedup_increment(
 # the broadcast-a-model shape shared with ivf_topk.
 
 
-def pq_codebooks(
+def pq_codebooks_per_subspace(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
@@ -633,8 +633,12 @@ def pq_codebooks(
     k: int = 16,
     iters: int = 2,
 ) -> list[list[list[float]]]:
-    """Train M per-subspace L2 codebooks (each k x dim/m). Model-sized:
-    M bounded kmeans runs, each collecting k*(dim/m) cells."""
+    """Reference trainer: M independent per-subspace L2 k-means runs.
+    Semantically canonical but costs M corpus scans PER ITERATION —
+    the naive layout a 100TB job cannot afford. Kept as the
+    path-equality twin of :func:`pq_codebooks` (the BPE
+    driver/distributed precedent, pinned in tests/test_neardup_golden
+    ::test_pq_joint_trainer_equals_per_subspace)."""
     ds = dim // m
     out = []
     for i in range(m):
@@ -646,6 +650,70 @@ def pq_codebooks(
             kmeans_centroids(sub, "sub", k, iters=iters, id_col="id", metric="l2")
         )
     return out
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Train M per-subspace L2 codebooks (each k x dim/m) JOINTLY: the
+    M subspace k-means problems are independent, so one Lloyd
+    iteration for ALL of them is a single corpus pass — per row,
+    assign every subspace to its nearest codeword (pure column
+    expression of the broadcast codebook literals), explode
+    (subspace, cluster, dim, value) cells, and aggregate one
+    M*k*(dim/m)-row mean table. Per iteration: ONE job instead of M —
+    at 100 TB that is the difference between 2 and 2*M corpus scans.
+    Seeds are the first k rows in id order sliced per subspace
+    (identical to the per-subspace trainer's seeds); the assignment
+    law (first-argmin), the mean update, and the empty-cluster
+    keep-previous rule are the same, so the two trainers produce the
+    same codebooks (pinned on an exact-arithmetic corpus by
+    test_pq_joint_trainer_equals_per_subspace)."""
+    ds = dim // m
+    vec = F.col(vec_col)
+    seed_rows = (
+        corpus.select(vec.alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cbs = [
+        [[float(x) for x in r["v"][i * ds : (i + 1) * ds]] for r in seed_rows]
+        for i in range(m)
+    ]
+    for _ in range(iters):
+
+        def _sub_struct(i: int) -> Column:
+            sub = F.slice(vec, i * ds + 1, ds)
+            dists = F.transform(
+                _centroid_literal(cbs[i]), lambda c: l2_sq(sub, c)
+            )
+            code = F.coalesce(
+                F.array_position(dists, F.array_min(dists)) - 1, F.lit(0)
+            )
+            return F.struct(
+                F.lit(i).alias("sub"), code.alias("cl"), sub.alias("sv")
+            )
+
+        cells_expr = F.explode(F.array(*[_sub_struct(i) for i in range(m)]))
+        cells = (
+            corpus.select(cells_expr.alias("x"))
+            .select("x.sub", "x.cl", F.posexplode("x.sv").alias("dim", "val"))
+            .groupBy("sub", "cl", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("mu"))
+            .collect()
+        )
+        new = [[list(c) for c in cb] for cb in cbs]
+        for r in cells:
+            new[r["sub"]][r["cl"]][r["dim"]] = r["mu"]
+        cbs = new
+    return cbs
 
 
 def pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:

@@ -739,3 +739,30 @@ def test_ivfpq_composition_matches_numpy(spark, sf_dir):
         for r in all_queries()["ann_ivfpq_topk"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) == _N_QUERIES * _TOP_K
+
+
+def test_pq_joint_trainer_equals_per_subspace(spark):
+    """The joint PQ trainer (one corpus pass per Lloyd iteration for
+    ALL subspaces) must produce the same codebooks as the canonical
+    per-subspace trainer — same seeds, assignment law, mean update and
+    empty-cluster rule. Pinned on an exact-arithmetic corpus (small
+    integers: double sums are exact, so aggregation-order differences
+    between the two plans cannot manufacture a spurious diff)."""
+    import itertools
+
+    from event_stream_starter_spark.operators.similarity import (
+        pq_codebooks,
+        pq_codebooks_per_subspace,
+    )
+
+    vals = [0.0, 1.0, 2.0, 3.0]
+    rows = [
+        (i, [float(vals[(i + j) % 4]) for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    joint = pq_codebooks(df, "embedding", "vec_id", dim=8, m=4, k=3, iters=2)
+    per = pq_codebooks_per_subspace(
+        df, "embedding", "vec_id", dim=8, m=4, k=3, iters=2
+    )
+    assert joint == per
