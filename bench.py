@@ -132,6 +132,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "x_line_dedup_strip_keep_first",
     "x_sq8_quantize",
+    "ann_sq8_topk",
 ]
 
 

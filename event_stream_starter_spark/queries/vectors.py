@@ -1416,3 +1416,110 @@ def x_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         recon_err.alias("recon_err"),
         (recon_err <= bound + F.lit(1e-9)).alias("recon_ok"),
     )
+
+
+@query(
+    "ann_sq8_topk",
+    f"""
+    WITH st AS ({_sq8_minmax_duck()}),
+    stl AS (
+        SELECT [{", ".join(f"CAST(mn{i} AS DOUBLE)" for i in range(_SQ_DIM))}] AS mn,
+               [{", ".join(f"CAST(mx{i} AS DOUBLE)" for i in range(_SQ_DIM))}] AS mx
+        FROM st
+    ), deq AS (
+        SELECT e.vec_id AS cid,
+               list_transform(generate_series(1, {_SQ_DIM}),
+                   i -> s.mn[CAST(i AS INTEGER)]
+                        + floor((CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                                 - s.mn[CAST(i AS INTEGER)])
+                                / (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)])
+                                * 255 + 0.5)
+                          * (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)]) / 255)
+                   AS dv
+        FROM embeddings e CROSS JOIN stl s
+    ), q AS (
+        SELECT vec_id AS qid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+        SELECT q.qid, d.cid,
+               sqrt(list_sum(list_transform(generate_series(1, {_SQ_DIM}),
+                   i -> power(q.qv[CAST(i AS INTEGER)]
+                              - d.dv[CAST(i AS INTEGER)], 2)))) AS dist
+        FROM deq d CROSS JOIN q WHERE q.qid <> d.cid
+    ), ranked AS (
+        SELECT qid, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dist ASC, cid ASC) AS rank
+        FROM scored
+    )
+    SELECT qid AS vec_id_q, cid AS vec_id_c,
+           ROUND(dist, 6) AS sq_dist, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+    survey_ids=(
+        "similarity search: SQ8 quantized top-k with a FULL value-hash "
+        "oracle — the int8 tier's asymmetric search (exact query vs "
+        "de-quantized corpus); because SQ8 has no trained model, the "
+        "ENTIRE approximate ANN path is re-derived and hash-checked in "
+        "DuckDB, ranks included (the quantized sibling of ann_lsh_topk's "
+        "fully-oracled bucketing)"
+    ),
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-k over the SQ8 tier: corpus vectors are stored as
+    uint8 codes (x_sq8_quantize's law) and searched by exact-query vs
+    DE-QUANTIZED-corpus L2 distance. Every row — stats, codes,
+    de-quantization, distances, ranks — is value-hash-checked by the
+    DuckDB oracle: with no trained model in the path, the whole
+    approximate search is externally checkable, not just certified
+    (the property PQ/IVF structurally cannot have).
+
+    Scale shape: one 128-aggregate stats reduce broadcast back; coding
+    + de-quantization map-only; queries broadcast; the only shuffle is
+    the per-query bounded top-k window (TakeOrdered-shaped at scale).
+    In production the dequant distance is computed from the stored
+    CODES (mn + code*step) without touching float vectors — the
+    expression here is algebraically that, folded.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = emb.agg(
+        F.array(
+            *[F.min(F.col("embedding")[i]).cast("double") for i in range(_SQ_DIM)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.col("embedding")[i]).cast("double") for i in range(_SQ_DIM)]
+        ).alias("mx"),
+    )
+    deq = emb.crossJoin(F.broadcast(stats)).select(
+        F.col("vec_id").alias("cid"),
+        F.expr(
+            f"transform(sequence(1, {_SQ_DIM}),"
+            " i -> mn[i - 1]"
+            " + floor((cast(embedding[i - 1] as double) - mn[i - 1])"
+            " / (mx[i - 1] - mn[i - 1]) * 255 + 0.5)"
+            " * (mx[i - 1] - mn[i - 1]) / 255)"
+        ).alias("dv"),
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qv"),
+    )
+    from ..operators.similarity import l2_sq
+
+    scored = (
+        deq.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("dist", F.sqrt(l2_sq(F.col("qv"), F.col("dv"))))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            F.col("qid").alias("vec_id_q"),
+            F.col("cid").alias("vec_id_c"),
+            F.round("dist", 6).alias("sq_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -189,3 +189,19 @@ def test_export_chain_plan_properties(spark, sf_dir):
                 assert "source#" in spec and "bucket#" in spec, (name, spec)
         assert "BroadcastHashJoin" in norm, name
         assert "CartesianProduct" not in norm, name
+
+
+def test_line_strip_boilerplate_set_broadcasts(spark, sf_dir):
+    """x_line_dedup_strip's scale claim: the (tiny) boilerplate hash
+    set reaches the corpus as a broadcast ANTI join — a shuffled anti
+    join here would mean the corpus lines get re-shuffled just to drop
+    the rare duplicated ones."""
+    plan = (
+        all_queries()["x_line_dedup_strip"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
