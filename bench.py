@@ -196,8 +196,9 @@ NOTES = (
     "encode per doc — at production vocab the Arrow UDF tier replaces "
     "the fold via the bpe_encode_udf seam, plumbing unchanged. A second "
     "r6 probe on the final 107-query registry read 42.95s (busy_frac "
-    "0.001/0.003) — both probes inside the idle band; the spread is the "
-    "documented ~10% cross-run environmental variance."
+    "0.001/0.003); a third on the 108-query registry read 40.81s "
+    "(busy_frac 0.000/0.000) — all three inside the idle band; the "
+    "spread is the documented ~10% cross-run environmental variance."
 )
 
 
