@@ -133,6 +133,7 @@ HEADLINE = [
     "x_line_dedup_strip_keep_first",
     "x_sq8_quantize",
     "ann_sq8_topk",
+    "x_semantic_exposure",
 ]
 
 

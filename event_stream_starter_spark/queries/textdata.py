@@ -992,6 +992,106 @@ def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_semantic_exposure",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, list_filter({_TOKS_DUCK}, w -> w <> '') AS toks
+        FROM documents
+    ), hd AS (
+        SELECT doc_id, source,
+               list_transform(toks,
+                   t -> CAST(concat('0x', substr(md5(t), 1, 8))
+                             AS BIGINT) % {_SEMDECON_D}) AS dims
+        FROM t
+    ), v AS (
+        SELECT doc_id, source,
+               list_transform(generate_series(0, {_SEMDECON_D - 1}),
+                   d -> CAST(len(list_filter(dims, h -> h = d)) AS DOUBLE))
+                   AS vec
+        FROM hd
+    ), ev AS (
+        SELECT doc_id, vec FROM v WHERE source = '{_EVAL_SRC}'
+    ), tr AS (
+        SELECT doc_id, vec FROM v WHERE source <> '{_EVAL_SRC}'
+    ), mx AS (
+        SELECT ev.doc_id,
+               max(list_cosine_similarity(ev.vec, tr.vec)) AS mc,
+               CAST(SUM(CASE WHEN list_cosine_similarity(ev.vec, tr.vec)
+                                  >= {_SEMDECON_T} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exposing_train_docs
+        FROM ev, tr GROUP BY ev.doc_id
+    )
+    SELECT doc_id, ROUND(mc, 6) AS max_train_cos, n_exposing_train_docs,
+           mc >= {_SEMDECON_T} AS compromised
+    FROM mx
+    """,
+    survey_ids=(
+        "training-pipeline: SEMANTIC eval-exposure report — the reverse "
+        "direction of x_semantic_decontaminate (per benchmark item: max "
+        "train cosine + exposing-train-doc count + compromised flag), "
+        "completing the both-directions symmetry the verbatim gram law "
+        "has (x_decontaminate / x_eval_exposure); full oracle"
+    ),
+)
+def x_semantic_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_eval_exposure's semantic sibling: an eval item paraphrased
+    into training can't be fixed by dropping train docs already
+    trained on — the remedy is scoring clean and dirty eval subsets
+    separately, which needs this table: per EVAL doc, the max cosine
+    to any training doc over the deterministic hashing vectors, the
+    number of >= 0.95 exposing train docs, and the compromised flag.
+    Every eval doc emits a row (the clean subset is the point).
+
+    Scale shape: identical to x_semantic_decontaminate with the
+    aggregation flipped to the (benchmark-sized) eval side — eval
+    vectors broadcast, the train corpus streams map-side through the
+    compare, and the per-eval-doc rollup is a broadcast-sized groupBy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(textan.tokens(F.col("text")), lambda w: F.length(w) > 0)
+    dims = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        % _SEMDECON_D,
+    )
+    vec = F.expr(
+        f"transform(sequence(0, {_SEMDECON_D - 1}),"
+        f" d -> cast(size(filter(dims, h -> h = cast(d as bigint)))"
+        f" as double))"
+    )
+    v = docs.select("doc_id", "source", dims.alias("dims")).select(
+        "doc_id", "source", vec.alias("vec")
+    )
+    ev = v.filter(F.col("source") == _EVAL_SRC).select(
+        F.col("doc_id").alias("eid"), F.col("vec").alias("evec")
+    )
+    tr = v.filter(F.col("source") != _EVAL_SRC).select("vec")
+    cos = F.expr(
+        "aggregate(zip_with(evec, vec, (a, b) -> a * b), 0D, (s, x) -> s + x)"
+        " / (sqrt(aggregate(zip_with(evec, evec, (a, b) -> a * b), 0D,"
+        " (s, x) -> s + x))"
+        " * sqrt(aggregate(zip_with(vec, vec, (a, b) -> a * b), 0D,"
+        " (s, x) -> s + x)))"
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select("eid", cos.alias("c"))
+    return (
+        scored.groupBy("eid")
+        .agg(
+            F.max("c").alias("mc"),
+            F.sum(F.when(F.col("c") >= _SEMDECON_T, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exposing_train_docs"),
+        )
+        .select(
+            F.col("eid").alias("doc_id"),
+            F.round("mc", 6).alias("max_train_cos"),
+            "n_exposing_train_docs",
+            (F.col("mc") >= _SEMDECON_T).alias("compromised"),
+        )
+    )
+
+
+@query(
     "x_ngram_topk",
     f"""
     WITH t AS (
