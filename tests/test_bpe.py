@@ -155,3 +155,69 @@ def test_frozen_merges_provenance(spark):
     assert [(m["left"], m["right"]) for m in trained[: len(_FROZEN_MERGES)]] == list(
         _FROZEN_MERGES
     )
+
+
+def test_frozen_encoder_three_way_on_adversarial_text(spark):
+    """The frozen-merge encoder law must agree across all THREE
+    implementations — the Spark Column fold (encode_text_expr), the
+    pure-Python kernel (encode_text_py), and the DuckDB list_reduce
+    fold that backs x_bpe_encode_frozen's oracle — on inputs nastier
+    than the corpus: unicode, the separator byte itself, cascaded-merge
+    words, repeated-pair runs, mixed whitespace."""
+    import duckdb
+
+    from event_stream_starter_spark.operators.bpe import encode_text_py
+    from event_stream_starter_spark.queries.tokenizer import (
+        _FROZEN_MERGES,
+        _SEP,
+        _frozen_encode_duck,
+    )
+    from event_stream_starter_spark.operators import bpe, textan
+
+    texts = [
+        "par par parer",            # cascaded merge: p+ar needs a+r first
+        "aaaa aa a",                # repeated single-char runs
+        "erer ererer",              # overlapping e+r merges
+        "tow tower lowest low",     # ow</w> vs or vs to interactions
+        "in inn inin to too",
+        "MiXeD CaSe PAR",           # lowercasing law
+        "  spaced\tout\nwords  ",   # whitespace normalization
+        "naïve café über",          # unicode codepoints
+        "a" + _SEP + "b ab",        # the separator byte is stripped first
+        "x",                        # single char
+        "ar ar</w>",                # literal marker text in input
+    ]
+    clean = [t.replace(_SEP, "") for t in texts]
+
+    # Python kernel (on SEP-stripped text — the law's representation).
+    want = [encode_text_py(t, _FROZEN_MERGES) for t in clean]
+
+    # Spark Column fold.
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    strip = F.translate(F.col("text"), _SEP, "")
+    got_spark = {
+        r["i"]: r["p"]
+        for r in df.select(
+            "i", bpe.encode_text_expr(strip, _FROZEN_MERGES).alias("p")
+        ).collect()
+    }
+
+    # DuckDB fold (the oracle's encoder), word-by-word like the SQL chain.
+    con = duckdb.connect()
+    toks_duck = (
+        "list_filter(string_split(trim(regexp_replace(lower(t), "
+        "'[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' '), w -> w <> '')"
+    )
+    got_duck = []
+    for t in clean:
+        (pieces,) = con.execute(
+            f"SELECT flatten(list_transform({toks_duck},"
+            f" w -> string_split({_frozen_encode_duck('w')}, '{_SEP}')))"
+            " FROM (SELECT ? AS t)",
+            [t],
+        ).fetchone()
+        got_duck.append(pieces)
+
+    for i, t in enumerate(texts):
+        assert got_spark[i] == want[i], (t, got_spark[i], want[i])
+        assert got_duck[i] == want[i], (t, got_duck[i], want[i])
