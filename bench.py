@@ -134,6 +134,7 @@ HEADLINE = [
     "x_sq8_quantize",
     "ann_sq8_topk",
     "x_semantic_exposure",
+    "x_vocab_coverage",
 ]
 
 

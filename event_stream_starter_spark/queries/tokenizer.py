@@ -601,3 +601,72 @@ def x_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("doc_id", "pos").alias("last_doc_id"),
         F.sum("h").cast("bigint").alias("content_sum"),
     )
+
+
+@query(
+    "x_vocab_coverage",
+    f"""
+    WITH {_FROZEN_DOCS_DUCK}, pc AS (
+        SELECT lang,
+               CAST(len(pieces) AS BIGINT) AS n_pieces,
+               CAST(len(list_filter(pieces,
+                   p -> length(replace(p, '{bpe.END_OF_WORD}', '')) = 1))
+                   AS BIGINT) AS n_single
+        FROM p
+    )
+    SELECT lang,
+           CAST(SUM(n_pieces) AS BIGINT) AS sum_pieces,
+           CAST(SUM(n_single) AS BIGINT) AS sum_single_char,
+           ROUND(1.0 - CAST(SUM(n_single) AS DOUBLE)
+                 / greatest(SUM(n_pieces), 1), 6) AS merged_coverage
+    FROM pc GROUP BY lang
+    """,
+    survey_ids=(
+        "tokenizer: vocabulary-coverage audit under the frozen merge "
+        "table — per language, the fraction of emitted pieces that are "
+        "merged units vs single-character fallbacks (the byte/char "
+        "fallback-rate metric read next to fertility: a language whose "
+        "pieces are mostly single chars is effectively untokenized)"
+    ),
+)
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coverage half of the tokenizer-fairness audit
+    (x_bpe_fertility_by_lang is the cost half): per language, how much
+    of the emitted piece stream is MERGED subword units versus
+    single-character fallbacks (end-of-word marker excluded from the
+    length test, so 'e</w>' counts as a single char and 'er</w>' as a
+    merged unit). A language stuck near zero merged coverage is being
+    fed to the model character-by-character — the practical failure
+    mode a frozen multilingual tokenizer audit looks for. Integer
+    sums, fully oracle-checked.
+
+    Scale shape: map-only frozen encode + one |langs|-group rollup —
+    no joins, no windows (the fertility audit's plan, one extra
+    map-side filter).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = _frozen_pieces(docs)
+    n_single = F.size(
+        F.filter(
+            F.col("pieces"),
+            lambda x: F.length(
+                F.replace(x, F.lit(bpe.END_OF_WORD), F.lit(""))
+            )
+            == 1,
+        )
+    ).cast("long")
+    pc = p.select(
+        "lang",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        n_single.alias("n_single"),
+    )
+    return pc.groupBy("lang").agg(
+        F.sum("n_pieces").cast("bigint").alias("sum_pieces"),
+        F.sum("n_single").cast("bigint").alias("sum_single_char"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_single").cast("double")
+            / F.greatest(F.sum("n_pieces"), F.lit(1)),
+            6,
+        ).alias("merged_coverage"),
+    )
