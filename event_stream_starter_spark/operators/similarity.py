@@ -36,6 +36,44 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def salted_topn(
+    scored: DataFrame,
+    order,
+    n: int,
+    rank_name: str = "rank",
+    part_cols=("qid",),
+    salt_key: str = "cid",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-partition top-n WITHOUT a corpus-proportional window on a
+    bounded-cardinality key (the x_hybrid_rrf_batch / salted-prefix
+    decomposition): phase 1 ranks within (part_cols..., __salt =
+    xxhash64(salt_key) mod n_salts) keeping n per salt bucket — each
+    window task sorts only ~1/n_salts of one partition's candidates —
+    then phase 2 ranks the <= n_salts*n survivors per partition (a
+    bounded window at any corpus size).
+
+    VALUE-IDENTICAL to a direct PARTITION BY part_cols row_number <= n
+    whenever `order` is a total order within a partition (all callers
+    tie-break on the id): a row cut in phase 1 has >= n same-partition
+    rows strictly above it, so it cannot be in the true top-n, and
+    ranking the surviving superset ranks the true top-n identically.
+    Returns the input columns plus `rank_name`, filtered to <= n.
+    """
+    w1 = Window.partitionBy(*part_cols, "__salt").orderBy(*order)
+    w2 = Window.partitionBy(*part_cols).orderBy(*order)
+    return (
+        scored.withColumn(
+            "__salt", F.pmod(F.xxhash64(salt_key), F.lit(n_salts))
+        )
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= n)
+        .withColumn(rank_name, F.row_number().over(w2))
+        .filter(F.col(rank_name) <= n)
+        .drop("__salt", "__rn1")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -47,8 +85,9 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast the (small) query set against the
     corpus, rank per query. Output: (query_id, corpus_id, cos_sim, rank).
 
-    At scale the corpus side is the big table (map-side scored, one
-    shuffle of |Q|*k candidates via the window); queries are broadcast.
+    At scale the corpus side is the big table (map-side scored);
+    queries are broadcast; the rank is the salted two-phase top-n, so
+    no corpus-proportional partition lands on a single qid reducer.
     """
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(vec_col).alias("qvec")
@@ -61,18 +100,13 @@ def brute_force_topk(
         .filter(F.col("qid") != F.col("cid"))
         .withColumn("cos_sim", cosine(F.col("qvec"), F.col("cvec")))
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("cos_sim").desc(), F.col("cid").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias(query_id + "_q"),
-            F.col("cid").alias(corpus_id + "_c"),
-            "cos_sim",
-            "rank",
-        )
+    return salted_topn(
+        scored, (F.col("cos_sim").desc(), F.col("cid").asc()), k
+    ).select(
+        F.col("qid").alias(query_id + "_q"),
+        F.col("cid").alias(corpus_id + "_c"),
+        "cos_sim",
+        "rank",
     )
 
 
@@ -131,10 +165,10 @@ def lsh_topk(
         .dropDuplicates(["qid", "cid"])  # pair may share several tables
     )
     scored = cand.withColumn("cos_sim", cosine(F.col("qvec"), F.col("cvec")))
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        salted_topn(
+            scored, (F.col("cos_sim").desc(), F.col("cid").asc()), k
+        )
         .select(
             F.col("qid").alias(query_id + "_q"),
             F.col("cid").alias(corpus_id + "_c"),
@@ -411,16 +445,13 @@ def ivf_probe(
         .filter(F.col("qid") != F.col("cid"))
         .withColumn("cos_sim", cosine(F.col("qvec"), F.col("cvec")))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias(query_id + "_q"),
-            F.col("cid").alias(corpus_id + "_c"),
-            "cos_sim",
-            "rank",
-        )
+    return salted_topn(
+        scored, (F.col("cos_sim").desc(), F.col("cid").asc()), k
+    ).select(
+        F.col("qid").alias(query_id + "_q"),
+        F.col("cid").alias(corpus_id + "_c"),
+        "cos_sim",
+        "rank",
     )
 
 
@@ -714,6 +745,81 @@ def pq_codebooks(
             new[r["sub"]][r["cl"]][r["dim"]] = r["mu"]
         cbs = new
     return cbs
+
+
+def opq_rotation(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int,
+) -> list[list[float]]:
+    """Parametric OPQ rotation (Ge et al. 2014 §4, "OPQ-P"): PQ splits
+    the vector into M coordinate blocks, so correlated/unbalanced
+    dimensions make some subspaces carry most of the variance and
+    waste the others' codebooks. The non-iterative published fix:
+    eigen-decompose the data's second-moment matrix, then ALLOCATE the
+    eigen-directions to the M subspaces so the variance mass (product
+    of eigenvalues) is balanced across them — the rotation is the
+    permuted eigenbasis, orthonormal by construction.
+
+    Estimation: one pass over the deterministic ``id % 7 == 0`` sample
+    (the model-not-trained-on-everything convention) building the
+    dim*dim mean outer-product — a corpus-side flatten + posexplode
+    feeding ONE 4096-row partial-combine aggregate (model-sized
+    collect, the kmeans_centroids contract). Eigen-decomposition and
+    the greedy balance run on the driver over the 64x64 matrix (a
+    model artifact, like the codebooks). Deterministic: frozen parquet
+    + LAPACK eigh in one container.
+
+    Returns R row-major (dim x dim); rotated vector = [dot(R[j], v)].
+    """
+    import numpy as np
+
+    sample = corpus.filter(F.col(id_col) % 7 == 0)
+    outer = F.expr(
+        f"flatten(transform({vec_col},"
+        f" x -> transform({vec_col}, y -> cast(x as double) * cast(y as double))))"
+    )
+    rows = (
+        sample.select(F.posexplode(outer).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.avg("val").alias("mu"))
+        .collect()
+    )
+    mom = np.zeros((dim, dim))
+    for r in rows:
+        mom[r["pos"] // dim, r["pos"] % dim] = r["mu"]
+    evals, evecs = np.linalg.eigh((mom + mom.T) / 2.0)
+    order = np.argsort(evals)[::-1]  # descending variance
+    ds = dim // m
+    # Serpentine balance: deal the sorted eigenvalues to the M buckets
+    # in snake order (0..M-1, then M-1..0, ...), pairing each bucket's
+    # large directions with small ones so the per-subspace variance
+    # PRODUCTS stay balanced (the eigenvalue-allocation objective of
+    # Ge et al. §4.2; a plain "min current product" greedy degenerates
+    # to contiguous blocks here because every log-eigenvalue is
+    # negative, so an empty bucket never looks smallest).
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    for rnd in range(ds):
+        deal = range(m) if rnd % 2 == 0 else range(m - 1, -1, -1)
+        for j, b in enumerate(deal):
+            buckets[b].append(int(order[rnd * m + j]))
+    perm = [i for b in buckets for i in b]
+    rot = evecs[:, perm].T  # rows = permuted eigenvectors
+    return [[float(x) for x in row] for row in rot]
+
+
+def rotate_expr(vec: Column, rotation: list[list[float]]) -> Column:
+    """array<double> of the rotated vector: out[j] = dot(R[j], vec).
+    Map-only; the rotation rides the plan as a literal (model-sized,
+    like the PQ codebooks)."""
+    return F.array(
+        *[
+            dot(F.array(*[F.lit(float(x)) for x in row]), vec)
+            for row in rotation
+        ]
+    )
 
 
 def pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:

@@ -193,19 +193,16 @@ def _per_qid_topn(scored: DataFrame, val_col: str, rank_name: str, n: int) -> Da
     surviving superset ranks the true top-n identically (the
     x_epoch_shuffle / x_reservoir_sample_topk decomposition).
     """
-    order = (F.col(val_col).desc(), F.col("doc_id").asc())
-    w1 = Window.partitionBy("qid", "__salt").orderBy(*order)
-    w2 = Window.partitionBy("qid").orderBy(*order)
-    return (
-        scored.withColumn(
-            "__salt", F.pmod(F.xxhash64("doc_id"), F.lit(_BATCH_SALTS))
-        )
-        .withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") <= n)
-        .withColumn(rank_name, F.row_number().over(w2))
-        .filter(F.col(rank_name) <= n)
-        .select("qid", "doc_id", rank_name)
-    )
+    from ..operators.similarity import salted_topn
+
+    return salted_topn(
+        scored,
+        (F.col(val_col).desc(), F.col("doc_id").asc()),
+        n,
+        rank_name,
+        salt_key="doc_id",
+        n_salts=_BATCH_SALTS,
+    ).select("qid", "doc_id", rank_name)
 
 
 @query(

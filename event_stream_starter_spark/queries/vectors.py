@@ -505,14 +505,17 @@ def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim,
            TRUE AS drops_justified,
+           TRUE AS wc_coverage_certified,
            TRUE AS coverage_certified
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= 0.35
     """,
     survey_ids=(
         "dedup: SemDeDup path certified in-plan (a5 pattern) — every "
-        "drop justified by an exact dup pair AND pooled dup-pair "
-        "coverage >= 0.8; oracle = exact pair arm + literal TRUEs"
+        "drop justified by an exact dup pair, within-cluster dup-pair "
+        "coverage == 1.0 (a theorem of the greedy keep law), pooled "
+        "coverage >= the measured cross-cluster floor; oracle = exact "
+        "pair arm + literal TRUEs"
     ),
 )
 def dd_semdedup_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,11 +535,20 @@ def dd_semdedup_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
       exact dup pair. Deterministically TRUE by the operator's
       construction (a drop requires an exact-cosine >= t in-cluster
       witness) — flips FALSE on a law regression.
-    - coverage_certified: pooled fraction of exact dup pairs with at
-      least one member dropped >= 0.8. Cross-cluster pairs are the
-      published approximation loss; measured coverage on the frozen
-      corpora is 1.000 / 1.000 / 1.000, a deterministic constant
-      (frozen parquet + deterministic k-means).
+    - wc_coverage_certified: every CO-CLUSTERED exact dup pair has at
+      least one member dropped (coverage == 1.0 over within-cluster
+      pairs). A THEOREM of the greedy keep law — the later member of
+      any in-cluster >= t pair is >= t-similar to an earlier member —
+      so any flip is a clustering/keep-law regression, with no
+      approximation slack to hide in.
+    - coverage_certified: pooled fraction of ALL exact dup pairs
+      (cross-cluster included) with at least one member dropped >= 0.3.
+      Cross-cluster pairs are the published approximation loss at this
+      deliberately-loose threshold; measured pooled coverage on the
+      frozen corpora is 0.432 / 0.399 / 0.596 (sf0.001/0.01/0.1), a
+      deterministic constant (frozen parquet + deterministic k-means).
+      Uncovered pairs COUNT AGAINST the average (coalesced to 0.0 —
+      not NULL-skipped).
 
     Emits the exact dup-pair rows plus both booleans; the DuckDB oracle
     reproduces the exact arm with literal TRUEs, so a clustering or
@@ -554,22 +566,48 @@ def dd_semdedup_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=_ivf_centroids(spark, sf_dir),
     )
     dropped = sd.filter(~F.col("is_kept")).select(F.col("id").alias("did"))
+    clusters = sd.select("id", "cluster")
     pairs = embedding_near_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.35
     ).select("id_a", "id_b", "cos_sim")
-    flagged = pairs.join(
-        dropped.withColumnRenamed("did", "id_a").withColumn("da", F.lit(1)),
-        "id_a",
-        "left",
-    ).join(
-        dropped.withColumnRenamed("did", "id_b").withColumn("db", F.lit(1)),
-        "id_b",
-        "left",
+    flagged = (
+        pairs.join(
+            dropped.withColumnRenamed("did", "id_a").withColumn("da", F.lit(1)),
+            "id_a",
+            "left",
+        )
+        .join(
+            dropped.withColumnRenamed("did", "id_b").withColumn("db", F.lit(1)),
+            "id_b",
+            "left",
+        )
+        .join(
+            clusters.select(
+                F.col("id").alias("id_a"), F.col("cluster").alias("cl_a")
+            ),
+            "id_a",
+        )
+        .join(
+            clusters.select(
+                F.col("id").alias("id_b"), F.col("cluster").alias("cl_b")
+            ),
+            "id_b",
+        )
+    )
+    # uncovered pairs join NULL on both sides — coalesce to 0.0 so they
+    # COUNT AGAINST coverage instead of being skipped by avg (else
+    # cov==1.0 whenever any pair is covered)
+    covered = F.coalesce(
+        ((F.col("da") == 1) | (F.col("db") == 1)).cast("double"), F.lit(0.0)
     )
     coverage = flagged.agg(
-        F.avg(
-            ((F.col("da") == 1) | (F.col("db") == 1)).cast("double")
-        ).alias("cov")
+        F.avg(covered).alias("cov"),
+        # within-cluster pairs only: the theorem arm (vacuously 1.0 if
+        # no pair is co-clustered)
+        F.coalesce(
+            F.avg(F.when(F.col("cl_a") == F.col("cl_b"), covered)),
+            F.lit(1.0),
+        ).alias("wc_cov"),
     )
     members = (
         pairs.select(F.col("id_a").alias("did"))
@@ -587,7 +625,8 @@ def dd_semdedup_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.round("cos_sim", 6).alias("cos_sim"),
             (F.col("n_unjustified") == 0).alias("drops_justified"),
-            (F.col("cov") >= 0.8).alias("coverage_certified"),
+            (F.col("wc_cov") >= 1.0).alias("wc_coverage_certified"),
+            (F.col("cov") >= 0.3).alias("coverage_certified"),
         )
     )
 
@@ -632,7 +671,7 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses carry the gradient signal).
 
     Same exact-scoring shape as ann_cosine_topk (map-side broadcast
-    scoring, per-query rank window) with the label-mismatch predicate
+    scoring, salted two-phase per-query rank) with the label-mismatch predicate
     pushed into the scoring filter, so the candidate set shrinks
     BEFORE ranking; at scale the same IVF/LSH blocking substitutes for
     the brute-force arm (probe lists, drop same-label candidates at
@@ -657,12 +696,12 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cos(F.col("embedding"), F.col("qvec")).alias("cos_raw"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("cos_raw").desc(), F.col("cid").asc()
-    )
+    from ..operators.similarity import salted_topn
+
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _HN_K)
+        salted_topn(
+            scored, (F.col("cos_raw").desc(), F.col("cid").asc()), _HN_K
+        )
         .select(
             F.col("qid").alias("vec_id_q"),
             F.col("cid").alias("vec_id_neg"),
@@ -741,10 +780,15 @@ def x_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cos(F.col("embedding"), F.col("qvec")).alias("cos_raw"),
         )
     )
-    w = Window.partitionBy("qid", "same_label").orderBy(
-        F.col("cos_raw").desc(), F.col("cid").asc()
+    from ..operators.similarity import salted_topn
+
+    # top-_HN_K per (qid, same_label) covers both arms (pos keeps 1)
+    ranked = salted_topn(
+        scored,
+        (F.col("cos_raw").desc(), F.col("cid").asc()),
+        _HN_K,
+        part_cols=("qid", "same_label"),
     )
-    ranked = scored.withColumn("rank", F.row_number().over(w))
     keep = (
         (F.col("same_label") & (F.col("rank") <= 1))
         | (~F.col("same_label") & (F.col("rank") <= _HN_K))
@@ -948,9 +992,14 @@ def dd_semdedup_para_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     coverage = flagged.agg(
-        F.avg(((F.col("da") == 1) | (F.col("db") == 1)).cast("double")).alias(
-            "cov"
-        )
+        F.avg(
+            # coalesce both-NULL (uncovered) pairs to 0.0 — see
+            # dd_semdedup_cert: avg must not skip them
+            F.coalesce(
+                ((F.col("da") == 1) | (F.col("db") == 1)).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("cov")
     )
     members = (
         pairs.select(F.col("id_a").alias("did"))
@@ -1004,7 +1053,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     # numpy recompute in tests/test_neardup_golden.py.
     survey_ids=(
         "similarity search: product-quantization ANN (Jegou 2011 ADC) — "
-        "M=8 subspace codebooks, per-vector 8-byte codes, "
+        "M=16 subspace codebooks, per-vector 16-byte codes, "
         "asymmetric-distance top-k; the memory half of IVF-PQ, the "
         "standard billion-vector layout"
     ),
@@ -1025,9 +1074,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: encoding is map-only against the broadcast codebook
     literal (one pass; the float corpus never needs re-touching for
     scoring); ADC scoring is map-side over the 16-byte codes table —
-    the scan the compression exists to make cheap; the shortlist
-    window is per-query bounded (TakeOrdered-shaped at real scale);
-    re-rank joins |Q| x {_PQ_SHORTLIST} rows against the vector table.
+    the scan the compression exists to make cheap; the ADC shortlist
+    is selected with the salted two-phase rank (operators/similarity
+    salted_topn — no corpus-proportional window lands on the 10 qid
+    keys); re-rank joins |Q| x {_PQ_SHORTLIST} rows against the vector
+    table.
     At 100TB this composes with ivf_topk's inverted lists: probe
     lists, ADC-rank inside them, re-rank the survivors.
     """
@@ -1049,9 +1100,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), cbs)
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("cid").asc())
-    short = scored.withColumn("srank", F.row_number().over(w)).filter(
-        F.col("srank") <= _PQ_SHORTLIST
+    from ..operators.similarity import salted_topn
+
+    short = salted_topn(
+        scored, (F.col("adc").asc(), F.col("cid").asc()), _PQ_SHORTLIST, "srank"
     )
     rer = short.join(
         emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
@@ -1065,6 +1117,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # bounded input: |Q| x SHORTLIST rows — a direct per-qid window is
+    # fine at any corpus size
     wr = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
     return (
         rer.withColumn("rank", F.row_number().over(wr))
@@ -1145,9 +1199,10 @@ def ann_pq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    exact = exact_scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= _TOP_K
+    from ..operators.similarity import salted_topn
+
+    exact = salted_topn(
+        exact_scored, (F.col("dist").asc(), F.col("cid").asc()), _TOP_K
     )
     codes = emb.select(
         F.col("vec_id").alias("cid"),
@@ -1158,9 +1213,8 @@ def ann_pq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qid") != F.col("cid"))
         .withColumn("adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), cbs))
     )
-    wa = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("cid").asc())
-    short = adc_scored.withColumn("srank", F.row_number().over(wa)).filter(
-        F.col("srank") <= _PQ_SHORTLIST
+    short = salted_topn(
+        adc_scored, (F.col("adc").asc(), F.col("cid").asc()), _PQ_SHORTLIST, "srank"
     )
     rer = short.join(
         emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
@@ -1227,10 +1281,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals (write it bucketed-by-cluster once — the
     StreamingIvfIndex contract, now with codes instead of floats: 16
     bytes/vector of scan state); the probe join touches n_probe/16 of
-    the code table per query; the only corpus-ish shuffle is the
-    per-query bounded shortlist window; re-rank reads |Q| x
-    {_PQ_SHORTLIST} float vectors. This is the plan a 1e9-vector
-    deployment actually runs.
+    the code table per query; the shortlist is the salted two-phase
+    rank (salted_topn), so no probed-list-proportional partition lands
+    on one qid reducer; re-rank reads |Q| x {_PQ_SHORTLIST} float
+    vectors. This is the plan a 1e9-vector deployment actually runs.
     """
     from ..operators.similarity import (
         ivf_assign,
@@ -1264,9 +1318,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qid") != F.col("cid"))
         .withColumn("adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), cbs))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("cid").asc())
-    short = scored.withColumn("srank", F.row_number().over(w)).filter(
-        F.col("srank") <= _PQ_SHORTLIST
+    from ..operators.similarity import salted_topn
+
+    short = salted_topn(
+        scored, (F.col("adc").asc(), F.col("cid").asc()), _PQ_SHORTLIST, "srank"
     )
     rer = short.join(
         emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
@@ -1280,6 +1335,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # bounded input: |Q| x SHORTLIST rows — direct per-qid window OK
     wr = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
     return (
         rer.withColumn("rank", F.row_number().over(wr))
@@ -1291,6 +1347,240 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist", 6).alias("exact_dist"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+_OPQ_MODEL: dict[str, tuple[list[list[float]], list[list[list[float]]]]] = {}
+
+
+def _opq_model(spark: SparkSession, sf_dir: str):
+    """OPQ model artifact: (rotation R, PQ codebooks trained on the
+    ROTATED corpus). Cached per corpus like _PQ_CODEBOOKS; both halves
+    are deterministic (sampled second moment + LAPACK eigh; id-ordered
+    k-means seeds)."""
+    if sf_dir not in _OPQ_MODEL:
+        from ..operators.similarity import opq_rotation, pq_codebooks, rotate_expr
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        rot = opq_rotation(emb, "embedding", "vec_id", dim=_PQ_DIM, m=_PQ_M)
+        remb = emb.select(
+            "vec_id", rotate_expr(F.col("embedding"), rot).alias("remb")
+        )
+        cbs = pq_codebooks(
+            remb, "remb", "vec_id", dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, iters=2
+        )
+        _OPQ_MODEL[sf_dir] = (rot, cbs)
+    return _OPQ_MODEL[sf_dir]
+
+
+@query(
+    "ann_opq_topk",
+    None,  # rotation + codebooks are runtime-fitted models (eigh +
+    # iterative k-means), so rows are not static-SQL-expressible; the
+    # PATH is oracle-certified by ann_opq_recall_cert and the rotation
+    # is golden-tested (orthonormality, isometry, variance balance,
+    # OPQ-vs-PQ shortlist recall) in tests/test_neardup_golden.py.
+    survey_ids=(
+        "similarity search: OPTIMIZED product quantization (Ge et al. "
+        "2014, parametric OPQ) — eigen-allocation rotation before the "
+        "subspace split balances per-subspace variance, recovering "
+        "PQ's anisotropy loss; same 16-byte codes, same ADC + exact "
+        "re-rank query shape, salted two-phase shortlist"
+    ),
+)
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-ADC top-k with exact re-ranking: ann_pq_topk's deployed
+    query shape with the corpus and queries rotated by the parametric
+    OPQ eigenbasis before coding/scoring (R orthonormal, so rotated-
+    space L2 == original L2 and the ADC approximation targets the same
+    distances — only the quantization grid improves). Re-rank uses the
+    ORIGINAL float vectors, pinning the isometry in the output.
+
+    Scale shape: identical to ann_pq_topk — rotation + encoding are
+    map-only against broadcast literals; ADC scores the 16-byte code
+    table; the shortlist is the salted two-phase rank (salted_topn);
+    re-rank touches |Q| x {_PQ_SHORTLIST} float vectors.
+    """
+    from ..operators.similarity import (
+        l2_sq,
+        pq_adc_sq_expr,
+        pq_code_expr,
+        rotate_expr,
+        salted_topn,
+    )
+
+    rot, cbs = _opq_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # materialize the rotated vector as a COLUMN before coding: inlining
+    # rotate_expr inside pq_code_expr would copy the 64x64 rotation tree
+    # into each of the 1024 codeword distances (codegen explosion)
+    codes = emb.select(
+        F.col("vec_id").alias("cid"),
+        rotate_expr(F.col("embedding"), rot).alias("rvec"),
+    ).select("cid", pq_code_expr(F.col("rvec"), cbs).alias("codes"))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        rotate_expr(F.col("embedding"), rot).alias("rqvec"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("adc", pq_adc_sq_expr(F.col("rqvec"), F.col("codes"), cbs))
+    )
+    short = salted_topn(
+        scored, (F.col("adc").asc(), F.col("cid").asc()), _PQ_SHORTLIST, "srank"
+    )
+    rer = short.join(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        "cid",
+    ).withColumn(
+        "dist",
+        F.sqrt(
+            l2_sq(
+                F.transform(F.col("qvec"), lambda x: x.cast("double")),
+                F.transform(F.col("cvec"), lambda x: x.cast("double")),
+            )
+        ),
+    )
+    # bounded input: |Q| x SHORTLIST rows — direct per-qid window OK
+    wr = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            F.col("qid").alias("vec_id_q"),
+            F.col("cid").alias("vec_id_c"),
+            F.round(F.sqrt("adc"), 6).alias("adc_dist"),
+            F.round("dist", 6).alias("exact_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+@query(
+    "ann_opq_recall_cert",
+    f"""
+    WITH q AS (SELECT vec_id AS qid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.qid, e.vec_id AS cid,
+               list_distance(q.qv,
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                   AS dist
+        FROM embeddings e CROSS JOIN q
+        WHERE q.qid <> e.vec_id
+    ), ranked AS (
+        SELECT qid, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY dist ASC, cid ASC) AS rank
+        FROM scored
+    )
+    SELECT qid AS vec_id_q,
+           ROUND(MAX(dist), 6) + 0 AS kth_exact_dist,
+           TRUE AS recall_certified
+    FROM ranked WHERE rank <= {_TOP_K}
+    GROUP BY qid
+    """,
+    survey_ids=(
+        "similarity search: OPQ path certified in-plan vs the exact L2 "
+        "arm (the ann_pq_recall_cert a5 pattern on the rotated tier)"
+    ),
+)
+def ann_opq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_pq_recall_cert transplanted to the OPQ tier: exact L2 top-k
+    AND the OPQ ADC-shortlist + re-rank top-k over the bounded query
+    set, pooled recall@k computed in-plan, per-query rows of (exact
+    k-th distance, recall >= 0.6). Oracle = exact arm + literal TRUE,
+    so a rotation/codebook/ADC/re-rank regression below the bound
+    fails the value hash. The OPQ-vs-PQ shortlist-quality comparison
+    (the rotation's measurable win) is golden-tested in
+    tests/test_neardup_golden.py."""
+    from ..operators.similarity import (
+        l2_sq,
+        pq_adc_sq_expr,
+        pq_code_expr,
+        rotate_expr,
+        salted_topn,
+    )
+
+    rot, cbs = _opq_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        rotate_expr(F.col("embedding"), rot).alias("rqvec"),
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    exact_scored = (
+        c.crossJoin(F.broadcast(q.select("qid", "qvec")))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "dist",
+            F.sqrt(
+                l2_sq(
+                    F.transform(F.col("qvec"), lambda x: x.cast("double")),
+                    F.transform(F.col("cvec"), lambda x: x.cast("double")),
+                )
+            ),
+        )
+    )
+    exact = salted_topn(
+        exact_scored, (F.col("dist").asc(), F.col("cid").asc()), _TOP_K
+    )
+    codes = emb.select(
+        F.col("vec_id").alias("cid"),
+        rotate_expr(F.col("embedding"), rot).alias("rvec"),
+    ).select("cid", pq_code_expr(F.col("rvec"), cbs).alias("codes"))
+    adc_scored = (
+        codes.crossJoin(F.broadcast(q.select("qid", "rqvec")))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("adc", pq_adc_sq_expr(F.col("rqvec"), F.col("codes"), cbs))
+    )
+    short = salted_topn(
+        adc_scored, (F.col("adc").asc(), F.col("cid").asc()), _PQ_SHORTLIST, "srank"
+    )
+    rer = short.join(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        "cid",
+    ).join(
+        F.broadcast(
+            emb.filter(F.col("vec_id") < _N_QUERIES).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qv2")
+            )
+        ),
+        "qid",
+    ).withColumn(
+        "rdist",
+        F.sqrt(
+            l2_sq(
+                F.transform(F.col("qv2"), lambda x: x.cast("double")),
+                F.transform(F.col("cvec"), lambda x: x.cast("double")),
+            )
+        ),
+    )
+    wrr = Window.partitionBy("qid").orderBy(
+        F.col("rdist").asc(), F.col("cid").asc()
+    )
+    approx = (
+        rer.withColumn("rank", F.row_number().over(wrr))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("qid", "cid")
+    )
+    hits = exact.join(approx.withColumn("hit", F.lit(1)), ["qid", "cid"], "left")
+    recall = hits.agg(
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias(
+            "recall"
+        )
+    )
+    per_q = hits.groupBy("qid").agg(
+        (F.round(F.max("dist"), 6) + F.lit(0)).alias("kth_exact_dist")
+    )
+    return per_q.crossJoin(F.broadcast(recall)).select(
+        F.col("qid").alias("vec_id_q"),
+        "kth_exact_dist",
+        (F.col("recall") >= 0.6).alias("recall_certified"),
     )
 
 
@@ -1328,7 +1618,7 @@ def _sq8_minmax_duck() -> str:
                list_transform(generate_series(1, {_SQ_DIM}),
                    i -> CAST(floor(
                        (CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) - s.mn[CAST(i AS INTEGER)])
-                       / (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)]) * 255 + 0.5)
+                       / greatest(s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)], 1e-12) * 255 + 0.5)
                        AS BIGINT)) AS codes,
                list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
                s.mn AS mn, s.mx AS mx
@@ -1385,22 +1675,21 @@ def x_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"transform(sequence(1, {_SQ_DIM}),"
             " i -> cast(floor((cast(embedding[i - 1] as double) - mn[i - 1])"
-            " / (mx[i - 1] - mn[i - 1]) * 255 + 0.5) as bigint))"
+            # greatest(range, eps): a corpus-constant dimension maps to
+            # code 0 instead of 0/0 = NaN (guard replicated in the oracle)
+            " / greatest(mx[i - 1] - mn[i - 1], 1e-12) * 255 + 0.5) as bigint))"
         ).alias("codes"),
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
         "mn",
         "mx",
     )
-    recon_err = F.round(
-        F.sqrt(
-            F.expr(
-                f"aggregate(transform(sequence(1, {_SQ_DIM}),"
-                " i -> power(v[i - 1] - (mn[i - 1] + codes[i - 1]"
-                " * (mx[i - 1] - mn[i - 1]) / 255), 2)),"
-                " 0D, (s, x) -> s + x)"
-            )
-        ),
-        6,
+    recon_err_raw = F.sqrt(
+        F.expr(
+            f"aggregate(transform(sequence(1, {_SQ_DIM}),"
+            " i -> power(v[i - 1] - (mn[i - 1] + codes[i - 1]"
+            " * (mx[i - 1] - mn[i - 1]) / 255), 2)),"
+            " 0D, (s, x) -> s + x)"
+        )
     )
     bound = F.sqrt(
         F.expr(
@@ -1413,8 +1702,11 @@ def x_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.concat_ws(" ", F.slice("codes", 1, 8)).alias("code_head"),
         F.expr("aggregate(codes, 0L, (s, x) -> s + x)").alias("code_sum"),
-        recon_err.alias("recon_err"),
-        (recon_err <= bound + F.lit(1e-9)).alias("recon_ok"),
+        F.round(recon_err_raw, 6).alias("recon_err"),
+        # compare the UNROUNDED error to the lattice bound: 6dp rounding
+        # can inflate the emitted error by up to 5e-7, which would flip
+        # recon_ok spuriously on an error legitimately at the bound
+        (recon_err_raw <= bound + F.lit(1e-9)).alias("recon_ok"),
     )
 
 
@@ -1432,7 +1724,7 @@ def x_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> s.mn[CAST(i AS INTEGER)]
                         + floor((CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
                                  - s.mn[CAST(i AS INTEGER)])
-                                / (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)])
+                                / greatest(s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)], 1e-12)
                                 * 255 + 0.5)
                           * (s.mx[CAST(i AS INTEGER)] - s.mn[CAST(i AS INTEGER)]) / 255)
                    AS dv
@@ -1476,8 +1768,9 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the property PQ/IVF structurally cannot have).
 
     Scale shape: one 128-aggregate stats reduce broadcast back; coding
-    + de-quantization map-only; queries broadcast; the only shuffle is
-    the per-query bounded top-k window (TakeOrdered-shaped at scale).
+    + de-quantization map-only; queries broadcast; the top-k is the
+    salted two-phase rank (salted_topn — bounded window tasks at any
+    corpus size).
     In production the dequant distance is computed from the stored
     CODES (mn + code*step) without touching float vectors — the
     expression here is algebraically that, folded.
@@ -1497,7 +1790,7 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(sequence(1, {_SQ_DIM}),"
             " i -> mn[i - 1]"
             " + floor((cast(embedding[i - 1] as double) - mn[i - 1])"
-            " / (mx[i - 1] - mn[i - 1]) * 255 + 0.5)"
+            " / greatest(mx[i - 1] - mn[i - 1], 1e-12) * 255 + 0.5)"
             " * (mx[i - 1] - mn[i - 1]) / 255)"
         ).alias("dv"),
     )
@@ -1512,14 +1805,13 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qid") != F.col("cid"))
         .withColumn("dist", F.sqrt(l2_sq(F.col("qv"), F.col("dv"))))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select(
-            F.col("qid").alias("vec_id_q"),
-            F.col("cid").alias("vec_id_c"),
-            F.round("dist", 6).alias("sq_dist"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    from ..operators.similarity import salted_topn
+
+    return salted_topn(
+        scored, (F.col("dist").asc(), F.col("cid").asc()), _TOP_K
+    ).select(
+        F.col("qid").alias("vec_id_q"),
+        F.col("cid").alias("vec_id_c"),
+        F.round("dist", 6).alias("sq_dist"),
+        F.col("rank").cast("long").alias("rank"),
     )

@@ -766,3 +766,135 @@ def test_pq_joint_trainer_equals_per_subspace(spark):
         df, "embedding", "vec_id", dim=8, m=4, k=3, iters=2
     )
     assert joint == per
+
+
+def _fold_rotate(V, R):
+    """Rotate rows of V by R in Spark's dot-fold order: out[:, j] is the
+    LEFT fold sum_i R[j,i]*V[:,i] — numpy's BLAS matmul may sum in a
+    different order (pairwise), enough to flip a code on a near-tie."""
+    import numpy as np
+
+    n, dim = V.shape
+    out = np.zeros((n, dim))
+    for j in range(dim):
+        acc = np.zeros(n)
+        for i in range(dim):
+            acc += R[j][i] * V[:, i]
+        out[:, j] = acc
+    return out
+
+
+def test_opq_rotation_properties(spark, sf_dir):
+    """The parametric-OPQ rotation (Ge et al. 2014 §4) must be a real
+    rotation: orthonormal to machine precision (so rotated-space L2 ==
+    original L2 — the isometry the query's exact re-rank relies on),
+    deterministic across re-fits, and variance-BALANCING: the greedy
+    eigen-allocation's per-subspace variance mass must spread no wider
+    than the identity coordinate split it replaces."""
+    import numpy as np
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators.similarity import opq_rotation
+    from event_stream_starter_spark.queries.vectors import _PQ_DIM, _PQ_M
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rot = opq_rotation(emb, "embedding", "vec_id", dim=_PQ_DIM, m=_PQ_M)
+    R = np.array(rot)
+    assert np.abs(R @ R.T - np.eye(_PQ_DIM)).max() < 1e-9
+    # determinism: a re-fit returns the identical literal
+    rot2 = opq_rotation(emb, "embedding", "vec_id", dim=_PQ_DIM, m=_PQ_M)
+    assert rot == rot2
+    # isometry on real vectors
+    rows = emb.orderBy("vec_id").limit(20).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    RX = X @ R.T
+    for a in range(len(X)):
+        for b in range(a + 1, len(X)):
+            d0 = np.linalg.norm(X[a] - X[b])
+            d1 = np.linalg.norm(RX[a] - RX[b])
+            assert abs(d0 - d1) < 1e-9 * max(d0, 1.0)
+    # variance balance (the eigenvalue-allocation objective, Ge et al.
+    # §4.2): per-subspace log-products of assigned eigenvalues must be
+    # FAR tighter than the unbalanced contiguous-descending allocation
+    # (measured 2.2-2.4 vs 21.3 on the frozen corpora — a 9x win; the
+    # corpus spectrum spans ~425x, so the balance is load-bearing)
+    import pyspark.sql.functions as F
+
+    sample = emb.filter(F.col("vec_id") % 7 == 0).collect()
+    S = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    ds = _PQ_DIM // _PQ_M
+    mom = (S.T @ S) / len(S)
+    lam = np.diag(R @ mom @ R.T)  # assigned eigenvalues, block order
+    lp = [
+        np.log(np.maximum(lam[i * ds:(i + 1) * ds], 1e-12)).sum()
+        for i in range(_PQ_M)
+    ]
+    ev = np.sort(np.linalg.eigh(mom)[0])[::-1]
+    lpn = [
+        np.log(np.maximum(ev[i * ds:(i + 1) * ds], 1e-12)).sum()
+        for i in range(_PQ_M)
+    ]
+    assert max(lp) - min(lp) <= 0.5 * (max(lpn) - min(lpn))
+
+
+def test_opq_codes_and_adc_match_numpy(spark, sf_dir):
+    """OPQ full-path golden (the ann_pq_topk golden on the rotated
+    tier): GIVEN the fitted rotation + codebooks, rotate -> encode ->
+    ADC -> salted shortlist -> exact re-rank must equal a pure numpy
+    recompute exactly (fold-order rotation, first-argmin ties, lexsort
+    tie-breaks). On the near-isotropic synthetic corpus the rotation is
+    recall-NEUTRAL vs plain PQ (measured shortlist recall 0.96-1.00 vs
+    0.98 — the published win needs anisotropic data); the golden pins
+    the MECHANISM, the cert pins the deployed bound."""
+    import numpy as np
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries.vectors import (
+        _N_QUERIES,
+        _PQ_SHORTLIST,
+        _TOP_K,
+        _opq_model,
+    )
+
+    rot, cbs = _opq_model(spark, sf_dir)
+    rows = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    M = len(cbs)
+    ds = dim // M
+    C = [np.array(cb, dtype=np.float64) for cb in cbs]
+    RX = _fold_rotate(X, rot)
+    codes = np.zeros((n, M), dtype=int)
+    for m in range(M):
+        d = ((RX[:, None, m * ds:(m + 1) * ds] - C[m][None, :, :]) ** 2).sum(-1)
+        codes[:, m] = d.argmin(1)
+
+    got = all_queries()["ann_opq_topk"].fn(spark, sf_dir).collect()
+    want = {}
+    for qi in np.where(ids < _N_QUERIES)[0]:
+        qv, rqv = X[qi], RX[qi]
+        adc = np.zeros(n)
+        for m in range(M):
+            lut = ((C[m] - rqv[m * ds:(m + 1) * ds]) ** 2).sum(-1)
+            adc += lut[codes[:, m]]
+        order = [i for i in np.lexsort((ids, adc)) if i != qi]
+        short = order[:_PQ_SHORTLIST]
+        exact = np.sqrt(((X[short] - qv) ** 2).sum(1))
+        rr = [short[j] for j in np.lexsort((ids[short], exact))][:_TOP_K]
+        for rank, i in enumerate(rr, 1):
+            want[(int(ids[qi]), int(ids[i]))] = (
+                round(float(np.sqrt(adc[i])), 6),
+                round(float(np.sqrt(((X[i] - qv) ** 2).sum())), 6),
+                rank,
+            )
+    got_map = {
+        (r["vec_id_q"], r["vec_id_c"]): (
+            r["adc_dist"],
+            r["exact_dist"],
+            r["rank"],
+        )
+        for r in got
+    }
+    assert got_map == want and len(want) == _N_QUERIES * _TOP_K

@@ -119,3 +119,41 @@ def test_cms_exact_arm_is_take_ordered_not_full_sort(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_unsalted_bounded_key_corpus_window(spark, sf_dir):
+    """Registry-wide guard (VERDICT r6 task 2): a window partitioned
+    SOLELY by the bounded-cardinality query-id key (qid-style, |keys| =
+    the literal query set) over corpus-proportional input exchanges the
+    corpus onto |Q| reducers — the skewed-shuffle shape the salted
+    two-phase rank (operators/similarity.salted_topn) exists to avoid.
+
+    Decidable plan-text approximation: any executed plan that contains
+    a qid-partitioned window WITHOUT a salt column must ALSO contain
+    the salted phase-1 window ((qid, ..., __salt)) — i.e., the plain
+    window may only be the bounded phase-2 re-rank of a two-phase
+    top-n (its input pre-filtered to <= n_salts*n rows per qid by the
+    phase-1 rank), never a direct corpus rank. A query whose qid
+    window input is bounded a priori still satisfies this by
+    construction (its arms are built with salted_topn). Would have
+    caught the round-6 quantization-family shortlist finding at
+    authoring time."""
+    import re
+
+    offenders = []
+    for name, spec in sorted(all_queries().items()):
+        plan = (
+            spec.fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        norm = re.sub(r"#\d+L?", "#", plan)
+        specs = re.findall(
+            r"windowspecdefinition\(([^)]*?)specifiedwindowframe", norm
+        )
+        plain = [s for s in specs if "qid#" in s and "salt#" not in s]
+        salted = [s for s in specs if "qid#" in s and "salt#" in s]
+        if plain and not salted:
+            offenders.append((name, plain[0][:80]))
+    assert not offenders, f"unsalted qid-window plans: {offenders}"
