@@ -49,6 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
         eventstream,
         flagship,
         keys_limits,
+        knlm,
         mmedia,
         ops,
         pipeline_e2e,
