@@ -1091,6 +1091,291 @@ def x_semantic_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# IDF-weighted semantic screen (VERDICT r6 task 6): the hashing
+# featurization above weights every token equally, so boilerplate
+# tokens ("the", markup) dominate the vector mass and dilute the
+# paraphrase signal. The twin weights each token occurrence by its
+# smoothed inverse document frequency ln((N+1)/(df+1)) — one DF
+# groupBy over the corpus, broadcast back — which is tf-idf on the
+# same 64-dim hashing lattice. Per-(doc, dim) weight sums are rounded
+# to 7 dp and aggregated as DECIMAL so the vectors are bit-equal
+# across engines (ln() last-ulp + order-independence; the x_ccnet
+# posture), making the WHOLE weighted screen fully value-hash-oracled.
+
+_SIDF_CTES = """sidf_t AS (
+        SELECT doc_id, source, list_filter({toks}, w -> w <> '') AS toks
+        FROM documents
+    ), sidf_ex AS (
+        SELECT doc_id, source, unnest(toks) AS tok FROM sidf_t
+    ), sidf_df AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS dfd FROM sidf_ex GROUP BY tok
+    ), sidf_n AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents
+    ), sidf_w AS (
+        SELECT e.doc_id, e.source,
+               CAST(concat('0x', substr(md5(e.tok), 1, 8)) AS BIGINT)
+                   % {dd} AS dim,
+               ln((nd + 1.0) / (CAST(dfd AS DOUBLE) + 1.0)) AS w
+        FROM sidf_ex e JOIN sidf_df USING (tok) CROSS JOIN sidf_n
+    ), sidf_sums AS (
+        SELECT doc_id, source,
+               CAST(SUM(CASE WHEN dim = 0 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v0,
+               CAST(SUM(CASE WHEN dim = 1 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v1,
+               CAST(SUM(CASE WHEN dim = 2 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v2,
+               CAST(SUM(CASE WHEN dim = 3 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v3,
+               CAST(SUM(CASE WHEN dim = 4 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v4,
+               CAST(SUM(CASE WHEN dim = 5 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v5,
+               CAST(SUM(CASE WHEN dim = 6 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v6,
+               CAST(SUM(CASE WHEN dim = 7 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v7,
+               CAST(SUM(CASE WHEN dim = 8 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v8,
+               CAST(SUM(CASE WHEN dim = 9 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v9,
+               CAST(SUM(CASE WHEN dim = 10 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v10,
+               CAST(SUM(CASE WHEN dim = 11 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v11,
+               CAST(SUM(CASE WHEN dim = 12 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v12,
+               CAST(SUM(CASE WHEN dim = 13 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v13,
+               CAST(SUM(CASE WHEN dim = 14 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v14,
+               CAST(SUM(CASE WHEN dim = 15 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v15,
+               CAST(SUM(CASE WHEN dim = 16 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v16,
+               CAST(SUM(CASE WHEN dim = 17 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v17,
+               CAST(SUM(CASE WHEN dim = 18 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v18,
+               CAST(SUM(CASE WHEN dim = 19 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v19,
+               CAST(SUM(CASE WHEN dim = 20 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v20,
+               CAST(SUM(CASE WHEN dim = 21 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v21,
+               CAST(SUM(CASE WHEN dim = 22 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v22,
+               CAST(SUM(CASE WHEN dim = 23 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v23,
+               CAST(SUM(CASE WHEN dim = 24 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v24,
+               CAST(SUM(CASE WHEN dim = 25 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v25,
+               CAST(SUM(CASE WHEN dim = 26 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v26,
+               CAST(SUM(CASE WHEN dim = 27 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v27,
+               CAST(SUM(CASE WHEN dim = 28 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v28,
+               CAST(SUM(CASE WHEN dim = 29 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v29,
+               CAST(SUM(CASE WHEN dim = 30 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v30,
+               CAST(SUM(CASE WHEN dim = 31 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v31,
+               CAST(SUM(CASE WHEN dim = 32 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v32,
+               CAST(SUM(CASE WHEN dim = 33 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v33,
+               CAST(SUM(CASE WHEN dim = 34 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v34,
+               CAST(SUM(CASE WHEN dim = 35 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v35,
+               CAST(SUM(CASE WHEN dim = 36 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v36,
+               CAST(SUM(CASE WHEN dim = 37 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v37,
+               CAST(SUM(CASE WHEN dim = 38 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v38,
+               CAST(SUM(CASE WHEN dim = 39 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v39,
+               CAST(SUM(CASE WHEN dim = 40 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v40,
+               CAST(SUM(CASE WHEN dim = 41 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v41,
+               CAST(SUM(CASE WHEN dim = 42 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v42,
+               CAST(SUM(CASE WHEN dim = 43 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v43,
+               CAST(SUM(CASE WHEN dim = 44 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v44,
+               CAST(SUM(CASE WHEN dim = 45 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v45,
+               CAST(SUM(CASE WHEN dim = 46 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v46,
+               CAST(SUM(CASE WHEN dim = 47 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v47,
+               CAST(SUM(CASE WHEN dim = 48 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v48,
+               CAST(SUM(CASE WHEN dim = 49 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v49,
+               CAST(SUM(CASE WHEN dim = 50 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v50,
+               CAST(SUM(CASE WHEN dim = 51 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v51,
+               CAST(SUM(CASE WHEN dim = 52 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v52,
+               CAST(SUM(CASE WHEN dim = 53 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v53,
+               CAST(SUM(CASE WHEN dim = 54 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v54,
+               CAST(SUM(CASE WHEN dim = 55 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v55,
+               CAST(SUM(CASE WHEN dim = 56 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v56,
+               CAST(SUM(CASE WHEN dim = 57 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v57,
+               CAST(SUM(CASE WHEN dim = 58 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v58,
+               CAST(SUM(CASE WHEN dim = 59 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v59,
+               CAST(SUM(CASE WHEN dim = 60 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v60,
+               CAST(SUM(CASE WHEN dim = 61 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v61,
+               CAST(SUM(CASE WHEN dim = 62 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v62,
+               CAST(SUM(CASE WHEN dim = 63 THEN CAST(ROUND(w, 7) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS v63
+        FROM sidf_w GROUP BY doc_id, source
+    ), sidf_v AS (
+        SELECT doc_id, source, [v0, v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15, v16, v17, v18, v19, v20, v21, v22, v23, v24, v25, v26, v27, v28, v29, v30, v31, v32, v33, v34, v35, v36, v37, v38, v39, v40, v41, v42, v43, v44, v45, v46, v47, v48, v49, v50, v51, v52, v53, v54, v55, v56, v57, v58, v59, v60, v61, v62, v63] AS vec FROM sidf_sums
+    ), sidf_ev AS (
+        SELECT doc_id, vec FROM sidf_v WHERE source = '{ev}'
+    ), sidf_tr AS (
+        SELECT doc_id, source, vec FROM sidf_v WHERE source <> '{ev}'
+    ), sidf_mx AS (
+        SELECT tr.doc_id, tr.source,
+               max(list_cosine_similarity(tr.vec, ev.vec)) AS mc,
+               CAST(SUM(CASE WHEN list_cosine_similarity(tr.vec, ev.vec)
+                                  >= {t} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_eval_hits
+        FROM sidf_tr tr, sidf_ev ev GROUP BY tr.doc_id, tr.source
+    )"""
+
+
+@query(
+    "x_semantic_decontaminate_idf",
+    "WITH "
+    + _SIDF_CTES.format(toks=_TOKS_DUCK, dd=_SEMDECON_D, ev=_EVAL_SRC, t=_SEMDECON_T)
+    + f"""
+    SELECT doc_id, source, ROUND(mc, 6) + 0 AS max_eval_cos, n_eval_hits,
+           mc >= {_SEMDECON_T} AS contaminated
+    FROM sidf_mx
+    """,
+    survey_ids=(
+        "training-pipeline: IDF-weighted semantic decontamination — "
+        "x_semantic_decontaminate with tf-idf hashing vectors (IDF "
+        "from one DF groupBy, broadcast); rare benchmark-specific "
+        "terms carry the cosine instead of boilerplate, materially "
+        "sharpening paraphrase detection; full oracle (DECIMAL-summed "
+        "weighted vectors bit-equal across engines)"
+    ),
+)
+def x_semantic_decontaminate_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted twin of x_semantic_decontaminate: same screen law
+    (per train doc, max cosine to any eval doc + contaminated flag at
+    0.95), with each token occurrence contributing its smoothed IDF
+    ln((N+1)/(df+1)) to its hashed dimension instead of 1.
+
+    Scale shape: the IDF table is vocabulary-bounded and reaches the
+    exploded token stream as a broadcast join; the per-(doc, dim)
+    rollup is the one corpus shuffle (64 conditional DECIMAL sums in a
+    single agg — no pivot); eval vectors broadcast; no corpus-side
+    shuffle after vector assembly (the unweighted screen's posture).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(textan.tokens(F.col("text")), lambda w: F.length(w) > 0)
+    ex = docs.select(
+        "doc_id", "source", F.explode(toks.alias("toks")).alias("tok")
+    )
+    dfc = ex.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfd"))
+    nd = docs.count()  # model-sized scalar (a count, not a collect loop)
+    w = F.log(
+        (F.lit(float(nd)) + F.lit(1.0)) / (F.col("dfd").cast("double") + F.lit(1.0))
+    )
+    wtok = ex.join(F.broadcast(dfc), "tok").select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % _SEMDECON_D
+        ).alias("dim"),
+        w.alias("w"),
+    )
+    zero = F.lit(0).cast("decimal(18,9)")
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("dim") == d, F.round(F.col("w"), 7).cast("decimal(18,9)")
+            ).otherwise(zero)
+        )
+        .cast("double")
+        .alias(f"v{d}")
+        for d in range(_SEMDECON_D)
+    ]
+    v = (
+        wtok.groupBy("doc_id", "source")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            "source",
+            F.array(*[F.col(f"v{d}") for d in range(_SEMDECON_D)]).alias("vec"),
+        )
+    )
+    ev = v.filter(F.col("source") == _EVAL_SRC).select(
+        F.col("vec").alias("evec")
+    )
+    tr = v.filter(F.col("source") != _EVAL_SRC)
+    cos = F.expr(
+        "aggregate(zip_with(vec, evec, (a, b) -> a * b), 0D, (s, x) -> s + x)"
+        " / (sqrt(aggregate(zip_with(vec, vec, (a, b) -> a * b), 0D,"
+        " (s, x) -> s + x))"
+        " * sqrt(aggregate(zip_with(evec, evec, (a, b) -> a * b), 0D,"
+        " (s, x) -> s + x)))"
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "doc_id", "source", cos.alias("c")
+    )
+    return (
+        scored.groupBy("doc_id", "source")
+        .agg(
+            F.max("c").alias("mc"),
+            F.sum(F.when(F.col("c") >= _SEMDECON_T, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_eval_hits"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (F.round("mc", 6) + 0).alias("max_eval_cos"),
+            "n_eval_hits",
+            (F.col("mc") >= _SEMDECON_T).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "x_semantic_decon_idf_agree",
+    "WITH "
+    + _SIDF_CTES.format(toks=_TOKS_DUCK, dd=_SEMDECON_D, ev=_EVAL_SRC, t=_SEMDECON_T)
+    + f""", suw_hd AS (
+        SELECT doc_id, source,
+               list_transform(toks,
+                   t -> CAST(concat('0x', substr(md5(t), 1, 8))
+                             AS BIGINT) % {_SEMDECON_D}) AS dims
+        FROM sidf_t
+    ), suw_v AS (
+        SELECT doc_id, source,
+               list_transform(generate_series(0, {_SEMDECON_D - 1}),
+                   d -> CAST(len(list_filter(dims, h -> h = d)) AS DOUBLE))
+                   AS vec
+        FROM suw_hd
+    ), suw_ev AS (
+        SELECT vec FROM suw_v WHERE source = '{_EVAL_SRC}'
+    ), suw_tr AS (
+        SELECT doc_id, source, vec FROM suw_v WHERE source <> '{_EVAL_SRC}'
+    ), suw_mx AS (
+        SELECT tr.doc_id, tr.source,
+               max(list_cosine_similarity(tr.vec, ev.vec)) >= {_SEMDECON_T}
+                   AS c_unw
+        FROM suw_tr tr, suw_ev ev GROUP BY tr.doc_id, tr.source
+    ), sidf_flag AS (
+        SELECT doc_id, source, mc >= {_SEMDECON_T} AS c_idf FROM sidf_mx
+    )
+    SELECT u.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN i.c_idf THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flag_idf,
+           CAST(SUM(CASE WHEN u.c_unw THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flag_unw,
+           CAST(SUM(CASE WHEN i.c_idf = u.c_unw THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+           ROUND(CAST(SUM(CASE WHEN i.c_idf = u.c_unw THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) + 0 AS agree_frac
+    FROM suw_mx u JOIN sidf_flag i
+      ON u.doc_id = i.doc_id AND u.source = i.source
+    GROUP BY u.source""",
+    survey_ids=(
+        "training-pipeline: agreement report between the IDF-weighted "
+        "and unweighted semantic screens — per source, flag counts on "
+        "both arms plus the agreement fraction; both arms fully "
+        "SQL-expressible, so the comparison is a hash-checked VALUE"
+    ),
+)
+def x_semantic_decon_idf_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source agreement between x_semantic_decontaminate_idf's flag
+    and the unweighted screen's flag over the same train docs:
+    (source, n_docs, n_flag_idf, n_flag_unw, n_agree, agree_frac).
+    Quantifies what the IDF weighting changes — the report the VERDICT
+    asked to accompany the weighted twin."""
+    idf = x_semantic_decontaminate_idf(spark, sf_dir).select(
+        "doc_id", "source", F.col("contaminated").alias("c_idf")
+    )
+    unw = x_semantic_decontaminate(spark, sf_dir).select(
+        "doc_id", "source", F.col("contaminated").alias("c_unw")
+    )
+    j = unw.join(idf, ["doc_id", "source"])
+    agree = (F.col("c_idf") == F.col("c_unw")).cast("int")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("c_idf").cast("int")).cast("bigint").alias("n_flag_idf"),
+        F.sum(F.col("c_unw").cast("int")).cast("bigint").alias("n_flag_unw"),
+        F.sum(agree).cast("bigint").alias("n_agree"),
+        (F.round(F.sum(agree).cast("double") / F.count("*"), 6) + 0).alias(
+            "agree_frac"
+        ),
+    )
+
+
 @query(
     "x_ngram_topk",
     f"""
