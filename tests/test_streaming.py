@@ -1917,3 +1917,77 @@ def test_streaming_line_dedup_matches_batch(spark, sf_dir, tmp_path):
     before = len(got)
     sink.process_batch(docs.limit(9), sink.last_batch_id())
     assert sink.verdicts().count() == before
+
+
+def test_streaming_shard_export_matches_batch(spark, sf_dir, tmp_path):
+    """StreamingShardExport (append-only shard cursor): when documents
+    arrive in doc_id order, per-lane assignments (bucket, batch_id,
+    slot, n_pieces) equal the one-shot e2e_tokenize_export chain on
+    everything ingested; rows visible after batch k are byte-identical
+    after batch k+1 (NO RE-BASING — the property the one-shot chain's
+    dense global numbering cannot have); replayed committed batches are
+    no-ops."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries.tokenizer import (
+        _BATCHES_PER_SHARD,
+        _export_assignments,
+    )
+    from event_stream_starter_spark.streaming.shard_export import (
+        StreamingShardExport,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    slices = [
+        docs.filter(F.col("doc_id") < cuts[0]),
+        docs.filter(
+            (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])
+        ),
+        docs.filter(F.col("doc_id") >= cuts[1]),
+    ]
+    sink = StreamingShardExport(spark, str(tmp_path / "se_state"))
+    sink.process_batch(slices[0], 0)
+    sink.process_batch(slices[1], 1)
+    after2 = {
+        r["doc_id"]: (r["source"], r["n_pieces"], r["bucket"], r["batch_id"],
+                      r["slot"], r["shard_key"])
+        for r in sink.assignments().collect()
+    }
+    sink.process_batch(slices[2], 2)
+    got = {
+        r["doc_id"]: (r["source"], r["n_pieces"], r["bucket"], r["batch_id"],
+                      r["slot"], r["shard_key"])
+        for r in sink.assignments().collect()
+    }
+    # no re-base: every row visible after batch 2 is unchanged
+    for k, v in after2.items():
+        assert got[k] == v, (k, got[k], v)
+    # lane parity with the one-shot chain (global_batch/shard_id are the
+    # compaction-view columns the append-only layout replaces)
+    want = {
+        r["doc_id"]: (r["source"], r["n_pieces"], r["bucket"], r["batch_id"],
+                      r["slot"])
+        for r in _export_assignments(docs).collect()
+    }
+    assert got.keys() == want.keys()
+    for k, w in want.items():
+        assert got[k][:5] == w, (k, got[k], w)
+    # stable shard naming: key encodes (source, bucket, shard_seq) and
+    # groups at most _BATCHES_PER_SHARD lane batches
+    man = {r["shard_key"]: r for r in sink.shard_manifest().collect()}
+    assert man
+    for key, r in man.items():
+        src, bucket, seq = key.rsplit("/", 2)
+        assert r["n_batches"] <= _BATCHES_PER_SHARD
+        assert int(bucket) in (64, 128, 256, 512)
+    # replayed committed batch: byte-level no-op
+    sink.process_batch(slices[0], 0)
+    again = {
+        r["doc_id"]: (r["source"], r["n_pieces"], r["bucket"], r["batch_id"],
+                      r["slot"], r["shard_key"])
+        for r in sink.assignments().collect()
+    }
+    assert again == got
