@@ -307,6 +307,54 @@ def x_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x_bpe_encode_frozen_udf",
+    f"""
+    WITH {_FROZEN_DOCS_DUCK}
+    SELECT doc_id, source,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(len(pieces) AS BIGINT) AS n_pieces,
+           array_to_string(pieces[1:8], ' ') AS pieces_head,
+           ROUND(CAST(len(pieces) AS DOUBLE) / greatest(n_words, 1), 6)
+               AS fertility
+    FROM p
+    """,
+    survey_ids=(
+        "beyond-ref: the ARROW-UDF tier of the frozen encoder, "
+        "bench-registered so the documented production-vocab swap has "
+        "a measured number next to the codegen fold tier — same frozen "
+        "merges, same FULL oracle (the tiers are value-identical: "
+        "x_bpe_encode_cert's 3-way pin), priced per round in bench.py"
+    ),
+)
+def x_bpe_encode_frozen_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_bpe_encode_frozen with the encoding kernel swapped to the
+    Arrow-batched pandas_udf tier (bpe_encode_udf over _FROZEN_MERGES)
+    — the seam a 32k-merge production vocabulary uses, where 32k
+    chained codegen folds stop being viable. Output and oracle are
+    IDENTICAL to the fold tier (both implement the same merge law;
+    tests/test_bpe.py pins encode_text_expr == encode_text_py ==
+    adversarial reference), so the driver hash-checks this tier
+    end-to-end too. Registered to price the tier: map-only Arrow
+    exchange, zero shuffle — the VERDICT r6 task-7 bench row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.translate(F.col("text"), _SEP, "")
+    words = F.filter(textan.tokens(clean), lambda w: F.length(w) > 0)
+    pieces = bpe.bpe_encode_udf(_FROZEN_MERGES)(clean)
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+        F.concat_ws(" ", F.slice(pieces, 1, 8)).alias("pieces_head"),
+        F.round(
+            F.size(pieces).cast("double") / F.greatest(F.size(words), F.lit(1)),
+            6,
+        ).alias("fertility"),
+    )
+
+
+@query(
     "x_bpe_encode",
     None,  # depends on the trained merge list: not SQL-expressible
     survey_ids="beyond-ref: BPE corpus encoding / token-budget accounting",
