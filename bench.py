@@ -135,6 +135,16 @@ HEADLINE = [
     "ann_sq8_topk",
     "x_semantic_exposure",
     "x_vocab_coverage",
+    # round-7 additions (outside the frozen r01-comparable subtotal)
+    "x_kn_trigram_lm",
+    "x_kn_lm_buckets",
+    "x_kn_lm_buckets_approx",
+    "x_kn_ccnet_agree",
+    "x_semantic_decontaminate_idf",
+    "x_semantic_decon_idf_agree",
+    "ann_opq_topk",
+    "ann_opq_recall_cert",
+    "x_bpe_encode_frozen_udf",
 ]
 
 

@@ -16,6 +16,12 @@ SF = "/root/testdata/sf0.001"
 SHOW = [
     ("q5_region_revenue", "star join: all four dims broadcast, fact scan pruned"),
     (
+        "x_kn_trigram_lm",
+        "Kneser-Ney trigram LM scoring: all six model tables broadcast "
+        "onto the exploded corpus gram stream (map-side scoring, zero "
+        "SortMergeJoin); the only corpus shuffle is the per-doc rollup",
+    ),
+    (
         "a12_rollup_lattice",
         "grouping-set lattice: one Expand pass, partial agg before a "
         "single shuffle — the fact table is read once for the whole "
