@@ -145,6 +145,7 @@ HEADLINE = [
     "ann_opq_topk",
     "ann_opq_recall_cert",
     "x_bpe_encode_frozen_udf",
+    "ann_ivfopq_topk",
 ]
 
 

@@ -141,19 +141,24 @@ _KN_CTES_SQL = """knbase AS (
     )""".format(p_kn=_P_KN)
 
 
-def _kn_scored(docs: DataFrame) -> DataFrame:
-    """Per-doc interpolated-KN scores over a (doc_id, lang, text) frame:
-    returns (doc_id, lang, n_grams, s). Model = 2 sample groupBys + 4
-    bounded type-table rollups, all broadcast; scoring joins are
-    broadcast-hash against the corpus gram stream (map-side); the one
-    corpus shuffle is the per-doc rollup."""
+def _kn_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, g) exploded char-trigram stream (the x_ccnet gram
+    law: normalized text, greatest(len-2, 1) windows)."""
     nt = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     base = docs.select("doc_id", "lang", nt.alias("nt"))
     grams = F.expr(
         "transform(sequence(1, greatest(length(nt) - 2, 1)),"
         " i -> substring(nt, i, 3))"
     )
-    ex = base.select("doc_id", "lang", F.explode(grams).alias("g"))
+    return base.select("doc_id", "lang", F.explode(grams).alias("g"))
+
+
+def _kn_model_tables(train_docs: DataFrame) -> dict[str, DataFrame]:
+    """The six KN model tables fitted on the deterministic
+    ``doc_id % 7 == 0`` sample of `train_docs`: trigram counts, prefix
+    contexts, suffix-bigram continuation counts, their rollups and the
+    per-lang totals. All bounded (per-lang trigram TYPES)."""
+    ex = _kn_grams(train_docs)
     tri = (
         ex.filter(F.col("doc_id") % 7 == 0)
         .groupBy("lang", "g")
@@ -173,6 +178,33 @@ def _kn_scored(docs: DataFrame) -> DataFrame:
     )
     tot = uni.groupBy("lang").agg(
         F.sum("ncont_c").alias("ncont_all"), F.count("*").alias("vc")
+    )
+    return {
+        "tri": tri,
+        "ctx2": ctx2,
+        "cont": cont,
+        "ctxc": ctxc,
+        "uni": uni,
+        "tot": tot,
+    }
+
+
+def _kn_score_with_model(
+    docs: DataFrame, model: dict[str, DataFrame]
+) -> DataFrame:
+    """Score a (doc_id, lang, text) frame against fitted KN model
+    tables: returns (doc_id, lang, n_grams, s). Model tables broadcast
+    onto the exploded gram stream (map-side); the one corpus shuffle is
+    the per-doc rollup. Shared verbatim by the batch queries and the
+    StreamingKnScorer sink."""
+    ex = _kn_grams(docs)
+    tri, ctx2, cont, ctxc, uni, tot = (
+        model["tri"],
+        model["ctx2"],
+        model["cont"],
+        model["ctxc"],
+        model["uni"],
+        model["tot"],
     )
     exk = ex.select(
         "doc_id",
@@ -201,6 +233,12 @@ def _kn_scored(docs: DataFrame) -> DataFrame:
             .alias("s"),
         )
     )
+
+
+def _kn_scored(docs: DataFrame) -> DataFrame:
+    """Per-doc interpolated-KN scores with the model fitted on the SAME
+    corpus's deterministic sample (the batch-query contract)."""
+    return _kn_score_with_model(docs, _kn_model_tables(docs))
 
 
 @query(

@@ -1584,6 +1584,103 @@ def ann_opq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_ivfopq_topk",
+    None,  # three runtime-fitted models (coarse quantizer, rotation,
+    # rotated codebooks): rows not static-SQL-expressible; the
+    # composition is golden-tested against a pure numpy recompute
+    # (tests/test_neardup_golden.py) and each constituent carries its
+    # own cert (ann_ivf_recall_cert, ann_opq_recall_cert).
+    survey_ids=(
+        "similarity search: IVF-OPQ composition — coarse inverted lists "
+        "+ OPQ-rotated 16-byte codes + ADC + exact re-rank; completes "
+        "the quantization matrix (IVF x {PQ, OPQ}, flat x {PQ, OPQ, "
+        "SQ8}), the layout a billion-vector deployment with anisotropic "
+        "embeddings actually ships"
+    ),
+)
+def ann_ivfopq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivfpq_topk with the memory tier swapped to OPQ: index state
+    is (vec_id, cluster, 16-byte OPQ codes) — the coarse quantizer
+    probes in ORIGINAL space (same inverted lists as ann_ivf/ann_ivfpq,
+    so one physical bucketing serves every tier), the codes live in the
+    rotated basis, and ADC compares the ROTATED query to them (valid
+    because the rotation is an isometry). Exact re-rank on original
+    floats. Scale shape identical to ann_ivfpq_topk: map-only index
+    build against three broadcast model literals, probe join touches
+    n_probe/16 of the code table, salted two-phase shortlist, |Q| x
+    {_PQ_SHORTLIST}-row re-rank.
+    """
+    from ..operators.similarity import (
+        _cluster_scores,
+        ivf_assign,
+        l2_sq,
+        pq_adc_sq_expr,
+        pq_code_expr,
+        rotate_expr,
+        salted_topn,
+    )
+
+    cents = _ivf_centroids(spark, sf_dir)
+    rot, cbs = _opq_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = (
+        ivf_assign(emb, "vec_id", "embedding", cents)
+        .select(
+            "cid", "cluster", rotate_expr(F.col("cvec"), rot).alias("rvec")
+        )
+        .select("cid", "cluster", pq_code_expr(F.col("rvec"), cbs).alias("codes"))
+    )
+    qscores = F.transform(
+        _cluster_scores(F.col("qvec"), cents),
+        lambda s, i: F.struct(s.alias("s"), i.alias("cl")),
+    )
+    probes = F.slice(F.reverse(F.array_sort(qscores)), 1, 4)
+    q = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            rotate_expr(F.col("embedding"), rot).alias("rqvec"),
+        )
+        .withColumn("p", F.explode(probes))
+        .select("qid", "qvec", "rqvec", F.col("p.cl").cast("long").alias("cluster"))
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cluster")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("adc", pq_adc_sq_expr(F.col("rqvec"), F.col("codes"), cbs))
+    )
+    short = salted_topn(
+        scored, (F.col("adc").asc(), F.col("cid").asc()), _PQ_SHORTLIST, "srank"
+    )
+    rer = short.join(
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
+        "cid",
+    ).withColumn(
+        "dist",
+        F.sqrt(
+            l2_sq(
+                F.transform(F.col("qvec"), lambda x: x.cast("double")),
+                F.transform(F.col("cvec"), lambda x: x.cast("double")),
+            )
+        ),
+    )
+    # bounded input: |Q| x SHORTLIST rows — direct per-qid window OK
+    wr = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            F.col("qid").alias("vec_id_q"),
+            F.col("cid").alias("vec_id_c"),
+            F.round(F.sqrt("adc"), 6).alias("adc_dist"),
+            F.round("dist", 6).alias("exact_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 # --- Scalar quantization (SQ8) ----------------------------------------------
 # PQ's codebooks are a trained model (rows-only + cert); SQ8 is the
 # OTHER standard vector-compression tier (FAISS SQ8 / int8 serving):

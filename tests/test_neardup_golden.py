@@ -898,3 +898,69 @@ def test_opq_codes_and_adc_match_numpy(spark, sf_dir):
         for r in got
     }
     assert got_map == want and len(want) == _N_QUERIES * _TOP_K
+
+
+def test_ivfopq_composition_matches_numpy(spark, sf_dir):
+    """IVF-OPQ composition golden: GIVEN the coarse quantizer, the OPQ
+    rotation and the rotated codebooks, the probe -> rotate -> ADC ->
+    re-rank chain must equal a numpy recompute exactly (original-space
+    probing, fold-order rotation, first-argmin codes, lexsort
+    tie-breaks)."""
+    import numpy as np
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries.vectors import (
+        _N_QUERIES,
+        _PQ_SHORTLIST,
+        _TOP_K,
+        _ivf_centroids,
+        _opq_model,
+    )
+
+    cents = np.array(_ivf_centroids(spark, sf_dir), dtype=np.float64)
+    rot, cbs_l = _opq_model(spark, sf_dir)
+    cbs = [np.array(c, dtype=np.float64) for c in cbs_l]
+    rows = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    M = len(cbs)
+    ds = dim // M
+    RX = _fold_rotate(X, rot)
+
+    def cos_to_cents(v):
+        num = cents @ v
+        den = np.linalg.norm(cents, axis=1) * np.linalg.norm(v)
+        return num / den
+
+    cluster = np.array([int(np.argmax(cos_to_cents(x))) for x in X])
+    codes = np.zeros((n, M), dtype=int)
+    for m in range(M):
+        d = ((RX[:, None, m * ds:(m + 1) * ds] - cbs[m][None, :, :]) ** 2).sum(-1)
+        codes[:, m] = d.argmin(1)
+
+    want = {}
+    for qi in np.where(ids < _N_QUERIES)[0]:
+        qv, rqv = X[qi], RX[qi]
+        s = cos_to_cents(qv)
+        probe = sorted(range(len(s)), key=lambda j: (-s[j], -j))[:4]
+        cand = [i for i in range(n) if cluster[i] in probe and i != qi]
+        adc = np.zeros(n)
+        for m in range(M):
+            lut = ((cbs[m] - rqv[m * ds:(m + 1) * ds]) ** 2).sum(-1)
+            adc += lut[codes[:, m]]
+        cand.sort(key=lambda i: (adc[i], ids[i]))
+        short = cand[:_PQ_SHORTLIST]
+        short.sort(key=lambda i: (np.sqrt(((X[i] - qv) ** 2).sum()), ids[i]))
+        for rank, i in enumerate(short[:_TOP_K], 1):
+            want[(int(ids[qi]), int(ids[i]))] = (
+                round(float(np.sqrt(adc[i])), 6),
+                round(float(np.sqrt(((X[i] - qv) ** 2).sum())), 6),
+                rank,
+            )
+    got = {
+        (r["vec_id_q"], r["vec_id_c"]): (r["adc_dist"], r["exact_dist"], r["rank"])
+        for r in all_queries()["ann_ivfopq_topk"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) == _N_QUERIES * _TOP_K

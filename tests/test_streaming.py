@@ -1991,3 +1991,45 @@ def test_streaming_shard_export_matches_batch(spark, sf_dir, tmp_path):
         for r in sink.assignments().collect()
     }
     assert again == got
+
+
+def test_streaming_kn_scorer_matches_batch(spark, sf_dir, tmp_path):
+    """StreamingKnScorer: with the frozen reference model fitted on the
+    full documents table's deterministic sample, stream-end scores
+    equal the one-shot x_kn_trigram_lm row-for-row regardless of batch
+    boundaries; a restart reloads the persisted model sidecars instead
+    of re-fitting (frozen-model contract); replayed committed batches
+    are no-ops."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.streaming.kn_scorer import (
+        StreamingKnScorer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    state = str(tmp_path / "kn_state")
+    sink = StreamingKnScorer(spark, state, docs)
+    sink.process_batch(docs.filter(F.col("doc_id") < cut), 0)
+    # restart WITHOUT ref_docs: must reload the frozen sidecars
+    sink2 = StreamingKnScorer(spark, state, None)
+    sink2.process_batch(docs.filter(F.col("doc_id") >= cut), 1)
+    got = {
+        r["doc_id"]: (r["lang"], r["n_grams"], r["kn_nll"])
+        for r in sink2.scores().collect()
+    }
+    want = {
+        r["doc_id"]: (r["lang"], r["n_grams"], r["kn_nll"])
+        for r in all_queries()["x_kn_trigram_lm"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    # replayed committed batch: byte-level no-op
+    sink2.process_batch(docs.filter(F.col("doc_id") < cut), 0)
+    again = {
+        r["doc_id"]: (r["lang"], r["n_grams"], r["kn_nll"])
+        for r in sink2.scores().collect()
+    }
+    assert again == got
