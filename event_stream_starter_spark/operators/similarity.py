@@ -853,3 +853,60 @@ def pq_adc_sq_expr(
         )
         total = total + l2_sq(F.slice(qvec, i * ds + 1, ds), cent)
     return total
+
+
+def pq_adc_serve(
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """PQ-ADC top-k with exact re-rank over a PREBUILT code table — the
+    serving half of ann_pq_topk, shared verbatim by the batch query and
+    StreamingPqIndex.query so stream-built == one-shot parity is
+    structural (the StreamingIvfIndex/ivf_probe precedent).
+
+    `codes` = (cid, codes array<int>), `vectors` = (cid, cvec) for the
+    exact re-rank, `queries` = (qid, qvec). ADC scoring is map-side over
+    the code table against the broadcast query set; the shortlist is the
+    salted two-phase rank (no corpus-proportional window on the bounded
+    qid key); the re-rank touches |Q| x `shortlist` float vectors. Emits
+    (vec_id_q, vec_id_c, adc_dist, exact_dist, rank).
+    """
+    scored = (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), codebooks)
+        )
+    )
+    short = salted_topn(
+        scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"
+    )
+    rer = short.join(vectors, "cid").withColumn(
+        "dist",
+        F.sqrt(
+            l2_sq(
+                F.transform(F.col("qvec"), lambda x: x.cast("double")),
+                F.transform(F.col("cvec"), lambda x: x.cast("double")),
+            )
+        ),
+    )
+    # bounded input: |Q| x shortlist rows — a direct per-qid window is
+    # fine at any corpus size
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc(), F.col("cid").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id_q"),
+            F.col("cid").alias("vec_id_c"),
+            F.round(F.sqrt("adc"), 6).alias("adc_dist"),
+            F.round("dist", 6).alias("exact_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1082,7 +1082,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100TB this composes with ivf_topk's inverted lists: probe
     lists, ADC-rank inside them, re-rank the survivors.
     """
-    from ..operators.similarity import l2_sq, pq_adc_sq_expr, pq_code_expr
+    from ..operators.similarity import pq_adc_serve, pq_code_expr
 
     cbs = _pq_codebooks(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1093,44 +1093,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    scored = (
-        codes.crossJoin(F.broadcast(q))
-        .filter(F.col("qid") != F.col("cid"))
-        .withColumn(
-            "adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), cbs)
-        )
+    vectors = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    from ..operators.similarity import salted_topn
-
-    short = salted_topn(
-        scored, (F.col("adc").asc(), F.col("cid").asc()), _PQ_SHORTLIST, "srank"
-    )
-    rer = short.join(
-        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
-        "cid",
-    ).withColumn(
-        "dist",
-        F.sqrt(
-            l2_sq(
-                F.transform(F.col("qvec"), lambda x: x.cast("double")),
-                F.transform(F.col("cvec"), lambda x: x.cast("double")),
-            )
-        ),
-    )
-    # bounded input: |Q| x SHORTLIST rows — a direct per-qid window is
-    # fine at any corpus size
-    wr = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    return (
-        rer.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _TOP_K)
-        .select(
-            F.col("qid").alias("vec_id_q"),
-            F.col("cid").alias("vec_id_c"),
-            F.round(F.sqrt("adc"), 6).alias("adc_dist"),
-            F.round("dist", 6).alias("exact_dist"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    # Serving path factored into operators/similarity.pq_adc_serve and
+    # shared verbatim with StreamingPqIndex.query (stream==batch parity
+    # is structural); plan unchanged — salted shortlist + bounded
+    # re-rank window.
+    return pq_adc_serve(codes, vectors, q, cbs, k=_TOP_K, shortlist=_PQ_SHORTLIST)
 
 
 @query(

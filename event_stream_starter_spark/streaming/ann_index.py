@@ -101,3 +101,146 @@ class StreamingIvfIndex(_PointerSink, _FrozenQuantizerMixin):
             k=k,
             n_probe=n_probe,
         )
+
+
+class StreamingPqIndex(_PointerSink):
+    """foreachBatch sink: append-only PQ code index under FROZEN
+    codebooks — the compressed-memory counterpart of StreamingIvfIndex
+    (the other half of the billion-vector IVF-PQ layout).
+
+    Per micro-batch the sink appends (cid, cvec, codes): the M=16
+    subspace codes are a MAP-ONLY column expression of the broadcast
+    codebook literals (operators/similarity.pq_code_expr) — O(batch),
+    no history re-encode — plus the original float vector for the exact
+    re-rank at query time. The codebooks follow the frozen-quantizer
+    contract (fitted once on the first non-empty batch or passed in,
+    persisted to codebooks.json, NEVER refit; a conflicting constructor
+    value is an error — history was encoded under the persisted model).
+
+    ``query(queries, k, shortlist)`` runs operators/similarity
+    .pq_adc_serve over the accumulated codes — the EXACT serving path
+    ann_pq_topk uses on a fresh corpus (ADC scoring map-side, salted
+    two-phase shortlist, bounded exact re-rank), so stream-built ==
+    one-shot equality is structural and pinned in
+    tests/test_streaming.py::test_streaming_pq_index_matches_batch.
+
+    At cluster scale the codes directory is the 16-byte-per-vector
+    table PQ exists to make scannable; the float vectors live beside it
+    and are touched only for |Q| x shortlist re-rank rows.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dim: int = 64,
+        m: int = 16,
+        k: int = 64,
+        codebooks: list[list[list[float]]] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.dim = dim
+        self.m = m
+        self.k = k
+        self.codebooks = codebooks
+        os.makedirs(os.path.join(path, "codes"), exist_ok=True)
+
+    def _codebooks_file(self) -> str:
+        return os.path.join(self.path, "codebooks.json")
+
+    def _load_or_fit_codebooks(
+        self, batch: DataFrame
+    ) -> list[list[list[float]]]:
+        import json
+
+        try:
+            with open(self._codebooks_file()) as fh:
+                persisted = json.load(fh)
+        except FileNotFoundError:
+            persisted = None
+        if persisted is not None:
+            if self.codebooks is not None and self.codebooks != persisted:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: constructor "
+                    "codebooks differ from the persisted quantizer this "
+                    "index was built under; drop the argument (or the "
+                    "index) instead of mixing"
+                )
+            self.codebooks = persisted
+            return self.codebooks
+        if self.codebooks is None:
+            from ..operators.similarity import pq_codebooks
+
+            self.codebooks = pq_codebooks(
+                batch,
+                self.vec_col,
+                self.id_col,
+                dim=self.dim,
+                m=self.m,
+                k=self.k,
+                iters=2,
+            )
+        tmp = self._codebooks_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.codebooks, fh)
+        os.replace(tmp, self._codebooks_file())
+        return self.codebooks
+
+    def read_codes(self) -> DataFrame | None:
+        """(cid, cvec, codes) index rows; crash re-appends collapse on
+        the id dedup."""
+        return self._read_dir("codes", ["cid"])
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id():
+            return  # replayed, fully committed batch
+        if batch.limit(1).count() == 0:
+            self._commit(batch_id)
+            return
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import pq_code_expr
+
+        cbs = self._load_or_fit_codebooks(batch)
+        rows = batch.select(
+            F.col(self.id_col).alias("cid"),
+            F.col(self.vec_col).alias("cvec"),
+            pq_code_expr(F.col(self.vec_col), cbs).alias("codes"),
+        )
+        rows.write.mode("append").parquet(os.path.join(self.path, "codes"))
+        self._commit(batch_id)
+
+    def query(
+        self, queries: DataFrame, k: int = 5, shortlist: int = 50
+    ) -> DataFrame | None:
+        """PQ-ADC top-k of `queries` against the accumulated index —
+        the same serving code path as a one-shot ann_pq_topk."""
+        idx = self.read_codes()
+        if idx is None:
+            return None
+        if self.codebooks is None:
+            import json
+
+            with open(self._codebooks_file()) as fh:
+                self.codebooks = json.load(fh)
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import pq_adc_serve
+
+        q = queries.select(
+            F.col(self.id_col).alias("qid"),
+            F.col(self.vec_col).alias("qvec"),
+        )
+        return pq_adc_serve(
+            idx.select("cid", "codes"),
+            idx.select("cid", "cvec"),
+            q,
+            self.codebooks,
+            k=k,
+            shortlist=shortlist,
+        )

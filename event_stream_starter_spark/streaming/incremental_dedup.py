@@ -106,6 +106,46 @@ class StreamingNearDup(_PointerSink):
         out = self._read_dir("pairs", ["id_a", "id_b"])
         return None if out is None else out.select("id_a", "id_b", "jaccard_sim")
 
+    def clusters(self) -> DataFrame | None:
+        """Transitive cluster assignment + canonical pick over every
+        document the stream has indexed: operators/graph
+        .canonical_assignments (iterative min-label connected
+        components) on the accumulated pair log, with the signature
+        index supplying the document set — the dd_cluster_canonical
+        output shape (doc_id, cluster_id, is_canonical, cluster_size)
+        maintained incrementally.
+
+        Read-side recompute is deliberate: connected components is a
+        GLOBAL fixpoint (one new pair can merge any two existing
+        clusters, retroactively re-labeling history), so no append-only
+        per-batch assignment can be correct; the 100TB-sane posture is
+        the StreamingLineDedup one — immutable per-batch logs, verdicts
+        derived at read time. The recompute is bounded by the PAIR log
+        (|pairs| << |corpus| for near-dup graphs) plus one corpus-sized
+        left join for singleton coverage; per-batch ingest cost is
+        untouched (O(batch) signature + pair append). Stream-end
+        equality with the one-shot minhash clustering is pinned in
+        tests/test_streaming.py::test_streaming_neardup_clusters_match_one_shot.
+        """
+        from pyspark.sql import functions as F
+
+        from ..operators.graph import canonical_assignments
+
+        index = self.read_index()
+        if index is None:
+            return None
+        docs = index.select(F.col("id").alias(self.id_col)).distinct()
+        pairs = self.pairs()
+        if pairs is None:
+            # No near-dup pair yet: every indexed doc is a singleton.
+            return docs.select(
+                self.id_col,
+                F.col(self.id_col).alias("cluster_id"),
+                F.lit(True).alias("is_canonical"),
+                F.lit(1).cast("bigint").alias("cluster_size"),
+            )
+        return canonical_assignments(docs, pairs, self.id_col)
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id <= self.last_batch_id():
             return  # replayed, fully committed batch

@@ -2033,3 +2033,128 @@ def test_streaming_kn_scorer_matches_batch(spark, sf_dir, tmp_path):
         for r in sink2.scores().collect()
     }
     assert again == got
+
+
+def test_streaming_pq_index_matches_batch(spark, sf_dir, tmp_path):
+    """Embeddings streamed through StreamingPqIndex (frozen full-corpus
+    codebooks) must answer PQ-ADC top-k EXACTLY like the one-shot
+    ann_pq_topk — same shared serving path, stream-built code table.
+    Also: committed-batch replay is a no-op, crash re-appends collapse
+    on the id dedup, a conflicting frozen model errors, and a restart
+    without codebooks reloads the sidecar."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries.vectors import _pq_codebooks
+    from event_stream_starter_spark.streaming.ann_index import StreamingPqIndex
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cbs = _pq_codebooks(spark, sf_dir)
+    land = tmp_path / "pq_landing"
+    emb.repartition(3).write.mode("overwrite").parquet(str(land))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    ix = StreamingPqIndex(spark, str(tmp_path / "pq_state"), codebooks=cbs)
+    run_to_completion(stream, ix.foreach_batch_writer(), str(tmp_path / "pq_ck"))
+
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def as_set(df):
+        return {
+            (
+                r["vec_id_q"],
+                r["vec_id_c"],
+                r["adc_dist"],
+                r["exact_dist"],
+                r["rank"],
+            )
+            for r in df.collect()
+        }
+
+    want = as_set(all_queries()["ann_pq_topk"].fn(spark, sf_dir))
+    got = as_set(ix.query(q, k=5, shortlist=50))
+    assert got == want
+
+    # Committed replay: pointer short-circuits.
+    ix.process_batch(emb.limit(3), ix.last_batch_id())
+    assert as_set(ix.query(q, k=5, shortlist=50)) == want
+
+    # Crash re-append: read-side id dedup absorbs duplicate rows.
+    codes = spark.read.parquet(_os.path.join(ix.path, "codes")).limit(4)
+    codes.write.mode("append").parquet(_os.path.join(ix.path, "codes"))
+    assert as_set(ix.query(q, k=5, shortlist=50)) == want
+
+    # Restart with a CONFLICTING frozen model is an error, never a refit.
+    other = [[[v + 1.0 for v in c] for c in cb] for cb in cbs]
+    bad = StreamingPqIndex(
+        spark, str(tmp_path / "pq_state"), codebooks=other
+    )
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad.process_batch(emb.limit(3), ix.last_batch_id() + 1)
+
+    # Restart WITHOUT codebooks loads the sidecar, answers identically.
+    again = StreamingPqIndex(spark, str(tmp_path / "pq_state"))
+    assert as_set(again.query(q, k=5, shortlist=50)) == want
+
+
+def test_streaming_neardup_clusters_match_one_shot(spark, sf_dir, tmp_path):
+    """StreamingNearDup.clusters() — read-side connected components over
+    the accumulated pair log — must equal the one-shot minhash
+    clustering (canonical_assignments over minhash_lsh_pairs) at stream
+    end, including singleton coverage for never-paired docs."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from event_stream_starter_spark.operators.graph import (
+        canonical_assignments,
+    )
+    from event_stream_starter_spark.streaming.incremental_dedup import (
+        StreamingNearDup,
+    )
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    land = tmp_path / "cc_landing"
+    docs.repartition(3).write.mode("overwrite").parquet(str(land))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    nd = StreamingNearDup(
+        spark, str(tmp_path / "cc_state"), threshold=0.5, num_hashes=64,
+        bands=16, shingle_n=5,
+    )
+    run_to_completion(stream, nd.foreach_batch_writer(), str(tmp_path / "cc_ck"))
+
+    def as_set(df):
+        return {
+            (r["doc_id"], r["cluster_id"], r["is_canonical"], r["cluster_size"])
+            for r in df.collect()
+        }
+
+    # One-shot arm over the same document set the index holds (docs
+    # with at least one signature).
+    sig_ids = (
+        minhash_signatures(docs, "doc_id", "text", 64, 5)
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=64, bands=16,
+        shingle_n=5,
+    )
+    want = as_set(canonical_assignments(sig_ids, pairs, "doc_id"))
+    got = as_set(nd.clusters())
+    assert got == want
