@@ -146,6 +146,8 @@ HEADLINE = [
     "ann_opq_recall_cert",
     "x_bpe_encode_frozen_udf",
     "ann_ivfopq_topk",
+    "x_zipf_entropy",
+    "x_doremi_weights",
 ]
 
 

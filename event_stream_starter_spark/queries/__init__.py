@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         cards,
         classifier,
+        corpusstats,
         eventstream,
         flagship,
         keys_limits,

@@ -1,0 +1,312 @@
+"""Corpus-distribution statistics and mixture reweighting.
+
+Two training-data operators a corpus release / mixture tuner needs that
+the datacard family doesn't yet cover:
+
+- ``x_zipf_entropy``: per-language token-distribution datasheet — Zipf
+  power-law slope fitted on the frequency head (Zipf 1949; Piantadosi
+  2014 reviews the head-fit practice), unigram Shannon entropy,
+  type/token ratio, hapax fraction and top-100 mass. The entropy uses
+  H = log2(N) - (1/N)·Σ f·log2(f), so the corpus-sized pass is ONE
+  aggregate with no per-token probability join; the rank-dependent
+  stats (slope, head mass) rank only the top-V types per language via
+  the salted two-phase top-n (operators/similarity.salted_topn), never
+  a per-lang window over the full vocabulary — at 100 TB a per-lang
+  vocab is ~10^8 types and a plain per-lang rank window would sort it
+  on |langs| reducers.
+
+- ``x_doremi_weights``: DoReMi-style domain reweighting (Xie et al.
+  2023 "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+  Pretraining"): one exponentiated-gradient step
+  w_i ∝ share_i · exp(η · excess_i) over per-domain clipped excess
+  loss. The published method uses a small proxy model vs a reference
+  model; the engine's deterministic stand-ins are the two LMs it
+  already fully oracles — excess_i = max(0, mean add-one-trigram nll −
+  mean KN-trigram nll) per source, i.e. how far the weaker scorer lags
+  the stronger one on that domain (hardest-to-learn domains get
+  upweighted, the DoReMi law). Swapping real model losses in changes
+  only the two nll inputs; the EG update stays as-is.
+
+Numeric posture (the x_kn/x_ccnet contract): per-doc nll values are the
+bit-equal 6-dp doubles both LM oracles already certify; per-domain means
+sum those as DECIMAL(18,6) (order-independent) before one double
+division; the EG numerators round share·exp(η·excess) to 12 dp before a
+DECIMAL(28,12) sum, so a 1-ulp cross-engine exp() difference (~1e-16)
+cannot flip a 5e-13 rounding quantum, and the normalizing denominator
+is exact.
+
+Reference parity: the reference ships no corpus-statistics or mixture
+module; these extend the training-pipeline surface (SURVEY §2 "beyond
+the reference" families) with published methods only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import textan
+from ..operators.similarity import salted_topn
+from . import query
+from .knlm import _KN_CTES_SQL, _kn_scored
+from .textdata import _CCNET_CTES_SQL, _TOKS_DUCK, _ccnet_scored
+
+_ZIPF_HEAD = 1000  # types per language the slope is fitted on
+_MASS_HEAD = 100  # types per language for the head-mass stat
+
+
+@query(
+    "x_zipf_entropy",
+    f"""
+    WITH zt AS (
+        SELECT lang, unnest({_TOKS_DUCK}) AS tok FROM documents
+    ), zty AS (
+        SELECT lang, tok, COUNT(*) AS f FROM zt GROUP BY lang, tok
+    ), zst AS (
+        SELECT lang,
+               CAST(SUM(f) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax_types,
+               CAST(SUM(CAST(ROUND(CAST(f AS DOUBLE)
+                                   * log2(CAST(f AS DOUBLE)), 7)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS sflf
+        FROM zty GROUP BY lang
+    ), zrk AS (
+        SELECT lang, f,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY f DESC, tok ASC) AS r
+        FROM zty
+    ), zhd AS (
+        SELECT lang,
+               CAST(SUM(CASE WHEN r <= {_MASS_HEAD} THEN f ELSE 0 END)
+                    AS BIGINT) AS mass_head,
+               regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE)))
+                   AS slope
+        FROM zrk WHERE r <= {_ZIPF_HEAD} GROUP BY lang
+    )
+    SELECT zst.lang, n_tokens, n_types,
+           ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0
+               AS type_token_ratio,
+           ROUND(CAST(hapax_types AS DOUBLE) / CAST(n_types AS DOUBLE), 6) + 0
+               AS hapax_frac,
+           ROUND(log2(CAST(n_tokens AS DOUBLE))
+                 - sflf / CAST(n_tokens AS DOUBLE), 6) + 0 AS entropy_bits,
+           ROUND(CAST(mass_head AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) + 0
+               AS top100_mass,
+           ROUND(slope, 6) + 0 AS zipf_slope
+    FROM zst JOIN zhd ON zst.lang = zhd.lang
+    """,
+    survey_ids=(
+        "training-pipeline: per-language token-distribution datasheet — "
+        "Zipf slope on the top-1000 frequency head (salted two-phase "
+        "rank, no per-lang vocab-wide window), unigram Shannon entropy "
+        "via one order-independent aggregate, TTR / hapax / top-100 "
+        "mass; full value-hash oracle incl. the regr_slope fit"
+    ),
+)
+def x_zipf_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus token-distribution statistics.
+
+    Emits (lang, n_tokens, n_types, type_token_ratio, hapax_frac,
+    entropy_bits, top100_mass, zipf_slope).
+
+    Scale shape: explode is map-side; the (lang, tok) type table is the
+    one corpus shuffle (partial-agg combine, so the exchange carries
+    distinct types per partition); the whole-vocab stats reduce that
+    table in one per-lang aggregate (f·log2 f terms rounded to 7 dp and
+    summed as DECIMAL(28,9) — order-independent, 1-ulp log differences
+    can't flip a term); rank-dependent stats touch only the top-1000
+    types per lang via salted_topn, so no per-lang window ever sees the
+    full vocabulary. regr_slope posture = w4_regr_slope (round 6 + 0;
+    x = ln(rank) ≤ ln(1000), no cancellation risk).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(textan.tokens(F.col("text"))).alias("tok")
+    )
+    types = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("f"))
+    fd = F.col("f").cast("double")
+    stats = types.groupBy("lang").agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax_types"),
+        F.sum(F.round(fd * F.log2(fd), 7).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("sflf"),
+    )
+    head = salted_topn(
+        types,
+        order=(F.desc("f"), F.asc("tok")),
+        n=_ZIPF_HEAD,
+        rank_name="r",
+        part_cols=("lang",),
+        salt_key="tok",
+    )
+    rd = F.col("r").cast("double")
+    fits = head.groupBy("lang").agg(
+        F.sum(F.when(F.col("r") <= _MASS_HEAD, F.col("f")).otherwise(0))
+        .cast("bigint")
+        .alias("mass_head"),
+        F.regr_slope(F.log(fd), F.log(rd)).alias("slope"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return stats.join(F.broadcast(fits), "lang").select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        (F.round(F.col("n_types").cast("double") / nt, 6) + 0).alias(
+            "type_token_ratio"
+        ),
+        (
+            F.round(
+                F.col("hapax_types").cast("double")
+                / F.col("n_types").cast("double"),
+                6,
+            )
+            + 0
+        ).alias("hapax_frac"),
+        (F.round(F.log2(nt) - F.col("sflf") / nt, 6) + 0).alias(
+            "entropy_bits"
+        ),
+        (
+            F.round(F.col("mass_head").cast("double") / nt, 6) + 0
+        ).alias("top100_mass"),
+        (F.round(F.col("slope"), 6) + 0).alias("zipf_slope"),
+    )
+
+
+_DOREMI_ETA = 1.0  # EG step size (Xie et al. 2023 use 1.0)
+
+
+@query(
+    "x_doremi_weights",
+    "WITH "
+    + _KN_CTES_SQL.format(src="documents")
+    + ", "
+    + _CCNET_CTES_SQL.format(src="documents")
+    + """, drdoc AS (
+        SELECT d.source, k.n_grams,
+               ROUND(k.s / k.n_grams, 6) AS kn_nll,
+               ROUND(c.s / c.n_grams, 6) AS cc_nll
+        FROM knscored k
+        JOIN ccscored c ON k.doc_id = c.doc_id AND k.lang = c.lang
+        JOIN documents d ON d.doc_id = k.doc_id
+    ), drdom AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_grams) AS BIGINT) AS token_mass,
+               CAST(SUM(CAST(cc_nll AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mcc,
+               CAST(SUM(CAST(kn_nll AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mkn
+        FROM drdoc GROUP BY source
+    ), drtot AS (
+        SELECT CAST(SUM(token_mass) AS BIGINT) AS tot_mass FROM drdom
+    ), drex AS (
+        SELECT source, n_docs, token_mass,
+               CAST(token_mass AS DOUBLE) / CAST(tot_mass AS DOUBLE)
+                   AS ref_share,
+               greatest(ROUND(mcc, 6) - ROUND(mkn, 6), 0.0) AS excess
+        FROM drdom, drtot
+    ), drnum AS (
+        SELECT *,
+               CAST(ROUND(ref_share * exp({eta} * excess), 12)
+                    AS DECIMAL(28,12)) AS num
+        FROM drex
+    ), drden AS (
+        SELECT SUM(num) AS den FROM drnum
+    )
+    SELECT source, n_docs, token_mass,
+           ROUND(ref_share, 6) + 0 AS ref_share,
+           ROUND(excess, 6) + 0 AS excess,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0 AS weight
+    FROM drnum, drden
+    """.format(eta=_DOREMI_ETA),
+    survey_ids=(
+        "training-pipeline: DoReMi domain reweighting (Xie et al. 2023) "
+        "— one exponentiated-gradient step w_i ∝ share_i·exp(η·excess_i) "
+        "over per-source clipped excess loss between the engine's two "
+        "fully-oracled trigram LMs (add-one proxy vs KN reference); "
+        "weights themselves value-hash-checked"
+    ),
+)
+def x_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain weights over `source` (see module docstring).
+
+    Emits (source, n_docs, token_mass, ref_share, excess, weight),
+    weight = EG update of the token-mass reference share by the clipped
+    per-domain excess nll, normalized over domains.
+
+    Scale shape: both LM scorers are broadcast-model map passes with one
+    per-doc rollup each (the certified x_kn/x_ccnet plans); the two
+    score frames and the corpus join on doc_id (one row per doc); the
+    domain rollup reduces to |sources| rows, and the EG normalization
+    is an aggregate over that bounded table joined back broadcast —
+    nothing after the per-doc rollup is corpus-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "source"
+    )
+    kn = _kn_scored(docs.select("doc_id", "lang", "text")).select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        F.round(F.col("s") / F.col("n_grams"), 6).alias("kn_nll"),
+    )
+    cc = _ccnet_scored(docs.select("doc_id", "lang", "text")).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("s") / F.col("n_grams"), 6).alias("cc_nll"),
+    )
+    per_doc = kn.join(cc, ["doc_id", "lang"]).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    dom = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("token_mass"),
+        (
+            F.sum(F.col("cc_nll").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mcc"),
+        (
+            F.sum(F.col("kn_nll").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mkn"),
+    )
+    tot = dom.agg(F.sum("token_mass").cast("bigint").alias("tot_mass"))
+    ex = dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "token_mass",
+        (
+            F.col("token_mass").cast("double")
+            / F.col("tot_mass").cast("double")
+        ).alias("ref_share"),
+        F.greatest(
+            F.round(F.col("mcc"), 6) - F.round(F.col("mkn"), 6), F.lit(0.0)
+        ).alias("excess"),
+    )
+    num = ex.withColumn(
+        "num",
+        F.round(
+            F.col("ref_share") * F.exp(F.lit(_DOREMI_ETA) * F.col("excess")),
+            12,
+        ).cast("decimal(28,12)"),
+    )
+    den = num.agg(F.sum("num").alias("den"))
+    return num.crossJoin(F.broadcast(den)).select(
+        "source",
+        "n_docs",
+        "token_mass",
+        (F.round(F.col("ref_share"), 6) + 0).alias("ref_share"),
+        (F.round(F.col("excess"), 6) + 0).alias("excess"),
+        (
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            )
+            + 0
+        ).alias("weight"),
+    )

@@ -261,6 +261,21 @@ SHOW = [
         "over distinct words only, top-20 is TakeOrderedAndProject — "
         "no full pair-histogram sort (pinned by test_plan_audit)",
     ),
+    (
+        "x_zipf_entropy",
+        "token-distribution datasheet: one partial-agg (lang, tok) type "
+        "shuffle; whole-vocab stats reduce in a single per-lang "
+        "aggregate; rank-dependent stats (Zipf head, top-100 mass) see "
+        "only salted-top-1000 survivors — no per-lang window over the "
+        "full vocabulary",
+    ),
+    (
+        "x_doremi_weights",
+        "DoReMi EG reweighting: two broadcast-model LM scoring passes "
+        "(map-side gram joins + per-doc rollups), per-doc frames join "
+        "on doc_id, then everything past the |sources|-row rollup is "
+        "bounded (EG normalization = aggregate + broadcast join back)",
+    ),
 ]
 
 
