@@ -855,6 +855,39 @@ def pq_adc_sq_expr(
     return total
 
 
+def _pq_rerank_emit(
+    short: DataFrame, vectors: DataFrame, k: int
+) -> DataFrame:
+    """Shared tail of the PQ serving paths: exact re-rank of a bounded
+    ADC shortlist against the float vector table + the canonical
+    (vec_id_q, vec_id_c, adc_dist, exact_dist, rank) emission."""
+    rer = short.join(vectors, "cid").withColumn(
+        "dist",
+        F.sqrt(
+            l2_sq(
+                F.transform(F.col("qvec"), lambda x: x.cast("double")),
+                F.transform(F.col("cvec"), lambda x: x.cast("double")),
+            )
+        ),
+    )
+    # bounded input: |Q| x shortlist rows — a direct per-qid window is
+    # fine at any corpus size
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc(), F.col("cid").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("vec_id_q"),
+            F.col("cid").alias("vec_id_c"),
+            F.round(F.sqrt("adc"), 6).alias("adc_dist"),
+            F.round("dist", 6).alias("exact_dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def pq_adc_serve(
     codes: DataFrame,
     vectors: DataFrame,
@@ -885,28 +918,47 @@ def pq_adc_serve(
     short = salted_topn(
         scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"
     )
-    rer = short.join(vectors, "cid").withColumn(
-        "dist",
-        F.sqrt(
-            l2_sq(
-                F.transform(F.col("qvec"), lambda x: x.cast("double")),
-                F.transform(F.col("cvec"), lambda x: x.cast("double")),
-            )
-        ),
+    return _pq_rerank_emit(short, vectors, k)
+
+
+def ivfpq_serve(
+    index: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int = 4,
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF-PQ top-k over a PREBUILT (cid, cluster, codes) index — the
+    serving half of ann_ivfpq_topk, shared verbatim by the batch query
+    and StreamingIvfPqIndex.query so stream-built == one-shot parity is
+    structural.
+
+    Each query expands to its `n_probe` closest coarse clusters (model
+    literal arithmetic, broadcast); the probe join touches only the
+    probed lists' code rows; the ADC shortlist is the salted two-phase
+    rank; the exact re-rank reads |Q| x `shortlist` float vectors.
+    Emits (vec_id_q, vec_id_c, adc_dist, exact_dist, rank).
+    """
+    qscores = F.transform(
+        _cluster_scores(F.col("qvec"), centroids),
+        lambda s, i: F.struct(s.alias("s"), i.alias("cl")),
     )
-    # bounded input: |Q| x shortlist rows — a direct per-qid window is
-    # fine at any corpus size
-    wr = Window.partitionBy("qid").orderBy(
-        F.col("dist").asc(), F.col("cid").asc()
+    probes = F.slice(F.reverse(F.array_sort(qscores)), 1, n_probe)
+    q = (
+        queries.withColumn("p", F.explode(probes))
+        .select("qid", "qvec", F.col("p.cl").cast("long").alias("cluster"))
     )
-    return (
-        rer.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("vec_id_q"),
-            F.col("cid").alias("vec_id_c"),
-            F.round(F.sqrt("adc"), 6).alias("adc_dist"),
-            F.round("dist", 6).alias("exact_dist"),
-            F.col("rank").cast("long").alias("rank"),
+    scored = (
+        index.join(F.broadcast(q), "cluster")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), codebooks)
         )
     )
+    short = salted_topn(
+        scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"
+    )
+    return _pq_rerank_emit(short, vectors, k)

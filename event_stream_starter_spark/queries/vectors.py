@@ -1256,12 +1256,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one qid reducer; re-rank reads |Q| x {_PQ_SHORTLIST} float
     vectors. This is the plan a 1e9-vector deployment actually runs.
     """
-    from ..operators.similarity import (
-        ivf_assign,
-        l2_sq,
-        pq_adc_sq_expr,
-        pq_code_expr,
-    )
+    from ..operators.similarity import ivf_assign, ivfpq_serve, pq_code_expr
 
     cents = _ivf_centroids(spark, sf_dir)
     cbs = _pq_codebooks(spark, sf_dir)
@@ -1270,53 +1265,19 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = ivf_assign(emb, "vec_id", "embedding", cents).select(
         "cid", "cluster", pq_code_expr(F.col("cvec"), cbs).alias("codes")
     )
-    from ..operators.similarity import _cluster_scores
-
-    qscores = F.transform(
-        _cluster_scores(F.col("qvec"), cents),
-        lambda s, i: F.struct(s.alias("s"), i.alias("cl")),
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    probes = F.slice(F.reverse(F.array_sort(qscores)), 1, 4)
-    q = (
-        emb.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-        .withColumn("p", F.explode(probes))
-        .select("qid", "qvec", F.col("p.cl").cast("long").alias("cluster"))
+    vectors = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    scored = (
-        assigned.join(F.broadcast(q), "cluster")
-        .filter(F.col("qid") != F.col("cid"))
-        .withColumn("adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), cbs))
-    )
-    from ..operators.similarity import salted_topn
-
-    short = salted_topn(
-        scored, (F.col("adc").asc(), F.col("cid").asc()), _PQ_SHORTLIST, "srank"
-    )
-    rer = short.join(
-        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
-        "cid",
-    ).withColumn(
-        "dist",
-        F.sqrt(
-            l2_sq(
-                F.transform(F.col("qvec"), lambda x: x.cast("double")),
-                F.transform(F.col("cvec"), lambda x: x.cast("double")),
-            )
-        ),
-    )
-    # bounded input: |Q| x SHORTLIST rows — direct per-qid window OK
-    wr = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    return (
-        rer.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _TOP_K)
-        .select(
-            F.col("qid").alias("vec_id_q"),
-            F.col("cid").alias("vec_id_c"),
-            F.round(F.sqrt("adc"), 6).alias("adc_dist"),
-            F.round("dist", 6).alias("exact_dist"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    # Serving path factored into operators/similarity.ivfpq_serve and
+    # shared verbatim with StreamingIvfPqIndex.query (stream==batch
+    # parity is structural); plan unchanged — probe join + salted
+    # shortlist + bounded re-rank window.
+    return ivfpq_serve(
+        assigned, vectors, q, cents, cbs,
+        n_probe=4, k=_TOP_K, shortlist=_PQ_SHORTLIST,
     )
 
 

@@ -103,7 +103,73 @@ class StreamingIvfIndex(_PointerSink, _FrozenQuantizerMixin):
         )
 
 
-class StreamingPqIndex(_PointerSink):
+class _FrozenCodebooksMixin:
+    """Frozen-PQ-codebooks contract shared by the code-bearing sinks
+    (StreamingPqIndex, StreamingIvfPqIndex): fitted once (on the first
+    non-empty batch, or passed in), written to codebooks.json, NEVER
+    refit — history was encoded under the persisted model, so a restart
+    with conflicting constructor codebooks is an error, not a refit
+    (the _FrozenQuantizerMixin semantics applied to the PQ model)."""
+
+    path: str
+    id_col: str
+    vec_col: str
+    dim: int
+    m: int
+    k: int
+    codebooks: list[list[list[float]]] | None
+
+    def _codebooks_file(self) -> str:
+        return os.path.join(self.path, "codebooks.json")
+
+    def _load_codebooks(self) -> list[list[list[float]]]:
+        if self.codebooks is None:
+            import json
+
+            with open(self._codebooks_file()) as fh:
+                self.codebooks = json.load(fh)
+        return self.codebooks
+
+    def _load_or_fit_codebooks(
+        self, batch: DataFrame
+    ) -> list[list[list[float]]]:
+        import json
+
+        try:
+            with open(self._codebooks_file()) as fh:
+                persisted = json.load(fh)
+        except FileNotFoundError:
+            persisted = None
+        if persisted is not None:
+            if self.codebooks is not None and self.codebooks != persisted:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: constructor "
+                    "codebooks differ from the persisted quantizer this "
+                    "index was built under; drop the argument (or the "
+                    "index) instead of mixing"
+                )
+            self.codebooks = persisted
+            return self.codebooks
+        if self.codebooks is None:
+            from ..operators.similarity import pq_codebooks
+
+            self.codebooks = pq_codebooks(
+                batch,
+                self.vec_col,
+                self.id_col,
+                dim=self.dim,
+                m=self.m,
+                k=self.k,
+                iters=2,
+            )
+        tmp = self._codebooks_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.codebooks, fh)
+        os.replace(tmp, self._codebooks_file())
+        return self.codebooks
+
+
+class StreamingPqIndex(_PointerSink, _FrozenCodebooksMixin):
     """foreachBatch sink: append-only PQ code index under FROZEN
     codebooks — the compressed-memory counterpart of StreamingIvfIndex
     (the other half of the billion-vector IVF-PQ layout).
@@ -150,47 +216,6 @@ class StreamingPqIndex(_PointerSink):
         self.codebooks = codebooks
         os.makedirs(os.path.join(path, "codes"), exist_ok=True)
 
-    def _codebooks_file(self) -> str:
-        return os.path.join(self.path, "codebooks.json")
-
-    def _load_or_fit_codebooks(
-        self, batch: DataFrame
-    ) -> list[list[list[float]]]:
-        import json
-
-        try:
-            with open(self._codebooks_file()) as fh:
-                persisted = json.load(fh)
-        except FileNotFoundError:
-            persisted = None
-        if persisted is not None:
-            if self.codebooks is not None and self.codebooks != persisted:
-                raise ValueError(
-                    f"{type(self).__name__} at {self.path}: constructor "
-                    "codebooks differ from the persisted quantizer this "
-                    "index was built under; drop the argument (or the "
-                    "index) instead of mixing"
-                )
-            self.codebooks = persisted
-            return self.codebooks
-        if self.codebooks is None:
-            from ..operators.similarity import pq_codebooks
-
-            self.codebooks = pq_codebooks(
-                batch,
-                self.vec_col,
-                self.id_col,
-                dim=self.dim,
-                m=self.m,
-                k=self.k,
-                iters=2,
-            )
-        tmp = self._codebooks_file() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(self.codebooks, fh)
-        os.replace(tmp, self._codebooks_file())
-        return self.codebooks
-
     def read_codes(self) -> DataFrame | None:
         """(cid, cvec, codes) index rows; crash re-appends collapse on
         the id dedup."""
@@ -223,11 +248,6 @@ class StreamingPqIndex(_PointerSink):
         idx = self.read_codes()
         if idx is None:
             return None
-        if self.codebooks is None:
-            import json
-
-            with open(self._codebooks_file()) as fh:
-                self.codebooks = json.load(fh)
         from pyspark.sql import functions as F
 
         from ..operators.similarity import pq_adc_serve
@@ -240,7 +260,117 @@ class StreamingPqIndex(_PointerSink):
             idx.select("cid", "codes"),
             idx.select("cid", "cvec"),
             q,
-            self.codebooks,
+            self._load_codebooks(),
+            k=k,
+            shortlist=shortlist,
+        )
+
+
+class StreamingIvfPqIndex(_PointerSink, _FrozenQuantizerMixin, _FrozenCodebooksMixin):
+    """foreachBatch sink: the COMPOSED billion-vector layout — append-
+    only (cid, cluster, codes, cvec) rows under BOTH frozen models (the
+    IVF coarse quantizer via _FrozenQuantizerMixin / centroids.json, the
+    PQ codebooks via _FrozenCodebooksMixin / codebooks.json).
+
+    Per micro-batch: coarse assignment AND subspace encoding are one
+    map-only pass against the two broadcast model literals — O(batch),
+    no history re-touch. ``query(queries, k, n_probe, shortlist)`` runs
+    operators/similarity.ivfpq_serve over the accumulated index — the
+    EXACT serving path ann_ivfpq_topk uses on a fresh corpus (coarse
+    probes, ADC inside the probed lists, salted shortlist, bounded exact
+    re-rank), so stream-built == one-shot equality is structural and
+    pinned in tests/test_streaming.py::test_streaming_ivfpq_index_matches_batch.
+
+    Unlike StreamingIvfIndex (float lists) the scan state here is 16
+    bytes/vector; unlike StreamingPqIndex (flat codes) probes touch only
+    n_probe/n_clusters of it. At cluster scale the codes directory is
+    bucketed by `cluster` (the probe join key).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_clusters: int = 16,
+        centroids: list[list[float]] | None = None,
+        dim: int = 64,
+        m: int = 16,
+        k: int = 64,
+        codebooks: list[list[list[float]]] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_clusters = n_clusters
+        self.centroids = centroids
+        self.dim = dim
+        self.m = m
+        self.k = k
+        self.codebooks = codebooks
+        os.makedirs(os.path.join(path, "codes"), exist_ok=True)
+
+    def read_codes(self) -> DataFrame | None:
+        """(cid, cluster, codes, cvec) index rows; crash re-appends
+        collapse on the id dedup."""
+        return self._read_dir("codes", ["cid"])
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id():
+            return  # replayed, fully committed batch
+        if batch.limit(1).count() == 0:
+            self._commit(batch_id)
+            return
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import pq_code_expr
+
+        centroids = self._load_or_fit_centroids(batch)
+        cbs = self._load_or_fit_codebooks(batch)
+        assigned = ivf_assign(batch, self.id_col, self.vec_col, centroids)
+        rows = assigned.select(
+            "cid",
+            "cluster",
+            pq_code_expr(F.col("cvec"), cbs).alias("codes"),
+            "cvec",
+        )
+        rows.write.mode("append").parquet(os.path.join(self.path, "codes"))
+        self._commit(batch_id)
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        shortlist: int = 50,
+    ) -> DataFrame | None:
+        """IVF-PQ top-k of `queries` against the accumulated index —
+        the same serving code path as a one-shot ann_ivfpq_topk."""
+        idx = self.read_codes()
+        if idx is None:
+            return None
+        if self.centroids is None:
+            import json
+
+            with open(self._centroids_file()) as fh:
+                self.centroids = json.load(fh)
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import ivfpq_serve
+
+        q = queries.select(
+            F.col(self.id_col).alias("qid"),
+            F.col(self.vec_col).alias("qvec"),
+        )
+        return ivfpq_serve(
+            idx.select("cid", "cluster", "codes"),
+            idx.select("cid", "cvec"),
+            q,
+            self.centroids,
+            self._load_codebooks(),
+            n_probe=n_probe,
             k=k,
             shortlist=shortlist,
         )

@@ -443,3 +443,55 @@ def test_heat_gates_noise_floor_and_min_sample_branches(spark):
     assert got["rising"] == (0.4, "up", False)
     assert got["falling"] == (-0.5, "down", False)
     assert got["steady"] == (0.0, "flat", False)
+
+
+def test_salted_topn_property_equals_direct_window(spark):
+    """Hypothesis property: salted_topn — the engine's central remedy
+    for bounded-key corpus windows (ANN shortlists, hybrid RRF, Zipf
+    heads) — is VALUE-IDENTICAL to the direct PARTITION BY qid
+    row_number() <= n window whenever the order is a total order within
+    a partition, across arbitrary score distributions (ties included:
+    broken by id), partition counts, n, and salt widths."""
+    import pyspark.sql.functions as F
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from event_stream_starter_spark.operators.similarity import salted_topn
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),   # qid
+                st.integers(min_value=0, max_value=9),   # score (ties likely)
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        n=st.sampled_from([1, 3, 7]),
+        n_salts=st.sampled_from([1, 2, 16]),
+    )
+    def run(rows, n, n_salts):
+        df = spark.createDataFrame(
+            [(q, i, s) for i, (q, s) in enumerate(rows)],
+            "qid long, cid long, score long",
+        )
+        order = (F.col("score").asc(), F.col("cid").asc())
+        got = {
+            (r["qid"], r["cid"], r["rank"])
+            for r in salted_topn(
+                df, order, n, "rank", part_cols=("qid",),
+                salt_key="cid", n_salts=n_salts,
+            ).collect()
+        }
+        w = Window.partitionBy("qid").orderBy(*order)
+        want = {
+            (r["qid"], r["cid"], r["rank"])
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .collect()
+        }
+        assert got == want
+
+    run()

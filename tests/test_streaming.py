@@ -2158,3 +2158,65 @@ def test_streaming_neardup_clusters_match_one_shot(spark, sf_dir, tmp_path):
     want = as_set(canonical_assignments(sig_ids, pairs, "doc_id"))
     got = as_set(nd.clusters())
     assert got == want
+
+
+def test_streaming_ivfpq_index_matches_batch(spark, sf_dir, tmp_path):
+    """Embeddings streamed through StreamingIvfPqIndex (both frozen
+    full-corpus models) must answer IVF-PQ top-k EXACTLY like the
+    one-shot ann_ivfpq_topk — same shared serving path over the
+    stream-built (cluster, codes) index; replay is a no-op and a
+    restart without either model reloads both sidecars."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries.vectors import (
+        _ivf_centroids,
+        _pq_codebooks,
+    )
+    from event_stream_starter_spark.streaming.ann_index import (
+        StreamingIvfPqIndex,
+    )
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_centroids(spark, sf_dir)
+    cbs = _pq_codebooks(spark, sf_dir)
+    land = tmp_path / "ivfpq_landing"
+    emb.repartition(3).write.mode("overwrite").parquet(str(land))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    ix = StreamingIvfPqIndex(
+        spark, str(tmp_path / "ivfpq_state"), centroids=cents, codebooks=cbs
+    )
+    run_to_completion(
+        stream, ix.foreach_batch_writer(), str(tmp_path / "ivfpq_ck")
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def as_set(df):
+        return {
+            (
+                r["vec_id_q"],
+                r["vec_id_c"],
+                r["adc_dist"],
+                r["exact_dist"],
+                r["rank"],
+            )
+            for r in df.collect()
+        }
+
+    want = as_set(all_queries()["ann_ivfpq_topk"].fn(spark, sf_dir))
+    got = as_set(ix.query(q, k=5, n_probe=4, shortlist=50))
+    assert got == want
+
+    # Committed replay: pointer short-circuits.
+    ix.process_batch(emb.limit(3), ix.last_batch_id())
+    assert as_set(ix.query(q, k=5, n_probe=4, shortlist=50)) == want
+
+    # Restart with NEITHER model supplied: both sidecars reload.
+    again = StreamingIvfPqIndex(spark, str(tmp_path / "ivfpq_state"))
+    assert as_set(again.query(q, k=5, n_probe=4, shortlist=50)) == want
