@@ -148,6 +148,7 @@ HEADLINE = [
     "ann_ivfopq_topk",
     "x_zipf_entropy",
     "x_doremi_weights",
+    "mm_audio_windows",
 ]
 
 

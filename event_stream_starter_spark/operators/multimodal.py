@@ -215,3 +215,75 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
             )
 
     return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("win_idx", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("energy", LongType(), False),
+        StructField("zero_crossings", LongType(), False),
+    ]
+)
+
+_AUDIO_WIN = 256  # samples per analysis window
+_AUDIO_CENTER = 20000  # fake codec: center the ASCII-synthetic PCM
+
+
+def audio_windows(media: DataFrame, win: int = _AUDIO_WIN) -> DataFrame:
+    """Audio feature-frame plumbing: payload bytes → 16-bit LE PCM
+    samples → per-window energy and zero-crossing counts (the standard
+    VAD/segmentation primitives).
+
+    The codec is the deterministic stub the container forces (no audio
+    libs): consecutive byte pairs decode as little-endian int16 and are
+    centered by {_AUDIO_CENTER} so the ASCII-synthetic payloads produce
+    sign changes — a real decoder swaps the frombuffer line for a codec
+    call and drops the centering; the Arrow batch iteration, the
+    1→N-per-payload row expansion, the all-integer feature math and the
+    output schema are exactly what the real path runs. Every output is
+    an exact BIGINT (sum of squares, strict sign-change count over
+    in-window neighbor pairs), so the whole operator is value-hash
+    oracle-checkable from the bytes.
+
+    Scale shape: mapInPandas over the media partitioning — embarrassingly
+    parallel, O(payload) per row, no shuffle; downstream rollups group on
+    (media_id, win_idx).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "win_idx": [],
+                "n_samples": [],
+                "energy": [],
+                "zero_crossings": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or len(p) < 2:
+                    continue
+                a = (
+                    np.frombuffer(p[: (len(p) // 2) * 2], dtype="<i2")
+                    .astype(np.int64)
+                    - _AUDIO_CENTER
+                )
+                n_w = (len(a) + win - 1) // win
+                for w in range(n_w):
+                    seg = a[w * win : (w + 1) * win]
+                    neg = seg < 0
+                    out["media_id"].append(mid)
+                    out["win_idx"].append(w)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int((seg * seg).sum()))
+                    out["zero_crossings"].append(
+                        int((neg[:-1] != neg[1:]).sum())
+                    )
+            yield pd.DataFrame(
+                out, columns=list(AUDIO_WINDOW_SCHEMA.fieldNames())
+            )
+
+    return media.mapInPandas(run, AUDIO_WINDOW_SCHEMA)

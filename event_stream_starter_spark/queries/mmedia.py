@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
 from ..operators.multimodal import (
+    audio_windows,
     extract_features,
     media_from_documents,
     sample_frames,
@@ -61,3 +62,49 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     output cell from the utf-8 text bytes (full value-hash oracle)."""
     docs = load_table(spark, sf_dir, "documents").filter("text IS NOT NULL")
     return sample_frames(media_from_documents(docs), every=2)
+
+
+@query(
+    "mm_audio_windows",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               octet_length(encode(text)) // 2 AS ns
+        FROM documents
+        WHERE text IS NOT NULL AND octet_length(encode(text)) >= 2
+    ), smp AS (
+        SELECT media_id, CAST(u.i AS BIGINT) - 1 AS si,
+               (ascii(substr(text, CAST(2*u.i - 1 AS INTEGER), 1))
+                + 256 * ascii(substr(text, CAST(2*u.i AS INTEGER), 1))
+                - 20000) AS s
+        FROM m, unnest(generate_series(1, CAST(ns AS INTEGER))) AS u(i)
+    ), wn AS (
+        SELECT media_id, si // 256 AS win_idx, si, s,
+               lead(s) OVER (PARTITION BY media_id, si // 256
+                             ORDER BY si) AS s2
+        FROM smp
+    )
+    SELECT media_id, win_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN s2 IS NOT NULL AND ((s < 0) <> (s2 < 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM wn GROUP BY media_id, win_idx
+    """,
+    survey_ids=(
+        "multimodal: audio feature frames — 16-bit LE PCM window "
+        "energy + zero-crossing counts over binary payloads via "
+        "Arrow-batched mapInPandas (stub codec = deterministic byte "
+        "math, so every BIGINT feature is value-hash-checked; a real "
+        "decoder swaps one line behind the same batch protocol)"
+    ),
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window audio features over the synthetic media payloads:
+    (media_id, win_idx, n_samples, energy, zero_crossings). The payload
+    is documents.text's utf-8 bytes (ASCII by construction), so the
+    DuckDB oracle re-derives the samples byte-for-byte with
+    ascii(substr(...)) — the whole mapInPandas path is hash-checked."""
+    docs = load_table(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    media = media_from_documents(docs).filter("n_bytes >= 2")
+    return audio_windows(media)
