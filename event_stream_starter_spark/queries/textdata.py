@@ -882,6 +882,19 @@ def x_decontaminate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDECON_T = 0.95
 _SEMDECON_D = 64
 
+# Per-ROW L2 norm and the norm-hoisted pair cosine: the norm sqrt runs
+# once per vector row (corpus side as a column, eval side inside the
+# broadcast), so the per-pair expression is a single 64-wide dot — same
+# ops, same association, bit-identical cosines to the inline form.
+_SEM_NORM_SQL = (
+    "sqrt(aggregate(zip_with(vec, vec, (a, b) -> a * b), 0D,"
+    " (s, x) -> s + x))"
+)
+_SEM_COS_SQL = (
+    "aggregate(zip_with(vec, evec, (a, b) -> a * b), 0D, (s, x) -> s + x)"
+    " / (nrm * enrm)"
+)
+
 
 @query(
     "x_semantic_decontaminate",
@@ -959,19 +972,17 @@ def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = docs.select(
         "doc_id", "source", dims.alias("dims")
     ).select("doc_id", "source", vec.alias("vec"))
+    # Hoist each side's L2 norm out of the pair expression: computed
+    # once per ROW instead of once per PAIR (same sqrt over the same
+    # dot — bit-identical cosines, the oracle hash proves it), so the
+    # broadcast compare runs one 64-wide dot per pair, not three.
+    nrm = F.expr(_SEM_NORM_SQL)
     ev = v.filter(F.col("source") == _EVAL_SRC).select(
-        F.col("vec").alias("evec")
+        F.col("vec").alias("evec"), nrm.alias("enrm")
     )
-    tr = v.filter(F.col("source") != _EVAL_SRC)
-    cos = F.expr(
-        "aggregate(zip_with(vec, evec, (a, b) -> a * b), 0D, (s, x) -> s + x)"
-        " / (sqrt(aggregate(zip_with(vec, vec, (a, b) -> a * b), 0D,"
-        " (s, x) -> s + x))"
-        " * sqrt(aggregate(zip_with(evec, evec, (a, b) -> a * b), 0D,"
-        " (s, x) -> s + x)))"
-    )
+    tr = v.filter(F.col("source") != _EVAL_SRC).withColumn("nrm", nrm)
     scored = tr.crossJoin(F.broadcast(ev)).select(
-        "doc_id", "source", cos.alias("c")
+        "doc_id", "source", F.expr(_SEM_COS_SQL).alias("c")
     )
     return (
         scored.groupBy("doc_id", "source")
@@ -1062,16 +1073,20 @@ def x_semantic_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = docs.select("doc_id", "source", dims.alias("dims")).select(
         "doc_id", "source", vec.alias("vec")
     )
+    nrm = F.expr(_SEM_NORM_SQL)
     ev = v.filter(F.col("source") == _EVAL_SRC).select(
-        F.col("doc_id").alias("eid"), F.col("vec").alias("evec")
+        F.col("doc_id").alias("eid"),
+        F.col("vec").alias("evec"),
+        nrm.alias("enrm"),
     )
-    tr = v.filter(F.col("source") != _EVAL_SRC).select("vec")
+    tr = v.filter(F.col("source") != _EVAL_SRC).select(
+        "vec", nrm.alias("nrm")
+    )
+    # norm-hoisted cosine (see _SEM_COS_SQL): dot/(enrm*nrm) associates
+    # exactly like the inline sqrt form — bit-identical values.
     cos = F.expr(
         "aggregate(zip_with(evec, vec, (a, b) -> a * b), 0D, (s, x) -> s + x)"
-        " / (sqrt(aggregate(zip_with(evec, evec, (a, b) -> a * b), 0D,"
-        " (s, x) -> s + x))"
-        " * sqrt(aggregate(zip_with(vec, vec, (a, b) -> a * b), 0D,"
-        " (s, x) -> s + x)))"
+        " / (enrm * nrm)"
     )
     scored = tr.crossJoin(F.broadcast(ev)).select("eid", cos.alias("c"))
     return (
@@ -1228,9 +1243,14 @@ def x_semantic_decontaminate_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the IDF table is vocabulary-bounded and reaches the
     exploded token stream as a broadcast join; the per-(doc, dim)
-    rollup is the one corpus shuffle (64 conditional DECIMAL sums in a
-    single agg — no pivot); eval vectors broadcast; no corpus-side
-    shuffle after vector assembly (the unweighted screen's posture).
+    DECIMAL rollup is the one corpus-sized shuffle (combiner-friendly:
+    the exchange carries at most 64 rows per doc per map partition, and each token row is touched ONCE — not once per
+    output dimension); the 64-dim vector assembles from those <= 64
+    rows per doc via a map lookup; eval vectors broadcast; no
+    corpus-side shuffle after vector assembly (the unweighted screen's
+    posture). Value-identical to the 64-conditional-sums formulation
+    (per-dim sums are the same DECIMAL terms; absent dims are exact
+    0), which the unchanged full oracle hash-proves.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(textan.tokens(F.col("text")), lambda w: F.length(w) > 0)
@@ -1251,39 +1271,34 @@ def x_semantic_decontaminate_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dim"),
         w.alias("w"),
     )
-    zero = F.lit(0).cast("decimal(18,9)")
-    aggs = [
-        F.sum(
-            F.when(
-                F.col("dim") == d, F.round(F.col("w"), 7).cast("decimal(18,9)")
-            ).otherwise(zero)
-        )
+    sums = wtok.groupBy("doc_id", "source", "dim").agg(
+        F.sum(F.round(F.col("w"), 7).cast("decimal(18,9)"))
         .cast("double")
-        .alias(f"v{d}")
-        for d in range(_SEMDECON_D)
-    ]
+        .alias("s")
+    )
     v = (
-        wtok.groupBy("doc_id", "source")
-        .agg(*aggs)
+        sums.groupBy("doc_id", "source")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("dim"), F.collect_list("s")
+            ).alias("m")
+        )
         .select(
             "doc_id",
             "source",
-            F.array(*[F.col(f"v{d}") for d in range(_SEMDECON_D)]).alias("vec"),
+            F.expr(
+                f"transform(sequence(0, {_SEMDECON_D - 1}),"
+                " d -> coalesce(element_at(m, cast(d as bigint)), 0d))"
+            ).alias("vec"),
         )
     )
+    nrm = F.expr(_SEM_NORM_SQL)
     ev = v.filter(F.col("source") == _EVAL_SRC).select(
-        F.col("vec").alias("evec")
+        F.col("vec").alias("evec"), nrm.alias("enrm")
     )
-    tr = v.filter(F.col("source") != _EVAL_SRC)
-    cos = F.expr(
-        "aggregate(zip_with(vec, evec, (a, b) -> a * b), 0D, (s, x) -> s + x)"
-        " / (sqrt(aggregate(zip_with(vec, vec, (a, b) -> a * b), 0D,"
-        " (s, x) -> s + x))"
-        " * sqrt(aggregate(zip_with(evec, evec, (a, b) -> a * b), 0D,"
-        " (s, x) -> s + x)))"
-    )
+    tr = v.filter(F.col("source") != _EVAL_SRC).withColumn("nrm", nrm)
     scored = tr.crossJoin(F.broadcast(ev)).select(
-        "doc_id", "source", cos.alias("c")
+        "doc_id", "source", F.expr(_SEM_COS_SQL).alias("c")
     )
     return (
         scored.groupBy("doc_id", "source")
