@@ -962,3 +962,44 @@ def ivfpq_serve(
         scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"
     )
     return _pq_rerank_emit(short, vectors, k)
+
+
+def rotate_udf(rotation: list[list[float]]):
+    """Arrow tier of :func:`rotate_expr` — BIT-IDENTICAL outputs, ~10^3
+    less per-row interpreter overhead.
+
+    The Column fold evaluates dim^2 interpreted lambda steps per row
+    (64 `aggregate(zip_with(...))` dots for the 64-dim OPQ rotation —
+    measured ~2 ms/row, the whole OPQ family's serving hotspot). This
+    tier runs the SAME arithmetic in one Arrow batch, vectorized ACROSS
+    rows with the identical per-row operation order: each output
+    coordinate accumulates 0.0 + R[j][0]*v[0] + R[j][1]*v[1] + ... in k
+    order, exactly the fold's association, and float32 inputs widen to
+    float64 before the multiply exactly like the fold's cast — so every
+    double is bit-equal to the Column form (pinned over the full corpus
+    by tests/test_neardup_golden.py::test_rotate_udf_equals_column_fold).
+    The brief's contract for dense linear algebra: built-ins where they
+    win, Arrow-batched numpy where the interpreter is the bottleneck.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows = [[float(x) for x in r] for r in rotation]
+
+    @pandas_udf("array<double>")
+    def _rot(s):  # type: ignore[no-untyped-def]
+        rm = np.array(rows, dtype=np.float64)
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack([np.asarray(v, dtype=np.float64) for v in s])
+        out = np.empty((x.shape[0], rm.shape[0]))
+        for j in range(rm.shape[0]):
+            acc = np.zeros(x.shape[0])
+            for k in range(rm.shape[1]):
+                # same left-fold order as the Column dot: ((0 + t0) + t1)...
+                acc = acc + rm[j, k] * x[:, k]
+            out[:, j] = acc
+        return pd.Series(list(out))
+
+    return _rot

@@ -1290,12 +1290,12 @@ def _opq_model(spark: SparkSession, sf_dir: str):
     are deterministic (sampled second moment + LAPACK eigh; id-ordered
     k-means seeds)."""
     if sf_dir not in _OPQ_MODEL:
-        from ..operators.similarity import opq_rotation, pq_codebooks, rotate_expr
+        from ..operators.similarity import opq_rotation, pq_codebooks, rotate_udf
 
         emb = load_table(spark, sf_dir, "embeddings")
         rot = opq_rotation(emb, "embedding", "vec_id", dim=_PQ_DIM, m=_PQ_M)
         remb = emb.select(
-            "vec_id", rotate_expr(F.col("embedding"), rot).alias("remb")
+            "vec_id", rotate_udf(rot)(F.col("embedding")).alias("remb")
         )
         cbs = pq_codebooks(
             remb, "remb", "vec_id", dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, iters=2
@@ -1336,23 +1336,26 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_sq,
         pq_adc_sq_expr,
         pq_code_expr,
-        rotate_expr,
+        rotate_udf,
         salted_topn,
     )
 
     rot, cbs = _opq_model(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    # materialize the rotated vector as a COLUMN before coding: inlining
-    # rotate_expr inside pq_code_expr would copy the 64x64 rotation tree
-    # into each of the 1024 codeword distances (codegen explosion)
+    # materialize the rotated vector as a COLUMN before coding (one
+    # Arrow rotation pass; inlining the rotation inside pq_code_expr
+    # would copy it into each of the 1024 codeword distances).
+    # rotate_udf is the Arrow tier of the Column fold — BIT-IDENTICAL
+    # doubles (test_rotate_udf_equals_column_fold), ~10^3 less per-row
+    # interpreter overhead; certs/goldens value-prove the swap.
     codes = emb.select(
         F.col("vec_id").alias("cid"),
-        rotate_expr(F.col("embedding"), rot).alias("rvec"),
+        rotate_udf(rot)(F.col("embedding")).alias("rvec"),
     ).select("cid", pq_code_expr(F.col("rvec"), cbs).alias("codes"))
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
-        rotate_expr(F.col("embedding"), rot).alias("rqvec"),
+        rotate_udf(rot)(F.col("embedding")).alias("rqvec"),
     )
     scored = (
         codes.crossJoin(F.broadcast(q))
@@ -1432,7 +1435,7 @@ def ann_opq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_sq,
         pq_adc_sq_expr,
         pq_code_expr,
-        rotate_expr,
+        rotate_udf,
         salted_topn,
     )
 
@@ -1441,7 +1444,7 @@ def ann_opq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
-        rotate_expr(F.col("embedding"), rot).alias("rqvec"),
+        rotate_udf(rot)(F.col("embedding")).alias("rqvec"),
     )
     c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     exact_scored = (
@@ -1462,7 +1465,7 @@ def ann_opq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = emb.select(
         F.col("vec_id").alias("cid"),
-        rotate_expr(F.col("embedding"), rot).alias("rvec"),
+        rotate_udf(rot)(F.col("embedding")).alias("rvec"),
     ).select("cid", pq_code_expr(F.col("rvec"), cbs).alias("codes"))
     adc_scored = (
         codes.crossJoin(F.broadcast(q.select("qid", "rqvec")))
@@ -1548,7 +1551,7 @@ def ann_ivfopq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_sq,
         pq_adc_sq_expr,
         pq_code_expr,
-        rotate_expr,
+        rotate_udf,
         salted_topn,
     )
 
@@ -1558,7 +1561,7 @@ def ann_ivfopq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         ivf_assign(emb, "vec_id", "embedding", cents)
         .select(
-            "cid", "cluster", rotate_expr(F.col("cvec"), rot).alias("rvec")
+            "cid", "cluster", rotate_udf(rot)(F.col("cvec")).alias("rvec")
         )
         .select("cid", "cluster", pq_code_expr(F.col("rvec"), cbs).alias("codes"))
     )
@@ -1572,7 +1575,7 @@ def ann_ivfopq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qvec"),
-            rotate_expr(F.col("embedding"), rot).alias("rqvec"),
+            rotate_udf(rot)(F.col("embedding")).alias("rqvec"),
         )
         .withColumn("p", F.explode(probes))
         .select("qid", "qvec", "rqvec", F.col("p.cl").cast("long").alias("cluster"))

@@ -964,3 +964,34 @@ def test_ivfopq_composition_matches_numpy(spark, sf_dir):
         for r in all_queries()["ann_ivfopq_topk"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) == _N_QUERIES * _TOP_K
+
+
+def test_rotate_udf_equals_column_fold(spark, sf_dir):
+    """The Arrow rotation tier must be BIT-IDENTICAL to the Column fold
+    over the whole frozen corpus — the contract that lets the OPQ
+    family serve through rotate_udf while every cert/golden keeps
+    value-proving the path (the x_bpe_encode_cert two-tier pattern,
+    with exact equality instead of an in-plan boolean)."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators.similarity import (
+        opq_rotation,
+        rotate_expr,
+        rotate_udf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rot = opq_rotation(emb, "embedding", "vec_id", dim=64, m=16)
+    j = (
+        emb.select(
+            "vec_id",
+            rotate_expr(F.col("embedding"), rot).alias("r1"),
+            rotate_udf(rot)(F.col("embedding")).alias("r2"),
+        )
+        .selectExpr(
+            "sum(cast(r1 = r2 as int)) AS eq", "count(*) AS n"
+        )
+        .collect()[0]
+    )
+    assert j["eq"] == j["n"] and j["n"] > 0
