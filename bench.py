@@ -149,6 +149,7 @@ HEADLINE = [
     "x_zipf_entropy",
     "x_doremi_weights",
     "mm_audio_windows",
+    "x_readability",
 ]
 
 
@@ -214,7 +215,22 @@ NOTES = (
     "r6 probe on the final 107-query registry read 42.95s (busy_frac "
     "0.001/0.003); a third on the 108-query registry read 40.81s "
     "(busy_frac 0.000/0.000) — all three inside the idle band; the "
-    "spread is the documented ~10% cross-run environmental variance."
+    "spread is the documented ~10% cross-run environmental variance. "
+    "r7 probes (122-query registry): a first probe at elevated loadavg "
+    "read 50.43s r01-comparable and priced two newly-added families "
+    "hot — x_semantic_decontaminate_idf 26.3s (64 conditional DECIMAL "
+    "sums evaluated on every exploded token row) and the OPQ tier "
+    "~14s (dim^2 interpreted-lambda rotation per corpus row). Both "
+    "were rewritten VALUE-IDENTICALLY (per-(doc,dim) pre-aggregation "
+    "+ map-lookup vector assembly and hoisted per-row norms for all "
+    "three semantic screens; rotate_udf — the bit-equal Arrow tier of "
+    "the rotation fold, pinned by test_rotate_udf_equals_column_fold "
+    "— for the OPQ family): a clean second probe read 42.08s "
+    "r01-comparable (busy_frac 0.002/0.015, inside the idle band), "
+    "x_semantic_decontaminate_idf 9.3s, agree 10.3s, and post-fix "
+    "spot timings put ann_opq_topk at ~6s (from ~14s). Quantization "
+    "queries price index BUILD + serve each run — deployed, codes "
+    "persist and queries pay ADC only (the StreamingPqIndex layout)."
 )
 
 

@@ -310,3 +310,107 @@ def x_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0
         ).alias("weight"),
     )
+
+
+@query(
+    "x_readability",
+    f"""
+    WITH rdoc AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[.!?]+')) AS raw_sent,
+               list_filter({_TOKS_DUCK}, w -> regexp_matches(w, '[a-z]'))
+                   AS words
+        FROM documents
+    ), rst AS (
+        SELECT doc_id,
+               CAST(greatest(raw_sent, 1) AS BIGINT) AS n_sentences,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(words,
+                    w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')),
+                                  1))), 0) AS BIGINT) AS n_syllables
+        FROM rdoc
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words = 0 THEN NULL ELSE
+               ROUND(0.39 * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))
+                     + 11.8 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE))
+                     - 15.59, 6) + 0 END AS fk_grade,
+           CASE WHEN n_words = 0 THEN NULL ELSE
+               ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+                                        / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE)), 6) + 0 END
+               AS reading_ease
+    FROM rst
+    """,
+    survey_ids=(
+        "training-pipeline: readability scoring — Flesch-Kincaid grade "
+        "+ Flesch reading ease (Kincaid et al. 1975) from letter-word, "
+        "sentence-run and vowel-group syllable counts; the classic "
+        "document-difficulty feature quality classifiers consume; full "
+        "value-hash oracle (all-integer counts, one rounded linear "
+        "combination)"
+    ),
+)
+def x_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability: (doc_id, n_words, n_sentences,
+    n_syllables, fk_grade, reading_ease). Words = whitespace tokens
+    containing a letter; sentences = [.!?]+ runs (min 1); syllables =
+    vowel groups per word (min 1/word) — the standard heuristic
+    implementation of the published formulas. Letterless docs emit
+    counts with NULL grades.
+
+    Scale shape: map-only (one regexp pass per doc, aggregates fold
+    over the in-row token array) — no shuffle at all; composes with
+    x_quality_bins / x_gopher_rules as another per-doc feature.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    words = F.filter(
+        textan.tokens(t), lambda w: w.rlike("[a-z]")
+    )
+    base = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.size(words).cast("bigint").alias("n_words"),
+        F.aggregate(
+            words,
+            F.lit(0).cast("bigint"),
+            lambda acc, w: acc
+            + F.greatest(
+                F.size(
+                    F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))
+                ),
+                F.lit(1),
+            ).cast("bigint"),
+        ).alias("n_syllables"),
+    )
+    wd = F.col("n_words").cast("double")
+    st = F.col("n_sentences").cast("double")
+    sy = F.col("n_syllables").cast("double")
+    fk = F.round(
+        F.lit(0.39) * (wd / st) + F.lit(11.8) * (sy / wd) - F.lit(15.59), 6
+    ) + 0
+    ease = F.round(
+        F.lit(206.835) - F.lit(1.015) * (wd / st) - F.lit(84.6) * (sy / wd),
+        6,
+    ) + 0
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(F.col("n_words") == 0, F.lit(None).cast("double"))
+        .otherwise(fk)
+        .alias("fk_grade"),
+        F.when(F.col("n_words") == 0, F.lit(None).cast("double"))
+        .otherwise(ease)
+        .alias("reading_ease"),
+    )
