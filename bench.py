@@ -150,6 +150,7 @@ HEADLINE = [
     "x_doremi_weights",
     "mm_audio_windows",
     "x_readability",
+    "x_doremi_resample",
 ]
 
 

@@ -181,14 +181,10 @@ def x_zipf_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOREMI_ETA = 1.0  # EG step size (Xie et al. 2023 use 1.0)
 
-
-@query(
-    "x_doremi_weights",
-    "WITH "
-    + _KN_CTES_SQL.format(src="documents")
-    + ", "
-    + _CCNET_CTES_SQL.format(src="documents")
-    + """, drdoc AS (
+# Shared oracle CTE chain ending in `drw` = the final per-source weight
+# table (w6 = the 6-dp weight both engines emit) — reused by
+# x_doremi_weights and the x_doremi_resample consumer.
+_DOREMI_CTES = """drdoc AS (
         SELECT d.source, k.n_grams,
                ROUND(k.s / k.n_grams, 6) AS kn_nll,
                ROUND(c.s / c.n_grams, 6) AS cc_nll
@@ -218,13 +214,29 @@ _DOREMI_ETA = 1.0  # EG step size (Xie et al. 2023 use 1.0)
         FROM drex
     ), drden AS (
         SELECT SUM(num) AS den FROM drnum
-    )
+    ), drw AS (
+        SELECT source, n_docs, token_mass, ref_share, excess,
+               ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0
+                   AS w6
+        FROM drnum, drden
+    )""".format(eta=_DOREMI_ETA)
+
+
+@query(
+    "x_doremi_weights",
+    "WITH "
+    + _KN_CTES_SQL.format(src="documents")
+    + ", "
+    + _CCNET_CTES_SQL.format(src="documents")
+    + ", "
+    + _DOREMI_CTES
+    + """
     SELECT source, n_docs, token_mass,
            ROUND(ref_share, 6) + 0 AS ref_share,
            ROUND(excess, 6) + 0 AS excess,
-           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0 AS weight
-    FROM drnum, drden
-    """.format(eta=_DOREMI_ETA),
+           w6 AS weight
+    FROM drw
+    """,
     survey_ids=(
         "training-pipeline: DoReMi domain reweighting (Xie et al. 2023) "
         "— one exponentiated-gradient step w_i ∝ share_i·exp(η·excess_i) "
@@ -413,4 +425,80 @@ def x_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_words") == 0, F.lit(None).cast("double"))
         .otherwise(ease)
         .alias("reading_ease"),
+    )
+
+
+@query(
+    "x_doremi_resample",
+    "WITH "
+    + _KN_CTES_SQL.format(src="documents")
+    + ", "
+    + _CCNET_CTES_SQL.format(src="documents")
+    + ", "
+    + _DOREMI_CTES
+    + """, drrates AS (
+        SELECT source,
+               ROUND(w6 * CAST(tot_mass AS DOUBLE)
+                     / CAST(token_mass AS DOUBLE), 6) AS rate
+        FROM drw CROSS JOIN drtot
+    )
+    SELECT d.doc_id, d.source, r.rate AS sample_rate,
+           CAST(FLOOR(r.rate) AS BIGINT)
+               + CASE WHEN CAST(concat('0x',
+                               substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 1000000
+                       < CAST(ROUND((r.rate - FLOOR(r.rate)) * 1000000)
+                              AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+    FROM documents d JOIN drrates r ON d.source = r.source
+    """,
+    survey_ids=(
+        "training-pipeline: DoReMi mixture APPLIED — per-source resample "
+        "rate w_i·T/mass_i from the EG weights, per-doc deterministic "
+        "copy count (floor + hash-Bernoulli, the x_temperature_resample "
+        "law) — closes the reweight->resample loop end-to-end with a "
+        "full value-hash oracle"
+    ),
+)
+def x_doremi_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the DoReMi weights as a resampling plan: source i's
+    expected share of the resampled corpus token mass is w_i, via
+    per-source rate w_i·T/mass_i and the engine's deterministic
+    floor+hash-Bernoulli copy count (n_copies=0 drops, >=2 repeats —
+    x_temperature_resample's semantics keyed on source with the EG
+    weights instead of the temperature law).
+
+    Scale shape: the rate table is |sources| rows riding the (already
+    bounded) weights pipeline; the corpus is scanned once map-side
+    with a broadcast join; no shuffle of document data at all beyond
+    the weight pipeline's own rollups.
+    """
+    w = x_doremi_weights(spark, sf_dir)
+    tot = w.agg(F.sum("token_mass").cast("bigint").alias("tot_mass"))
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.col("weight")
+            * F.col("tot_mass").cast("double")
+            / F.col("token_mass").cast("double"),
+            6,
+        ).alias("rate"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    u6 = (
+        F.expr("conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)")
+        .cast("bigint")
+        % 1000000
+    )
+    thresh = F.round((F.col("rate") - F.floor("rate")) * 1000000).cast(
+        "bigint"
+    )
+    return docs.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        F.col("rate").alias("sample_rate"),
+        (
+            F.floor("rate").cast("bigint")
+            + F.when(u6 < thresh, 1).otherwise(0)
+        ).alias("n_copies"),
     )
