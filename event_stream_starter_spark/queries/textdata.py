@@ -1257,24 +1257,30 @@ def x_semantic_decontaminate_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "doc_id", "source", F.explode(toks.alias("toks")).alias("tok")
     )
-    dfc = ex.groupBy("tok").agg(F.countDistinct("doc_id").alias("dfd"))
+    # Collapse occurrences to (doc, tok, cnt) FIRST: one explode pass
+    # feeds both the DF table (dfd = rows per tok, since each (doc, tok)
+    # appears once) and the weighted sums — and cnt · round(idf, 7) as
+    # DECIMAL equals the per-occurrence DECIMAL sum exactly (repeated
+    # decimal addition), so the unchanged oracle hash-proves the rewrite.
+    dt = ex.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dfc = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("dfd"))
     nd = docs.count()  # model-sized scalar (a count, not a collect loop)
     w = F.log(
         (F.lit(float(nd)) + F.lit(1.0)) / (F.col("dfd").cast("double") + F.lit(1.0))
     )
-    wtok = ex.join(F.broadcast(dfc), "tok").select(
+    wtok = dt.join(F.broadcast(dfc), "tok").select(
         "doc_id",
         "source",
         (
             F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
             % _SEMDECON_D
         ).alias("dim"),
-        w.alias("w"),
+        (F.round(w, 7).cast("decimal(18,9)") * F.col("cnt")).alias("ws"),
     )
     sums = wtok.groupBy("doc_id", "source", "dim").agg(
-        F.sum(F.round(F.col("w"), 7).cast("decimal(18,9)"))
-        .cast("double")
-        .alias("s")
+        F.sum("ws").cast("double").alias("s")
     )
     v = (
         sums.groupBy("doc_id", "source")

@@ -276,6 +276,22 @@ SHOW = [
         "on doc_id, then everything past the |sources|-row rollup is "
         "bounded (EG normalization = aggregate + broadcast join back)",
     ),
+    (
+        "x_semantic_decontaminate_idf",
+        "IDF-weighted semantic screen, post-r7-optimization shape: one "
+        "explode feeding a (doc, tok, cnt) collapse, broadcast DF join, "
+        "per-(doc, dim) DECIMAL rollup (<= 64 rows/doc on the wire), "
+        "map-lookup vector assembly, hoisted per-row norms — the pair "
+        "compare is a broadcast nested loop with ONE 64-wide dot per "
+        "pair",
+    ),
+    (
+        "x_doremi_resample",
+        "DoReMi mixture applied: the |sources|-row rate table rides the "
+        "bounded weights pipeline and broadcasts onto one corpus scan "
+        "(floor + hash-Bernoulli copy counts are map-only) — no "
+        "document-data shuffle at all",
+    ),
 ]
 
 
