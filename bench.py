@@ -151,6 +151,7 @@ HEADLINE = [
     "mm_audio_windows",
     "x_readability",
     "x_doremi_resample",
+    "x_vocab_overlap",
 ]
 
 

@@ -502,3 +502,112 @@ def x_doremi_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(u6 < thresh, 1).otherwise(0)
         ).alias("n_copies"),
     )
+
+
+_VOCAB_HEAD = 100  # types per source in the overlap comparison
+
+
+@query(
+    "x_vocab_overlap",
+    f"""
+    WITH vot AS (
+        SELECT source, unnest({{toks}}) AS tok FROM documents
+    ), voty AS (
+        SELECT source, tok, COUNT(*) AS f FROM vot GROUP BY source, tok
+    ), vork AS (
+        SELECT source, tok,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY f DESC, tok ASC) AS r
+        FROM voty
+    ), vohd AS (
+        SELECT source, tok FROM vork WHERE r <= {_VOCAB_HEAD}
+    ), vosz AS (
+        SELECT source, COUNT(*) AS n FROM vohd GROUP BY source
+    ), voov AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM vohd a JOIN vohd b
+          ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT o.source_a, o.source_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(o.n_shared AS BIGINT) AS n_shared,
+           ROUND(CAST(o.n_shared AS DOUBLE)
+                 / CAST(sa.n + sb.n - o.n_shared AS DOUBLE), 6) + 0
+               AS jaccard
+    FROM voov o
+    JOIN vosz sa ON sa.source = o.source_a
+    JOIN vosz sb ON sb.source = o.source_b
+    """.format(toks=_TOKS_DUCK),
+    survey_ids=(
+        "training-pipeline: cross-source vocabulary-overlap matrix — "
+        "Jaccard of each source pair's top-100 frequency heads (salted "
+        "two-phase rank per source, bounded |sources|^2 output) — the "
+        "domain-similarity diagnostic mixture design and dedup scoping "
+        "consume; full value-hash oracle"
+    ),
+)
+def x_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: for every source
+    pair (a < b), the sizes of each side's top-100 frequency
+    head, the shared-type count and the Jaccard similarity. Near-1
+    pairs are mixture-redundant (and prime cross-source dedup
+    candidates); near-0 pairs add coverage.
+
+    Scale shape: one (source, tok) type-table shuffle (partial-agg
+    combine); the rank touches only salted-top-100 survivors
+    per source (no vocab-wide per-source window); everything after is
+    a |sources|x100-row table self-joined on tok — bounded at
+    any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(textan.tokens(F.col("text"))).alias("tok")
+    )
+    types = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("f"))
+    head = salted_topn(
+        types,
+        order=(F.desc("f"), F.asc("tok")),
+        n=_VOCAB_HEAD,
+        rank_name="r",
+        part_cols=("source",),
+        salt_key="tok",
+    ).select("source", "tok")
+    sz = head.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = head.select(F.col("source").alias("source_a"), "tok")
+    b = head.select(F.col("source").alias("source_b"), "tok")
+    ov = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        ov.join(
+            F.broadcast(sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            (
+                F.round(
+                    F.col("n_shared").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                        "double"
+                    ),
+                    6,
+                )
+                + 0
+            ).alias("jaccard"),
+        )
+    )
