@@ -232,7 +232,15 @@ NOTES = (
     "x_semantic_decontaminate_idf 9.3s, agree 10.3s, and post-fix "
     "spot timings put ann_opq_topk at ~6s (from ~14s). Quantization "
     "queries price index BUILD + serve each run — deployed, codes "
-    "persist and queries pay ADC only (the StreamingPqIndex layout)."
+    "persist and queries pay ADC only (the StreamingPqIndex layout). "
+    "A third r7 probe after the Arrow rotation tier read 38.44s "
+    "r01-comparable (busy_frac 0.000/0.001) — best idle number recorded "
+    "— with the OPQ family at 4.4-4.8s (from 14-15s); the final probe "
+    "on the complete 126-query registry read 40.85s r01-comparable "
+    "(in-band; loadavg 14.7 at start) and prices the round's last "
+    "additions honestly (x_doremi_resample 5.7s = the weights pipeline "
+    "+ a map-only apply; x_vocab_overlap 0.9s; x_readability 0.3s; "
+    "mm_audio_windows 0.4s)."
 )
 
 
