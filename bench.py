@@ -152,6 +152,7 @@ HEADLINE = [
     "x_readability",
     "x_doremi_resample",
     "x_vocab_overlap",
+    "x_bigram_entropy",
 ]
 
 

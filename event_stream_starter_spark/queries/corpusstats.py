@@ -611,3 +611,98 @@ def x_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "x_bigram_entropy",
+    f"""
+    WITH bet AS (
+        SELECT doc_id, lang, {_TOKS_DUCK} AS toks FROM documents
+    ), bep AS (
+        SELECT lang, toks[CAST(i AS INTEGER)] AS a,
+               toks[CAST(i AS INTEGER) + 1] AS b
+        FROM bet,
+             unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS u(i)
+        WHERE toks[CAST(i AS INTEGER) + 1] IS NOT NULL
+    ), bec AS (
+        SELECT lang, a, b, COUNT(*) AS c FROM bep GROUP BY lang, a, b
+    ), bectx AS (
+        SELECT lang, a, CAST(SUM(c) AS BIGINT) AS ca FROM bec
+        GROUP BY lang, a
+    ), beterm AS (
+        SELECT bec.lang, bec.c,
+               CAST(ROUND(CAST(bec.c AS DOUBLE)
+                          * log2(CAST(bectx.ca AS DOUBLE)
+                                 / CAST(bec.c AS DOUBLE)), 7)
+                    AS DECIMAL(28,9)) AS term
+        FROM bec JOIN bectx ON bec.lang = bectx.lang AND bec.a = bectx.a
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) + 0
+               AS bigram_ttr,
+           ROUND(CAST(SUM(term) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) + 0
+               AS cond_entropy_bits
+    FROM beterm GROUP BY lang
+    """,
+    survey_ids=(
+        "training-pipeline: per-language bigram conditional entropy "
+        "H(next|prev) + bigram type/token ratio — the standard "
+        "repetitiveness/diversity diagnostic next to x_zipf_entropy's "
+        "unigram stats; per-bigram terms rounded 7 dp and DECIMAL-summed "
+        "(order-independent), full value-hash oracle"
+    ),
+)
+def x_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language H(next token | previous token) over within-document
+    bigrams, plus bigram counts and type/token ratio: low conditional
+    entropy = templated/repetitive text (boilerplate-heavy sources),
+    high = diverse text. H = (1/N)·Σ c(ab)·log2(c(a·)/c(ab)), all
+    counts exact integers, terms rounded to 7 dp and summed as
+    DECIMAL(28,9) — order-independent and 1-ulp-log-proof (the
+    x_zipf_entropy posture).
+
+    Scale shape: the bigram explode is map-side; the (lang, a, b) type
+    table is the one corpus-sized shuffle (partial-agg combine); the
+    context rollup and the term join operate on TYPE tables keyed
+    (lang, a) — co-partitioned aggregates, never corpus rows; the final
+    per-lang rollup is bounded.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = textan.tokens(F.col("text"))
+    pairs = F.expr(
+        "filter(transform(sequence(1, greatest(size(__toks) - 1, 1)),"
+        " i -> struct(element_at(__toks, i) as a,"
+        " element_at(__toks, i + 1) as b)), p -> p.b is not null)"
+    )
+    bep = (
+        docs.withColumn("__toks", toks)
+        .select("lang", F.explode(pairs).alias("p"))
+        .select("lang", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    bec = bep.groupBy("lang", "a", "b").agg(F.count(F.lit(1)).alias("c"))
+    bectx = bec.groupBy("lang", "a").agg(F.sum("c").cast("bigint").alias("ca"))
+    term = F.round(
+        F.col("c").cast("double")
+        * F.log2(F.col("ca").cast("double") / F.col("c").cast("double")),
+        7,
+    ).cast("decimal(28,9)")
+    beterm = bec.join(bectx, ["lang", "a"]).select("lang", "c", term.alias("term"))
+    nb = F.sum("c").cast("bigint")
+    return beterm.groupBy("lang").agg(
+        nb.alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"),
+        (
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"), 6
+            )
+            + 0
+        ).alias("bigram_ttr"),
+        (
+            F.round(
+                F.sum("term").cast("double") / F.sum("c").cast("double"), 6
+            )
+            + 0
+        ).alias("cond_entropy_bits"),
+    )
