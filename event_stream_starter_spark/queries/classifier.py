@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators import lr
+from ..operators import certs, lr
 from . import query
 from .textdata import _quality_duck
 
@@ -100,16 +100,9 @@ def x_lr_quality_score_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, bias = _trained(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     scored = lr.score_expr(lr.doc_features(docs), lr.doc_labels(docs), w, bias)
-    n = F.count(F.lit(1))
-    n_pos = F.sum("y").cast("bigint")
-    n_correct = F.sum(F.when(F.col("pred") == F.col("y"), 1).otherwise(0))
-    majority = F.greatest(n_pos, (n - n_pos).cast("bigint"))
-    return scored.agg(
-        n.alias("n_docs"),
-        n_pos.alias("n_pos"),
-        majority.alias("majority_n"),
-        (n_correct > majority).alias("model_beats_majority"),
-    )
+    # strictly-beats-majority law shared via operators.certs; planted
+    # constant-predictor golden in tests/test_cert_adversarial.py.
+    return certs.beats_majority(scored)
 
 
 @query(

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators import textan
+from ..operators import certs, textan
 from ..operators.dedup import (
     containment_prefix_join,
     jaccard_prefix_join,
@@ -460,13 +460,9 @@ def dd_minhash_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         shingle_n=5,
         max_bucket_size=512,
-    ).select("id_a", "id_b", F.lit(1).alias("hit"))
-    hits = truth.join(lsh, ["id_a", "id_b"], "left")
-    recall = hits.agg(
-        (
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
-        ).alias("recall")
     )
+    hits = certs.hit_flags(truth, lsh, ["id_a", "id_b"])
+    recall = certs.pooled_recall(hits)
     return hits.crossJoin(F.broadcast(recall)).select(
         "id_a",
         "id_b",
@@ -501,15 +497,9 @@ def dd_simhash_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = jaccard_prefix_join(
         _shingle5_hashed(docs), "doc_id", "sh", threshold=0.98
     )
-    sp = simhash_pairs(docs, "doc_id", "text", max_hamming=3, bands=4).select(
-        "id_a", "id_b", F.lit(1).alias("hit")
-    )
-    hits = truth.join(sp, ["id_a", "id_b"], "left")
-    recall = hits.agg(
-        (
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))
-        ).alias("recall")
-    )
+    sp = simhash_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
+    hits = certs.hit_flags(truth, sp, ["id_a", "id_b"])
+    recall = certs.pooled_recall(hits)
     return hits.crossJoin(F.broadcast(recall)).select(
         "id_a",
         "id_b",
@@ -2245,37 +2235,10 @@ def x_pack_bucketed_waste_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller, it doesn't pad phantom rows). One scan, one small groupBy
     — no window; the cert adds nothing to the assignment op's cost.
     """
-    g = (
-        _bucketed_docs(load_table(spark, sf_dir, "documents"))
-        .groupBy("source", "bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("eff_tok").alias("sum_tokens"),
-            F.sum(F.col("bucket") - F.col("eff_tok")).alias("sum_padding"),
-            F.sum(F.lit(512) - F.col("eff_tok")).alias("sum_padding_greedy"),
-        )
-    )
-    return g.select(
-        "source",
-        "bucket",
-        "n_docs",
-        F.expr(
-            f"(n_docs + ({_PACK_BUDGET} div bucket) - 1)"
-            f" div ({_PACK_BUDGET} div bucket)"
-        )
-        .cast("bigint")
-        .alias("n_batches"),
-        F.col("sum_tokens").cast("bigint").alias("sum_tokens"),
-        F.col("sum_padding").cast("bigint").alias("sum_padding"),
-        F.col("sum_padding_greedy").cast("bigint").alias("sum_padding_greedy"),
-        F.round(
-            F.col("sum_padding").cast("double")
-            / (F.col("n_docs") * F.col("bucket")),
-            6,
-        ).alias("waste_frac"),
-        (F.col("sum_padding") <= F.col("sum_padding_greedy")).alias(
-            "waste_le_greedy"
-        ),
+    return certs.pack_waste_rollup(
+        _bucketed_docs(load_table(spark, sf_dir, "documents")),
+        budget=_PACK_BUDGET,
+        max_len=512,
     )
 
 
@@ -4042,13 +4005,11 @@ def x_reservoir_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _agreement(exact: DataFrame, approx: DataFrame, col: str) -> DataFrame:
-    """1-row (agree) frame: fraction of docs where the approx arm's
-    `col` equals the exact arm's, joined on doc_id."""
-    e = exact.select("doc_id", F.col(col).alias("_e"))
-    a = approx.select("doc_id", F.col(col).alias("_a"))
-    return e.join(a, "doc_id").agg(
-        F.avg((F.col("_e") == F.col("_a")).cast("double")).alias("agree")
-    )
+    """1-row (agree) frame: fraction of EXACT-arm docs whose approx
+    value matches — the shared certs.agreement law (left join: a doc
+    missing from the approx arm counts as disagreement; planted golden
+    in tests/test_cert_adversarial.py)."""
+    return certs.agreement(exact, approx, col, key="doc_id")
 
 
 @query(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators import bpe, textan
+from ..operators import bpe, certs, textan
 from . import query
 from .textdata import _TOKS_DUCK
 
@@ -150,13 +150,10 @@ def x_bpe_encode_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     via_expr = bpe.encode_text_expr(F.col("text"), merges)
     via_udf = bpe.bpe_encode_udf(merges)(F.col("text"))
-    return docs.select(
-        via_expr.alias("e"), via_udf.alias("u")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(F.col("e").eqNullSafe(F.col("u")), 1).otherwise(0)).alias(
-            "n_agree"
-        ),
+    # tier-agreement law shared via operators.certs; planted
+    # diverging-tier golden in tests/test_cert_adversarial.py.
+    return certs.tier_agreement(
+        docs.select(via_expr.alias("e"), via_udf.alias("u")), "e", "u"
     )
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators import certs
 from ..operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -322,14 +323,8 @@ def ann_ivf_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_TOP_K, n_clusters=16, n_probe=4, kmeans_iters=2,
         centroids=_ivf_centroids(spark, sf_dir),
     ).select("vec_id_q", "vec_id_c")
-    hits = exact.join(
-        approx.withColumn("hit", F.lit(1)), ["vec_id_q", "vec_id_c"], "left"
-    )
-    recall = hits.agg(
-        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias(
-            "recall"
-        )
-    )
+    hits = certs.hit_flags(exact, approx, ["vec_id_q", "vec_id_c"])
+    recall = certs.pooled_recall(hits)
     per_q = hits.groupBy("vec_id_q").agg(
         F.round(F.min("cos_sim"), 6).alias("kth_exact_cos")
     )
@@ -421,23 +416,6 @@ def ann_quantizer_drift_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ag = ivf_assign(emb, "vec_id", "embedding", fresh).select(
         "cid", F.col("cluster").alias("cg")
     )
-    cells = af.join(ag, "cid").groupBy("cf", "cg").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    tot = cells.agg(
-        F.sum(F.col("c") * F.col("c")).cast("double").alias("scc"),
-        F.sum("c").cast("double").alias("n"),
-    )
-    rows_sq = (
-        cells.groupBy("cf")
-        .agg(F.sum("c").alias("rc"))
-        .agg(F.sum(F.col("rc") * F.col("rc")).cast("double").alias("srow"))
-    )
-    cols_sq = (
-        cells.groupBy("cg")
-        .agg(F.sum("c").alias("cc"))
-        .agg(F.sum(F.col("cc") * F.col("cc")).cast("double").alias("scol"))
-    )
     err = emb.agg(
         F.avg(
             1.0 - F.array_max(_cluster_scores(F.col("embedding"), frozen))
@@ -446,21 +424,9 @@ def ann_quantizer_drift_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.array_max(_cluster_scores(F.col("embedding"), fresh))
         ).alias("eg"),
     )
-    rand = (
-        F.lit(1.0)
-        - ((F.col("srow") + F.col("scol")) / 2.0 - F.col("scc"))
-        / (F.col("n") * (F.col("n") - 1.0) / 2.0)
-    )
-    return (
-        tot.crossJoin(F.broadcast(rows_sq))
-        .crossJoin(F.broadcast(cols_sq))
-        .crossJoin(F.broadcast(err))
-        .select(
-            F.col("n").cast("bigint").alias("n_vecs"),
-            (rand >= 0.8).alias("assignment_stability_ok"),
-            (F.col("ef") <= 1.10 * F.col("eg")).alias("quant_error_ok"),
-        )
-    )
+    # Rand-index + error-inflation law shared via operators.certs;
+    # planted-violation golden in tests/test_cert_adversarial.py.
+    return certs.drift_cert(af, ag, err, rand_bound=0.8, err_inflation=1.10)
 
 
 @query(
@@ -571,16 +537,7 @@ def dd_semdedup_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=0.35
     ).select("id_a", "id_b", "cos_sim")
     flagged = (
-        pairs.join(
-            dropped.withColumnRenamed("did", "id_a").withColumn("da", F.lit(1)),
-            "id_a",
-            "left",
-        )
-        .join(
-            dropped.withColumnRenamed("did", "id_b").withColumn("db", F.lit(1)),
-            "id_b",
-            "left",
-        )
+        certs.drop_witness_flags(pairs, dropped)
         .join(
             clusters.select(
                 F.col("id").alias("id_a"), F.col("cluster").alias("cl_a")
@@ -594,29 +551,11 @@ def dd_semdedup_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
     )
-    # uncovered pairs join NULL on both sides — coalesce to 0.0 so they
-    # COUNT AGAINST coverage instead of being skipped by avg (else
-    # cov==1.0 whenever any pair is covered)
-    covered = F.coalesce(
-        ((F.col("da") == 1) | (F.col("db") == 1)).cast("double"), F.lit(0.0)
-    )
-    coverage = flagged.agg(
-        F.avg(covered).alias("cov"),
-        # within-cluster pairs only: the theorem arm (vacuously 1.0 if
-        # no pair is co-clustered)
-        F.coalesce(
-            F.avg(F.when(F.col("cl_a") == F.col("cl_b"), covered)),
-            F.lit(1.0),
-        ).alias("wc_cov"),
-    )
-    members = (
-        pairs.select(F.col("id_a").alias("did"))
-        .union(pairs.select(F.col("id_b").alias("did")))
-        .distinct()
-    )
-    unjustified = dropped.join(members, "did", "left_anti").agg(
-        F.count(F.lit(1)).alias("n_unjustified")
-    )
+    # coverage law shared via operators.certs (uncovered pairs COUNT
+    # AGAINST — the r6 lesson); planted-violation golden in
+    # tests/test_cert_adversarial.py keeps it from going vacuous again.
+    coverage = certs.dup_pair_coverage(flagged, within_cluster=True)
+    unjustified = certs.unjustified_drops(pairs, dropped)
     return (
         flagged.crossJoin(F.broadcast(coverage))
         .crossJoin(F.broadcast(unjustified))
@@ -982,33 +921,9 @@ def dd_semdedup_para_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_near_dup_pairs(p, "para_id", "vec", threshold=0.95).select(
         "id_a", "id_b", "cos_sim"
     )
-    flagged = pairs.join(
-        dropped.withColumnRenamed("did", "id_a").withColumn("da", F.lit(1)),
-        "id_a",
-        "left",
-    ).join(
-        dropped.withColumnRenamed("did", "id_b").withColumn("db", F.lit(1)),
-        "id_b",
-        "left",
-    )
-    coverage = flagged.agg(
-        F.avg(
-            # coalesce both-NULL (uncovered) pairs to 0.0 — see
-            # dd_semdedup_cert: avg must not skip them
-            F.coalesce(
-                ((F.col("da") == 1) | (F.col("db") == 1)).cast("double"),
-                F.lit(0.0),
-            )
-        ).alias("cov")
-    )
-    members = (
-        pairs.select(F.col("id_a").alias("did"))
-        .union(pairs.select(F.col("id_b").alias("did")))
-        .distinct()
-    )
-    unjustified = dropped.join(members, "did", "left_anti").agg(
-        F.count(F.lit(1)).alias("n_unjustified")
-    )
+    flagged = certs.drop_witness_flags(pairs, dropped)
+    coverage = certs.dup_pair_coverage(flagged)
+    unjustified = certs.unjustified_drops(pairs, dropped)
     return (
         flagged.crossJoin(F.broadcast(coverage))
         .crossJoin(F.broadcast(unjustified))
@@ -1206,14 +1121,8 @@ def ann_pq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("qid", "cid")
     )
-    hits = exact.join(
-        approx.withColumn("hit", F.lit(1)), ["qid", "cid"], "left"
-    )
-    recall = hits.agg(
-        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias(
-            "recall"
-        )
-    )
+    hits = certs.hit_flags(exact, approx, ["qid", "cid"])
+    recall = certs.pooled_recall(hits)
     per_q = hits.groupBy("qid").agg(
         (F.round(F.max("dist"), 6) + F.lit(0)).alias("kth_exact_dist")
     )
@@ -1502,12 +1411,8 @@ def ann_opq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("qid", "cid")
     )
-    hits = exact.join(approx.withColumn("hit", F.lit(1)), ["qid", "cid"], "left")
-    recall = hits.agg(
-        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1))).alias(
-            "recall"
-        )
-    )
+    hits = certs.hit_flags(exact, approx, ["qid", "cid"])
+    recall = certs.pooled_recall(hits)
     per_q = hits.groupBy("qid").agg(
         (F.round(F.max("dist"), 6) + F.lit(0)).alias("kth_exact_dist")
     )
