@@ -1,11 +1,23 @@
 """Multimodal pipeline query: binary payload → Arrow-batched feature
 extraction (operators/multimodal.py). The payload is the utf-8 encoding
-of documents.text (ASCII by construction in the driver data), so DuckDB
-can recompute every byte-level feature for the oracle check."""
+of documents.text, so DuckDB can recompute every byte-level feature for
+the oracle check.
+
+Both arms GUARD the ASCII assumption explicitly instead of trusting the
+generator: the DuckDB oracles decode via character-position ascii()/
+substr() (unsigned, char==byte) while the Spark operators work on raw
+utf-8 bytes (and mm_audio_windows decodes SIGNED little-endian int16),
+so the two agree only while every payload byte is < 0x80. Each query
+filters to all-ASCII payloads — ``length(text) = octet_length(text)``,
+which for valid UTF-8 holds iff every code point is single-byte — in
+BOTH dialects, so a non-ASCII document entering the corpus drops out of
+both arms identically rather than silently diverging engine from
+oracle."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.multimodal import (
@@ -15,6 +27,16 @@ from ..operators.multimodal import (
     sample_frames,
 )
 from . import query
+
+
+def _ascii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-null, all-ASCII documents — the module-level guard both
+    engines share (length == octet_length iff every byte < 0x80)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter("text IS NOT NULL")
+        .filter(F.length("text") == F.octet_length("text"))
+    )
 
 
 @query(
@@ -28,22 +50,23 @@ from . import query
                 % 997 AS BIGINT) AS checksum
     FROM documents
     WHERE text IS NOT NULL
+      AND length(text) = octet_length(encode(text))
     """,
     survey_ids="multimodal: binary payload column + mapInPandas decode/feature plumbing (stubbed codec)",
 )
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter("text IS NOT NULL")
-    return extract_features(media_from_documents(docs))
+    return extract_features(media_from_documents(_ascii_docs(spark, sf_dir)))
 
 
 @query(
     "mm_frame_sample",
     """
     WITH m AS (
-        -- driver text is ASCII, so char ops == byte ops (same assumption
-        -- the mm_media_features oracle already relies on)
+        -- all-ASCII guard: char ops == byte ops (module docstring)
         SELECT doc_id AS media_id, text, octet_length(encode(text)) AS nb
-        FROM documents WHERE text IS NOT NULL
+        FROM documents
+        WHERE text IS NOT NULL
+          AND length(text) = octet_length(encode(text))
     ), frames AS (
         SELECT media_id, text, nb,
                unnest(generate_series(0, nb // 1024, 2)) AS frame_idx
@@ -60,8 +83,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-2nd-frame sample over the synthesized media table; the fake
     codec frames the payload in 1KiB blocks, so DuckDB recomputes every
     output cell from the utf-8 text bytes (full value-hash oracle)."""
-    docs = load_table(spark, sf_dir, "documents").filter("text IS NOT NULL")
-    return sample_frames(media_from_documents(docs), every=2)
+    return sample_frames(
+        media_from_documents(_ascii_docs(spark, sf_dir)), every=2
+    )
 
 
 @query(
@@ -72,6 +96,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                octet_length(encode(text)) // 2 AS ns
         FROM documents
         WHERE text IS NOT NULL AND octet_length(encode(text)) >= 2
+          AND length(text) = octet_length(encode(text))
     ), smp AS (
         SELECT media_id, CAST(u.i AS BIGINT) - 1 AS si,
                (ascii(substr(text, CAST(2*u.i - 1 AS INTEGER), 1))
@@ -102,9 +127,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window audio features over the synthetic media payloads:
     (media_id, win_idx, n_samples, energy, zero_crossings). The payload
-    is documents.text's utf-8 bytes (ASCII by construction), so the
-    DuckDB oracle re-derives the samples byte-for-byte with
-    ascii(substr(...)) — the whole mapInPandas path is hash-checked."""
-    docs = load_table(spark, sf_dir, "documents").filter("text IS NOT NULL")
-    media = media_from_documents(docs).filter("n_bytes >= 2")
+    is documents.text's utf-8 bytes, filtered to all-ASCII (module
+    docstring) — the Spark decode is SIGNED little-endian int16 while
+    the oracle's ascii()-based decode is unsigned, and they coincide
+    exactly on the guarded byte range — so the DuckDB oracle re-derives
+    the samples byte-for-byte and the whole mapInPandas path is
+    hash-checked."""
+    media = media_from_documents(_ascii_docs(spark, sf_dir)).filter(
+        "n_bytes >= 2"
+    )
     return audio_windows(media)

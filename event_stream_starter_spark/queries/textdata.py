@@ -1256,11 +1256,15 @@ def x_semantic_decontaminate_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     dfc = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("dfd"))
-    nd = docs.count()  # model-sized scalar (a count, not a collect loop)
+    # N as an in-plan 1-row broadcast, not a docs.count() driver action:
+    # the standalone action was a separate job (an extra corpus scan at
+    # scale); as a plan branch it collapses to parquet count-star
+    # metadata and pipelines into this query's single execution.
+    ndf = docs.agg(F.count(F.lit(1)).cast("double").alias("nd"))
     w = F.log(
-        (F.lit(float(nd)) + F.lit(1.0)) / (F.col("dfd").cast("double") + F.lit(1.0))
+        (F.col("nd") + F.lit(1.0)) / (F.col("dfd").cast("double") + F.lit(1.0))
     )
-    wtok = dt.join(F.broadcast(dfc), "tok").select(
+    wtok = dt.join(F.broadcast(dfc), "tok").crossJoin(F.broadcast(ndf)).select(
         "doc_id",
         "source",
         (

@@ -86,11 +86,10 @@ class StreamingIvfIndex(_PointerSink, _FrozenQuantizerMixin):
         lists = self.read_lists()
         if lists is None:
             return None
-        if self.centroids is None:
-            import json
-
-            with open(self._centroids_file()) as fh:
-                self.centroids = json.load(fh)
+        # sidecar-wins load with the same conflict check as the write
+        # path: a reader holding mismatched centroids must error, not
+        # probe cluster ids the lists were never built under.
+        self.centroids = self._load_centroids()
         return ivf_probe(
             lists,
             queries,
@@ -123,11 +122,29 @@ class _FrozenCodebooksMixin:
         return os.path.join(self.path, "codebooks.json")
 
     def _load_codebooks(self) -> list[list[list[float]]]:
-        if self.codebooks is None:
-            import json
+        """Read-path model load: the persisted sidecar ALWAYS wins, and
+        a conflicting constructor value raises the same 'persisted
+        quantizer' error as the write path — a reader constructed with
+        different codebooks would otherwise silently serve ADC
+        distances under a model the codes were never encoded with."""
+        import json
 
+        try:
             with open(self._codebooks_file()) as fh:
-                self.codebooks = json.load(fh)
+                persisted = json.load(fh)
+        except FileNotFoundError:
+            persisted = None
+        if persisted is not None:
+            if self.codebooks is not None and self.codebooks != persisted:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: constructor "
+                    "codebooks differ from the persisted quantizer this "
+                    "index was built under; drop the argument (or the "
+                    "index) instead of mixing"
+                )
+            self.codebooks = persisted
+        if self.codebooks is None:
+            raise FileNotFoundError(self._codebooks_file())
         return self.codebooks
 
     def _load_or_fit_codebooks(
@@ -152,7 +169,11 @@ class _FrozenCodebooksMixin:
             return self.codebooks
         if self.codebooks is None:
             from ..operators.similarity import pq_codebooks
+            from .incremental_dedup import _require_distinct_vectors
 
+            _require_distinct_vectors(
+                batch, self.vec_col, self.k, self, "PQ codebooks"
+            )
             self.codebooks = pq_codebooks(
                 batch,
                 self.vec_col,
@@ -351,11 +372,9 @@ class StreamingIvfPqIndex(_PointerSink, _FrozenQuantizerMixin, _FrozenCodebooksM
         idx = self.read_codes()
         if idx is None:
             return None
-        if self.centroids is None:
-            import json
-
-            with open(self._centroids_file()) as fh:
-                self.centroids = json.load(fh)
+        # sidecar-wins + conflict check on BOTH frozen models (see
+        # StreamingIvfIndex.query / _load_codebooks).
+        self.centroids = self._load_centroids()
         from pyspark.sql import functions as F
 
         from ..operators.similarity import ivfpq_serve

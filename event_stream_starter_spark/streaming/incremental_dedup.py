@@ -180,6 +180,26 @@ class StreamingNearDup(_PointerSink):
         self._commit(batch_id)
 
 
+def _require_distinct_vectors(
+    batch: DataFrame, vec_col: str, needed: int, sink: object, what: str
+) -> None:
+    """First-fit guard for every frozen-model sink: a model fitted on a
+    degenerate first micro-batch (maxFilesPerTrigger=1 can deliver a
+    handful of rows) would be FROZEN for all history with no error and
+    silently degrade recall forever. Require at least as many distinct
+    vectors as the model has centroids before fitting; production
+    streams should pass a pre-fitted model instead."""
+    n = batch.select(vec_col).distinct().limit(needed).count()
+    if n < needed:
+        raise ValueError(
+            f"{type(sink).__name__} at {getattr(sink, 'path', '?')}: first "
+            f"non-empty batch has only {n} distinct vectors but fitting "
+            f"the {what} needs >= {needed}; pass a pre-fitted model (or "
+            "batch more data) — freezing a degenerate quantizer would "
+            "silently degrade all history"
+        )
+
+
 class _FrozenQuantizerMixin:
     """Persisted-coarse-quantizer contract shared by every sink whose
     index is keyed on cluster ids (StreamingSemDeDup, StreamingIvfIndex):
@@ -207,6 +227,32 @@ class _FrozenQuantizerMixin:
             json.dump(self.centroids, fh)
         os.replace(tmp, self._centroids_file())
 
+    def _load_centroids(self) -> list[list[float]]:
+        """Read-path model load: the persisted sidecar ALWAYS wins, and
+        a conflicting constructor value is the same 'persisted
+        quantizer' error as on the write path — a reader constructed
+        with different centroids would otherwise silently probe
+        cluster ids the index was never built under."""
+        import json
+
+        try:
+            with open(self._centroids_file()) as fh:
+                persisted = json.load(fh)
+        except FileNotFoundError:
+            persisted = None
+        if persisted is not None:
+            if self.centroids is not None and self.centroids != persisted:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: constructor "
+                    "centroids differ from the persisted quantizer this "
+                    "index was built under; drop the argument (or the "
+                    "index) instead of mixing"
+                )
+            self.centroids = persisted
+        if self.centroids is None:
+            raise FileNotFoundError(self._centroids_file())
+        return self.centroids
+
     def _load_or_fit_centroids(self, batch: DataFrame) -> list[list[float]]:
         import json
 
@@ -228,6 +274,9 @@ class _FrozenQuantizerMixin:
         if self.centroids is None:
             from ..operators.similarity import kmeans_centroids
 
+            _require_distinct_vectors(
+                batch, self.vec_col, self.n_clusters, self, "coarse quantizer"
+            )
             self.centroids = kmeans_centroids(
                 batch, self.vec_col, self.n_clusters, iters=2, id_col=self.id_col
             )

@@ -80,6 +80,42 @@ def test_resize_images_matches_python_stride(spark, sf_dir):
         assert got[mid] == want, mid
 
 
+def test_audio_windows_ascii_guard_excludes_nonascii(spark):
+    """The mmedia queries' all-ASCII guard (length == octet_length):
+    a payload with a multi-byte char would decode differently in the
+    signed-LE Spark arm vs the unsigned ascii() oracle arm, so it must
+    drop out of BOTH; on the guarded range the two decodes coincide
+    exactly (checked against a struct-unpack recompute)."""
+    import struct
+
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.operators.multimodal import (
+        audio_windows,
+        media_from_documents,
+    )
+
+    ascii_text = "abcd" * 200
+    docs = spark.createDataFrame(
+        [(1, ascii_text), (2, "café" * 200)], "doc_id long, text string"
+    )
+    guarded = docs.filter(F.length("text") == F.octet_length("text"))
+    rows = audio_windows(
+        media_from_documents(guarded).filter("n_bytes >= 2")
+    ).collect()
+    assert {r["media_id"] for r in rows} == {1}
+    # signed-LE decode == (lo + 256*hi) unsigned decode on ASCII bytes
+    samples = [
+        s - 20000
+        for (s,) in struct.iter_unpack("<h", ascii_text.encode("utf-8"))
+    ]
+    want_energy = {}
+    for i, s in enumerate(samples):
+        want_energy[i // 256] = want_energy.get(i // 256, 0) + s * s
+    got = {r["win_idx"]: r["energy"] for r in rows}
+    assert got == want_energy
+
+
 def test_hll_mergeable_rollup_within_error_bound(spark, sf_dir):
     """Union-merged daily sketches must estimate distinct users within
     the HLL error envelope (<5% at default lgK=12) of the exact count —

@@ -1626,6 +1626,47 @@ def test_streaming_ivf_index_matches_one_shot_and_replay_safe(
     again = StreamingIvfIndex(spark, str(tmp_path / "ivf_state"))
     assert as_set(again.query(q, k=5, n_probe=4)) == want
 
+    # A READER with a conflicting quantizer errors too — querying with
+    # mismatched centroids would silently probe cluster ids the lists
+    # were never built under (the write-path check alone is not enough).
+    bad_reader = StreamingIvfIndex(
+        spark, str(tmp_path / "ivf_state"), centroids=other
+    )
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad_reader.query(q, k=5, n_probe=4)
+
+
+def test_streaming_index_refuses_degenerate_first_fit(spark, sf_dir, tmp_path):
+    """A model fitted on a tiny first micro-batch (maxFilesPerTrigger=1
+    can deliver a handful of rows) would be FROZEN for all history and
+    silently degrade recall; the sinks must refuse to fit when the
+    batch has fewer distinct vectors than the model has centroids."""
+    import pytest as _pytest
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.streaming.ann_index import (
+        StreamingIvfIndex,
+        StreamingPqIndex,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tiny = emb.limit(3)
+
+    pq = StreamingPqIndex(spark, str(tmp_path / "pq_degenerate"))  # k=64
+    with _pytest.raises(ValueError, match="distinct vectors"):
+        pq.process_batch(tiny, 0)
+
+    ivf = StreamingIvfIndex(spark, str(tmp_path / "ivf_degenerate"), n_clusters=16)
+    with _pytest.raises(ValueError, match="distinct vectors"):
+        ivf.process_batch(tiny, 0)
+
+    # Neither sink may have frozen a sidecar or committed the batch.
+    import os as _os
+
+    assert not _os.path.exists(pq._codebooks_file())
+    assert not _os.path.exists(ivf._centroids_file())
+    assert pq.last_batch_id() < 0 and ivf.last_batch_id() < 0
+
 
 def test_streaming_exact_substr_matches_one_shot_and_retroflags(
     spark, sf_dir, tmp_path
@@ -2103,6 +2144,15 @@ def test_streaming_pq_index_matches_batch(spark, sf_dir, tmp_path):
     # Restart WITHOUT codebooks loads the sidecar, answers identically.
     again = StreamingPqIndex(spark, str(tmp_path / "pq_state"))
     assert as_set(again.query(q, k=5, shortlist=50)) == want
+
+    # A READER with conflicting codebooks errors too — serving ADC
+    # distances under a model the persisted codes were never encoded
+    # with would silently return wrong neighbors.
+    bad_reader = StreamingPqIndex(
+        spark, str(tmp_path / "pq_state"), codebooks=other
+    )
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad_reader.query(q, k=5, shortlist=50)
 
 
 def test_streaming_neardup_clusters_match_one_shot(spark, sf_dir, tmp_path):
