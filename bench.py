@@ -153,6 +153,12 @@ HEADLINE = [
     "x_doremi_resample",
     "x_vocab_overlap",
     "x_bigram_entropy",
+    # round-8 additions (outside the frozen r01-comparable subtotal)
+    "x_unigram_encode_frozen",
+    "x_unigram_encode_cert",
+    "x_tokenizer_fertility_compare",
+    "x_doremi_weights_multiround",
+    "x_corpus_datacard_v2",
 ]
 
 

@@ -964,6 +964,104 @@ def ivfpq_serve(
     return _pq_rerank_emit(short, vectors, k)
 
 
+def opq_adc_serve(
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """OPQ serving over a PREBUILT rotated-code table — the serving half
+    of ann_opq_topk, shared verbatim by the batch query and
+    StreamingOpqIndex.query so stream-built == one-shot parity is
+    structural (the pq_adc_serve precedent).
+
+    ADC runs in ROTATED space (queries rotated via the Arrow tier,
+    bit-identical to the column fold); the exact re-rank runs in
+    ORIGINAL space against `vectors` — the rotation is an isometry, but
+    original-space distances keep exact_dist comparable across every
+    quantization tier. `codes` = (cid, codes), `vectors` = (cid, cvec),
+    `queries` = (qid, qvec original)."""
+    rq = queries.select(
+        "qid", "qvec", rotate_udf(rotation)(F.col("qvec")).alias("rqvec")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(rq))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "adc", pq_adc_sq_expr(F.col("rqvec"), F.col("codes"), codebooks)
+        )
+    )
+    short = salted_topn(
+        scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"
+    )
+    return _pq_rerank_emit(short, vectors, k)
+
+
+def sq8_code_expr(vec_col: str, mn: list[float], mx: list[float]) -> Column:
+    """SQ8 codes of the array column named `vec_col` under FROZEN
+    per-dim (mn, mx) literals — the x_sq8_quantize law (floor(+0.5)
+    affine to 0..255, constant dims guarded to code 0) with the stats
+    as broadcast model literals instead of an aggregated frame;
+    identical arithmetic, so codes are bit-equal whenever the stats
+    are."""
+    dim = len(mn)
+    mns = ", ".join(repr(float(x)) + "D" for x in mn)
+    mxs = ", ".join(repr(float(x)) + "D" for x in mx)
+    return F.expr(
+        f"transform(sequence(1, {dim}),"
+        f" i -> cast(floor((cast({vec_col}[i - 1] as double)"
+        f" - array({mns})[i - 1])"
+        f" / greatest(array({mxs})[i - 1] - array({mns})[i - 1], 1e-12)"
+        " * 255 + 0.5) as bigint))"
+    )
+
+
+def sq8_serve(
+    codes: DataFrame,
+    queries: DataFrame,
+    mn: list[float],
+    mx: list[float],
+    k: int = 5,
+) -> DataFrame:
+    """SQ8 asymmetric top-k over a PREBUILT code table under frozen
+    (mn, mx) stats — the serving shape of ann_sq8_topk (exact query vs
+    de-quantized corpus, salted two-phase rank), shared by
+    StreamingSq8Index.query. `codes` = (cid, codes array<bigint>),
+    `queries` = (qid, qvec). Emits (vec_id_q, vec_id_c, sq_dist, rank).
+    """
+    dim = len(mn)
+    mns = ", ".join(repr(float(x)) + "D" for x in mn)
+    mxs = ", ".join(repr(float(x)) + "D" for x in mx)
+    deq = codes.withColumn(
+        "dv",
+        F.expr(
+            f"transform(sequence(1, {dim}),"
+            f" i -> array({mns})[i - 1] + codes[i - 1]"
+            f" * (array({mxs})[i - 1] - array({mns})[i - 1]) / 255)"
+        ),
+    )
+    q = queries.select(
+        "qid",
+        F.expr("transform(qvec, x -> cast(x as double))").alias("qv"),
+    )
+    scored = (
+        deq.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("dist", F.sqrt(l2_sq(F.col("qv"), F.col("dv"))))
+    )
+    return salted_topn(
+        scored, (F.col("dist").asc(), F.col("cid").asc()), k
+    ).select(
+        F.col("qid").alias("vec_id_q"),
+        F.col("cid").alias("vec_id_c"),
+        F.round("dist", 6).alias("sq_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def rotate_udf(rotation: list[list[float]]):
     """Arrow tier of :func:`rotate_expr` — BIT-IDENTICAL outputs, ~10^3
     less per-row interpreter overhead.

@@ -1,0 +1,369 @@
+"""Unigram LM tokenizer (Kudo 2018, "Subword Regularization") — the
+second published tokenizer family next to operators/bpe.py, re-expressed
+Spark-first so a tokenizer bake-off (BPE vs unigram fertility/coverage)
+runs inside the engine.
+
+Reference scope: the reference pipeline tokenizes with external models
+(reference api/hf_sentiment.py's tokenizer is a fixed upstream
+artifact); this module implements the PUBLISHED unigram training and
+encoding laws so the engine can both train and serve its own model, the
+same posture as operators/bpe.py.
+
+Spark-first decomposition (mirrors bpe.py tier for tier):
+
+- ONE corpus pass builds the distinct-word histogram (map-side explode,
+  single shuffle keyed by word); everything after — seeding, EM,
+  encoding — runs on the vocabulary-bounded word table or on broadcast
+  model literals. At 100 TB the corpus is touched once per trained
+  model and once per encode pass, exactly like BPE.
+- Training is the hard-EM (Viterbi-EM) variant of Kudo's algorithm
+  over a FIXED seed vocabulary: E-step segments every distinct word
+  with the current model (Viterbi), M-step re-estimates piece log-probs
+  from add-one-smoothed segment counts. Fixed vocab + hard assignments
+  keep every quantity integer-or-decimal-exact, which is what buys
+  cross-engine reproducibility (the same determinism-over-variance
+  trade the repo's LR trainer makes; full soft-EM with vocabulary
+  pruning changes only this module's M-step).
+- All model scores are DECIMAL(18,9) log-probs (round-to-9dp at the
+  single driver-side log() call): Viterbi path scores are then EXACT
+  decimal sums, so the driver trainer, the distributed E-step, the
+  codegen column encoder, the Arrow UDF tier and the DuckDB oracle all
+  pick bit-identical segmentations — no float tie can flip a path.
+- Tie-break: highest path score, then LONGEST last piece (max over
+  (score, len) structs — lexicographic struct ordering, verified
+  identical in Spark and DuckDB).
+- Unknown characters (absent from the frozen vocab — possible when a
+  frozen model meets a bigger corpus) encode as single-char pieces at
+  UNK_LOGP, in every tier and in the oracle.
+
+Tiers (the bpe.py pattern):
+- viterbi_encode_expr: pure-Column/codegen encoder for bounded vocabs
+  (the frozen-artifact tier; zero Python in the hot path).
+- unigram_encode_udf: Arrow-batched pandas_udf for production vocab
+  sizes (the 32k-piece tier), value-identical by the shared decimal law.
+- _viterbi_py: the pure-Python twin goldens and the driver E-step use.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from math import log
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .bpe import SMALL_VOCAB_LIMIT, build_word_vocab
+
+UNK_LOGP = Decimal("-20.000000000")
+_ACC = "DECIMAL(28,9)"  # path-score accumulator (word-length * |logp| headroom)
+
+
+def _q9(x: float) -> Decimal:
+    """The module's single float touchpoint: ln() rounded HALF-EVEN to
+    9dp. Everything downstream is exact decimal arithmetic."""
+    return Decimal(x).quantize(Decimal("0.000000001"))
+
+
+# --- pure-Python twin ---------------------------------------------------------
+
+
+def _viterbi_py(
+    word: str, scores: dict[str, Decimal], max_len: int
+) -> list[str]:
+    """Exact-decimal Viterbi segmentation of one word: best path score,
+    ties to the longer last piece; unknown single chars at UNK_LOGP."""
+    n = len(word)
+    best: list[tuple[Decimal, int]] = [(Decimal(0), 0)]
+    for i in range(1, n + 1):
+        cands: list[tuple[Decimal, int]] = []
+        for piece_len in range(1, min(max_len, i) + 1):
+            piece = word[i - piece_len : i]
+            s = scores.get(piece)
+            if s is None and piece_len == 1:
+                s = UNK_LOGP
+            if s is not None:
+                cands.append((best[i - piece_len][0] + s, piece_len))
+        best.append(max(cands))  # (score, len) tuple order == struct order
+    pieces: list[str] = []
+    pos = n
+    while pos > 0:
+        piece_len = best[pos][1]
+        pieces.insert(0, word[pos - piece_len : pos])
+        pos -= piece_len
+    return pieces
+
+
+def encode_text_py(
+    text: str, scores: dict[str, Decimal], max_len: int = 4
+) -> list[str]:
+    """Whitespace-word split (textan.tokens law: lower, collapse
+    whitespace) then per-word Viterbi — the golden-test reference."""
+    out: list[str] = []
+    for w in " ".join(text.lower().split()).split(" "):
+        if w:
+            out.extend(_viterbi_py(w, scores, max_len))
+    return out
+
+
+# --- column-expression (codegen) tier ----------------------------------------
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _score_map_spark(scores: list[tuple[str, Decimal]]) -> str:
+    entries = ", ".join(
+        f"{_sql_quote(p)}, CAST('{s}' AS DECIMAL(18,9))" for p, s in scores
+    )
+    return f"map({entries})"
+
+
+def _best_table_sql(word: str, scores_map: str, max_len: int) -> str:
+    """Spark SQL: the Viterbi DP table for `word` (an expr string) as
+    array<struct<s,l>>, 1-indexed by prefix length + 1 (element 1 is
+    the empty prefix). Candidates per position are the <= max_len
+    statically-unrolled lookback structs; max is lexicographic struct
+    max = (best score, then longest piece)."""
+    cands = []
+    for piece_len in range(1, max_len + 1):
+        piece = f"substring({word}, i - {piece_len} + 1, {piece_len})"
+        prev = f"element_at(acc, i - {piece_len} + 1).s"
+        hit = f"element_at({scores_map}, {piece})"
+        if piece_len == 1:
+            score = f"({prev} + coalesce({hit}, CAST('{UNK_LOGP}' AS DECIMAL(18,9))))"
+            cands.append(
+                f"named_struct('s', CAST({score} AS {_ACC}), 'l', {piece_len})"
+            )
+        else:
+            score = f"({prev} + {hit})"
+            cands.append(
+                f"CASE WHEN i >= {piece_len} AND {hit} IS NOT NULL THEN "
+                f"named_struct('s', CAST({score} AS {_ACC}), 'l', {piece_len}) END"
+            )
+    cand_arr = f"filter(array({', '.join(cands)}), x -> x IS NOT NULL)"
+    init = f"array(named_struct('s', CAST(0 AS {_ACC}), 'l', 0))"
+    return (
+        f"aggregate(sequence(1, length({word})), {init},"
+        f" (acc, i) -> concat(acc, array(array_max({cand_arr}))))"
+    )
+
+
+def _walk_back_sql(word: str, bt: str) -> str:
+    """Spark SQL: reconstruct the piece list from the DP table `bt` by
+    walking backpointers from the end (n steps bound the walk; steps
+    after pos hits 0 are no-ops)."""
+    step_len = f"element_at({bt}, st.pos + 1).l"
+    piece = f"substring({word}, st.pos - {step_len} + 1, {step_len})"
+    return (
+        f"aggregate(sequence(1, length({word})),"
+        f" named_struct('pos', length({word}),"
+        f" 'ps', cast(array() as array<string>)),"
+        f" (st, x) -> CASE WHEN st.pos > 0 THEN named_struct("
+        f"'pos', st.pos - {step_len},"
+        f" 'ps', concat(array({piece}), st.ps)) ELSE st END,"
+        f" st -> st.ps)"
+    )
+
+
+def viterbi_words_sql(
+    words_sql: str, scores: list[tuple[str, Decimal]], max_len: int = 4
+) -> str:
+    """Spark SQL expr string: encode the array<string> produced by
+    `words_sql` into the flattened piece list — entirely inside
+    whole-stage codegen, model as a map literal baked into the plan.
+    The per-word lambda is generated as SQL text (variable `w`), so the
+    DP fold and the backpointer walk reference the lambda variable
+    directly; the DP table is recomputed inside the walk (SQL lambdas
+    have no let-binding) — cost is 2x the O(len * max_len) fold.
+    Bounded-vocab tier; production vocab sizes swap to
+    unigram_encode_udf behind the same law."""
+    m = _score_map_spark(scores)
+    bt = _best_table_sql("w", m, max_len)
+    per_word = _walk_back_sql("w", bt)
+    return f"flatten(transform({words_sql}, w -> {per_word}))"
+
+
+def viterbi_encode_words_expr(
+    words_sql: str, scores: list[tuple[str, Decimal]], max_len: int = 4
+) -> Column:
+    return F.expr(viterbi_words_sql(words_sql, scores, max_len))
+
+
+def unigram_encode_udf(scores: list[tuple[str, Decimal]], max_len: int = 4):
+    """Arrow-batched encoder tier: text -> array<string> pieces under
+    the same decimal Viterbi law (production vocab sizes; the codegen
+    tier's map literal stops being viable at 32k pieces)."""
+    import pandas as pd  # noqa: F401  (pandas_udf requires pandas present)
+    from pyspark.sql.functions import pandas_udf
+
+    table = dict(scores)
+
+    @pandas_udf("array<string>")
+    def enc(texts):  # type: ignore[no-untyped-def]
+        return texts.map(
+            lambda t: encode_text_py(t, table, max_len)
+            if isinstance(t, str)
+            else None
+        )
+
+    return enc
+
+
+# --- training (hard EM over a fixed seed vocabulary) -------------------------
+
+
+def _seed_pieces(
+    word_counts: list[tuple[str, int]], vocab_size: int, max_len: int
+) -> list[str]:
+    """Deterministic seed vocabulary: every single character (coverage
+    guarantee), plus the top multi-char substrings (length <= max_len)
+    by corpus-weighted occurrence count, ties broken lexicographically."""
+    singles: set[str] = set()
+    counts: dict[str, int] = {}
+    for word, cnt in word_counts:
+        for ch in word:
+            singles.add(ch)
+        for piece_len in range(2, max_len + 1):
+            for i in range(len(word) - piece_len + 1):
+                p = word[i : i + piece_len]
+                counts[p] = counts.get(p, 0) + cnt
+    room = max(vocab_size - len(singles), 0)
+    multi = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:room]
+    return sorted(singles) + [p for p, _ in multi]
+
+
+def _mstep(counts: dict[str, int], pieces: list[str]) -> dict[str, Decimal]:
+    """Add-one-smoothed log-prob re-estimate: logp = ln((c+1)/(total+V)),
+    computed ONCE in driver Python and quantized to 9dp — the single
+    float touchpoint every execution tier then shares exactly."""
+    total = sum(counts.get(p, 0) for p in pieces) + len(pieces)
+    return {p: _q9(log((counts.get(p, 0) + 1) / total)) for p in pieces}
+
+
+def train_unigram(
+    docs_text: DataFrame,
+    vocab_size: int = 48,
+    max_len: int = 4,
+    em_iters: int = 2,
+    text_col: str = "text",
+    small_vocab_limit: int | None = SMALL_VOCAB_LIMIT,
+) -> list[tuple[str, Decimal]]:
+    """Learn a unigram piece table from a text column. Returns
+    [(piece, logp)] sorted by piece.
+
+    Two execution tiers, identical results (the bpe.train_bpe pattern —
+    path equality pinned in tests/test_unigram.py):
+
+    - vocab rows <= small_vocab_limit: collect the (word, cnt)
+      histogram once and run seeding + EM in driver Python (~2 Spark
+      jobs total). Vocabulary grows ~log with corpus size (Heaps' law),
+      so this is the common path; see bpe.SMALL_VOCAB_LIMIT's budget.
+    - above the gate: the distributed loop — the E-step Viterbi runs as
+      the codegen column encoder over the word table (model = broadcast
+      map literal), the M-step is one explode + groupBy over pieces
+      (model-sized result collected per round). The corpus itself is
+      never re-read after the first histogram pass.
+    """
+    vocab = build_word_vocab(docs_text, text_col).localCheckpoint(eager=True)
+    if small_vocab_limit and vocab.count() <= small_vocab_limit:
+        rows = vocab.select("word", "cnt").collect()
+        wc = [(r["word"], r["cnt"]) for r in rows]
+        return _train_driver(wc, vocab_size, max_len, em_iters)
+
+    # distributed tier: seed substring counts via one explode+groupBy
+    # NB: Spark sequence(1, 0) is the DESCENDING [1, 0], not empty — the
+    # when() guard keeps words shorter than piece_len from contributing
+    # phantom (double-counted) substrings.
+    empty = F.array().cast("array<string>")
+    subs = vocab.select(
+        "cnt",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(2), F.lit(max_len)),
+                    lambda piece_len: F.when(
+                        F.length("word") >= piece_len,
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.length("word") - piece_len + 1
+                            ),
+                            lambda i: F.substring(
+                                F.col("word"), i, piece_len
+                            ),
+                        ),
+                    ).otherwise(empty),
+                )
+            )
+        ).alias("p"),
+    ).filter(F.length("p") >= 2)
+    sub_counts = subs.groupBy("p").agg(F.sum("cnt").alias("c"))
+    singles = sorted(
+        r["ch"]
+        for r in vocab.select(
+            F.explode(F.split(F.col("word"), "")).alias("ch")
+        )
+        .filter(F.length("ch") > 0)
+        .distinct()
+        .collect()
+    )
+    room = max(vocab_size - len(singles), 0)
+    top_multi = [
+        r["p"]
+        for r in sub_counts.orderBy(F.desc("c"), F.asc("p")).limit(room).collect()
+    ]
+    pieces = singles + top_multi
+    seed_rows = {
+        r["p"]: r["c"]
+        for r in sub_counts.filter(F.col("p").isin(pieces)).collect()
+    }
+    single_counts = (
+        vocab.select(
+            "cnt", F.explode(F.split(F.col("word"), "")).alias("ch")
+        )
+        .filter(F.length("ch") > 0)
+        .groupBy("ch")
+        .agg(F.sum("cnt").alias("c"))
+        .collect()
+    )
+    for r in single_counts:
+        seed_rows[r["ch"]] = r["c"]
+    scores = _mstep({p: int(seed_rows.get(p, 0)) for p in pieces}, pieces)
+    ordered = sorted(scores.items())
+    for _ in range(em_iters):
+        enc = viterbi_encode_words_expr("array(word)", ordered, max_len)
+        seg = vocab.select("cnt", F.explode(enc).alias("p"))
+        counts = {
+            r["p"]: int(r["c"])
+            for r in seg.groupBy("p").agg(F.sum("cnt").alias("c")).collect()
+        }
+        scores = _mstep(counts, pieces)
+        ordered = sorted(scores.items())
+    return ordered
+
+
+def _train_driver(
+    word_counts: list[tuple[str, int]],
+    vocab_size: int,
+    max_len: int,
+    em_iters: int,
+) -> list[tuple[str, Decimal]]:
+    """Driver-Python tier: identical seeding + EM over the collected
+    histogram (the _train_bpe_driver pattern)."""
+    pieces = _seed_pieces(word_counts, vocab_size, max_len)
+    counts: dict[str, int] = {}
+    for word, cnt in word_counts:
+        for ch in word:
+            counts[ch] = counts.get(ch, 0) + cnt
+        for piece_len in range(2, max_len + 1):
+            for i in range(len(word) - piece_len + 1):
+                p = word[i : i + piece_len]
+                counts[p] = counts.get(p, 0) + cnt
+    scores = _mstep({p: counts.get(p, 0) for p in pieces}, pieces)
+    for _ in range(em_iters):
+        seg_counts: dict[str, int] = {}
+        for word, cnt in word_counts:
+            for p in _viterbi_py(word, scores, max_len):
+                seg_counts[p] = seg_counts.get(p, 0) + cnt
+        scores = _mstep(seg_counts, pieces)
+    return sorted(scores.items())

@@ -63,5 +63,6 @@ def all_queries() -> dict[str, QuerySpec]:
         udf_fallbacks,
         vectors,
     )
+    from . import datacard2  # noqa: F401  (imports LAST: reads REGISTRY oracles)
 
     return dict(REGISTRY)

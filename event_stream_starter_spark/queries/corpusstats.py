@@ -26,6 +26,8 @@ the datacard family doesn't yet cover:
   the stronger one on that domain (hardest-to-learn domains get
   upweighted, the DoReMi law). Swapping real model losses in changes
   only the two nll inputs; the EG update stays as-is.
+  ``x_doremi_weights_multiround`` iterates the step (Alg. 1's loop)
+  with a per-round current-weight baseline — see its block comment.
 
 Numeric posture (the x_kn/x_ccnet contract): per-doc nll values are the
 bit-equal 6-dp doubles both LM oracles already certify; per-domain means
@@ -207,7 +209,9 @@ _DOREMI_CTES = """drdoc AS (
                    AS ref_share,
                greatest(ROUND(mcc, 6) - ROUND(mkn, 6), 0.0) AS excess
         FROM drdom, drtot
-    ), drnum AS (
+    ), drnum AS MATERIALIZED (
+        -- referenced twice (drden + drw): materialize, or the inlined
+        -- upstream corpus-sized LM chain evaluates twice
         SELECT *,
                CAST(ROUND(ref_share * exp({eta} * excess), 12)
                     AS DECIMAL(28,12)) AS num
@@ -321,6 +325,207 @@ def x_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 0
         ).alias("weight"),
+    )
+
+
+# --- Multi-round DoReMi (Xie 2023 Algorithm 1's iterated EG) -----------------
+# The published algorithm iterates: per round the proxy trains a step
+# under the current weights and the per-domain excess shifts. With the
+# frozen LM pair the raw excess is constant, so iterating the raw EG
+# step would collapse to one step at R·η; the iterated form therefore
+# uses the REGRET-STYLE baseline from the same minimax objective: each
+# round re-centers excess on the CURRENT-weight-weighted mean
+# (a_i = max(excess_i − Σ_j w_j·excess_j, 0)) before the EG update —
+# domains above the weighted average keep gaining weight, the baseline
+# rises as mass concentrates, and the recurrence genuinely depends on
+# every previous round. Swapping a real re-trained proxy in replaces
+# only the constant excess column with a per-round one.
+
+_DOREMI_ROUNDS = 4
+
+
+def _doremi_rounds_ctes(rounds: int) -> str:
+    """R rounds of the baseline-re-centered EG recurrence as CTEs over
+    drex (source, n_docs, token_mass, ref_share, excess) — all
+    |sources|-sized. Numeric discipline per round: the baseline is a
+    12-dp-rounded DECIMAL sum (order-independent), the adjusted excess
+    is rounded to 9 dp before exp(), numerators round to 12 dp into a
+    DECIMAL(28,12) sum, the new weight rounds to 6 dp — so a 1-ulp
+    cross-engine exp()/mul difference cannot flip any stored digit.
+
+    Every dr{{t}} is MATERIALIZED: each round references the previous
+    round TWICE (baseline + numerator), so inlined CTEs would re-expand
+    the whole upstream corpus-sized LM chain 2^R times — materializing
+    pins the recurrence to R evaluations of a |sources|-row table (the
+    Spark twin localCheckpoints each round for the same reason)."""
+    parts = [
+        "dr0 AS MATERIALIZED (SELECT source, n_docs, token_mass, ref_share,"
+        " excess, ROUND(ref_share, 6) + 0 AS w FROM drex)"
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        parts.append(
+            f"""drb{t} AS (
+        SELECT CAST(SUM(CAST(ROUND(w * excess, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS b
+        FROM dr{p}
+    ), drn{t} AS (
+        SELECT d.*,
+               CAST(ROUND(w * exp({_DOREMI_ETA}
+                        * ROUND(greatest(excess - b, 0.0), 9)), 12)
+                    AS DECIMAL(28,12)) AS num
+        FROM dr{p} d, drb{t}
+    ), drd{t} AS (
+        SELECT SUM(num) AS den FROM drn{t}
+    ), dr{t} AS MATERIALIZED (
+        SELECT source, n_docs, token_mass, ref_share, excess,
+               ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) + 0 AS w
+        FROM drn{t}, drd{t}
+    )"""
+        )
+    return ", ".join(parts)
+
+
+@query(
+    "x_doremi_weights_multiround",
+    "WITH "
+    + _KN_CTES_SQL.format(src="documents")
+    + ", "
+    + _CCNET_CTES_SQL.format(src="documents")
+    + ", "
+    + _DOREMI_CTES
+    + ", "
+    + _doremi_rounds_ctes(_DOREMI_ROUNDS)
+    + f"""
+    SELECT f.source, f.n_docs, f.token_mass,
+           ROUND(f.ref_share, 6) + 0 AS ref_share,
+           ROUND(f.excess, 6) + 0 AS excess,
+           r1.w AS weight_r1,
+           f.w AS weight
+    FROM dr{_DOREMI_ROUNDS} f JOIN dr1 r1 USING (source)
+    """,
+    survey_ids=(
+        "training-pipeline: MULTI-ROUND DoReMi (Xie et al. 2023 Alg. 1) "
+        "— the EG step iterated with a per-round current-weight "
+        "baseline over the frozen excess table; every round's decimal "
+        "recurrence value-hash-checked (the corpus-sized nll rollup "
+        "computes ONCE; rounds touch only |sources|-sized tables)"
+    ),
+)
+def x_doremi_weights_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated DoReMi weights: (source, n_docs, token_mass, ref_share,
+    excess, weight_r1, weight) — weight after {_DOREMI_ROUNDS} rounds of
+    the baseline-re-centered EG recurrence (see the block comment above
+    for why the baseline, not the raw excess, is what iterates).
+
+    Scale shape: identical to x_doremi_weights up to the domain table —
+    both LM scorings are the certified broadcast-model map passes, ONE
+    per-doc rollup each, computed ONCE — then every round is arithmetic
+    over the |sources|-row frame with two broadcast scalar aggregates;
+    R never touches the corpus again."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "source"
+    )
+    kn = _kn_scored(docs.select("doc_id", "lang", "text")).select(
+        "doc_id",
+        "lang",
+        "n_grams",
+        F.round(F.col("s") / F.col("n_grams"), 6).alias("kn_nll"),
+    )
+    cc = _ccnet_scored(docs.select("doc_id", "lang", "text")).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("s") / F.col("n_grams"), 6).alias("cc_nll"),
+    )
+    per_doc = kn.join(cc, ["doc_id", "lang"]).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    dom = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("token_mass"),
+        (
+            F.sum(F.col("cc_nll").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mcc"),
+        (
+            F.sum(F.col("kn_nll").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mkn"),
+    )
+    tot = dom.agg(F.sum("token_mass").cast("bigint").alias("tot_mass"))
+    ex = dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "token_mass",
+        (
+            F.col("token_mass").cast("double")
+            / F.col("tot_mass").cast("double")
+        ).alias("ref_share"),
+        F.greatest(
+            F.round(F.col("mcc"), 6) - F.round(F.col("mkn"), 6), F.lit(0.0)
+        ).alias("excess"),
+    )
+    cur = ex.withColumn("w", F.round(F.col("ref_share"), 6) + 0)
+    # the round-loop is bounded (R x |sources| arithmetic); cache the
+    # |sources|-row base so rounds don't re-run the corpus rollup
+    cur = cur.localCheckpoint(eager=True)
+    w_r1 = None
+    for t in range(1, _DOREMI_ROUNDS + 1):
+        b = cur.agg(
+            F.sum(
+                F.round(F.col("w") * F.col("excess"), 12).cast(
+                    "decimal(28,12)"
+                )
+            )
+            .cast("double")
+            .alias("b")
+        )
+        num = cur.crossJoin(F.broadcast(b)).withColumn(
+            "num",
+            F.round(
+                F.col("w")
+                * F.exp(
+                    F.lit(_DOREMI_ETA)
+                    * F.round(
+                        F.greatest(
+                            F.col("excess") - F.col("b"), F.lit(0.0)
+                        ),
+                        9,
+                    )
+                ),
+                12,
+            ).cast("decimal(28,12)"),
+        )
+        den = num.agg(F.sum("num").alias("den"))
+        cur = num.crossJoin(F.broadcast(den)).select(
+            "source",
+            "n_docs",
+            "token_mass",
+            "ref_share",
+            "excess",
+            (
+                F.round(
+                    F.col("num").cast("double") / F.col("den").cast("double"),
+                    6,
+                )
+                + 0
+            ).alias("w"),
+        )
+        # materialize each round (|sources| rows): the next round
+        # references `cur` twice (baseline + numerator), so an
+        # unmaterialized lineage would re-execute the corpus-sized LM
+        # chain 2^R times (the oracle's MATERIALIZED hint, Spark-side)
+        cur = cur.localCheckpoint(eager=True)
+        if t == 1:
+            w_r1 = cur.select("source", F.col("w").alias("weight_r1"))
+    return cur.join(w_r1, "source").select(
+        "source",
+        "n_docs",
+        "token_mass",
+        (F.round(F.col("ref_share"), 6) + 0).alias("ref_share"),
+        (F.round(F.col("excess"), 6) + 0).alias("excess"),
+        "weight_r1",
+        F.col("w").alias("weight"),
     )
 
 

@@ -23,7 +23,7 @@ Certification story (the a5 pattern, three tiers):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -714,4 +714,366 @@ def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.sum("n_pieces"), F.lit(1)),
             6,
         ).alias("merged_coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM tokenizer (Kudo 2018) — the second tokenizer family, giving
+# the bake-off table (BPE vs unigram fertility) a real second subject.
+# operators/unigram.py holds the trainer (hard-EM, driver + distributed
+# tiers) and the value-identical encoder tiers; scores are DECIMAL(18,9)
+# log-probs so the Viterbi DP is exact decimal arithmetic and
+# bit-identical across Python / codegen / Arrow / DuckDB.
+# ---------------------------------------------------------------------------
+
+from decimal import Decimal  # noqa: E402
+
+from ..operators import unigram as ugm  # noqa: E402
+
+# Frozen artifact: 48 pieces trained once on the sf0.001 corpus
+# (train_unigram, vocab_size=48, max_len=4, em_iters=2 — the
+# _FROZEN_MERGES provenance pattern). Freezing makes the encoder a pure
+# function of (text, constant model), which buys the FULL DuckDB oracle
+# below.
+_FROZEN_UNIGRAM: list[tuple[str, Decimal]] = [
+    (p, Decimal(s))
+    for p, s in [
+    ("a", "-3.014554666"),
+    ("al", "-3.928788118"),
+    ("an", "-11.451188350"),
+    ("ar", "-11.451188350"),
+    ("as", "-4.622476278"),
+    ("at", "-3.951765059"),
+    ("b", "-3.548700912"),
+    ("c", "-3.232670772"),
+    ("ca", "-11.451188350"),
+    ("can", "-4.558546708"),
+    ("d", "-3.486684986"),
+    ("e", "-2.673170540"),
+    ("er", "-3.905270198"),
+    ("f", "-3.938570805"),
+    ("g", "-3.003130897"),
+    ("h", "-3.244059181"),
+    ("i", "-3.951211809"),
+    ("in", "-3.492961157"),
+    ("j", "-4.608505067"),
+    ("k", "-3.925009436"),
+    ("l", "-3.020424886"),
+    ("lu", "-4.564656707"),
+    ("m", "-3.515243246"),
+    ("me", "-11.451188350"),
+    ("mer", "-3.941853084"),
+    ("n", "-4.564656707"),
+    ("o", "-3.512386101"),
+    ("or", "-3.485295614"),
+    ("ow", "-3.526754165"),
+    ("p", "-4.580097055"),
+    ("pa", "-11.451188350"),
+    ("par", "-3.915357887"),
+    ("q", "-4.610641820"),
+    ("r", "-3.542801190"),
+    ("ro", "-4.610641820"),
+    ("rt", "-11.451188350"),
+    ("s", "-2.998427018"),
+    ("sc", "-11.451188350"),
+    ("sca", "-11.451188350"),
+    ("st", "-3.542066166"),
+    ("t", "-2.996721988"),
+    ("ta", "-4.644358989"),
+    ("to", "-11.451188350"),
+    ("u", "-3.926627123"),
+    ("ue", "-3.909505250"),
+    ("v", "-3.911098029"),
+    ("w", "-4.566701698"),
+    ("y", "-3.912161294"),
+    ]
+]
+_UG_MAXLEN = 4
+
+# Spark words expr (the textan.tokens law + non-empty filter) as SQL
+# text — the unigram codegen encoder splices its per-word lambda in.
+_UG_WORDS_SPARK = (
+    "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '),"
+    " w -> length(w) > 0)"
+)
+
+
+def _unigram_ctes() -> str:
+    """DuckDB replica of the frozen-unigram Viterbi encoder as a
+    recursive-CTE chain ending in ug_t (doc_id, source, lang, words)
+    and ug_doc (doc_id, pieces):
+
+    - ug_dp: the DP table — one recursion step per character position,
+      carrying the best-score list (DECIMAL(28,9), exact adds) and the
+      chosen-piece-length backpointer list; candidates are the
+      <= max_len lookback structs, max is lexicographic struct max
+      (best score, then LONGEST piece) — the same law as the Spark
+      fold (struct ordering verified identical in both engines).
+    - ug_walk: backpointer walk from the end, one recursion step per
+      emitted piece.
+    Unknown single chars score UNK_LOGP in both engines."""
+    keys = ", ".join("'" + p + "'" for p, _ in _FROZEN_UNIGRAM)
+    vals = ", ".join(
+        "CAST('" + str(s) + "' AS DECIMAL(18,9))" for _, s in _FROZEN_UNIGRAM
+    )
+    unk = "CAST('" + str(ugm.UNK_LOGP) + "' AS DECIMAL(18,9))"
+    cands = []
+    for ln in range(1, _UG_MAXLEN + 1):
+        piece = f"substr(w, i + 1 - {ln} + 1, {ln})"
+        hit = f"m[{piece}]"
+        prev = f"bs[i + 1 - {ln} + 1]"
+        if ln == 1:
+            sc = (
+                f"({prev} + coalesce(CASE WHEN len({hit}) > 0 THEN {hit}[1]"
+                f" END, {unk}))"
+            )
+            cands.append("{'s': CAST(" + sc + " AS DECIMAL(28,9)), 'l': 1}")
+        else:
+            sc = f"({prev} + {hit}[1])"
+            cands.append(
+                f"CASE WHEN i + 1 >= {ln} AND len({hit}) > 0 THEN "
+                + "{'s': CAST("
+                + sc
+                + f" AS DECIMAL(28,9)), 'l': {ln}}} END"
+            )
+    cand_arr = ", ".join(cands)
+    return f"""ug_m AS (
+        SELECT map([{keys}], [{vals}]) AS m
+    ), ug_t AS (
+        SELECT doc_id, source, lang,
+               list_filter({_TOKS_DUCK}, w -> w <> '') AS words
+        FROM documents
+    ), ug_w AS (
+        SELECT doc_id, CAST(u.i AS INTEGER) AS widx,
+               words[CAST(u.i AS INTEGER)] AS w
+        FROM ug_t,
+             unnest(generate_series(1, CAST(len(words) AS INTEGER))) AS u(i)
+    ), ug_dp AS (
+        SELECT doc_id, widx, w, 0 AS i,
+               [CAST(0 AS DECIMAL(28,9))] AS bs, CAST([] AS INTEGER[]) AS bl
+        FROM ug_w
+        UNION ALL
+        SELECT doc_id, widx, w, i + 1,
+               list_append(bs, best.s), list_append(bl, best.l)
+        FROM (
+            SELECT doc_id, widx, w, i, bs, bl,
+                   list_max(list_filter([{cand_arr}],
+                                        x -> x IS NOT NULL)) AS best
+            FROM ug_dp, ug_m WHERE i < len(w)
+        )
+    ), ug_walk AS (
+        SELECT doc_id, widx, w, bl, CAST(len(w) AS INTEGER) AS pos,
+               CAST([] AS VARCHAR[]) AS ps
+        FROM ug_dp WHERE i = len(w)
+        UNION ALL
+        SELECT doc_id, widx, w, bl, pos - bl[pos],
+               list_prepend(substr(w, pos - bl[pos] + 1, bl[pos]), ps)
+        FROM ug_walk WHERE pos > 0
+    ), ug_doc AS (
+        SELECT doc_id, flatten(list(ps ORDER BY widx)) AS pieces
+        FROM ug_walk WHERE pos = 0 GROUP BY doc_id
+    )"""
+
+
+_UG_CTES = _unigram_ctes()
+
+
+def _ug_pieces_col() -> Column:
+    """The frozen-unigram piece list as a codegen column over `text`."""
+    return ugm.viterbi_encode_words_expr(
+        _UG_WORDS_SPARK, _FROZEN_UNIGRAM, _UG_MAXLEN
+    )
+
+
+# One train per (process, sf_dir) — the _trained_merges memo pattern.
+_UG_MODEL_CACHE: dict[str, list[tuple[str, Decimal]]] = {}
+
+
+def _trained_unigram(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, Decimal]]:
+    got = _UG_MODEL_CACHE.get(sf_dir)
+    if got is None:
+        docs = load_table(spark, sf_dir, "documents")
+        got = ugm.train_unigram(docs, vocab_size=48, max_len=4, em_iters=2)
+        _UG_MODEL_CACHE[sf_dir] = got
+    return got
+
+
+@query(
+    "x_unigram_train",
+    None,  # iterative EM: not SQL-expressible; golden-tested vs an
+    # independent pure-Python reference in tests/test_unigram.py
+    survey_ids=(
+        "beyond-ref: unigram LM tokenizer training (Kudo 2018 hard-EM "
+        "over a fixed seed vocab; driver + distributed tiers pinned "
+        "equal)"
+    ),
+)
+def x_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned piece table: (piece, logp DECIMAL(18,9), rank).
+
+    Rows-only for the driver (EM is iterative); the real checks are
+    tests/test_unigram.py — exact score-for-score equality against an
+    independent pure-Python EM reference, and driver == distributed
+    trainer-path equality (the bpe.train_bpe gate pattern)."""
+    model = _trained_unigram(spark, sf_dir)
+    rows = [(p, s, i + 1) for i, (p, s) in enumerate(model)]
+    return spark.createDataFrame(
+        rows, "piece string, logp decimal(18,9), rank int"
+    )
+
+
+@query(
+    "x_unigram_encode_frozen",
+    "WITH RECURSIVE "
+    + _UG_CTES
+    + """
+    SELECT t.doc_id, t.source,
+           CAST(len(t.words) AS BIGINT) AS n_words,
+           CAST(coalesce(len(d.pieces), 0) AS BIGINT) AS n_pieces,
+           array_to_string(coalesce(d.pieces, CAST([] AS VARCHAR[]))[1:8],
+                           ' ') AS pieces_head,
+           ROUND(CAST(coalesce(len(d.pieces), 0) AS DOUBLE)
+                 / greatest(len(t.words), 1), 6) AS fertility
+    FROM ug_t t LEFT JOIN ug_doc d ON t.doc_id = d.doc_id
+    """,
+    survey_ids=(
+        "beyond-ref: FROZEN unigram-LM encoding with a FULL DuckDB "
+        "oracle — the Viterbi DP replicated as a recursive CTE "
+        "(decimal-exact path scores, lexicographic struct max), every "
+        "piece of every document value-hash-checked; the second "
+        "tokenizer the bake-off needs"
+    ),
+)
+def x_unigram_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_bpe_encode_frozen's unigram twin: per-doc word count, Viterbi
+    piece count, first-8 pieces and fertility under the frozen 48-piece
+    unigram model — the oracle RE-DERIVES every piece via a
+    recursive-CTE Viterbi (not a cert), so the whole encoding law is
+    externally checked. Decimal path scores make the DP exact: no
+    float tie can flip a segmentation between engines.
+
+    Scale shape: map-only, zero Python — the model is a 48-entry map
+    literal in the plan, the DP an O(len x 4) fold inside whole-stage
+    codegen; no shuffle. Production vocab sizes swap to the Arrow tier
+    (unigram_encode_udf), pinned value-identical by
+    x_unigram_encode_cert."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.expr(_UG_WORDS_SPARK)
+    pieces = _ug_pieces_col()
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+        F.concat_ws(" ", F.slice(pieces, 1, 8)).alias("pieces_head"),
+        F.round(
+            F.size(pieces).cast("double")
+            / F.greatest(F.size(words), F.lit(1)),
+            6,
+        ).alias("fertility"),
+    )
+
+
+@query(
+    "x_unigram_encode_cert",
+    """
+    SELECT COUNT(*) AS n_docs, COUNT(*) AS n_agree FROM documents
+    """,
+    survey_ids=(
+        "beyond-ref: unigram encoder two-tier agreement (in-plan "
+        "certification) — codegen Viterbi fold vs Arrow UDF under the "
+        "same frozen model; one diverging document fails the hash"
+    ),
+)
+def x_unigram_encode_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_bpe_encode_cert's unigram twin: the codegen fold tier and the
+    Arrow-batched UDF tier must agree on EVERY document (the shared
+    certs.tier_agreement law; oracle states n_agree == n_docs as
+    fact). With exact decimal scores the tiers are value-identical by
+    construction — a divergence means one tier broke the Viterbi law;
+    the planted adversarial encoder in tests/test_unigram.py proves
+    the agreement law actually discriminates."""
+    docs = load_table(spark, sf_dir, "documents")
+    via_expr = _ug_pieces_col()
+    via_udf = ugm.unigram_encode_udf(_FROZEN_UNIGRAM, _UG_MAXLEN)(
+        F.col("text")
+    )
+    return certs.tier_agreement(
+        docs.select(via_expr.alias("e"), via_udf.alias("u")), "e", "u"
+    )
+
+
+@query(
+    "x_tokenizer_fertility_compare",
+    "WITH RECURSIVE "
+    + _FROZEN_DOCS_DUCK
+    + ", "
+    + _UG_CTES
+    + """
+    , ug_f AS (
+        SELECT t.doc_id,
+               CAST(coalesce(len(d.pieces), 0) AS BIGINT) AS ug_pieces
+        FROM ug_t t LEFT JOIN ug_doc d ON t.doc_id = d.doc_id
+    )
+    SELECT p.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_words) AS BIGINT) AS sum_words,
+           CAST(SUM(len(p.pieces)) AS BIGINT) AS bpe_pieces,
+           CAST(SUM(u.ug_pieces) AS BIGINT) AS unigram_pieces,
+           ROUND(CAST(SUM(len(p.pieces)) AS DOUBLE)
+                 / greatest(SUM(p.n_words), 1), 6) AS bpe_fertility,
+           ROUND(CAST(SUM(u.ug_pieces) AS DOUBLE)
+                 / greatest(SUM(p.n_words), 1), 6) AS unigram_fertility
+    FROM p JOIN ug_f u ON p.doc_id = u.doc_id
+    GROUP BY p.lang
+    """,
+    survey_ids=(
+        "beyond-ref: the tokenizer BAKE-OFF table — per-language "
+        "fertility under frozen BPE vs frozen unigram in one plan, "
+        "both encoders re-derived independently by the oracle; the "
+        "comparison a real pipeline runs before freezing a tokenizer "
+        "(Rust et al. 2021)"
+    ),
+)
+def x_tokenizer_fertility_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language fertility of BOTH frozen tokenizers in one pass:
+    (lang, n_docs, sum_words, bpe_pieces, unigram_pieces,
+    bpe_fertility, unigram_fertility). Word counts follow the BPE
+    arm's law (SEP-stripped text) so denominators match the existing
+    fertility audit; both encoders run as codegen folds over the same
+    scan — ONE corpus pass, one |langs|-group aggregation, no Spark-
+    side join (the oracle joins its two arms per doc, but the engine
+    computes both columns in place).
+
+    This is the table x_bpe_fertility_by_lang existed to feed: a
+    bake-off needs >= 2 subjects; lower fertility at equal vocab size
+    means cheaper contexts for that language."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.translate(F.col("text"), _SEP, "")
+    words = F.filter(textan.tokens(clean), lambda w: F.length(w) > 0)
+    one = docs.select(
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(bpe.encode_text_expr(clean, _FROZEN_MERGES)).alias("bp"),
+        F.size(_ug_pieces_col()).alias("up"),
+    )
+    return one.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("sum_words"),
+        F.sum("bp").cast("bigint").alias("bpe_pieces"),
+        F.sum("up").cast("bigint").alias("unigram_pieces"),
+        F.round(
+            F.sum("bp").cast("double")
+            / F.greatest(F.sum("n_words"), F.lit(1)),
+            6,
+        ).alias("bpe_fertility"),
+        F.round(
+            F.sum("up").cast("double")
+            / F.greatest(F.sum("n_words"), F.lit(1)),
+            6,
+        ).alias("unigram_fertility"),
     )

@@ -1241,13 +1241,7 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the shortlist is the salted two-phase rank (salted_topn);
     re-rank touches |Q| x {_PQ_SHORTLIST} float vectors.
     """
-    from ..operators.similarity import (
-        l2_sq,
-        pq_adc_sq_expr,
-        pq_code_expr,
-        rotate_udf,
-        salted_topn,
-    )
+    from ..operators.similarity import opq_adc_serve, pq_code_expr, rotate_udf
 
     rot, cbs = _opq_model(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1262,42 +1256,15 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rotate_udf(rot)(F.col("embedding")).alias("rvec"),
     ).select("cid", pq_code_expr(F.col("rvec"), cbs).alias("codes"))
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qvec"),
-        rotate_udf(rot)(F.col("embedding")).alias("rqvec"),
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    scored = (
-        codes.crossJoin(F.broadcast(q))
-        .filter(F.col("qid") != F.col("cid"))
-        .withColumn("adc", pq_adc_sq_expr(F.col("rqvec"), F.col("codes"), cbs))
+    vectors = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    short = salted_topn(
-        scored, (F.col("adc").asc(), F.col("cid").asc()), _PQ_SHORTLIST, "srank"
-    )
-    rer = short.join(
-        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
-        "cid",
-    ).withColumn(
-        "dist",
-        F.sqrt(
-            l2_sq(
-                F.transform(F.col("qvec"), lambda x: x.cast("double")),
-                F.transform(F.col("cvec"), lambda x: x.cast("double")),
-            )
-        ),
-    )
-    # bounded input: |Q| x SHORTLIST rows — direct per-qid window OK
-    wr = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    return (
-        rer.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _TOP_K)
-        .select(
-            F.col("qid").alias("vec_id_q"),
-            F.col("cid").alias("vec_id_c"),
-            F.round(F.sqrt("adc"), 6).alias("adc_dist"),
-            F.round("dist", 6).alias("exact_dist"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    # serving path shared verbatim with StreamingOpqIndex.query
+    # (stream==batch parity is structural) — the pq_adc_serve pattern.
+    return opq_adc_serve(
+        codes, vectors, q, rot, cbs, k=_TOP_K, shortlist=_PQ_SHORTLIST
     )
 
 

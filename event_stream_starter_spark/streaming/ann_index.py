@@ -393,3 +393,322 @@ class StreamingIvfPqIndex(_PointerSink, _FrozenQuantizerMixin, _FrozenCodebooksM
             k=k,
             shortlist=shortlist,
         )
+
+
+class _FrozenRotationMixin:
+    """Frozen-OPQ-rotation contract (the _FrozenCodebooksMixin semantics
+    applied to the rotation matrix): fitted/passed once, persisted to
+    rotation.json, NEVER refit; conflicting constructor values error on
+    BOTH the write and the read path — rotated codes are meaningless
+    under any other rotation."""
+
+    path: str
+    rotation: list[list[float]] | None
+
+    def _rotation_file(self) -> str:
+        return os.path.join(self.path, "rotation.json")
+
+    def _load_rotation(self) -> list[list[float]]:
+        import json
+
+        try:
+            with open(self._rotation_file()) as fh:
+                persisted = json.load(fh)
+        except FileNotFoundError:
+            persisted = None
+        if persisted is not None:
+            if self.rotation is not None and self.rotation != persisted:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: constructor "
+                    "rotation differs from the persisted quantizer this "
+                    "index was built under; drop the argument (or the "
+                    "index) instead of mixing"
+                )
+            self.rotation = persisted
+        if self.rotation is None:
+            raise FileNotFoundError(self._rotation_file())
+        return self.rotation
+
+    def _persist_rotation(self) -> None:
+        import json
+
+        tmp = self._rotation_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.rotation, fh)
+        os.replace(tmp, self._rotation_file())
+
+
+class StreamingOpqIndex(_PointerSink, _FrozenRotationMixin, _FrozenCodebooksMixin):
+    """foreachBatch sink: append-only OPQ code index under BOTH frozen
+    models (rotation.json + codebooks.json) — the rotated tier of
+    StreamingPqIndex, completing the streaming quantization matrix
+    (PQ / IVF-PQ / OPQ / SQ8 all have append-only serving indexes).
+
+    Per micro-batch: one Arrow rotation pass + map-only subspace coding
+    against the broadcast codebook literals — O(batch), no history
+    re-encode; the original float vector rides along for the exact
+    ORIGINAL-SPACE re-rank. ``query`` runs operators/similarity
+    .opq_adc_serve — the EXACT serving path ann_opq_topk uses on a
+    fresh corpus, so stream-built == one-shot equality is structural
+    (pinned in tests/test_streaming.py). Unlike PQ the models here are
+    REQUIRED constructor inputs on first use (rotation training is an
+    offline eigen-decomposition — operators/similarity.opq_rotation —
+    not something a first micro-batch should freeze); restarts reload
+    the sidecars.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dim: int = 64,
+        m: int = 16,
+        k: int = 64,
+        rotation: list[list[float]] | None = None,
+        codebooks: list[list[list[float]]] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.dim = dim
+        self.m = m
+        self.k = k
+        self.rotation = rotation
+        self.codebooks = codebooks
+        os.makedirs(os.path.join(path, "codes"), exist_ok=True)
+
+    def read_codes(self) -> DataFrame | None:
+        return self._read_dir("codes", ["cid"])
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id():
+            return  # replayed, fully committed batch
+        if batch.limit(1).count() == 0:
+            self._commit(batch_id)
+            return
+        import json
+
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import pq_code_expr, rotate_udf
+
+        # sidecar-wins conflict check on both models; unlike the PQ
+        # sink there is NO first-batch fit — rotation + codebooks are
+        # trained offline and must be supplied (or already persisted).
+        try:
+            rot = self._load_rotation()
+        except FileNotFoundError:
+            if self.rotation is None:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: OPQ rotation "
+                    "must be supplied (offline-trained) on first use"
+                ) from None
+            rot = self.rotation
+        try:
+            with open(self._codebooks_file()) as fh:
+                persisted = json.load(fh)
+            if self.codebooks is not None and self.codebooks != persisted:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: constructor "
+                    "codebooks differ from the persisted quantizer this "
+                    "index was built under; drop the argument (or the "
+                    "index) instead of mixing"
+                )
+            self.codebooks = persisted
+        except FileNotFoundError:
+            if self.codebooks is None:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: OPQ codebooks "
+                    "must be supplied (offline-trained) on first use"
+                ) from None
+        self._persist_rotation()
+        tmp = self._codebooks_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.codebooks, fh)
+        os.replace(tmp, self._codebooks_file())
+
+        rows = batch.select(
+            F.col(self.id_col).alias("cid"),
+            F.col(self.vec_col).alias("cvec"),
+            rotate_udf(rot)(F.col(self.vec_col)).alias("rvec"),
+        ).select(
+            "cid",
+            "cvec",
+            pq_code_expr(F.col("rvec"), self.codebooks).alias("codes"),
+        )
+        rows.write.mode("append").parquet(os.path.join(self.path, "codes"))
+        self._commit(batch_id)
+
+    def query(
+        self, queries: DataFrame, k: int = 5, shortlist: int = 50
+    ) -> DataFrame | None:
+        """OPQ top-k against the accumulated index — the same serving
+        code path as a one-shot ann_opq_topk."""
+        idx = self.read_codes()
+        if idx is None:
+            return None
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import opq_adc_serve
+
+        q = queries.select(
+            F.col(self.id_col).alias("qid"),
+            F.col(self.vec_col).alias("qvec"),
+        )
+        return opq_adc_serve(
+            idx.select("cid", "codes"),
+            idx.select("cid", "cvec"),
+            q,
+            self._load_rotation(),
+            self._load_codebooks(),
+            k=k,
+            shortlist=shortlist,
+        )
+
+
+class StreamingSq8Index(_PointerSink):
+    """foreachBatch sink: append-only SQ8 (int8) code index under FROZEN
+    per-dimension (mn, mx) scale stats — the scalar-quantization tier of
+    the streaming index family.
+
+    The stats follow the frozen-model contract (fitted on the first
+    non-empty batch via two plain aggregates, or passed in; persisted to
+    sqstats.json; NEVER refit; conflicts error on write AND read). Per
+    micro-batch the sink appends (cid, codes) — map-only against the
+    stat literals (operators/similarity.sq8_code_expr, the
+    x_sq8_quantize law). ``query`` runs operators/similarity.sq8_serve:
+    exact query vs de-quantized corpus, salted two-phase rank — the
+    ann_sq8_topk serving shape; when the frozen stats equal the
+    full-corpus stats the outputs are value-identical (pinned in
+    tests/test_streaming.py).
+
+    Unlike PQ/OPQ there is no re-rank float table: SQ8's de-quantized
+    distance IS the emitted distance (the FAISS int8 posture), so the
+    persisted scan state is 64 bytes of codes per vector and nothing
+    else.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        stats: tuple[list[float], list[float]] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.stats = [list(stats[0]), list(stats[1])] if stats else None
+        os.makedirs(os.path.join(path, "codes"), exist_ok=True)
+
+    def _stats_file(self) -> str:
+        return os.path.join(self.path, "sqstats.json")
+
+    def _load_stats(self) -> list[list[float]]:
+        import json
+
+        try:
+            with open(self._stats_file()) as fh:
+                persisted = json.load(fh)
+        except FileNotFoundError:
+            persisted = None
+        if persisted is not None:
+            if self.stats is not None and self.stats != persisted:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: constructor "
+                    "stats differ from the persisted quantizer this "
+                    "index was built under; drop the argument (or the "
+                    "index) instead of mixing"
+                )
+            self.stats = persisted
+        if self.stats is None:
+            raise FileNotFoundError(self._stats_file())
+        return self.stats
+
+    def _load_or_fit_stats(self, batch: DataFrame) -> list[list[float]]:
+        import json
+
+        from pyspark.sql import functions as F
+
+        try:
+            with open(self._stats_file()) as fh:
+                persisted = json.load(fh)
+        except FileNotFoundError:
+            persisted = None
+        if persisted is not None:
+            if self.stats is not None and self.stats != persisted:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: constructor "
+                    "stats differ from the persisted quantizer this "
+                    "index was built under; drop the argument (or the "
+                    "index) instead of mixing"
+                )
+            self.stats = persisted
+            return self.stats
+        if self.stats is None:
+            dim = len(
+                batch.select(self.vec_col).limit(1).collect()[0][0]
+            )
+            row = batch.agg(
+                F.array(
+                    *[
+                        F.min(F.col(self.vec_col)[i]).cast("double")
+                        for i in range(dim)
+                    ]
+                ).alias("mn"),
+                F.array(
+                    *[
+                        F.max(F.col(self.vec_col)[i]).cast("double")
+                        for i in range(dim)
+                    ]
+                ).alias("mx"),
+            ).collect()[0]
+            self.stats = [list(row["mn"]), list(row["mx"])]
+        tmp = self._stats_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.stats, fh)
+        os.replace(tmp, self._stats_file())
+        return self.stats
+
+    def read_codes(self) -> DataFrame | None:
+        return self._read_dir("codes", ["cid"])
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id():
+            return  # replayed, fully committed batch
+        if batch.limit(1).count() == 0:
+            self._commit(batch_id)
+            return
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import sq8_code_expr
+
+        mn, mx = self._load_or_fit_stats(batch)
+        rows = batch.select(
+            F.col(self.id_col).alias("cid"),
+            sq8_code_expr(self.vec_col, mn, mx).alias("codes"),
+        )
+        rows.write.mode("append").parquet(os.path.join(self.path, "codes"))
+        self._commit(batch_id)
+
+    def query(self, queries: DataFrame, k: int = 5) -> DataFrame | None:
+        """SQ8 top-k against the accumulated codes — the ann_sq8_topk
+        serving shape under the frozen stats."""
+        idx = self.read_codes()
+        if idx is None:
+            return None
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import sq8_serve
+
+        mn, mx = self._load_stats()
+        q = queries.select(
+            F.col(self.id_col).alias("qid"),
+            F.col(self.vec_col).alias("qvec"),
+        )
+        return sq8_serve(idx.select("cid", "codes"), q, mn, mx, k=k)

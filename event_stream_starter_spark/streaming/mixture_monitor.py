@@ -37,6 +37,34 @@ from .incremental_dedup import _PointerSink
 _ALPHA = 0.3  # the XLM-R operating point (matches textdata._TEMP_ALPHA)
 
 
+def _fk_grade(t: F.Column) -> F.Column:
+    """Per-doc Flesch-Kincaid grade, the x_readability law verbatim
+    (letterful words, [.!?]+ sentence runs min 1, vowel-group syllables
+    min 1/word; NULL for wordless docs) as one self-contained column."""
+    words = F.filter(textan.tokens(t), lambda w: w.rlike("[a-z]"))
+    nw = F.size(words).cast("double")
+    ns = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    ).cast("double")
+    sy = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        ).cast("bigint"),
+    ).cast("double")
+    fk = (
+        F.round(
+            F.lit(0.39) * (nw / ns) + F.lit(11.8) * (sy / nw) - F.lit(15.59),
+            6,
+        )
+        + 0
+    )
+    return F.when(F.size(words) == 0, F.lit(None).cast("double")).otherwise(fk)
+
+
 class StreamingMixtureMonitor(_PointerSink):
     """foreachBatch sink: incremental per-language doc/token mass with
     temperature-target drift in the merged report."""
@@ -50,17 +78,29 @@ class StreamingMixtureMonitor(_PointerSink):
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch_id <= self.last_batch_id():
             return  # replayed, fully committed batch
+        t = F.col(self.text_col)
+        toks = textan.tokens(t)
+        # Datacard-v2 columns as MERGEABLE partials (sums, never means —
+        # means don't merge): quality mass, and the readability rollup's
+        # (fk-grade mass, fk-doc count) over letterful docs. report()
+        # divides on the merged totals, so stream-end == one-shot.
+        fk = _fk_grade(t)
         stats = (
             batch.select(
                 "lang",
-                textan.token_count(F.col(self.text_col))
-                .cast("long")
-                .alias("ntok"),
+                textan.token_count(t).cast("long").alias("ntok"),
+                F.round(textan.quality_score(t, toks), 6)
+                .cast("decimal(18,6)")
+                .alias("q"),
+                fk.cast("decimal(18,6)").alias("fk"),
             )
             .groupBy("lang")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum("ntok").cast("bigint").alias("n_tokens"),
+                F.sum("q").cast("decimal(28,6)").alias("sum_quality"),
+                F.sum("fk").cast("decimal(28,6)").alias("sum_fk"),
+                F.count("fk").cast("bigint").alias("n_fk"),
             )
             .withColumn("batch_id", F.lit(batch_id))
         )
@@ -81,6 +121,9 @@ class StreamingMixtureMonitor(_PointerSink):
         lc = stats.groupBy("lang").agg(
             F.sum("n_docs").cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("sum_quality").cast("decimal(28,6)").alias("sum_quality"),
+            F.sum("sum_fk").cast("decimal(28,6)").alias("sum_fk"),
+            F.sum("n_fk").cast("bigint").alias("n_fk"),
         )
         tot = lc.agg(
             F.sum("n_docs").cast("bigint").alias("n"),
@@ -93,6 +136,9 @@ class StreamingMixtureMonitor(_PointerSink):
             "lang",
             "n_docs",
             "n_tokens",
+            "sum_quality",
+            "sum_fk",
+            "n_fk",
             "t",
             F.round(
                 F.pow(F.col("n_docs").cast("double") / F.col("n"), _ALPHA), 9
@@ -105,6 +151,17 @@ class StreamingMixtureMonitor(_PointerSink):
             "lang",
             "n_docs",
             "n_tokens",
+            # datacard-v2 columns from the merged mergeable partials
+            F.round(
+                F.col("sum_quality").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("mean_quality"),
+            F.round(
+                F.col("sum_fk").cast("double")
+                / F.greatest(F.col("n_fk"), F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_fk_grade"),
             F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias(
                 "obs_share"
             ),

@@ -115,6 +115,23 @@ DOC_QUERIES = [
     "x_quality_bins_approx",
     "x_reservoir_sample_topk",
     "x_epoch_shuffle",
+    # Round-7 families (KN LM, IDF screen, corpus datasheets, DoReMi)
+    # and round-8 additions (unigram tokenizer, bake-off, datacard v2,
+    # multi-round DoReMi): the 10x probe is the empirical check behind
+    # their 100TB plan-shape claims.
+    "x_kn_trigram_lm",
+    "x_kn_lm_buckets",
+    "x_kn_lm_buckets_approx",
+    "x_semantic_decontaminate_idf",
+    "x_zipf_entropy",
+    "x_bigram_entropy",
+    "x_vocab_overlap",
+    "x_readability",
+    "x_doremi_weights",
+    "x_doremi_weights_multiround",
+    "x_unigram_encode_frozen",
+    "x_tokenizer_fertility_compare",
+    "x_corpus_datacard_v2",
 ]
 
 # Embedding family on a 10x synthetic vector table (5k vectors, 64-dim,
@@ -125,6 +142,13 @@ EMB_QUERIES = [
     "ann_lsh_topk",
     "dd_semdedup",
     "dd_embed_near_dup",
+    # Quantization tiers (build+serve per run at smoke scale; deployed,
+    # codes persist in the Streaming*Index sinks and queries pay serve
+    # only).
+    "ann_pq_topk",
+    "ann_opq_topk",
+    "ann_ivfopq_topk",
+    "ann_sq8_topk",
 ]
 
 

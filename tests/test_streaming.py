@@ -1890,6 +1890,42 @@ def test_streaming_mixture_monitor_matches_batch(spark, sf_dir, tmp_path):
         assert r["drift"] == round(obs - q_want[lang], 6)
         assert r["over_target"] == (obs > q_want[lang])
 
+    # Datacard-v2 columns: merged mergeable partials must equal the
+    # one-shot per-lang means (quality via textan, fk via _fk_grade).
+    from decimal import Decimal as _D
+
+    from event_stream_starter_spark.streaming.mixture_monitor import (
+        _fk_grade,
+    )
+
+    t = F.col("text")
+    one = {
+        r["lang"]: r
+        for r in docs.select(
+            "lang",
+            F.round(textan.quality_score(t, textan.tokens(t)), 6)
+            .cast("decimal(18,6)")
+            .alias("q"),
+            _fk_grade(t).cast("decimal(18,6)").alias("fk"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("q").alias("sq"),
+            F.sum("fk").alias("sfk"),
+            F.count("fk").alias("nfk"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .collect()
+    }
+    for lang, r in got.items():
+        w = one[lang]
+        assert r["mean_quality"] == float(
+            round(_D(w["sq"]) / w["nd"], 6)
+        ), lang
+        assert r["mean_fk_grade"] == float(
+            round(_D(w["sfk"]) / max(w["nfk"], 1), 6)
+        ), lang
+
     # Replay of a committed batch: report unchanged (pointer short-circuit).
     before = sorted(tuple(r) for r in sink.report().collect())
     sink.process_batch(docs.limit(7), sink.last_batch_id())
@@ -2270,3 +2306,155 @@ def test_streaming_ivfpq_index_matches_batch(spark, sf_dir, tmp_path):
     # Restart with NEITHER model supplied: both sidecars reload.
     again = StreamingIvfPqIndex(spark, str(tmp_path / "ivfpq_state"))
     assert as_set(again.query(q, k=5, n_probe=4, shortlist=50)) == want
+
+
+def test_streaming_opq_index_matches_batch(spark, sf_dir, tmp_path):
+    """Embeddings streamed through StreamingOpqIndex (frozen offline
+    rotation + codebooks) must answer OPQ top-k EXACTLY like the
+    one-shot ann_opq_topk — the serving path (opq_adc_serve) is shared
+    verbatim. Also: missing models on first use error, conflicting
+    models error on write AND read, a restart without models reloads
+    the sidecars."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries.vectors import _opq_model
+    from event_stream_starter_spark.streaming.ann_index import (
+        StreamingOpqIndex,
+    )
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rot, cbs = _opq_model(spark, sf_dir)
+    land = tmp_path / "opq_landing"
+    emb.repartition(3).write.mode("overwrite").parquet(str(land))
+
+    # models are REQUIRED on first use (offline-trained, never batch-fit)
+    bare = StreamingOpqIndex(spark, str(tmp_path / "opq_bare"))
+    with _pytest.raises(ValueError, match="must be supplied"):
+        bare.process_batch(emb.limit(3), 0)
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    ix = StreamingOpqIndex(
+        spark, str(tmp_path / "opq_state"), rotation=rot, codebooks=cbs
+    )
+    run_to_completion(stream, ix.foreach_batch_writer(), str(tmp_path / "opq_ck"))
+
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def as_set(df):
+        return {
+            (
+                r["vec_id_q"],
+                r["vec_id_c"],
+                r["adc_dist"],
+                r["exact_dist"],
+                r["rank"],
+            )
+            for r in df.collect()
+        }
+
+    want = as_set(all_queries()["ann_opq_topk"].fn(spark, sf_dir))
+    got = as_set(ix.query(q, k=5, shortlist=50))
+    assert got == want
+
+    # Committed replay: pointer short-circuits.
+    ix.process_batch(emb.limit(3), ix.last_batch_id())
+    assert as_set(ix.query(q, k=5, shortlist=50)) == want
+
+    # Crash re-append: read-side id dedup absorbs duplicate rows.
+    codes = spark.read.parquet(_os.path.join(ix.path, "codes")).limit(4)
+    codes.write.mode("append").parquet(_os.path.join(ix.path, "codes"))
+    assert as_set(ix.query(q, k=5, shortlist=50)) == want
+
+    # Conflicting rotation errors on write and on read.
+    other_rot = [[v + 1.0 for v in r] for r in rot]
+    bad = StreamingOpqIndex(
+        spark, str(tmp_path / "opq_state"), rotation=other_rot, codebooks=cbs
+    )
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad.process_batch(emb.limit(3), ix.last_batch_id() + 1)
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad.query(q, k=5)
+
+    # Restart WITHOUT models loads the sidecars, answers identically.
+    again = StreamingOpqIndex(spark, str(tmp_path / "opq_state"))
+    assert as_set(again.query(q, k=5, shortlist=50)) == want
+
+
+def test_streaming_sq8_index_matches_batch(spark, sf_dir, tmp_path):
+    """Embeddings streamed through StreamingSq8Index with the
+    full-corpus (mn, mx) stats must answer SQ8 top-k EXACTLY like the
+    one-shot ann_sq8_topk (same affine law, same salted serve shape).
+    Also: frozen-stats conflict errors on write and read; restart
+    without stats reloads the sidecar; replay and crash re-appends are
+    absorbed."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.streaming.ann_index import (
+        StreamingSq8Index,
+    )
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = 64
+    row = emb.agg(
+        F.array(
+            *[F.min(F.col("embedding")[i]).cast("double") for i in range(dim)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.col("embedding")[i]).cast("double") for i in range(dim)]
+        ).alias("mx"),
+    ).collect()[0]
+    stats = (list(row["mn"]), list(row["mx"]))
+    land = tmp_path / "sq_landing"
+    emb.repartition(3).write.mode("overwrite").parquet(str(land))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    ix = StreamingSq8Index(spark, str(tmp_path / "sq_state"), stats=stats)
+    run_to_completion(stream, ix.foreach_batch_writer(), str(tmp_path / "sq_ck"))
+
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def as_set(df):
+        return {
+            (r["vec_id_q"], r["vec_id_c"], r["sq_dist"], r["rank"])
+            for r in df.collect()
+        }
+
+    want = as_set(all_queries()["ann_sq8_topk"].fn(spark, sf_dir))
+    got = as_set(ix.query(q, k=5))
+    assert got == want
+
+    # Committed replay + crash re-append are absorbed.
+    ix.process_batch(emb.limit(3), ix.last_batch_id())
+    codes = spark.read.parquet(_os.path.join(ix.path, "codes")).limit(4)
+    codes.write.mode("append").parquet(_os.path.join(ix.path, "codes"))
+    assert as_set(ix.query(q, k=5)) == want
+
+    # Conflicting frozen stats error on write and on read.
+    other = ([x - 1.0 for x in stats[0]], list(stats[1]))
+    bad = StreamingSq8Index(spark, str(tmp_path / "sq_state"), stats=other)
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad.process_batch(emb.limit(3), ix.last_batch_id() + 1)
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad.query(q, k=5)
+
+    # Restart WITHOUT stats loads the sidecar, answers identically.
+    again = StreamingSq8Index(spark, str(tmp_path / "sq_state"))
+    assert as_set(again.query(q, k=5)) == want
