@@ -247,7 +247,21 @@ NOTES = (
     "(in-band; loadavg 14.7 at start) and prices the round's last "
     "additions honestly (x_doremi_resample 5.7s = the weights pipeline "
     "+ a map-only apply; x_vocab_overlap 0.9s; x_readability 0.3s; "
-    "mm_audio_windows 0.4s)."
+    "mm_audio_windows 0.4s). "
+    "r8 probe (132-query registry, busy_frac 0.001/0.006, loadavg 15.3 "
+    "at start — the elevated-start pattern, r01-comparable 46.10s): "
+    "the unigram family is cheap in steady state (x_unigram_encode_"
+    "frozen 0.92s map-only codegen Viterbi — after carrying the DP "
+    "table word-to-walk in a struct transform, halving the fold from "
+    "a first-probe 14.9s cold / ~8s warm; encode_cert 1.23s both "
+    "tiers; fertility bake-off 3.29s = two encoders in one pass); "
+    "x_doremi_weights_multiround 6.30s vs single-round 5.72s — four "
+    "extra EG rounds cost +0.6s because the corpus-sized LM chain "
+    "executes once into a localCheckpoint (its DuckDB oracle needed "
+    "MATERIALIZED CTE rounds for the same reason: inlined rounds "
+    "re-expanded the chain 2^R times, >25 min -> 0.5s at sf0.01); "
+    "x_corpus_datacard_v2 5.40s = the five component families' own "
+    "passes + |langs|-sized joins."
 )
 
 

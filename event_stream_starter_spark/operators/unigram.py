@@ -172,16 +172,21 @@ def viterbi_words_sql(
     """Spark SQL expr string: encode the array<string> produced by
     `words_sql` into the flattened piece list — entirely inside
     whole-stage codegen, model as a map literal baked into the plan.
-    The per-word lambda is generated as SQL text (variable `w`), so the
-    DP fold and the backpointer walk reference the lambda variable
-    directly; the DP table is recomputed inside the walk (SQL lambdas
-    have no let-binding) — cost is 2x the O(len * max_len) fold.
-    Bounded-vocab tier; production vocab sizes swap to
+    The per-word lambda is generated as SQL text (variable `w`). SQL
+    lambdas have no let-binding, so the DP table is carried to the
+    backpointer walk by an inner transform producing (word, table)
+    structs — the O(len * max_len) fold runs ONCE per word, the walk
+    reads `x.bt`. Bounded-vocab tier; production vocab sizes swap to
     unigram_encode_udf behind the same law."""
     m = _score_map_spark(scores)
     bt = _best_table_sql("w", m, max_len)
-    per_word = _walk_back_sql("w", bt)
-    return f"flatten(transform({words_sql}, w -> {per_word}))"
+    # NB: the struct variable must not collide with the walk fold's own
+    # lambda variables (st, x) — `wb` is reserved for this splice.
+    per_word = _walk_back_sql("wb.w", "wb.bt")
+    return (
+        f"flatten(transform(transform({words_sql},"
+        f" w -> named_struct('w', w, 'bt', {bt})), wb -> {per_word}))"
+    )
 
 
 def viterbi_encode_words_expr(

@@ -292,6 +292,28 @@ SHOW = [
         "(floor + hash-Bernoulli copy counts are map-only) — no "
         "document-data shuffle at all",
     ),
+    (
+        "x_unigram_encode_frozen",
+        "frozen unigram-LM Viterbi encode: map-only, ZERO shuffles — "
+        "the 48-piece model is a map literal in the plan, the DP and "
+        "backpointer walk run as one whole-stage-codegen projection "
+        "(the table carried word-to-walk by a struct transform, no "
+        "double fold)",
+    ),
+    (
+        "x_doremi_weights_multiround",
+        "iterated EG rounds over a localCheckpointed |sources|-row "
+        "table: the corpus-sized LM scoring executes once (round 0's "
+        "checkpoint); each subsequent round is broadcast-scalar "
+        "arithmetic — the plan shown is the final round's (reads the "
+        "checkpoint, not the corpus)",
+    ),
+    (
+        "x_corpus_datacard_v2",
+        "per-language release datasheet: every family keeps its own "
+        "certified plan; the datasheet itself is |langs|-sized "
+        "broadcast joins over their outputs",
+    ),
 ]
 
 
