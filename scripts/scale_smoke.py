@@ -48,6 +48,27 @@ key dedup 21s, flagship 20s), aggregate ~31k rows/s/query vs ~21k at
 1M — per-row cost FALLS at 5x the data as fixed overheads amortize,
 the signature of shuffle-parallel plans with partial aggregation.
 
+Round-7/8 families at the same 10x (50k clique docs / 5k vectors,
+2026-08-16 run): KN LM x_kn_trigram_lm 10.2s / buckets 8.2s / approx
+buckets 11.4s (~5x the sf0.1 times at 10x docs — the model groupBys
+amortize); zipf 1.5s, bigram entropy 1.7s, vocab overlap 1.1s,
+readability 0.8s (all ~linear map/agg passes); DoReMi weights 15.5s
+and MULTIROUND 17.5s — four extra EG rounds cost +2s at 10x because
+the corpus-sized LM chain executes once into the round-0 checkpoint;
+unigram Viterbi encode 8.1s (pure map-only linear: 10x docs = 10x the
+0.9s sf0.1 time, no shuffle to parallelize away); tokenizer bake-off
+30.9s = both codegen encoders over the same scan (the BPE 12-fold
+dominates; at production vocab both swap to their Arrow tiers);
+datacard v2 39.5s = the sum of its five component families' own
+passes. x_semantic_decontaminate_idf 72.3s is ~8x its sf0.1 time —
+LINEAR in token volume (the per-(doc,dim) DECIMAL rollup is
+arithmetic-bound with no parallel slack to reclaim), the documented
+cost of the exact IDF arm; the sketch/screen twins are the 100TB
+path. Quantization serving: pq 16.8s / opq 24.4s / ivfopq 13.5s at 5k
+vectors are FIT-dominated (codebooks + rotation retrain per run at
+smoke scale) — deployed, models freeze in the Streaming*Index
+sidecars and queries pay ADC only; sq8 2.4s (no trained model).
+
 NOISE CAVEAT: this script is single-pass (unlike bench.py's best-of-4
 passes); the box's co-resident agent process bursts for tens of
 seconds and can inflate any one query 5-20x (observed 15-30s readings

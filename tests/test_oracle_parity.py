@@ -21,12 +21,33 @@ def duck(sf_dir):
     con.close()
 
 
+# Per-query wall ceiling (Spark arm + DuckDB oracle + compare): the r8
+# multi-round DoReMi oracle ran >100s at sf0.001 (and >25 min at
+# sf0.01, near-hanging the external driver) because its chained round
+# CTEs defeated DuckDB's CTE materialization heuristic and re-expanded
+# the corpus-sized LM chain 2^R times; the fix was AS MATERIALIZED
+# rounds. The slowest healthy parity case runs ~10s at sf0.001, so 90s
+# is contention-proof headroom that still catches the class — static
+# CTE analysis cannot (DuckDB auto-materializes most shapes; see
+# tests/test_oracle_cte_audit.py for the shape-level canary).
+ORACLE_WALL_CEILING_S = 90.0
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, sf_dir, duck, name):
+    import time
+
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
+    t0 = time.monotonic()
     problems = compare(df, duck, spec.oracle)
+    dt = time.monotonic() - t0
     assert not problems, f"{name}: {problems}"
+    assert dt < ORACLE_WALL_CEILING_S, (
+        f"{name}: oracle+compare took {dt:.1f}s at sf0.001 — a CTE "
+        "re-expansion (add AS MATERIALIZED) or an accidental "
+        "corpus-squared arm; the external driver runs this at sf0.01"
+    )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
