@@ -159,6 +159,7 @@ HEADLINE = [
     "x_tokenizer_fertility_compare",
     "x_doremi_weights_multiround",
     "x_corpus_datacard_v2",
+    "x_unigram_coverage",
 ]
 
 

@@ -1077,3 +1077,83 @@ def x_tokenizer_fertility_compare(
             6,
         ).alias("unigram_fertility"),
     )
+
+
+@query(
+    "x_unigram_coverage",
+    "WITH RECURSIVE "
+    + _UG_CTES
+    + """
+    , upc AS (
+        SELECT t.lang,
+               CAST(coalesce(len(d.pieces), 0) AS BIGINT) AS n_pieces,
+               CAST(coalesce(len(list_filter(d.pieces,
+                    p -> length(p) = 1)), 0) AS BIGINT) AS n_single,
+               CAST(coalesce(len(list_filter(d.pieces,
+                    p -> NOT list_contains([__VOCAB__], p))), 0)
+                    AS BIGINT) AS n_oov
+        FROM ug_t t LEFT JOIN ug_doc d ON t.doc_id = d.doc_id
+    )
+    SELECT lang,
+           CAST(SUM(n_pieces) AS BIGINT) AS sum_pieces,
+           CAST(SUM(n_single) AS BIGINT) AS sum_single_char,
+           CAST(SUM(n_oov) AS BIGINT) AS sum_oov,
+           ROUND(1.0 - CAST(SUM(n_single) AS DOUBLE)
+                 / greatest(SUM(n_pieces), 1), 6) AS multi_coverage,
+           ROUND(CAST(SUM(n_oov) AS DOUBLE)
+                 / greatest(SUM(n_pieces), 1), 6) AS oov_frac
+    FROM upc GROUP BY lang
+    """.replace(
+        "__VOCAB__",
+        ", ".join("'" + p + "'" for p, _ in _FROZEN_UNIGRAM),
+    ),
+    survey_ids=(
+        "tokenizer: unigram vocabulary-coverage audit (x_vocab_coverage's "
+        "unigram twin) — per language, the fraction of emitted pieces "
+        "that are multi-char units vs single-char fallbacks, plus the "
+        "out-of-vocab (UNK-scored) piece rate; the benefit half of the "
+        "bake-off next to x_tokenizer_fertility_compare's cost half"
+    ),
+)
+def x_unigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language coverage of the frozen unigram tokenizer:
+    (lang, sum_pieces, sum_single_char, sum_oov, multi_coverage,
+    oov_frac). multi_coverage mirrors x_vocab_coverage's
+    merged_coverage (a language emitted char-by-char is effectively
+    untokenized); oov_frac counts UNK-scored pieces — characters the
+    frozen vocab never saw, the audit column that tells a curation
+    owner the tokenizer needs retraining for a language rather than
+    just compressing it poorly. Integer sums, full oracle (pieces
+    re-derived by the recursive-CTE Viterbi).
+
+    Scale shape: map-only frozen encode + one |langs|-group rollup —
+    x_vocab_coverage's plan with the unigram encoder."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = _ug_pieces_col()
+    vocab = F.array(*[F.lit(p) for p, _ in _FROZEN_UNIGRAM])
+    pc = docs.select(
+        "lang",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.filter(pieces, lambda x: F.length(x) == 1))
+        .cast("long")
+        .alias("n_single"),
+        F.size(F.filter(pieces, lambda x: ~F.array_contains(vocab, x)))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return pc.groupBy("lang").agg(
+        F.sum("n_pieces").cast("bigint").alias("sum_pieces"),
+        F.sum("n_single").cast("bigint").alias("sum_single_char"),
+        F.sum("n_oov").cast("bigint").alias("sum_oov"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_single").cast("double")
+            / F.greatest(F.sum("n_pieces"), F.lit(1)),
+            6,
+        ).alias("multi_coverage"),
+        F.round(
+            F.sum("n_oov").cast("double")
+            / F.greatest(F.sum("n_pieces"), F.lit(1)),
+            6,
+        ).alias("oov_frac"),
+    )
