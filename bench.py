@@ -160,6 +160,8 @@ HEADLINE = [
     "x_doremi_weights_multiround",
     "x_corpus_datacard_v2",
     "x_unigram_coverage",
+    "ann_ivfsq8_topk",
+    "ann_ivfsq8_recall_cert",
 ]
 
 

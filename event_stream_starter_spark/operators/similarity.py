@@ -1062,6 +1062,43 @@ def sq8_serve(
     )
 
 
+def ivfsq8_serve(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-SQ8 top-k over a PREBUILT (cid, cluster, dv) index (dv = the
+    de-quantized SQ8 vector, algebraically mn + code*step — production
+    computes it from stored codes without touching floats): each query
+    probes its n_probe closest coarse lists and ranks exact-query vs
+    de-quantized L2 inside them. `queries` = (qid, qv double array).
+    Emits (vec_id_q, vec_id_c, sq_dist, rank) — the ann_sq8_topk
+    emission over the probed fraction of the corpus."""
+    qscores = F.transform(
+        _cluster_scores(F.col("qv"), centroids),
+        lambda s, i: F.struct(s.alias("s"), i.alias("cl")),
+    )
+    probes = F.slice(F.reverse(F.array_sort(qscores)), 1, n_probe)
+    q = queries.withColumn("p", F.explode(probes)).select(
+        "qid", "qv", F.col("p.cl").cast("long").alias("cluster")
+    )
+    scored = (
+        index.join(F.broadcast(q), "cluster")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("dist", F.sqrt(l2_sq(F.col("qv"), F.col("dv"))))
+    )
+    return salted_topn(
+        scored, (F.col("dist").asc(), F.col("cid").asc()), k
+    ).select(
+        F.col("qid").alias("vec_id_q"),
+        F.col("cid").alias("vec_id_c"),
+        F.round("dist", 6).alias("sq_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def rotate_udf(rotation: list[list[float]]):
     """Arrow tier of :func:`rotate_expr` — BIT-IDENTICAL outputs, ~10^3
     less per-row interpreter overhead.

@@ -170,6 +170,7 @@ EMB_QUERIES = [
     "ann_opq_topk",
     "ann_ivfopq_topk",
     "ann_sq8_topk",
+    "ann_ivfsq8_topk",
 ]
 
 
