@@ -264,7 +264,16 @@ NOTES = (
     "MATERIALIZED CTE rounds for the same reason: inlined rounds "
     "re-expanded the chain 2^R times, >25 min -> 0.5s at sf0.01); "
     "x_corpus_datacard_v2 5.40s = the five component families' own "
-    "passes + |langs|-sized joins."
+    "passes + |langs|-sized joins. "
+    "Final r8 probe (134-query registry, busy_frac 0.001/0.001, "
+    "loadavg 13.3 at start): r01-comparable 44.98s — at the top edge "
+    "of the idle band with the elevated-start pattern again; the "
+    "round's last additions price cheap (x_unigram_coverage 2.49s, "
+    "ann_ivfsq8_topk 2.47s map-only probe + salted rank, "
+    "ann_ivfsq8_recall_cert 3.57s = both arms in one plan) and the "
+    "top of the cost table is unchanged (the IDF agree pair, the "
+    "doremi pipelines, the OPQ fit-per-run family — all documented "
+    "shapes)."
 )
 
 
