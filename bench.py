@@ -273,14 +273,43 @@ NOTES = (
     "ann_ivfsq8_recall_cert 3.57s = both arms in one plan) and the "
     "top of the cost table is unchanged (the IDF agree pair, the "
     "doremi pipelines, the OPQ fit-per-run family — all documented "
-    "shapes)."
+    "shapes). "
+    "r9 adjudication of the two r8 per-query steps (focused idle "
+    "best-of-4 probe, loadavg 0.59): ann_opq_topk 3.67s (r8 read "
+    "8.72s, r7 6.57s — the opq_adc_serve refactor is in fact FASTER "
+    "than the r7 inline path) and dd_cluster_canonical 2.02s (exactly "
+    "its r7 2.01s; code untouched) — both r8 numbers were whole-run "
+    "environmental inflation (elevated-loadavg starts), not merit "
+    "regressions. The per-query tripwire below now flags any such "
+    "step automatically in the output's `regressions` field."
 )
+
+
+# Per-query regression tripwire: any query whose best-of-N exceeds this
+# ratio vs its committed BENCH_LAST time is listed in the output's
+# "regressions" field. 1.5x sits above the documented ~10% cross-run
+# environmental spread plus burst headroom; first-run families (absent
+# from the prior file) are skipped.
+REGRESSION_RATIO = 1.5
+
+
+def _load_prior_timings() -> dict[str, float]:
+    """Prior per-query times from the committed BENCH_LAST.json (read
+    BEFORE this run overwrites it). Empty dict if absent/unparseable."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json")
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+        return {k: float(v) for k, v in prior.get("queries", {}).items()}
+    except (OSError, ValueError, TypeError):
+        return {}
 
 
 def main() -> None:
     from event_stream_starter_spark.queries import all_queries
     from event_stream_starter_spark.session import get_spark
 
+    prior_timings = _load_prior_timings()
     busy_before = _cpu_busy_frac()
 
     spark = get_spark("ess-bench", cpus=CPUS, shuffle_partitions=CPUS)
@@ -367,6 +396,20 @@ def main() -> None:
     }
     r01_total = sum(v for name, v in best.items() if name in r01_set)
 
+    # Tripwire: compare each best-of-N against the prior committed run.
+    # Sub-100ms queries are exempt (absolute noise dominates ratios there).
+    regressions = {}
+    for name, now in best.items():
+        prev = prior_timings.get(name)
+        if prev is None or prev < 0.1:
+            continue  # first-run family or noise-dominated prior
+        if now > prev * REGRESSION_RATIO:
+            regressions[name] = {
+                "prev": round(prev, 3),
+                "now": round(now, 3),
+                "ratio": round(now / prev, 2),
+            }
+
     busy_after = _cpu_busy_frac()
     env = {
         "cpu_busy_frac_before": busy_before,
@@ -384,6 +427,8 @@ def main() -> None:
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "r01_comparable_total": round(r01_total, 3),
             "n_queries": len(timings),
+            "regressions": regressions,
+            "regression_ratio_threshold": REGRESSION_RATIO,
             "env": env,
             "notes": NOTES,
         }
