@@ -162,6 +162,8 @@ HEADLINE = [
     "x_unigram_coverage",
     "ann_ivfsq8_topk",
     "ann_ivfsq8_recall_cert",
+    # round-9 additions (outside the frozen r01-comparable subtotal)
+    "x_unigram_train_pruned",
 ]
 
 

@@ -372,3 +372,346 @@ def _train_driver(
                 seg_counts[p] = seg_counts.get(p, 0) + cnt
         scores = _mstep(seg_counts, pieces)
     return sorted(scores.items())
+
+
+# --- published trainer: soft-EM + likelihood-loss vocabulary pruning ---------
+#
+# Kudo 2018 §3.2/4.2 (the SentencePiece algorithm): seed a LARGE
+# candidate vocabulary, alternate (a) EM over piece probabilities with
+# the E-step marginalizing over ALL segmentations (forward-backward on
+# the word lattice) and (b) pruning — drop the pieces whose removal
+# costs the corpus likelihood least — until the target size is reached.
+# The hard-EM `train_unigram` above stays as the deterministic scale
+# twin; this is what real tokenizer bake-offs compare against.
+#
+# Determinism contract (the module's posture, extended):
+# - The per-word forward-backward runs in float (logsumexp is not
+#   decimal-expressible), but each word's expected piece counts are
+#   QUANTIZED to 9dp decimals BEFORE the cross-word sum — so the
+#   cross-word aggregation is exact, order-independent decimal
+#   arithmetic and the driver tier, the distributed tier and the
+#   pure-Python twin sum the same numbers to the same totals. The float
+#   boundary is per-word-bounded and runs the same CPython code in
+#   every tier (the _q9 single-touchpoint pattern, widened per word).
+# - Pruning is the SentencePiece Viterbi-frequency form: freq[x] =
+#   corpus-weighted count of x in the current Viterbi segmentation
+#   (exact ints, reusing the decimal Viterbi), and
+#   loss[x] = freq[x] * (logp(x) - alt(x)) where alt(x) is the best
+#   Viterbi score of the STRING x under the model WITHOUT x — all
+#   exact decimal products/differences, so the kept set is
+#   deterministic (rank ties break lexicographically).
+# - Single-character pieces are never pruned (coverage guarantee).
+
+
+def _logadd(a: float, b: float) -> float:
+    """log(exp(a) + exp(b)) without overflow; -inf is the identity."""
+    from math import exp, log1p
+
+    if a == float("-inf"):
+        return b
+    if b == float("-inf"):
+        return a
+    hi, lo = (a, b) if a >= b else (b, a)
+    return hi + log1p(exp(lo - hi))
+
+
+def expected_counts_py(
+    word: str, scores: dict[str, Decimal], max_len: int
+) -> dict[str, float]:
+    """Soft E-step for one word: expected count of each IN-VOCAB piece
+    over all segmentations (forward-backward on the segmentation
+    lattice). Out-of-vocab single chars participate at UNK_LOGP so the
+    lattice always completes, but collect no mass (they are not model
+    parameters)."""
+    from math import exp
+
+    n = len(word)
+    neg = float("-inf")
+    lp = {p: float(s) for p, s in scores.items()}
+
+    def piece_lp(piece: str) -> float | None:
+        v = lp.get(piece)
+        if v is None and len(piece) == 1:
+            return float(UNK_LOGP)
+        return v
+
+    alpha = [neg] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        acc = neg
+        for piece_len in range(1, min(max_len, i) + 1):
+            s = piece_lp(word[i - piece_len : i])
+            if s is not None:
+                acc = _logadd(acc, alpha[i - piece_len] + s)
+        alpha[i] = acc
+    beta = [neg] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        acc = neg
+        for piece_len in range(1, min(max_len, n - i) + 1):
+            s = piece_lp(word[i : i + piece_len])
+            if s is not None:
+                acc = _logadd(acc, beta[i + piece_len] + s)
+        beta[i] = acc
+    z = alpha[n]
+    out: dict[str, float] = {}
+    for i in range(n):
+        for piece_len in range(1, min(max_len, n - i) + 1):
+            piece = word[i : i + piece_len]
+            if piece in lp:
+                out[piece] = out.get(piece, 0.0) + exp(
+                    alpha[i] + lp[piece] + beta[i + piece_len] - z
+                )
+    return out
+
+
+def _soft_counts_word(
+    word: str, cnt: int, scores: dict[str, Decimal], max_len: int
+) -> list[tuple[str, Decimal]]:
+    """One word's quantized soft-count contributions: q9(cnt * E[piece])
+    — the per-word float boundary; everything downstream sums exactly."""
+    return [
+        (p, _q9(cnt * e))
+        for p, e in sorted(expected_counts_py(word, scores, max_len).items())
+    ]
+
+
+def _viterbi_score_py(
+    word: str, scores: dict[str, Decimal], max_len: int
+) -> Decimal:
+    """Best exact-decimal path score (same DP as _viterbi_py, score only)."""
+    n = len(word)
+    best: list[Decimal] = [Decimal(0)]
+    for i in range(1, n + 1):
+        cands: list[Decimal] = []
+        for piece_len in range(1, min(max_len, i) + 1):
+            s = scores.get(word[i - piece_len : i])
+            if s is None and piece_len == 1:
+                s = UNK_LOGP
+            if s is not None:
+                cands.append(best[i - piece_len] + s)
+        best.append(max(cands))
+    return best[n]
+
+
+def _mstep_soft(
+    counts: dict[str, Decimal], pieces: list[str]
+) -> dict[str, Decimal]:
+    """Add-one-smoothed M-step over DECIMAL soft counts (the _mstep law
+    with fractional counts): logp = q9(ln((c+1)/(total+V))). The single
+    float touchpoint per piece; inputs are exact decimals so every tier
+    computes the identical quotient."""
+    total = sum((counts.get(p, Decimal(0)) for p in pieces), Decimal(0)) + len(
+        pieces
+    )
+    ftot = float(total)
+    return {
+        p: _q9(log(float(counts.get(p, Decimal(0)) + 1) / ftot))
+        for p in pieces
+    }
+
+
+def _prune_losses(
+    scores: dict[str, Decimal],
+    freq: dict[str, int],
+    multi: list[str],
+    max_len: int,
+) -> dict[str, Decimal]:
+    """Exact-decimal likelihood loss of removing each multi-char piece:
+    freq[x] * (logp(x) - best-alternative-segmentation score of x
+    without x). Unused pieces (freq 0) get loss 0 — pruned first."""
+    out: dict[str, Decimal] = {}
+    for p in multi:
+        f = freq.get(p, 0)
+        if f == 0:
+            out[p] = Decimal(0)
+            continue
+        rest = {k: v for k, v in scores.items() if k != p}
+        out[p] = f * (scores[p] - _viterbi_score_py(p, rest, max_len))
+    return out
+
+
+def train_unigram_pruned(
+    docs_text: DataFrame,
+    vocab_size: int = 48,
+    max_len: int = 4,
+    seed_factor: int = 4,
+    shrink_keep: Decimal = Decimal("0.75"),
+    em_iters_per_round: int = 2,
+    text_col: str = "text",
+    small_vocab_limit: int | None = SMALL_VOCAB_LIMIT,
+) -> list[tuple[str, Decimal]]:
+    """The PUBLISHED unigram trainer (Kudo 2018 §3.2/4.2): seed
+    seed_factor * vocab_size candidates, then alternate soft-EM rounds
+    with likelihood-loss pruning (keep the best shrink_keep fraction of
+    multi-char pieces, floored at the target) until vocab_size remains.
+    Returns [(piece, logp DECIMAL(18,9))] sorted by piece.
+
+    Two execution tiers, identical results (the train_unigram gate):
+    the collected-histogram driver tier, and the distributed tier where
+    the soft E-step is an Arrow-batched pandas UDF over the word table
+    (per-word quantized decimals, one explode + groupBy per iteration)
+    and the Viterbi frequencies reuse the codegen encoder. The corpus
+    is read once (the word histogram); every later pass is over the
+    Heaps-law-bounded word table; pruning arithmetic is model-sized
+    driver work.
+    """
+    vocab = build_word_vocab(docs_text, text_col).localCheckpoint(eager=True)
+    if small_vocab_limit and vocab.count() <= small_vocab_limit:
+        rows = vocab.select("word", "cnt").collect()
+        wc = [(r["word"], r["cnt"]) for r in rows]
+
+        def soft_counts(sc: dict[str, Decimal]) -> dict[str, Decimal]:
+            agg: dict[str, Decimal] = {}
+            for word, cnt in wc:
+                for p, q in _soft_counts_word(word, cnt, sc, max_len):
+                    agg[p] = agg.get(p, Decimal(0)) + q
+            return agg
+
+        def viterbi_freq(sc: dict[str, Decimal]) -> dict[str, int]:
+            agg: dict[str, int] = {}
+            for word, cnt in wc:
+                for p in _viterbi_py(word, sc, max_len):
+                    agg[p] = agg.get(p, 0) + cnt
+            return agg
+
+        seed = _seed_pieces(wc, seed_factor * vocab_size, max_len)
+        seed_counts: dict[str, int] = {}
+        for word, cnt in wc:
+            for ch in word:
+                seed_counts[ch] = seed_counts.get(ch, 0) + cnt
+            for piece_len in range(2, max_len + 1):
+                for i in range(len(word) - piece_len + 1):
+                    p = word[i : i + piece_len]
+                    seed_counts[p] = seed_counts.get(p, 0) + cnt
+    else:
+        seed, seed_counts = _seed_distributed(
+            vocab, seed_factor * vocab_size, max_len
+        )
+        soft_counts = _soft_counts_distributed(vocab, max_len)
+        viterbi_freq = _viterbi_freq_distributed(vocab, max_len)
+
+    scores = _mstep({p: seed_counts.get(p, 0) for p in seed}, seed)
+    pieces = list(seed)
+    singles = [p for p in pieces if len(p) == 1]
+    target_multi = max(vocab_size - len(singles), 0)
+    while True:
+        for _ in range(em_iters_per_round):
+            counts = soft_counts(scores)
+            scores = _mstep_soft(counts, pieces)
+        multi = [p for p in pieces if len(p) > 1]
+        if len(multi) <= target_multi:
+            break
+        losses = _prune_losses(scores, viterbi_freq(scores), multi, max_len)
+        keep_n = max(target_multi, int(len(multi) * shrink_keep))
+        if keep_n >= len(multi):  # shrink stalled: jump to target
+            keep_n = target_multi
+        kept = sorted(multi, key=lambda p: (-losses[p], p))[:keep_n]
+        pieces = sorted(singles) + sorted(kept)
+        scores = {p: scores[p] for p in pieces}
+    return sorted(scores.items())
+
+
+def _seed_distributed(
+    vocab: DataFrame, seed_size: int, max_len: int
+) -> tuple[list[str], dict[str, int]]:
+    """Distributed seeding (the train_unigram distributed tier's seed
+    stage, factored): singles + top multi-char substrings by
+    corpus-weighted count, plus the seed counts for the initial M-step."""
+    empty = F.array().cast("array<string>")
+    subs = vocab.select(
+        "cnt",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(2), F.lit(max_len)),
+                    lambda piece_len: F.when(
+                        F.length("word") >= piece_len,
+                        F.transform(
+                            F.sequence(
+                                F.lit(1), F.length("word") - piece_len + 1
+                            ),
+                            lambda i: F.substring(
+                                F.col("word"), i, piece_len
+                            ),
+                        ),
+                    ).otherwise(empty),
+                )
+            )
+        ).alias("p"),
+    ).filter(F.length("p") >= 2)
+    sub_counts = subs.groupBy("p").agg(F.sum("cnt").alias("c"))
+    singles_df = (
+        vocab.select("cnt", F.explode(F.split(F.col("word"), "")).alias("ch"))
+        .filter(F.length("ch") > 0)
+        .groupBy("ch")
+        .agg(F.sum("cnt").alias("c"))
+        .collect()
+    )
+    singles = sorted(r["ch"] for r in singles_df)
+    room = max(seed_size - len(singles), 0)
+    top_multi = [
+        r["p"]
+        for r in sub_counts.orderBy(F.desc("c"), F.asc("p")).limit(room).collect()
+    ]
+    pieces = singles + top_multi
+    seed_counts = {r["ch"]: int(r["c"]) for r in singles_df}
+    for r in sub_counts.filter(F.col("p").isin(top_multi)).collect():
+        seed_counts[r["p"]] = int(r["c"])
+    return pieces, seed_counts
+
+
+def _soft_counts_distributed(vocab: DataFrame, max_len: int):
+    """Distributed soft E-step: Arrow-batched per-word expected counts
+    (quantized decimals serialized as strings — exact through the Arrow
+    boundary), one explode + groupBy(piece) decimal sum per iteration."""
+
+    def run(scores: dict[str, Decimal]) -> dict[str, Decimal]:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        table = dict(scores)
+
+        @pandas_udf("array<struct<p: string, c: string>>")
+        def ec(words, cnts):  # type: ignore[no-untyped-def]
+            return pd.Series(
+                [
+                    [
+                        {"p": p, "c": str(q)}
+                        for p, q in _soft_counts_word(w, int(c), table, max_len)
+                    ]
+                    for w, c in zip(words, cnts)
+                ]
+            )
+
+        agg = (
+            vocab.select(F.explode(ec("word", "cnt")).alias("e"))
+            .select(
+                F.col("e.p").alias("p"),
+                F.col("e.c").cast(_ACC).alias("c"),
+            )
+            .groupBy("p")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        return {r["p"]: Decimal(str(r["c"])) for r in agg}
+
+    return run
+
+
+def _viterbi_freq_distributed(vocab: DataFrame, max_len: int):
+    """Distributed Viterbi frequencies: the codegen encoder over the
+    word table (model as a broadcast map literal), explode + int sum.
+    Production vocab sizes swap the fold for unigram_encode_udf behind
+    the same law (the module's standing tier contract)."""
+
+    def run(scores: dict[str, Decimal]) -> dict[str, int]:
+        ordered = sorted(scores.items())
+        enc = viterbi_encode_words_expr("array(word)", ordered, max_len)
+        seg = vocab.select("cnt", F.explode(enc).alias("p"))
+        return {
+            r["p"]: int(r["c"])
+            for r in seg.groupBy("p").agg(F.sum("cnt").alias("c")).collect()
+        }
+
+    return run

@@ -790,6 +790,66 @@ _FROZEN_UNIGRAM: list[tuple[str, Decimal]] = [
 ]
 _UG_MAXLEN = 4
 
+# Frozen artifact (published trainer): 48 pieces from
+# train_unigram_pruned on the sf0.001 corpus (vocab_size=48, max_len=4,
+# seed_factor=4, shrink_keep=0.75, em_iters_per_round=2) — soft-EM +
+# likelihood-loss pruning, Kudo 2018 SS3.2/4.2. Spliced verbatim from the
+# trainer's output (never retyped); provenance pinned in
+# tests/test_unigram_pruned.py.
+_FROZEN_UNIGRAM_PRUNED: list[tuple[str, Decimal]] = [
+    (p, Decimal(s))
+    for p, s in [
+    ('a', "-2.607466868"),
+    ('able', "-4.229670401"),
+    ('atch', "-4.221640066"),
+    ('b', "-3.539926532"),
+    ('c', "-3.503559164"),
+    ('d', "-4.205010593"),
+    ('e', "-2.596110201"),
+    ('f', "-11.034032799"),
+    ('fast', "-4.218354660"),
+    ('filt', "-4.213985513"),
+    ('g', "-2.588125438"),
+    ('h', "-11.033878365"),
+    ('hash', "-4.207470819"),
+    ('i', "-4.243838414"),
+    ('j', "-11.036182880"),
+    ('join', "-4.193499608"),
+    ('k', "-11.035058033"),
+    ('key', "-4.183941508"),
+    ('l', "-3.541251365"),
+    ('line', "-4.182883830"),
+    ('lumn', "-4.149651267"),
+    ('m', "-3.126206755"),
+    ('n', "-11.036066174"),
+    ('o', "-3.098969257"),
+    ('orde', "-4.153003179"),
+    ('ow', "-3.516181845"),
+    ('p', "-7.634729783"),
+    ('park', "-4.221639997"),
+    ('part', "-4.165097709"),
+    ('q', "-11.036085003"),
+    ('quer', "-4.195636466"),
+    ('r', "-2.420804633"),
+    ('ream', "-4.213250946"),
+    ('roup', "-4.195638261"),
+    ('s', "-3.503869055"),
+    ('scan', "-4.143541317"),
+    ('slow', "-4.211390919"),
+    ('sort', "-4.153976601"),
+    ('st', "-3.567429207"),
+    ('t', "-3.509565202"),
+    ('the', "-4.221642452"),
+    ('u', "-4.212894673"),
+    ('v', "-11.036084017"),
+    ('valu', "-4.178668861"),
+    ('vect', "-4.198850148"),
+    ('w', "-10.991343072"),
+    ('wind', "-4.151696238"),
+    ('y', "-4.195635161"),
+    ]
+]
+
 # Spark words expr (the textan.tokens law + non-empty filter) as SQL
 # text — the unigram codegen encoder splices its per-word lambda in.
 _UG_WORDS_SPARK = (
@@ -798,7 +858,9 @@ _UG_WORDS_SPARK = (
 )
 
 
-def _unigram_ctes() -> str:
+def _unigram_ctes(
+    model: "list[tuple[str, Decimal]]" = None, prefix: str = "ug"
+) -> str:
     """DuckDB replica of the frozen-unigram Viterbi encoder as a
     recursive-CTE chain ending in ug_t (doc_id, source, lang, words)
     and ug_doc (doc_id, pieces):
@@ -812,9 +874,10 @@ def _unigram_ctes() -> str:
     - ug_walk: backpointer walk from the end, one recursion step per
       emitted piece.
     Unknown single chars score UNK_LOGP in both engines."""
-    keys = ", ".join("'" + p + "'" for p, _ in _FROZEN_UNIGRAM)
+    model = _FROZEN_UNIGRAM if model is None else model
+    keys = ", ".join("'" + p + "'" for p, _ in model)
     vals = ", ".join(
-        "CAST('" + str(s) + "' AS DECIMAL(18,9))" for _, s in _FROZEN_UNIGRAM
+        "CAST('" + str(s) + "' AS DECIMAL(18,9))" for _, s in model
     )
     unk = "CAST('" + str(ugm.UNK_LOGP) + "' AS DECIMAL(18,9))"
     cands = []
@@ -837,7 +900,7 @@ def _unigram_ctes() -> str:
                 + f" AS DECIMAL(28,9)), 'l': {ln}}} END"
             )
     cand_arr = ", ".join(cands)
-    return f"""ug_m AS (
+    body = f"""ug_m AS (
         SELECT map([{keys}], [{vals}]) AS m
     ), ug_t AS (
         SELECT doc_id, source, lang,
@@ -873,15 +936,27 @@ def _unigram_ctes() -> str:
         SELECT doc_id, flatten(list(ps ORDER BY widx)) AS pieces
         FROM ug_walk WHERE pos = 0 GROUP BY doc_id
     )"""
+    # The template's CTE names are ug_*; a non-default prefix renames
+    # them (the names appear nowhere else in the template text), letting
+    # two frozen models coexist in one oracle (the bake-off query).
+    return body if prefix == "ug" else body.replace("ug_", prefix + "_")
 
 
 _UG_CTES = _unigram_ctes()
+_UG2_CTES = _unigram_ctes(_FROZEN_UNIGRAM_PRUNED, "ug2")
 
 
 def _ug_pieces_col() -> Column:
     """The frozen-unigram piece list as a codegen column over `text`."""
     return ugm.viterbi_encode_words_expr(
         _UG_WORDS_SPARK, _FROZEN_UNIGRAM, _UG_MAXLEN
+    )
+
+
+def _ug2_pieces_col() -> Column:
+    """The frozen PRUNED-unigram piece list (published-trainer model)."""
+    return ugm.viterbi_encode_words_expr(
+        _UG_WORDS_SPARK, _FROZEN_UNIGRAM_PRUNED, _UG_MAXLEN
     )
 
 
@@ -918,6 +993,55 @@ def x_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent pure-Python EM reference, and driver == distributed
     trainer-path equality (the bpe.train_bpe gate pattern)."""
     model = _trained_unigram(spark, sf_dir)
+    rows = [(p, s, i + 1) for i, (p, s) in enumerate(model)]
+    return spark.createDataFrame(
+        rows, "piece string, logp decimal(18,9), rank int"
+    )
+
+
+# One pruned train per (process, sf_dir) — the _trained_merges memo pattern.
+_UG_PRUNED_CACHE: dict[str, list[tuple[str, Decimal]]] = {}
+
+
+def _trained_unigram_pruned(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, Decimal]]:
+    got = _UG_PRUNED_CACHE.get(sf_dir)
+    if got is None:
+        docs = load_table(spark, sf_dir, "documents")
+        got = ugm.train_unigram_pruned(
+            docs, vocab_size=48, max_len=4, seed_factor=4,
+            em_iters_per_round=2,
+        )
+        _UG_PRUNED_CACHE[sf_dir] = got
+    return got
+
+
+@query(
+    "x_unigram_train_pruned",
+    None,  # iterative EM + pruning: not SQL-expressible; golden-tested
+    # vs an independent pure-Python reference in tests/test_unigram_pruned.py
+    survey_ids=(
+        "beyond-ref: the PUBLISHED unigram trainer (Kudo 2018 "
+        "SS3.2/4.2) — soft-EM over a 4x-oversized seed vocabulary with "
+        "likelihood-loss pruning to the target size; driver + "
+        "distributed tiers pinned equal, per-word soft counts quantized "
+        "to decimals before the cross-word sum so both tiers aggregate "
+        "exactly"
+    ),
+)
+def x_unigram_train_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned piece table: (piece, logp DECIMAL(18,9), rank).
+
+    Rows-only for the driver (EM + pruning is iterative); the real
+    checks are tests/test_unigram_pruned.py — exact equality against an
+    independent pure-Python soft-EM+pruning reference, driver ==
+    distributed path equality, and the frozen artifact's provenance.
+    The hard-EM x_unigram_train stays as the deterministic scale twin;
+    this is the trainer real tokenizer bake-offs compare against (it
+    learns suffix units like 'able'/'atch' where the fixed-vocab
+    hard-EM keeps raw bigram fragments)."""
+    model = _trained_unigram_pruned(spark, sf_dir)
     rows = [(p, s, i + 1) for i, (p, s) in enumerate(model)]
     return spark.createDataFrame(
         rows, "piece string, logp decimal(18,9), rank int"
@@ -1011,28 +1135,41 @@ def x_unigram_encode_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _FROZEN_DOCS_DUCK
     + ", "
     + _UG_CTES
+    + ", "
+    + _UG2_CTES
     + """
     , ug_f AS (
         SELECT t.doc_id,
                CAST(coalesce(len(d.pieces), 0) AS BIGINT) AS ug_pieces
         FROM ug_t t LEFT JOIN ug_doc d ON t.doc_id = d.doc_id
     )
+    , ug2_f AS (
+        SELECT t.doc_id,
+               CAST(coalesce(len(d.pieces), 0) AS BIGINT) AS ug2_pieces
+        FROM ug2_t t LEFT JOIN ug2_doc d ON t.doc_id = d.doc_id
+    )
     SELECT p.lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(p.n_words) AS BIGINT) AS sum_words,
            CAST(SUM(len(p.pieces)) AS BIGINT) AS bpe_pieces,
            CAST(SUM(u.ug_pieces) AS BIGINT) AS unigram_pieces,
+           CAST(SUM(u2.ug2_pieces) AS BIGINT) AS unigram_pruned_pieces,
            ROUND(CAST(SUM(len(p.pieces)) AS DOUBLE)
                  / greatest(SUM(p.n_words), 1), 6) AS bpe_fertility,
            ROUND(CAST(SUM(u.ug_pieces) AS DOUBLE)
-                 / greatest(SUM(p.n_words), 1), 6) AS unigram_fertility
+                 / greatest(SUM(p.n_words), 1), 6) AS unigram_fertility,
+           ROUND(CAST(SUM(u2.ug2_pieces) AS DOUBLE)
+                 / greatest(SUM(p.n_words), 1), 6)
+               AS unigram_pruned_fertility
     FROM p JOIN ug_f u ON p.doc_id = u.doc_id
+           JOIN ug2_f u2 ON p.doc_id = u2.doc_id
     GROUP BY p.lang
     """,
     survey_ids=(
         "beyond-ref: the tokenizer BAKE-OFF table — per-language "
-        "fertility under frozen BPE vs frozen unigram in one plan, "
-        "both encoders re-derived independently by the oracle; the "
+        "fertility under frozen BPE vs frozen hard-EM unigram vs frozen "
+        "PUBLISHED (soft-EM + pruning) unigram in one plan, all three "
+        "encoders re-derived independently by the oracle; the "
         "comparison a real pipeline runs before freezing a tokenizer "
         "(Rust et al. 2021)"
     ),
@@ -1040,9 +1177,10 @@ def x_unigram_encode_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_tokenizer_fertility_compare(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Per-language fertility of BOTH frozen tokenizers in one pass:
-    (lang, n_docs, sum_words, bpe_pieces, unigram_pieces,
-    bpe_fertility, unigram_fertility). Word counts follow the BPE
+    """Per-language fertility of all THREE frozen tokenizers in one
+    pass: (lang, n_docs, sum_words, bpe_pieces, unigram_pieces,
+    unigram_pruned_pieces, bpe_fertility, unigram_fertility,
+    unigram_pruned_fertility). Word counts follow the BPE
     arm's law (SEP-stripped text) so denominators match the existing
     fertility audit; both encoders run as codegen folds over the same
     scan — ONE corpus pass, one |langs|-group aggregation, no Spark-
@@ -1060,12 +1198,14 @@ def x_tokenizer_fertility_compare(
         F.size(words).alias("n_words"),
         F.size(bpe.encode_text_expr(clean, _FROZEN_MERGES)).alias("bp"),
         F.size(_ug_pieces_col()).alias("up"),
+        F.size(_ug2_pieces_col()).alias("u2p"),
     )
     return one.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("sum_words"),
         F.sum("bp").cast("bigint").alias("bpe_pieces"),
         F.sum("up").cast("bigint").alias("unigram_pieces"),
+        F.sum("u2p").cast("bigint").alias("unigram_pruned_pieces"),
         F.round(
             F.sum("bp").cast("double")
             / F.greatest(F.sum("n_words"), F.lit(1)),
@@ -1076,6 +1216,11 @@ def x_tokenizer_fertility_compare(
             / F.greatest(F.sum("n_words"), F.lit(1)),
             6,
         ).alias("unigram_fertility"),
+        F.round(
+            F.sum("u2p").cast("double")
+            / F.greatest(F.sum("n_words"), F.lit(1)),
+            6,
+        ).alias("unigram_pruned_fertility"),
     )
 
 
