@@ -1000,6 +1000,54 @@ def opq_adc_serve(
     return _pq_rerank_emit(short, vectors, k)
 
 
+def ivfopq_serve(
+    index: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_probe: int = 4,
+    k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF-OPQ top-k over a PREBUILT (cid, cluster, codes) index — the
+    serving half of ann_ivfopq_topk, shared verbatim by the batch query
+    and StreamingIvfOpqIndex.query so stream-built == one-shot parity
+    is structural (the ivfpq_serve / opq_adc_serve precedent).
+
+    Coarse probing runs in ORIGINAL space (the same inverted lists
+    serve every tier); ADC compares the ROTATED query to the rotated
+    codes (valid because the rotation is an isometry); the exact
+    re-rank runs in original space against `vectors`. Each query is
+    rotated ONCE (before probe expansion); the probe join touches only
+    the probed lists' code rows; the ADC shortlist is the salted
+    two-phase rank. `queries` = (qid, qvec original). Emits
+    (vec_id_q, vec_id_c, adc_dist, exact_dist, rank)."""
+    rq = queries.select(
+        "qid", "qvec", rotate_udf(rotation)(F.col("qvec")).alias("rqvec")
+    )
+    qscores = F.transform(
+        _cluster_scores(F.col("qvec"), centroids),
+        lambda s, i: F.struct(s.alias("s"), i.alias("cl")),
+    )
+    probes = F.slice(F.reverse(F.array_sort(qscores)), 1, n_probe)
+    q = rq.withColumn("p", F.explode(probes)).select(
+        "qid", "qvec", "rqvec", F.col("p.cl").cast("long").alias("cluster")
+    )
+    scored = (
+        index.join(F.broadcast(q), "cluster")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "adc", pq_adc_sq_expr(F.col("rqvec"), F.col("codes"), codebooks)
+        )
+    )
+    short = salted_topn(
+        scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"
+    )
+    return _pq_rerank_emit(short, vectors, k)
+
+
 def sq8_code_expr(vec_col: str, mn: list[float], mx: list[float]) -> Column:
     """SQ8 codes of the array column named `vec_col` under FROZEN
     per-dim (mn, mx) literals — the x_sq8_quantize law (floor(+0.5)

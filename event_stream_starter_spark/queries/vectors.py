@@ -1418,13 +1418,10 @@ def ann_ivfopq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PQ_SHORTLIST}-row re-rank.
     """
     from ..operators.similarity import (
-        _cluster_scores,
         ivf_assign,
-        l2_sq,
-        pq_adc_sq_expr,
+        ivfopq_serve,
         pq_code_expr,
         rotate_udf,
-        salted_topn,
     )
 
     cents = _ivf_centroids(spark, sf_dir)
@@ -1437,53 +1434,21 @@ def ann_ivfopq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cid", "cluster", pq_code_expr(F.col("rvec"), cbs).alias("codes"))
     )
-    qscores = F.transform(
-        _cluster_scores(F.col("qvec"), cents),
-        lambda s, i: F.struct(s.alias("s"), i.alias("cl")),
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    probes = F.slice(F.reverse(F.array_sort(qscores)), 1, 4)
-    q = (
-        emb.filter(F.col("vec_id") < _N_QUERIES)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qvec"),
-            rotate_udf(rot)(F.col("embedding")).alias("rqvec"),
-        )
-        .withColumn("p", F.explode(probes))
-        .select("qid", "qvec", "rqvec", F.col("p.cl").cast("long").alias("cluster"))
-    )
-    scored = (
-        assigned.join(F.broadcast(q), "cluster")
-        .filter(F.col("qid") != F.col("cid"))
-        .withColumn("adc", pq_adc_sq_expr(F.col("rqvec"), F.col("codes"), cbs))
-    )
-    short = salted_topn(
-        scored, (F.col("adc").asc(), F.col("cid").asc()), _PQ_SHORTLIST, "srank"
-    )
-    rer = short.join(
+    # serving path shared verbatim with StreamingIvfOpqIndex.query —
+    # stream-built == one-shot parity is structural
+    return ivfopq_serve(
+        assigned,
         emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")),
-        "cid",
-    ).withColumn(
-        "dist",
-        F.sqrt(
-            l2_sq(
-                F.transform(F.col("qvec"), lambda x: x.cast("double")),
-                F.transform(F.col("cvec"), lambda x: x.cast("double")),
-            )
-        ),
-    )
-    # bounded input: |Q| x SHORTLIST rows — direct per-qid window OK
-    wr = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    return (
-        rer.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _TOP_K)
-        .select(
-            F.col("qid").alias("vec_id_q"),
-            F.col("cid").alias("vec_id_c"),
-            F.round(F.sqrt("adc"), 6).alias("adc_dist"),
-            F.round("dist", 6).alias("exact_dist"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+        q,
+        cents,
+        rot,
+        cbs,
+        n_probe=4,
+        k=_TOP_K,
+        shortlist=_PQ_SHORTLIST,
     )
 
 

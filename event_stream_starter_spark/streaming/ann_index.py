@@ -437,6 +437,51 @@ class _FrozenRotationMixin:
             json.dump(self.rotation, fh)
         os.replace(tmp, self._rotation_file())
 
+    def _load_or_require_opq_models(
+        self,
+    ) -> tuple[list[list[float]], list[list[list[float]]]]:
+        """Write-path model resolution shared by the OPQ-coded sinks
+        (StreamingOpqIndex, StreamingIvfOpqIndex): sidecar-wins conflict
+        check on BOTH models; unlike the PQ sinks there is NO
+        first-batch fit — rotation + codebooks are trained offline
+        (operators/similarity.opq_rotation is an eigen-decomposition)
+        and must be supplied or already persisted. Persists both
+        sidecars on success."""
+        import json
+
+        try:
+            rot = self._load_rotation()
+        except FileNotFoundError:
+            if self.rotation is None:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: OPQ rotation "
+                    "must be supplied (offline-trained) on first use"
+                ) from None
+            rot = self.rotation
+        try:
+            with open(self._codebooks_file()) as fh:
+                persisted = json.load(fh)
+            if self.codebooks is not None and self.codebooks != persisted:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: constructor "
+                    "codebooks differ from the persisted quantizer this "
+                    "index was built under; drop the argument (or the "
+                    "index) instead of mixing"
+                )
+            self.codebooks = persisted
+        except FileNotFoundError:
+            if self.codebooks is None:
+                raise ValueError(
+                    f"{type(self).__name__} at {self.path}: OPQ codebooks "
+                    "must be supplied (offline-trained) on first use"
+                ) from None
+        self._persist_rotation()
+        tmp = self._codebooks_file() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.codebooks, fh)
+        os.replace(tmp, self._codebooks_file())
+        return rot, self.codebooks
+
 
 class StreamingOpqIndex(_PointerSink, _FrozenRotationMixin, _FrozenCodebooksMixin):
     """foreachBatch sink: append-only OPQ code index under BOTH frozen
@@ -489,47 +534,11 @@ class StreamingOpqIndex(_PointerSink, _FrozenRotationMixin, _FrozenCodebooksMixi
         if batch.limit(1).count() == 0:
             self._commit(batch_id)
             return
-        import json
-
         from pyspark.sql import functions as F
 
         from ..operators.similarity import pq_code_expr, rotate_udf
 
-        # sidecar-wins conflict check on both models; unlike the PQ
-        # sink there is NO first-batch fit — rotation + codebooks are
-        # trained offline and must be supplied (or already persisted).
-        try:
-            rot = self._load_rotation()
-        except FileNotFoundError:
-            if self.rotation is None:
-                raise ValueError(
-                    f"{type(self).__name__} at {self.path}: OPQ rotation "
-                    "must be supplied (offline-trained) on first use"
-                ) from None
-            rot = self.rotation
-        try:
-            with open(self._codebooks_file()) as fh:
-                persisted = json.load(fh)
-            if self.codebooks is not None and self.codebooks != persisted:
-                raise ValueError(
-                    f"{type(self).__name__} at {self.path}: constructor "
-                    "codebooks differ from the persisted quantizer this "
-                    "index was built under; drop the argument (or the "
-                    "index) instead of mixing"
-                )
-            self.codebooks = persisted
-        except FileNotFoundError:
-            if self.codebooks is None:
-                raise ValueError(
-                    f"{type(self).__name__} at {self.path}: OPQ codebooks "
-                    "must be supplied (offline-trained) on first use"
-                ) from None
-        self._persist_rotation()
-        tmp = self._codebooks_file() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(self.codebooks, fh)
-        os.replace(tmp, self._codebooks_file())
-
+        rot, _ = self._load_or_require_opq_models()
         rows = batch.select(
             F.col(self.id_col).alias("cid"),
             F.col(self.vec_col).alias("cvec"),
@@ -569,42 +578,16 @@ class StreamingOpqIndex(_PointerSink, _FrozenRotationMixin, _FrozenCodebooksMixi
         )
 
 
-class StreamingSq8Index(_PointerSink):
-    """foreachBatch sink: append-only SQ8 (int8) code index under FROZEN
-    per-dimension (mn, mx) scale stats — the scalar-quantization tier of
-    the streaming index family.
+class _FrozenSqStatsMixin:
+    """Frozen-SQ8-stats contract shared by the int8-coded sinks
+    (StreamingSq8Index, StreamingIvfSq8Index): per-dimension (mn, mx)
+    fitted once (first non-empty batch via two plain aggregates, or
+    passed in), persisted to sqstats.json, NEVER refit; conflicts error
+    on write AND read — codes are meaningless under other stats."""
 
-    The stats follow the frozen-model contract (fitted on the first
-    non-empty batch via two plain aggregates, or passed in; persisted to
-    sqstats.json; NEVER refit; conflicts error on write AND read). Per
-    micro-batch the sink appends (cid, codes) — map-only against the
-    stat literals (operators/similarity.sq8_code_expr, the
-    x_sq8_quantize law). ``query`` runs operators/similarity.sq8_serve:
-    exact query vs de-quantized corpus, salted two-phase rank — the
-    ann_sq8_topk serving shape; when the frozen stats equal the
-    full-corpus stats the outputs are value-identical (pinned in
-    tests/test_streaming.py).
-
-    Unlike PQ/OPQ there is no re-rank float table: SQ8's de-quantized
-    distance IS the emitted distance (the FAISS int8 posture), so the
-    persisted scan state is 64 bytes of codes per vector and nothing
-    else.
-    """
-
-    def __init__(
-        self,
-        spark: SparkSession,
-        path: str,
-        id_col: str = "vec_id",
-        vec_col: str = "embedding",
-        stats: tuple[list[float], list[float]] | None = None,
-    ):
-        self.spark = spark
-        self.path = path
-        self.id_col = id_col
-        self.vec_col = vec_col
-        self.stats = [list(stats[0]), list(stats[1])] if stats else None
-        os.makedirs(os.path.join(path, "codes"), exist_ok=True)
+    path: str
+    vec_col: str
+    stats: list[list[float]] | None
 
     def _stats_file(self) -> str:
         return os.path.join(self.path, "sqstats.json")
@@ -675,6 +658,44 @@ class StreamingSq8Index(_PointerSink):
         os.replace(tmp, self._stats_file())
         return self.stats
 
+
+class StreamingSq8Index(_PointerSink, _FrozenSqStatsMixin):
+    """foreachBatch sink: append-only SQ8 (int8) code index under FROZEN
+    per-dimension (mn, mx) scale stats — the scalar-quantization tier of
+    the streaming index family.
+
+    The stats follow the frozen-model contract (fitted on the first
+    non-empty batch via two plain aggregates, or passed in; persisted to
+    sqstats.json; NEVER refit; conflicts error on write AND read). Per
+    micro-batch the sink appends (cid, codes) — map-only against the
+    stat literals (operators/similarity.sq8_code_expr, the
+    x_sq8_quantize law). ``query`` runs operators/similarity.sq8_serve:
+    exact query vs de-quantized corpus, salted two-phase rank — the
+    ann_sq8_topk serving shape; when the frozen stats equal the
+    full-corpus stats the outputs are value-identical (pinned in
+    tests/test_streaming.py).
+
+    Unlike PQ/OPQ there is no re-rank float table: SQ8's de-quantized
+    distance IS the emitted distance (the FAISS int8 posture), so the
+    persisted scan state is 64 bytes of codes per vector and nothing
+    else.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        stats: tuple[list[float], list[float]] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.stats = [list(stats[0]), list(stats[1])] if stats else None
+        os.makedirs(os.path.join(path, "codes"), exist_ok=True)
+
     def read_codes(self) -> DataFrame | None:
         return self._read_dir("codes", ["cid"])
 
@@ -712,3 +733,231 @@ class StreamingSq8Index(_PointerSink):
             F.col(self.vec_col).alias("qvec"),
         )
         return sq8_serve(idx.select("cid", "codes"), q, mn, mx, k=k)
+
+
+def _sq8_dequant_expr(mn: list[float], mx: list[float]):
+    """De-quantize a stored `codes` column back to the serving doubles:
+    dv[i] = mn[i] + code[i] * (mx[i] - mn[i]) / 255 — the sq8_serve /
+    ann_ivfsq8_topk arithmetic (same literal association), so distances
+    over stored codes are bit-equal to the one-shot query's."""
+    from pyspark.sql import functions as F
+
+    dim = len(mn)
+    mns = ", ".join(repr(float(x)) + "D" for x in mn)
+    mxs = ", ".join(repr(float(x)) + "D" for x in mx)
+    return F.expr(
+        f"transform(sequence(1, {dim}),"
+        f" i -> array({mns})[i - 1] + codes[i - 1]"
+        f" * (array({mxs})[i - 1] - array({mns})[i - 1]) / 255)"
+    )
+
+
+class StreamingIvfSq8Index(_PointerSink, _FrozenQuantizerMixin, _FrozenSqStatsMixin):
+    """foreachBatch sink: the COMPOSED probe-able int8 layout — append-
+    only (cid, cluster, codes) rows under BOTH frozen models (the IVF
+    coarse quantizer via centroids.json, the SQ8 scale stats via
+    sqstats.json), completing the streaming quantization matrix
+    ({flat, IVF} x {PQ, OPQ, SQ8} all have append-only serving sinks).
+
+    Per micro-batch: coarse assignment AND int8 coding are one map-only
+    pass against the two broadcast model literals — O(batch), no
+    history re-touch. Scan state is 64 bytes of codes + a cluster id
+    per vector; like StreamingSq8Index there is no re-rank float table
+    (SQ8's de-quantized distance IS the serving distance, the FAISS
+    int8 posture), and like StreamingIvfIndex probes touch only
+    n_probe/n_clusters of it.
+
+    ``query(queries, k, n_probe)`` de-quantizes the probed codes with
+    the sq8_serve arithmetic and runs operators/similarity.ivfsq8_serve
+    — the EXACT serving path ann_ivfsq8_topk uses on a fresh corpus, so
+    stream-built == one-shot equality is structural (pinned in
+    tests/test_streaming.py). Read-path model conflicts error via both
+    sidecar checks. At cluster scale the codes directory is bucketed by
+    `cluster` (the probe join key).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_clusters: int = 16,
+        centroids: list[list[float]] | None = None,
+        stats: tuple[list[float], list[float]] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_clusters = n_clusters
+        self.centroids = centroids
+        self.stats = [list(stats[0]), list(stats[1])] if stats else None
+        os.makedirs(os.path.join(path, "codes"), exist_ok=True)
+
+    def read_codes(self) -> DataFrame | None:
+        """(cid, cluster, codes) index rows; crash re-appends collapse
+        on the id dedup."""
+        return self._read_dir("codes", ["cid"])
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id():
+            return  # replayed, fully committed batch
+        if batch.limit(1).count() == 0:
+            self._commit(batch_id)
+            return
+        from ..operators.similarity import sq8_code_expr
+
+        centroids = self._load_or_fit_centroids(batch)
+        mn, mx = self._load_or_fit_stats(batch)
+        assigned = ivf_assign(batch, self.id_col, self.vec_col, centroids)
+        rows = assigned.select(
+            "cid", "cluster", sq8_code_expr("cvec", mn, mx).alias("codes")
+        )
+        rows.write.mode("append").parquet(os.path.join(self.path, "codes"))
+        self._commit(batch_id)
+
+    def query(
+        self, queries: DataFrame, k: int = 5, n_probe: int = 4
+    ) -> DataFrame | None:
+        """IVF-SQ8 top-k against the accumulated codes — the same
+        serving code path as a one-shot ann_ivfsq8_topk."""
+        idx = self.read_codes()
+        if idx is None:
+            return None
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import ivfsq8_serve
+
+        # sidecar-wins + conflict check on BOTH frozen models.
+        self.centroids = self._load_centroids()
+        mn, mx = self._load_stats()
+        index = idx.select(
+            "cid", "cluster", _sq8_dequant_expr(mn, mx).alias("dv")
+        )
+        q = queries.select(
+            F.col(self.id_col).alias("qid"),
+            F.expr(
+                f"transform({self.vec_col}, x -> cast(x as double))"
+            ).alias("qv"),
+        )
+        return ivfsq8_serve(index, q, self.centroids, n_probe=n_probe, k=k)
+
+
+class StreamingIvfOpqIndex(
+    _PointerSink, _FrozenQuantizerMixin, _FrozenRotationMixin, _FrozenCodebooksMixin
+):
+    """foreachBatch sink: the COMPOSED anisotropic billion-vector layout
+    — append-only (cid, cluster, codes, cvec) rows under THREE frozen
+    models (IVF centroids via centroids.json, OPQ rotation via
+    rotation.json, rotated codebooks via codebooks.json), completing the
+    streaming quantization matrix alongside StreamingIvfSq8Index.
+
+    Per micro-batch: coarse assignment (ORIGINAL space — the same
+    inverted lists serve every tier), one Arrow rotation pass, and
+    map-only subspace coding against the broadcast codebook literals —
+    O(batch), no history re-encode; the original float vector rides
+    along for the exact original-space re-rank. Like StreamingOpqIndex
+    the rotation + codebooks are REQUIRED offline inputs on first use
+    (an eigen-decomposition is not something a first micro-batch should
+    freeze); the coarse centroids may first-batch-fit like every IVF
+    sink. ``query`` runs operators/similarity.ivfopq_serve — the EXACT
+    serving path ann_ivfopq_topk uses on a fresh corpus, so
+    stream-built == one-shot equality is structural (pinned in
+    tests/test_streaming.py). Read-path conflicts error via all three
+    sidecar checks. At cluster scale the codes directory is bucketed by
+    `cluster` (the probe join key).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_clusters: int = 16,
+        centroids: list[list[float]] | None = None,
+        dim: int = 64,
+        m: int = 16,
+        k: int = 64,
+        rotation: list[list[float]] | None = None,
+        codebooks: list[list[list[float]]] | None = None,
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.n_clusters = n_clusters
+        self.centroids = centroids
+        self.dim = dim
+        self.m = m
+        self.k = k
+        self.rotation = rotation
+        self.codebooks = codebooks
+        os.makedirs(os.path.join(path, "codes"), exist_ok=True)
+
+    def read_codes(self) -> DataFrame | None:
+        """(cid, cluster, codes, cvec) index rows; crash re-appends
+        collapse on the id dedup."""
+        return self._read_dir("codes", ["cid"])
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id():
+            return  # replayed, fully committed batch
+        if batch.limit(1).count() == 0:
+            self._commit(batch_id)
+            return
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import pq_code_expr, rotate_udf
+
+        centroids = self._load_or_fit_centroids(batch)
+        rot, cbs = self._load_or_require_opq_models()
+        assigned = ivf_assign(batch, self.id_col, self.vec_col, centroids)
+        rows = assigned.select(
+            "cid",
+            "cluster",
+            rotate_udf(rot)(F.col("cvec")).alias("rvec"),
+            "cvec",
+        ).select(
+            "cid",
+            "cluster",
+            pq_code_expr(F.col("rvec"), cbs).alias("codes"),
+            "cvec",
+        )
+        rows.write.mode("append").parquet(os.path.join(self.path, "codes"))
+        self._commit(batch_id)
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+        shortlist: int = 50,
+    ) -> DataFrame | None:
+        """IVF-OPQ top-k against the accumulated index — the same
+        serving code path as a one-shot ann_ivfopq_topk."""
+        idx = self.read_codes()
+        if idx is None:
+            return None
+        from pyspark.sql import functions as F
+
+        from ..operators.similarity import ivfopq_serve
+
+        # sidecar-wins + conflict check on ALL THREE frozen models.
+        self.centroids = self._load_centroids()
+        q = queries.select(
+            F.col(self.id_col).alias("qid"),
+            F.col(self.vec_col).alias("qvec"),
+        )
+        return ivfopq_serve(
+            idx.select("cid", "cluster", "codes"),
+            idx.select("cid", "cvec"),
+            q,
+            self.centroids,
+            self._load_rotation(),
+            self._load_codebooks(),
+            n_probe=n_probe,
+            k=k,
+            shortlist=shortlist,
+        )

@@ -2458,3 +2458,184 @@ def test_streaming_sq8_index_matches_batch(spark, sf_dir, tmp_path):
     # Restart WITHOUT stats loads the sidecar, answers identically.
     again = StreamingSq8Index(spark, str(tmp_path / "sq_state"))
     assert as_set(again.query(q, k=5)) == want
+
+
+def test_streaming_ivfsq8_index_matches_batch(spark, sf_dir, tmp_path):
+    """Embeddings streamed through StreamingIvfSq8Index (frozen
+    full-corpus centroids + stats) must answer IVF-SQ8 top-k EXACTLY
+    like the one-shot ann_ivfsq8_topk — the serving path (ivfsq8_serve
+    over de-quantized stored codes) is shared; replay and crash
+    re-appends are absorbed; model conflicts error on write AND read;
+    a restart without models reloads both sidecars."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries.vectors import _ivf_centroids
+    from event_stream_starter_spark.streaming.ann_index import (
+        StreamingIvfSq8Index,
+    )
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_centroids(spark, sf_dir)
+    dim = 64
+    row = emb.agg(
+        F.array(
+            *[F.min(F.col("embedding")[i]).cast("double") for i in range(dim)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.col("embedding")[i]).cast("double") for i in range(dim)]
+        ).alias("mx"),
+    ).collect()[0]
+    stats = (list(row["mn"]), list(row["mx"]))
+    land = tmp_path / "ivfsq_landing"
+    emb.repartition(3).write.mode("overwrite").parquet(str(land))
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    ix = StreamingIvfSq8Index(
+        spark, str(tmp_path / "ivfsq_state"), centroids=cents, stats=stats
+    )
+    run_to_completion(
+        stream, ix.foreach_batch_writer(), str(tmp_path / "ivfsq_ck")
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def as_set(df):
+        return {
+            (r["vec_id_q"], r["vec_id_c"], r["sq_dist"], r["rank"])
+            for r in df.collect()
+        }
+
+    want = as_set(all_queries()["ann_ivfsq8_topk"].fn(spark, sf_dir))
+    got = as_set(ix.query(q, k=5, n_probe=4))
+    assert got == want
+
+    # Committed replay + crash re-append are absorbed.
+    ix.process_batch(emb.limit(3), ix.last_batch_id())
+    codes = spark.read.parquet(_os.path.join(ix.path, "codes")).limit(4)
+    codes.write.mode("append").parquet(_os.path.join(ix.path, "codes"))
+    assert as_set(ix.query(q, k=5, n_probe=4)) == want
+
+    # Conflicting frozen stats error on write and on read.
+    other = ([x - 1.0 for x in stats[0]], list(stats[1]))
+    bad = StreamingIvfSq8Index(
+        spark, str(tmp_path / "ivfsq_state"), centroids=cents, stats=other
+    )
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad.process_batch(emb.limit(3), ix.last_batch_id() + 1)
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad.query(q, k=5)
+
+    # Conflicting centroids error on read too.
+    other_cents = [[v + 1.0 for v in c] for c in cents]
+    bad2 = StreamingIvfSq8Index(
+        spark, str(tmp_path / "ivfsq_state"), centroids=other_cents, stats=stats
+    )
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad2.query(q, k=5)
+
+    # Restart WITHOUT models loads both sidecars, answers identically.
+    again = StreamingIvfSq8Index(spark, str(tmp_path / "ivfsq_state"))
+    assert as_set(again.query(q, k=5, n_probe=4)) == want
+
+
+def test_streaming_ivfopq_index_matches_batch(spark, sf_dir, tmp_path):
+    """Embeddings streamed through StreamingIvfOpqIndex (frozen
+    centroids + offline rotation/codebooks) must answer IVF-OPQ top-k
+    EXACTLY like the one-shot ann_ivfopq_topk — the serving path
+    (ivfopq_serve) is shared verbatim. Missing OPQ models on first use
+    error; conflicts error on write AND read; a restart without models
+    reloads all three sidecars."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries.vectors import (
+        _ivf_centroids,
+        _opq_model,
+    )
+    from event_stream_starter_spark.streaming.ann_index import (
+        StreamingIvfOpqIndex,
+    )
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_centroids(spark, sf_dir)
+    rot, cbs = _opq_model(spark, sf_dir)
+    land = tmp_path / "ivfopq_landing"
+    emb.repartition(3).write.mode("overwrite").parquet(str(land))
+
+    # OPQ models are REQUIRED on first use (offline-trained).
+    bare = StreamingIvfOpqIndex(
+        spark, str(tmp_path / "ivfopq_bare"), centroids=cents
+    )
+    with _pytest.raises(ValueError, match="must be supplied"):
+        bare.process_batch(emb.limit(3), 0)
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    ix = StreamingIvfOpqIndex(
+        spark,
+        str(tmp_path / "ivfopq_state"),
+        centroids=cents,
+        rotation=rot,
+        codebooks=cbs,
+    )
+    run_to_completion(
+        stream, ix.foreach_batch_writer(), str(tmp_path / "ivfopq_ck")
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def as_set(df):
+        return {
+            (
+                r["vec_id_q"],
+                r["vec_id_c"],
+                r["adc_dist"],
+                r["exact_dist"],
+                r["rank"],
+            )
+            for r in df.collect()
+        }
+
+    want = as_set(all_queries()["ann_ivfopq_topk"].fn(spark, sf_dir))
+    got = as_set(ix.query(q, k=5, n_probe=4, shortlist=50))
+    assert got == want
+
+    # Committed replay + crash re-append are absorbed.
+    ix.process_batch(emb.limit(3), ix.last_batch_id())
+    codes = spark.read.parquet(_os.path.join(ix.path, "codes")).limit(4)
+    codes.write.mode("append").parquet(_os.path.join(ix.path, "codes"))
+    assert as_set(ix.query(q, k=5, n_probe=4, shortlist=50)) == want
+
+    # Conflicting rotation errors on write and on read.
+    other_rot = [[v + 1.0 for v in r] for r in rot]
+    bad = StreamingIvfOpqIndex(
+        spark,
+        str(tmp_path / "ivfopq_state"),
+        centroids=cents,
+        rotation=other_rot,
+        codebooks=cbs,
+    )
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad.process_batch(emb.limit(3), ix.last_batch_id() + 1)
+    with _pytest.raises(ValueError, match="persisted quantizer"):
+        bad.query(q, k=5)
+
+    # Restart WITHOUT models loads all three sidecars.
+    again = StreamingIvfOpqIndex(spark, str(tmp_path / "ivfopq_state"))
+    assert as_set(again.query(q, k=5, n_probe=4, shortlist=50)) == want
