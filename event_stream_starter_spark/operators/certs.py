@@ -187,6 +187,17 @@ def pack_waste_rollup(
     )
 
 
+def within_frac(est: Column, exact: Column, frac: float = 0.05) -> Column:
+    """The sketch-error bound law shared by the approx-distinct certs
+    (a5_approx_distinct, a5_hll_mergeable_rollup): |est - exact| <=
+    frac * exact, INCLUSIVE at the bound. The oracle states TRUE as
+    fact, so an estimate past the bound fails the value hash; the
+    planted-violation golden (tests/test_cert_adversarial.py) pins the
+    inclusive absolute form — dropping abs(), inverting the comparison,
+    or widening frac flips it."""
+    return F.abs(est - exact) <= frac * exact
+
+
 def tier_agreement(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """1-row (n_docs, n_agree) frame: null-safe equality count between
     two implementation tiers of the same function. The certification

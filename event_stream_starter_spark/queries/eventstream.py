@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import fingerprint, key_concat, ts_bucket
 from ..operators.dedup import exact_dedup
 from ..io import load_table
+from ..operators import certs
 from ..operators.windows import ema_last, growth_ratio, latest_per_key, slope_trend
 from . import query
 
@@ -1078,9 +1079,8 @@ def a5_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "distinct_users_exact",
         "n_days",
-        (
-            F.abs(F.col("distinct_users_est") - F.col("distinct_users_exact"))
-            <= 0.05 * F.col("distinct_users_exact")
+        certs.within_frac(
+            F.col("distinct_users_est"), F.col("distinct_users_exact")
         ).alias("within_5pct"),
     )
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators import certs
 from ..operators.windows import top_k_per_group
 from . import query
 
@@ -162,9 +163,8 @@ def a5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "exact_suppliers",
             "tx_count",
-            (
-                F.abs(F.col("approx_suppliers") - F.col("exact_suppliers"))
-                <= 0.05 * F.col("exact_suppliers")
+            certs.within_frac(
+                F.col("approx_suppliers"), F.col("exact_suppliers")
             ).alias("within_5pct"),
         )
     )

@@ -255,3 +255,114 @@ def test_drift_cert_certifies_identical_assignments(spark):
     row = certs.drift_cert(af, ag, err).collect()[0]
     assert row["assignment_stability_ok"] is True
     assert row["quant_error_ok"] is True
+
+
+# --- within_frac (a5_approx_distinct / a5_hll_mergeable_rollup sketch
+# --- bound) --------------------------------------------------------------------
+
+
+def test_within_frac_flips_on_sketch_past_bound(spark):
+    """The sketch-error bound law must be the INCLUSIVE absolute 5%
+    form: estimate just past the bound flips FALSE (in BOTH
+    directions — dropping abs() passes underestimates), exactly at the
+    bound stays TRUE, and a nonzero estimate against exact=0 flips
+    FALSE (frac * 0 == 0)."""
+    rows = [
+        # (est, exact, want)
+        (106.0, 100, False),  # 6% over: past the bound
+        (94.0, 100, False),   # 6% under: abs() is load-bearing
+        (105.0, 100, True),   # exactly 5%: inclusive
+        (95.0, 100, True),    # exactly -5%: inclusive + abs
+        (100.0, 100, True),
+        (1.0, 0, False),      # exact 0: any estimate > 0 is out
+        (0.0, 0, True),
+    ]
+    df = spark.createDataFrame(
+        [(e, x) for e, x, _ in rows], "est double, exact long"
+    )
+    got = [
+        r["ok"]
+        for r in df.select(
+            certs.within_frac(F.col("est"), F.col("exact")).alias("ok")
+        ).collect()
+    ]
+    assert got == [w for _, _, w in rows]
+
+
+# --- D6 cooldown fold (recursive-CTE-oracled ordered emit law) ----------------
+
+
+def _cooldown_sim(ts_list, cooldown_s):
+    """Independent pure-Python cooldown law: sort, emit t iff first or
+    t >= last_emit + cooldown (inclusive)."""
+    out, last = [], None
+    for t in sorted(ts_list):
+        if last is None or t >= last + cooldown_s * 1_000_000:
+            out.append(t)
+            last = t
+    return out
+
+
+def test_cooldown_fold_sorts_and_is_inclusive_at_boundary(spark, tmp_path):
+    """The production d6_cooldown_emit on PLANTED events: arrival order
+    scrambled (an unsorted fold emits a different set) and one gap of
+    EXACTLY the cooldown (a strict-> mutation drops it). The fold must
+    match the independent sim; both planted mutations must not."""
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries.ops import COOLDOWN_SEC
+
+    c_us = COOLDOWN_SEC * 1_000_000
+    # seconds offsets -> micros; SCRAMBLED arrival order
+    offs_s = [1800, 7200, 0, 3601, 3600]
+    base_us = 1_700_000_000_000_000
+    ts_us = [base_us + s * 1_000_000 for s in offs_s]
+    rows = [
+        (i + 1, t, 7, "purchase", 1.0, "{}") for i, t in enumerate(ts_us)
+    ] + [
+        # decoy: wrong event_type inside a cooldown window — the filter
+        # must keep it out of the fold
+        (99, base_us + 100, 7, "view", 1.0, "{}"),
+        # second key: single event, emits unconditionally
+        (100, base_us, 8, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = tmp_path / "d6sf"
+    df.coalesce(1).write.mode("overwrite").parquet(str(sf / "events.parquet"))
+
+    got = {
+        (r["user_id"], r["emit_ts_us"])
+        for r in all_queries()["d6_cooldown_emit"].fn(spark, str(sf)).collect()
+    }
+    want = {(7, t) for t in _cooldown_sim(ts_us, COOLDOWN_SEC)} | {
+        (8, base_us)
+    }
+    assert got == want
+    # the exactly-at-cooldown emit is present (inclusive law)
+    assert (7, base_us + 3600 * 1_000_000) in got
+
+    # Planted mutation 1: ARRIVAL-ORDER fold (no sort) diverges.
+    unsorted_emit = []
+    last = None
+    for t in ts_us:
+        if last is None or t >= last + c_us:
+            unsorted_emit.append(t)
+            last = t
+    assert {(7, t) for t in unsorted_emit} != {p for p in want if p[0] == 7}
+
+    # Planted mutation 2: STRICT > at the boundary diverges.
+    strict_emit = []
+    last = None
+    for t in sorted(ts_us):
+        if last is None or t > last + c_us:
+            strict_emit.append(t)
+            last = t
+    assert {(7, t) for t in strict_emit} != {p for p in want if p[0] == 7}
