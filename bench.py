@@ -164,6 +164,7 @@ HEADLINE = [
     "ann_ivfsq8_recall_cert",
     # round-9 additions (outside the frozen r01-comparable subtotal)
     "x_unigram_train_pruned",
+    "dd_edit_distance",
 ]
 
 

@@ -995,3 +995,59 @@ def test_rotate_udf_equals_column_fold(spark, sf_dir):
         .collect()[0]
     )
     assert j["eq"] == j["n"] and j["n"] > 0
+
+
+def test_edit_distance_blocking_is_lossless_at_band_edges(spark, tmp_path):
+    """dd_edit_distance on PLANTED documents: a pair at EXACTLY
+    |dlen| = d whose length buckets differ by 1 must be found (the
+    +/-1-bucket explode is load-bearing), a pair at |dlen| = d+1 must
+    not, and the full output must equal a brute-force python
+    Levenshtein sweep."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries.textdata import _EDIT_D
+
+    d = _EDIT_D
+    base = "x" * 20
+    docs = [
+        (1, base, "en", "web"),                      # len 20, bucket 2
+        (2, base + "y" * d, "en", "web"),            # len 28: dlen=d, bucket 3
+        (3, base + "y" * (d + 1), "en", "web"),      # len 29: dlen=d+1 vs doc 1
+        (4, base[:-1] + "z", "en", "web"),           # len 20: 1 substitution
+        (5, "completely different text here!!", "en", "web"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    sf = tmp_path / "edsf"
+    df.coalesce(1).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in all_queries()["dd_edit_distance"].fn(spark, str(sf)).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    texts = {i: t for i, t, _, _ in docs}
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a < b and lev(texts[a], texts[b]) <= d:
+                want[(a, b)] = lev(texts[a], texts[b])
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == d  # exactly-at-band pair found
+    assert (1, 3) not in got                   # one past the bound excluded
+    assert got[(1, 4)] == 1
+    # docs 2 and 3 differ by one char -> also a cross-check pair
+    assert got[(2, 3)] == 1
