@@ -165,6 +165,7 @@ HEADLINE = [
     # round-9 additions (outside the frozen r01-comparable subtotal)
     "x_unigram_train_pruned",
     "dd_edit_distance",
+    "st9_hdr_percentile_rollup",
 ]
 
 

@@ -12,7 +12,7 @@ so sketches built anywhere agree bucket-for-bucket.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 CMS_D = 5  # depth: independent hash rows
@@ -66,4 +66,67 @@ def cms_estimate(
         exploded.join(table, ["j", "b"], "left")
         .groupBy(*probes.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+# --- HDR histogram (mergeable percentile sketch, exact integer law) ----------
+#
+# Tene's HdrHistogram / DDSketch posture with EXACT arithmetic: a value
+# in integer micro-units lands in octave k = floor(log2(v)) (computed as
+# length(bin(v)) - 1 — pure string/integer ops both engines share) and
+# one of HDR_SUB linear sub-buckets inside the octave. Bucket counts
+# merge by plain addition (the mergeable-partials property CMS has),
+# and the bucket bracketing the rank-r order statistic has relative
+# width <= 1/HDR_SUB. Everything is integer-exact, so the whole sketch
+# is value-hash-oracle-able — unlike approx_percentile's opaque sketch.
+
+HDR_SUB = 16
+
+
+def hdr_bucket_spark(v_sql: str, sub: int = HDR_SUB) -> str:
+    """Spark SQL text: HDR bucket id of the bigint expr `v_sql` (>= 1):
+    k*sub + (v - 2^k)*sub div 2^k."""
+    k = f"(length(bin({v_sql})) - 1)"
+    pw = f"shiftleft(1L, {k})"
+    return f"({k} * {sub} + (({v_sql} - {pw}) * {sub}) div {pw})"
+
+
+def hdr_percentiles(
+    merged: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    sub: int = HDR_SUB,
+) -> DataFrame:
+    """Read p-quantile brackets off a merged (group_cols..., bucket_id,
+    cnt) histogram: per (group, q) emit n, rank ceil(q*n), the first
+    bucket whose cumulative count reaches the rank, and the bucket's
+    exact integer bounds in input-units x sub. Windows run over
+    |groups| x |buckets| rows (bounded by the sketch size), never the
+    corpus — shared verbatim by st9_hdr_percentile_rollup and
+    StreamingHdrHistogram so stream==batch parity is structural."""
+    spark = merged.sparkSession
+    wcum = Window.partitionBy(*group_cols).orderBy("bucket_id")
+    cum = merged.select(
+        *group_cols,
+        "bucket_id",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*group_cols)).alias("n"),
+    )
+    qdf = spark.createDataFrame([(q,) for q in qs], "q double")
+    pw = F.expr(f"shiftleft(1L, cast(bucket_id div {sub} as int))")
+    s = F.col("bucket_id") % sub
+    hit = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy(*group_cols, "q", "n")
+        .agg(F.min("bucket_id").alias("bucket_id"))
+    )
+    return hit.select(
+        *group_cols,
+        "q",
+        F.col("n").cast("bigint").alias("n"),
+        F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("rank_r"),
+        F.col("bucket_id").cast("bigint").alias("bucket_id"),
+        (pw * sub + s * pw).cast("bigint").alias("est_lo_us16"),
+        (pw * sub + (s + 1) * pw).cast("bigint").alias("est_hi_us16"),
     )

@@ -1085,6 +1085,111 @@ def a5_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HDR-histogram binning: the law lives in operators/sketch.py
+# (hdr_bucket_spark / hdr_percentiles, shared verbatim with
+# StreamingHdrHistogram); the DuckDB twin of the bucket expr is below.
+from ..operators.sketch import HDR_SUB as _HDR_SUB  # noqa: E402
+from ..operators.sketch import hdr_bucket_spark as _hdr_bucket_spark  # noqa: E402
+from ..operators.sketch import hdr_percentiles as _hdr_percentiles  # noqa: E402
+
+_HDR_QS = (0.50, 0.95, 0.99)
+
+
+def _hdr_bucket_sql(v: str) -> str:
+    """DuckDB twin of operators/sketch.hdr_bucket_spark: the bucket id
+    of bigint expr `v` (>= 1): k*16 + (v - 2^k)*16 div 2^k."""
+    k = f"(length(bin({v})) - 1)"
+    pw = f"(CAST(1 AS BIGINT) << {k})"
+    return f"({k} * {_HDR_SUB} + ({v} - {pw}) * {_HDR_SUB} // {pw})"
+
+
+@query(
+    "st9_hdr_percentile_rollup",
+    f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor(value * 1000000.0) AS BIGINT) AS vus
+        FROM events
+    ), hist AS (
+        SELECT event_type, {_hdr_bucket_sql("vus")} AS bucket_id,
+               COUNT(*) AS cnt
+        FROM v GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, bucket_id, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket_id)
+                   AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    ), qv AS (SELECT unnest([{", ".join(str(q) for q in _HDR_QS)}]) AS q)
+    SELECT c.event_type, q.q, CAST(c.n AS BIGINT) AS n,
+           CAST(ceil(q.q * c.n) AS BIGINT) AS rank_r,
+           CAST(MIN(c.bucket_id) AS BIGINT) AS bucket_id,
+           CAST(MIN((CAST(1 AS BIGINT) << (c.bucket_id // {_HDR_SUB}))
+                * {_HDR_SUB}
+                + (c.bucket_id % {_HDR_SUB})
+                * (CAST(1 AS BIGINT) << (c.bucket_id // {_HDR_SUB})))
+               AS BIGINT) AS est_lo_us16,
+           CAST(MIN((CAST(1 AS BIGINT) << (c.bucket_id // {_HDR_SUB}))
+                * {_HDR_SUB}
+                + (c.bucket_id % {_HDR_SUB} + 1)
+                * (CAST(1 AS BIGINT) << (c.bucket_id // {_HDR_SUB})))
+               AS BIGINT) AS est_hi_us16
+    FROM cum c, qv q
+    WHERE c.cum >= ceil(q.q * c.n)
+    GROUP BY c.event_type, q.q, c.n
+    """,
+    survey_ids=(
+        "beyond-ref: MERGEABLE percentile rollup (HdrHistogram law, "
+        "exact integer binning) — per-(event_type, day) partial "
+        "histograms union-merged by plain count addition, p50/p95/p99 "
+        "bracketed to <= 1/16 relative width; the ST9 percentile "
+        "family's 100TB path, FULLY value-hash-oracled (unlike an "
+        "opaque approx_percentile sketch) with the merge itself pinned: "
+        "Spark aggregates daily partials, the oracle re-derives the "
+        "histogram in one pass — hash equality proves merge == direct"
+    ),
+)
+def st9_hdr_percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st9_latency_percentiles' mergeable 100TB path: persist one
+    fixed-size histogram per (event_type, day) partition — 16 linear
+    sub-buckets per power-of-2 octave over integer micro-units, every
+    bin boundary exact integer arithmetic — then answer any horizon by
+    ADDING counts (mergeable by construction, the a5_hll_mergeable
+    posture) and reading p50/p95/p99 off the merged counts.
+
+    Emits per (event_type, q): n, the rank ceil(q*n), the winning
+    bucket, and the bucket's EXACT integer bounds in micro-units x16
+    (est_lo_us16, est_hi_us16) — the true rank-r value provably lies in
+    [lo, hi) with relative width <= 1/16 (the HdrHistogram guarantee),
+    pinned against numpy order statistics in tests/test_ops_golden.py.
+
+    Oracle shape: the histogram, the cumulative rank scan and the
+    bucket bounds are all integer-exact, so the WHOLE sketch is
+    value-hash-checked — and because Spark builds it from daily partials
+    while the oracle builds it in one pass, the hash also proves the
+    merge law. Window functions here run over |event_type| x <=
+    ~16*40 bucket rows (bounded), never the corpus."""
+    ev = _events(spark, sf_dir)
+    day = F.expr("unix_micros(ts) div 86400000000")
+    # per-(event_type, day) partials: the persisted sketch at 100TB
+    daily = (
+        ev.select(
+            "event_type",
+            day.alias("day"),
+            F.expr(_hdr_bucket_spark("cast(floor(value * 1000000.0) as bigint)")).alias(
+                "bucket_id"
+            ),
+        )
+        .groupBy("event_type", "day", "bucket_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # union-merge = plain count addition over the bucket key
+    merged = daily.groupBy("event_type", "bucket_id").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return _hdr_percentiles(merged, ["event_type"], list(_HDR_QS))
+
+
 @query(
     "w10_rolling_range_sum",
     """

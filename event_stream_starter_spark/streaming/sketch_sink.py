@@ -80,3 +80,74 @@ class StreamingCms(_PointerSink):
             "append"
         ).parquet(os.path.join(self.path, "partials"))
         self._commit(batch_id)
+
+
+class StreamingHdrHistogram(_PointerSink):
+    """foreachBatch sink: batch-tagged HDR-histogram partials, summed on
+    read — the mergeable-percentile twin of StreamingCms and the
+    streaming form of st9_hdr_percentile_rollup.
+
+    Like the CMS, the HDR histogram merges EXACTLY (bucket counts add;
+    the sketch's approximation is the fixed 1/16-relative-width bucket
+    grid, never the merge), so each micro-batch folds only its own rows
+    into a (group, bucket_id, cnt) partial — O(batch) map + one tiny
+    aggregate, history never re-binned. ``percentiles()`` reads
+    p-quantile brackets off the summed partials via the SAME
+    operators/sketch.hdr_percentiles the batch query uses, so
+    stream-built == one-shot equality is structural (pinned in
+    tests/test_streaming.py). There is no frozen model: the bucket grid
+    is a constant of the law, which is what makes the sketch
+    coordination-free at 1000 executors."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_col: str = "event_type",
+        value_col: str = "value",
+    ):
+        self.spark = spark
+        self.path = path
+        self.group_col = group_col
+        self.value_col = value_col
+        os.makedirs(os.path.join(path, "partials"), exist_ok=True)
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        from ..operators.sketch import hdr_bucket_spark
+
+        vus = f"cast(floor({self.value_col} * 1000000.0) as bigint)"
+        return (
+            df.select(
+                F.col(self.group_col).alias("grp"),
+                F.expr(hdr_bucket_spark(vus)).alias("bucket_id"),
+            )
+            .groupBy("grp", "bucket_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def histogram(self) -> DataFrame | None:
+        """The live (grp, bucket_id, cnt) table: sum of committed
+        partials; crash re-appends collapse on the batch-tag dedup."""
+        p = self._read_dir("partials", ["batch_id", "grp", "bucket_id"])
+        if p is None:
+            return None
+        return p.groupBy("grp", "bucket_id").agg(F.sum("cnt").alias("cnt"))
+
+    def percentiles(self, qs: list[float]) -> DataFrame | None:
+        """p-quantile brackets off the live histogram — the exact code
+        path st9_hdr_percentile_rollup reads its merged counts with."""
+        from ..operators.sketch import hdr_percentiles
+
+        h = self.histogram()
+        if h is None:
+            return None
+        return hdr_percentiles(h, ["grp"], qs)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id():
+            return  # replayed, fully committed batch
+        partial = self._bucketed(batch)
+        partial.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(os.path.join(self.path, "partials"))
+        self._commit(batch_id)

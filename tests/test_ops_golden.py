@@ -531,3 +531,34 @@ def test_salted_topn_property_equals_direct_window(spark):
         assert got == want
 
     run()
+
+
+def test_hdr_percentile_bracket_contains_true_order_statistic(spark, sf_dir):
+    """st9_hdr_percentile_rollup's [est_lo, est_hi) bracket must contain
+    the TRUE rank-r order statistic (numpy, exact) for every
+    (event_type, q), with relative width <= 1/16 — the HdrHistogram
+    guarantee the mergeable sketch exists to provide."""
+    import math
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+
+    rows = all_queries()["st9_hdr_percentile_rollup"].fn(spark, sf_dir).collect()
+    assert rows
+    vals = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect():
+        vals.setdefault(r["event_type"], []).append(
+            math.floor(r["value"] * 1_000_000.0)
+        )
+    for v in vals.values():
+        v.sort()
+    for r in rows:
+        v = vals[r["event_type"]]
+        assert r["n"] == len(v)
+        assert r["rank_r"] == math.ceil(r["q"] * len(v))
+        true_us = v[r["rank_r"] - 1]  # rank-r order statistic
+        lo, hi = r["est_lo_us16"] / 16, r["est_hi_us16"] / 16
+        assert lo <= true_us < hi, (r["event_type"], r["q"])
+        assert (hi - lo) / lo <= 1 / 16 + 1e-12  # relative width law

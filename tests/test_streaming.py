@@ -2639,3 +2639,59 @@ def test_streaming_ivfopq_index_matches_batch(spark, sf_dir, tmp_path):
     # Restart WITHOUT models loads all three sidecars.
     again = StreamingIvfOpqIndex(spark, str(tmp_path / "ivfopq_state"))
     assert as_set(again.query(q, k=5, n_probe=4, shortlist=50)) == want
+
+
+def test_streaming_hdr_histogram_matches_batch_rollup(spark, sf_dir, tmp_path):
+    """Events streamed through StreamingHdrHistogram must answer
+    p50/p95/p99 EXACTLY like the one-shot st9_hdr_percentile_rollup —
+    hdr_percentiles is shared verbatim and histogram merging is
+    lossless (bucket counts add). Replay is a no-op; a crash re-append
+    collapses on the batch-tag dedup."""
+    import os as _os
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.streaming.pipeline import run_to_completion
+    from event_stream_starter_spark.streaming.sketch_sink import (
+        StreamingHdrHistogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    land = tmp_path / "hdr_landing"
+    ev.repartition(4).write.mode("overwrite").parquet(str(land))
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    sink = StreamingHdrHistogram(spark, str(tmp_path / "hdr_state"))
+    run_to_completion(stream, sink.foreach_batch_writer(), str(tmp_path / "hdr_ck"))
+
+    def as_set(df, grp):
+        return {
+            (
+                r[grp],
+                r["q"],
+                r["n"],
+                r["rank_r"],
+                r["bucket_id"],
+                r["est_lo_us16"],
+                r["est_hi_us16"],
+            )
+            for r in df.collect()
+        }
+
+    want = as_set(
+        all_queries()["st9_hdr_percentile_rollup"].fn(spark, sf_dir),
+        "event_type",
+    )
+    got = as_set(sink.percentiles([0.50, 0.95, 0.99]), "grp")
+    assert got == want and len(want) > 0
+
+    # Committed replay + crash re-append are absorbed.
+    sink.process_batch(ev.limit(5), sink.last_batch_id())
+    partial = spark.read.parquet(
+        _os.path.join(sink.path, "partials")
+    ).limit(3)
+    partial.write.mode("append").parquet(_os.path.join(sink.path, "partials"))
+    assert as_set(sink.percentiles([0.50, 0.95, 0.99]), "grp") == want
