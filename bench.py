@@ -166,6 +166,8 @@ HEADLINE = [
     "x_unigram_train_pruned",
     "dd_edit_distance",
     "st9_hdr_percentile_rollup",
+    "dd_cluster_keep_best",
+    "x_source_quality_gate",
 ]
 
 
@@ -285,7 +287,12 @@ NOTES = (
     "its r7 2.01s; code untouched) — both r8 numbers were whole-run "
     "environmental inflation (elevated-loadavg starts), not merit "
     "regressions. The per-query tripwire below now flags any such "
-    "step automatically in the output's `regressions` field."
+    "step automatically in the output's `regressions` field. "
+    "EXPECTED r9 tripwire hit (merit cost, not a regression): "
+    "x_tokenizer_fertility_compare gained a THIRD encoder column (the "
+    "published pruned-unigram model joined the bake-off — one more "
+    "codegen Viterbi fold over the same scan, ~1.3-1.6x its 2-encoder "
+    "time)."
 )
 
 

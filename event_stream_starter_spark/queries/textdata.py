@@ -379,6 +379,198 @@ def dd_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_cluster_keep_best",
+    f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, lang, source, {_SHINGLE_DUCK} AS sh
+        FROM documents
+    ), pr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM pr
+        UNION
+        SELECT id_b, id_a FROM pr
+    ), reach AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s AND r.s <> e.d
+    ), lab AS (
+        SELECT s AS node, least(MIN(d), s) AS label FROM reach GROUP BY s
+    ), assign AS (
+        SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+    ), q AS (
+        SELECT doc_id,
+               COALESCE(ROUND({{qd}}, 6), -1.0) AS quality
+        FROM documents
+    ), j AS (
+        SELECT a.cluster_id, a.doc_id, q.quality
+        FROM assign a JOIN q ON a.doc_id = q.doc_id
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+           (MAX({{'q': quality, 'n': -doc_id, 'd': doc_id}})).d AS keep_doc,
+           (MAX({{'q': quality, 'n': -doc_id, 'd': doc_id}})).q
+               AS keep_quality
+    FROM j GROUP BY cluster_id
+    """.replace("{qd}", "__QD__").replace("{{", "{").replace("}}", "}")
+    .replace("__QD__", _quality_duck()),
+    survey_ids=(
+        "dedup: quality-argmax canonical selection — one KEEPER per "
+        "near-dup cluster chosen by highest quality score (min doc_id "
+        "tiebreak) instead of min-id; the keep rule real pipelines run "
+        "(drop the boilerplate copy, keep the clean one)"
+    ),
+)
+def dd_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd_cluster_canonical with the keep rule a real dedup ships:
+    per near-dup cluster, keep the HIGHEST-QUALITY member (the
+    x_text_stats quality law, 6dp; ties to the lower doc_id), not the
+    lowest id — emits (cluster_id, cluster_size, n_dropped, keep_doc,
+    keep_quality). NULL quality (empty text) coalesces to -1.0 in both
+    engines so the argmax never compares NULLs.
+
+    The argmax is a lexicographic struct max over (quality, -doc_id,
+    doc_id) — portable between Spark and DuckDB (both order structs by
+    field position), so the oracle re-derives clusters via the
+    recursive-CTE transitive closure AND the keeper choice exactly.
+
+    Scale shape: the pair graph + iterative min-label components are
+    dd_cluster_canonical's (prefix-filtered candidates, no cross
+    product); the keeper pick adds ONE |docs|-row struct-max groupBy on
+    cluster_id. No corpus-proportional window."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.transform(token_shingles(F.col("text"), 3), lambda s: F.xxhash64(s)).alias(
+            "sh"
+        ),
+    )
+    pairs = jaccard_prefix_join(
+        sh, "doc_id", "sh", threshold=0.5, block_cols=("lang", "source")
+    ).select("id_a", "id_b")
+    assign = canonical_assignments(docs, pairs, "doc_id").select(
+        "doc_id", "cluster_id"
+    )
+    t = F.col("text")
+    toks = textan.tokens(t)
+    q = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.round(textan.quality_score(t, toks), 6), F.lit(-1.0)
+        ).alias("quality"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("quality").alias("q"),
+            (-F.col("doc_id")).alias("n"),
+            F.col("doc_id").alias("d"),
+        )
+    )
+    return (
+        assign.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+            best.alias("b"),
+        )
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "n_dropped",
+            F.col("b.d").alias("keep_doc"),
+            F.col("b.q").alias("keep_quality"),
+        )
+    )
+
+
+_SRC_LOW_Q = 0.5      # a doc below this quality is "low quality"
+_SRC_SHARE_BOUND = 0.25  # flag a source when >= this share is low-q...
+_SRC_P50_BOUND = 0.58    # ...or its median quality sits below this
+
+
+@query(
+    "x_source_quality_gate",
+    f"""
+    WITH q AS (
+        SELECT source,
+               COALESCE(ROUND({_quality_duck()}, 6), -1.0) AS quality
+        FROM documents
+    ), s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(COUNT(*) FILTER (WHERE quality < {_SRC_LOW_Q})
+                          AS DOUBLE) / COUNT(*), 6) AS low_q_share,
+               ROUND(quantile_cont(quality, 0.5), 6) AS p50_quality
+        FROM q GROUP BY source
+    )
+    SELECT source, n_docs, low_q_share, p50_quality,
+           (low_q_share >= {_SRC_SHARE_BOUND}
+            OR p50_quality < {_SRC_P50_BOUND}) AS flagged
+    FROM s
+    """,
+    survey_ids=(
+        "quality: SOURCE-level curation gate (the RefinedWeb/Gopher "
+        "domain-filtering posture) — per source, the low-quality doc "
+        "share and median quality, flagged when either crosses its "
+        "bound; the decision table a curation owner blocklists from"
+    ),
+)
+def x_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality filtering: real pipelines drop whole
+    SOURCES (domains/feeds), not just documents — a source whose
+    low-quality share or median quality crosses the bound is flagged
+    for the blocklist. Emits (source, n_docs, low_q_share,
+    p50_quality, flagged); doc-level quality is the x_text_stats law
+    (6dp, NULL → -1.0), the median the st9 exact-interpolated
+    percentile (bit-identical to quantile_cont), and the flag compares
+    ROUNDED values so both engines decide identically.
+
+    Scale shape: one map pass for the quality column + one
+    |sources|-group aggregation (percentile partial-aggregates); at
+    100TB swap the exact percentile for the HDR bracket
+    (st9_hdr_percentile_rollup) — same plan, same flag law on the
+    bracket midpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = textan.tokens(t)
+    q = docs.select(
+        "source",
+        F.coalesce(
+            F.round(textan.quality_score(t, toks), 6), F.lit(-1.0)
+        ).alias("quality"),
+    )
+    s = q.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.when(F.col("quality") < _SRC_LOW_Q, 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("low_q_share"),
+        F.round(F.percentile("quality", 0.5), 6).alias("p50_quality"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "low_q_share",
+        "p50_quality",
+        (
+            (F.col("low_q_share") >= _SRC_SHARE_BOUND)
+            | (F.col("p50_quality") < _SRC_P50_BOUND)
+        ).alias("flagged"),
+    )
+
+
+@query(
     "x_mixture_sample",
     """
     WITH stats AS (

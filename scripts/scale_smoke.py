@@ -69,6 +69,17 @@ vectors are FIT-dominated (codebooks + rotation retrain per run at
 smoke scale) — deployed, models freeze in the Streaming*Index
 sidecars and queries pay ADC only; sq8 2.4s (no trained model).
 
+Round-9 families at the same scales (2026-08-16 run): HDR percentile
+rollup 2.9s @ 1M events (vs 1.9s for the exact st9 percentiles — the
+mergeable sketch costs the same as one exact pass while adding the
+100TB merge property); published pruned-unigram trainer 3.4s @ 50k
+docs (the clique corpus's 30-word vocabulary keeps the word table
+tiny — Heaps' law at work); the 3-encoder bake-off 34.3s (+3.4s over
+the 2-encoder round-8 number: the BPE 12-fold still dominates);
+dd_edit_distance 37.3s over ~22M length-band candidates (see the
+in-list caveat: the salad corpus collides lengths ~100x harder than a
+real one; cost is linear in candidates x d, no blowup).
+
 NOISE CAVEAT: this script is single-pass (unlike bench.py's best-of-4
 passes); the box's co-resident agent process bursts for tens of
 seconds and can inflate any one query 5-20x (observed 15-30s readings
@@ -97,6 +108,7 @@ QUERIES = [
     "w2_growth_ratio",
     "w7_latest_per_key",
     "st9_latency_percentiles",
+    "st9_hdr_percentile_rollup",
     "j6_asof_snapshot_enrich",
     "d2_fingerprint_dedup",
     "flagship_heat_rules",
@@ -153,6 +165,16 @@ DOC_QUERIES = [
     "x_unigram_encode_frozen",
     "x_tokenizer_fertility_compare",
     "x_corpus_datacard_v2",
+    # Round-9: the published (soft-EM + pruned) unigram trainer at 10x
+    # exercises the seed/EM/prune loop over the clique corpus word
+    # table; dd_edit_distance's candidate volume here (~22M pairs) is
+    # governed by the clique corpus concentrating ALL 50k docs into
+    # ~60 length bands — a property of the 30-word salad (real corpora
+    # spread lengths ~100x wider), the same caveat as the excluded
+    # dd_ngram_jaccard; the thresholded DP keeps it linear in
+    # candidates x d.
+    "x_unigram_train_pruned",
+    "dd_edit_distance",
 ]
 
 # Embedding family on a 10x synthetic vector table (5k vectors, 64-dim,

@@ -1051,3 +1051,53 @@ def test_edit_distance_blocking_is_lossless_at_band_edges(spark, tmp_path):
     assert got[(1, 4)] == 1
     # docs 2 and 3 differ by one char -> also a cross-check pair
     assert got[(2, 3)] == 1
+
+
+def test_keep_best_prefers_quality_over_min_id(spark, tmp_path):
+    """dd_cluster_keep_best on a PLANTED clique where the HIGHEST-
+    quality member has the HIGHEST doc_id: the keeper must be the
+    quality argmax (diverging from dd_cluster_canonical's min-id pick),
+    and a quality tie must break to the LOWER id."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.queries import all_queries
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "home tonight with great joy and calm delight in the field"
+    )
+    junky = clean + " !!!! #### $$$$ %%%% @@@@ ^^^^ &&&& **** (((( ))))"
+    docs = [
+        (1, junky, "en", "web"),            # min id, LOW quality
+        (2, junky + " ....", "en", "web"),  # near-dup of 1, low quality
+        (3, clean, "en", "web"),            # near-dup, HIGH quality, max id
+        # second clique (disjoint vocabulary so it can't merge with the
+        # first): exact copies -> quality tie -> min id wins
+        (10, "cats sleep on warm windowsills every sunny afternoon", "en", "web"),
+        (11, "cats sleep on warm windowsills every sunny afternoon", "en", "web"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    sf = tmp_path / "kbsf"
+    df.coalesce(1).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+
+    rows = {
+        r["cluster_id"]: r
+        for r in all_queries()["dd_cluster_keep_best"].fn(spark, str(sf)).collect()
+    }
+    canon = {
+        r["cluster_id"]
+        for r in all_queries()["dd_cluster_canonical"]
+        .fn(spark, str(sf))
+        .filter(F.col("is_canonical"))
+        .collect()
+    }
+    # cluster ids are the min member (the components label)
+    c1 = rows[1]
+    assert c1["cluster_size"] == 3 and c1["n_dropped"] == 2
+    assert c1["keep_doc"] == 3          # quality argmax, NOT min id
+    assert 1 in canon                    # canonical picks min id -> differs
+    c2 = rows[10]
+    assert c2["cluster_size"] == 2
+    assert c2["keep_doc"] == 10          # exact tie -> lower id

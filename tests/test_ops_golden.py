@@ -562,3 +562,49 @@ def test_hdr_percentile_bracket_contains_true_order_statistic(spark, sf_dir):
         lo, hi = r["est_lo_us16"] / 16, r["est_hi_us16"] / 16
         assert lo <= true_us < hi, (r["event_type"], r["q"])
         assert (hi - lo) / lo <= 1 / 16 + 1e-12  # relative width law
+
+
+def test_source_quality_gate_flags_each_arm(spark, tmp_path):
+    """x_source_quality_gate on PLANTED sources: one flagged by the
+    low-quality SHARE arm, one by the MEDIAN arm, one clean — both OR
+    arms proven load-bearing."""
+    from event_stream_starter_spark.queries import all_queries
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog and runs far away "
+        "home tonight with great joy and calm delight in the field"
+    )
+    junk = "!!!! #### $$$$ %%%% @@@@ ^^^^ &&&& **** (((( ))))"
+    docs = []
+    # goodsrc: all clean -> low share 0, high median
+    for i in range(10):
+        docs.append((100 + i, clean + f" tail {i}", "en", "goodsrc"))
+    # sharesrc: 4 of 10 junk (share 0.4 >= 0.25) but median still clean
+    for i in range(6):
+        docs.append((200 + i, clean + f" tail {i}", "en", "sharesrc"))
+    for i in range(4):
+        docs.append((206 + i, junk + f" {i}", "en", "sharesrc"))
+    # mediansrc: uniformly mediocre docs — 31 tokens, exactly 2 stopword
+    # hits, zero punctuation => quality = 0.4*0.31 + 0.3 + 0.3*(2/31*5)
+    # ~= 0.521: above the 0.5 low-q line (share arm stays 0) but below
+    # the 0.58 median bound (median arm fires).
+    mediocre = "the " + " ".join(f"karv{j}" for j in range(28)) + " the"
+    for i in range(10):
+        docs.append((300 + i, mediocre + f" tail{i}", "en", "mediansrc"))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    )
+    sf = tmp_path / "sqsf"
+    df.coalesce(1).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+
+    rows = {
+        r["source"]: r
+        for r in all_queries()["x_source_quality_gate"].fn(spark, str(sf)).collect()
+    }
+    good, share, med = rows["goodsrc"], rows["sharesrc"], rows["mediansrc"]
+    assert not good["flagged"]
+    assert share["flagged"] and share["low_q_share"] >= 0.25
+    assert med["flagged"], med
+    # the median arm specifically (its share arm must NOT be what fired)
+    if med["low_q_share"] < 0.25:
+        assert med["p50_quality"] < 0.58
