@@ -168,6 +168,8 @@ HEADLINE = [
     "st9_hdr_percentile_rollup",
     "dd_cluster_keep_best",
     "x_source_quality_gate",
+    "dd_edit_lsh_verify",
+    "dd_edit_lsh_recall_cert",
 ]
 
 

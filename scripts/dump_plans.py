@@ -314,6 +314,20 @@ SHOW = [
         "certified plan; the datasheet itself is |langs|-sized "
         "broadcast joins over their outputs",
     ),
+    (
+        "dd_edit_distance",
+        "banded-Levenshtein near-dup: ONE shuffle on the length-bucket "
+        "key (the +/-1-bucket explode is map-side), thresholded "
+        "O(len x d) DP per surviving candidate — no cross product, no "
+        "window",
+    ),
+    (
+        "st9_hdr_percentile_rollup",
+        "mergeable percentile sketch: map-side exact integer binning, "
+        "two count aggregations (daily partials -> union merge), then "
+        "windows over |event_type| x |buckets| sketch rows only — the "
+        "corpus is scanned once and never sorted",
+    ),
 ]
 
 
