@@ -170,6 +170,7 @@ HEADLINE = [
     "x_source_quality_gate",
     "dd_edit_lsh_verify",
     "dd_edit_lsh_recall_cert",
+    "x_bitext_mine",
 ]
 
 
@@ -294,7 +295,22 @@ NOTES = (
     "x_tokenizer_fertility_compare gained a THIRD encoder column (the "
     "published pruned-unigram model joined the bake-off — one more "
     "codegen Viterbi fold over the same scan, ~1.3-1.6x its 2-encoder "
-    "time)."
+    "time). "
+    "r9 full probe (142-query registry, busy_frac 0.000/0.001): "
+    "r01-comparable 37.35s — BEST idle number recorded (r7's 38.44s "
+    "stood since the Arrow rotation tier); tripwire clean (zero "
+    "regressions; even the 3-encoder bake-off read 3.53s vs 3.25s — "
+    "the BPE fold dominates, so the third encoder cost ~9%, under "
+    "the flag line). ann_opq_topk 4.65s and dd_cluster_canonical "
+    "1.99s confirm the r8 steps were environmental in the full run "
+    "too. New families price cheap: x_unigram_train_pruned 1.07s "
+    "(seed + soft-EM + prune over the Heaps-bounded word table), "
+    "dd_edit_distance 0.66s (lossless band join), "
+    "st9_hdr_percentile_rollup 0.91s (two count aggs + sketch-row "
+    "windows), dd_cluster_keep_best 1.83s (the canonical plan + one "
+    "struct-max groupBy), x_source_quality_gate 0.41s, "
+    "dd_edit_lsh_verify 2.22s / recall cert 3.06s (the LSH tier "
+    "dominates; verify adds two id joins + map-side DP)."
 )
 
 

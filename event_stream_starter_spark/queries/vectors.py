@@ -13,12 +13,14 @@ from ..io import load_table
 from ..operators import certs
 from ..operators.similarity import (
     brute_force_topk,
+    cosine,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
     ivf_assign,
     ivf_topk,
     kmeans_centroids,
     lsh_topk,
+    salted_topn,
     semdedup,
 )
 from . import query
@@ -1816,4 +1818,169 @@ def ann_ivfsq8_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id_c",
         "sq_dist",
         (F.col("recall") >= 0.8).alias("recall_certified"),
+    )
+
+
+# --- Bitext mining (margin-based, Artetxe & Schwenk 2019) --------------------
+# Cross-lingual parallel-pair mining: the score that made CCMatrix/
+# WikiMatrix possible is not raw cosine (hubness breaks absolute
+# thresholds) but the RATIO margin — cos(x, y) normalized by the mean
+# cosine of each side's k nearest neighbors. Here the pivot side is
+# 'en'; every non-en document is paired with its best en mate when the
+# margin clears the bound.
+
+_BT_K = 4          # neighborhood size for the margin normalizer
+_BT_MARGIN = 1.05  # ratio-margin acceptance bound
+_BT_PIVOT = "en"
+
+
+@query(
+    "x_bitext_mine",
+    f"""
+    WITH e AS (
+        SELECT d.doc_id, d.lang,
+               list_transform(m.embedding, v -> CAST(v AS DOUBLE)) AS emb
+        FROM documents d JOIN embeddings m ON d.doc_id = m.vec_id
+    ), a AS (
+        SELECT doc_id AS xid, lang AS xlang, emb FROM e
+        WHERE lang <> '{_BT_PIVOT}'
+    ), b AS (
+        SELECT doc_id AS yid, emb FROM e WHERE lang = '{_BT_PIVOT}'
+    ), pairs AS (
+        SELECT xid, xlang, yid,
+               list_cosine_similarity(a.emb, b.emb) AS cs
+        FROM a, b
+    ), tx AS (
+        SELECT xid, cs,
+               row_number() OVER (PARTITION BY xid ORDER BY cs DESC, yid)
+                   AS r
+        FROM pairs
+    ), ax AS (
+        SELECT xid,
+               CAST(SUM(CAST(round(cs, 12) AS DECIMAL(20,12))) AS DOUBLE)
+                   / COUNT(*) AS ax
+        FROM tx WHERE r <= {_BT_K} GROUP BY xid
+    ), ty AS (
+        SELECT yid, cs,
+               row_number() OVER (PARTITION BY yid ORDER BY cs DESC, xid)
+                   AS r
+        FROM pairs
+    ), ay AS (
+        SELECT yid,
+               CAST(SUM(CAST(round(cs, 12) AS DECIMAL(20,12))) AS DOUBLE)
+                   / COUNT(*) AS ay
+        FROM ty WHERE r <= {_BT_K} GROUP BY yid
+    ), m AS (
+        SELECT p.xid, p.xlang, p.yid, p.cs,
+               p.cs / greatest(0.5 * (ax.ax + ay.ay), 1e-12) AS margin
+        FROM pairs p JOIN ax ON p.xid = ax.xid JOIN ay ON p.yid = ay.yid
+    ), best AS (
+        SELECT xid, xlang,
+               MAX({{'m': margin, 'n': -yid, 'y': yid, 'c': cs}}) AS b
+        FROM m GROUP BY xid, xlang
+    )
+    SELECT xid AS doc_id_x, xlang AS lang_x, (b).y AS doc_id_y,
+           ROUND((b).c, 6) AS cos_sim, ROUND((b).m, 6) AS margin
+    FROM best WHERE (b).m >= {_BT_MARGIN}
+    """,
+    survey_ids=(
+        "beyond-ref: margin-based BITEXT MINING (Artetxe & Schwenk "
+        "2019, the CCMatrix/WikiMatrix law) — per non-pivot document, "
+        "the best pivot-language mate by RATIO margin (cosine over the "
+        "mean of both sides' k-NN cosines), accepted past the bound; "
+        "the multilingual-pair op a parallel-corpus pipeline runs; "
+        "FULL value-hash oracle on the exact arm"
+    ),
+)
+def x_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining: for every non-pivot document, score
+    every pivot-language ('en') document by cos(x,y) / (0.5 * (mean
+    top-k cos of x into en + mean top-k cos of y into non-en)) and
+    emit x's best mate when the margin clears the 1.05 bound —
+    raw-cosine thresholds break under
+    hubness; the ratio margin is what the published miners ship.
+
+    Determinism: per-pair cosines are the proven double recipe
+    (dd_embed_near_dup's); the k-NN MEANS quantize each cosine to
+    DECIMAL(20,12) before summing so the cross-row aggregation is
+    order-independent in both engines, then ONE double division; the
+    best-mate pick is the portable lexicographic struct max
+    (margin, -yid tiebreak).
+
+    Scale shape: the exact arm broadcasts the pivot side onto the
+    non-pivot scan (BroadcastNestedLoopJoin, never CartesianProduct)
+    and ranks with salted two-phase top-k — no corpus-proportional
+    window on either qid. At 100TB the pairs frame swaps to an ANN
+    shortlist (the IVF/PQ serving paths) exactly like the hybrid-RRF
+    family; the margin/argmax tail is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    a = e.filter(F.col("lang") != _BT_PIVOT).select(
+        F.col("doc_id").alias("xid"),
+        F.col("lang").alias("xlang"),
+        F.col("emb").alias("xemb"),
+    )
+    b = e.filter(F.col("lang") == _BT_PIVOT).select(
+        F.col("doc_id").alias("yid"), F.col("emb").alias("yemb")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .withColumn("cs", cosine(F.col("xemb"), F.col("yemb")))
+        .select("xid", "xlang", "yid", "cs")
+    )
+    q12 = F.expr("cast(round(cs, 12) as decimal(20,12))")
+    topx = salted_topn(
+        pairs,
+        (F.col("cs").desc(), F.col("yid").asc()),
+        _BT_K,
+        "r",
+        part_cols=("xid",),
+        salt_key="yid",
+    )
+    ax = topx.groupBy("xid").agg(
+        (F.sum(q12).cast("double") / F.count(F.lit(1))).alias("ax")
+    )
+    topy = salted_topn(
+        pairs,
+        (F.col("cs").desc(), F.col("xid").asc()),
+        _BT_K,
+        "r",
+        part_cols=("yid",),
+        salt_key="xid",
+    )
+    ay = topy.groupBy("yid").agg(
+        (F.sum(q12).cast("double") / F.count(F.lit(1))).alias("ay")
+    )
+    m = (
+        pairs.join(ax, "xid")
+        .join(ay, "yid")
+        .withColumn(
+            "margin",
+            F.col("cs")
+            / F.greatest(
+                0.5 * (F.col("ax") + F.col("ay")), F.lit(1e-12)
+            ),
+        )
+    )
+    best = m.groupBy("xid", "xlang").agg(
+        F.max(
+            F.struct(
+                F.col("margin").alias("m"),
+                (-F.col("yid")).alias("n"),
+                F.col("yid").alias("y"),
+                F.col("cs").alias("c"),
+            )
+        ).alias("b")
+    )
+    return best.filter(F.col("b.m") >= _BT_MARGIN).select(
+        F.col("xid").alias("doc_id_x"),
+        F.col("xlang").alias("lang_x"),
+        F.col("b.y").alias("doc_id_y"),
+        F.round("b.c", 6).alias("cos_sim"),
+        F.round("b.m", 6).alias("margin"),
     )

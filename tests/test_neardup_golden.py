@@ -1101,3 +1101,58 @@ def test_keep_best_prefers_quality_over_min_id(spark, tmp_path):
     c2 = rows[10]
     assert c2["cluster_size"] == 2
     assert c2["keep_doc"] == 10          # exact tie -> lower id
+
+
+def test_bitext_margin_mines_planted_mate_and_rejects_hub(spark, tmp_path):
+    """x_bitext_mine on PLANTED embeddings: a non-en doc whose vector
+    nearly equals one en doc must mine exactly that mate; a HUB en
+    vector (moderately close to everything) must not be chosen even
+    when its raw cosine beats the margin-normalized mate — the ratio
+    margin is the law, not absolute cosine."""
+    import math
+
+    from event_stream_starter_spark.queries import all_queries
+
+    dim = 8
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    e = [[1.0 if i == j else 0.0 for j in range(dim)] for i in range(dim)]
+    hub = unit([1.0] * dim)  # ~0.35 cosine to every axis vector
+    mate = unit([1.0, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])  # ~doc x
+    rows = [
+        # non-en side (x): axis 0 with a nudge
+        (0, "de", [1.0, 0.02, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        # more non-en docs on other axes (y-side kNN context)
+        (1, "fr", e[2]),
+        (2, "zh", e[3]),
+        (3, "es", e[4]),
+        # en side: the true mate, the hub, and two distractors
+        (10, "en", mate),
+        (11, "en", hub),
+        (12, "en", e[5]),
+        (13, "en", e[6]),
+    ]
+    docs = spark.createDataFrame(
+        [(i, "text %d" % i, lang, "web") for i, lang, _ in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, _, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    sf = tmp_path / "btsf"
+    docs.coalesce(1).write.mode("overwrite").parquet(str(sf / "documents.parquet"))
+    emb.coalesce(1).write.mode("overwrite").parquet(str(sf / "embeddings.parquet"))
+
+    got = {
+        r["doc_id_x"]: (r["doc_id_y"], r["margin"], r["cos_sim"])
+        for r in all_queries()["x_bitext_mine"].fn(spark, str(sf)).collect()
+    }
+    assert 0 in got, got
+    y, margin, cos = got[0]
+    assert y == 10            # the planted mate, not the hub (11)
+    assert cos > 0.99
+    assert margin >= 1.05
