@@ -171,6 +171,8 @@ HEADLINE = [
     "dd_edit_lsh_verify",
     "dd_edit_lsh_recall_cert",
     "x_bitext_mine",
+    "x_bitext_mine_ann",
+    "x_bitext_mine_ann_recall_cert",
 ]
 
 

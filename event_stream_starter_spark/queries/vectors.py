@@ -1830,13 +1830,16 @@ def ann_ivfsq8_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # margin clears the bound.
 
 _BT_K = 4          # neighborhood size for the margin normalizer
+_BT_NPROBE = 8     # ANN tier coarse probes (of 16 lists): the synthetic
+                   # embeddings cluster weakly in cross-lingual cosine
+                   # space, so the honest probe count is higher than the
+                   # point-lookup tiers' 4 — the recall cert is the
+                   # arbiter, not the knob
 _BT_MARGIN = 1.05  # ratio-margin acceptance bound
 _BT_PIVOT = "en"
 
 
-@query(
-    "x_bitext_mine",
-    f"""
+_BITEXT_EXACT_DUCK = f"""
     WITH e AS (
         SELECT d.doc_id, d.lang,
                list_transform(m.embedding, v -> CAST(v AS DOUBLE)) AS emb
@@ -1882,7 +1885,12 @@ _BT_PIVOT = "en"
     SELECT xid AS doc_id_x, xlang AS lang_x, (b).y AS doc_id_y,
            ROUND((b).c, 6) AS cos_sim, ROUND((b).m, 6) AS margin
     FROM best WHERE (b).m >= {_BT_MARGIN}
-    """,
+    """
+
+
+@query(
+    "x_bitext_mine",
+    _BITEXT_EXACT_DUCK,
     survey_ids=(
         "beyond-ref: margin-based BITEXT MINING (Artetxe & Schwenk "
         "2019, the CCMatrix/WikiMatrix law) — per non-pivot document, "
@@ -1933,6 +1941,17 @@ def x_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cs", cosine(F.col("xemb"), F.col("yemb")))
         .select("xid", "xlang", "yid", "cs")
     )
+    return _bitext_margin_tail(pairs)
+
+
+def _bitext_margin_tail(pairs: DataFrame) -> DataFrame:
+    """Shared margin/argmax tail of the bitext miners: (xid, xlang,
+    yid, cs) candidate pairs -> per-x best mate past the margin bound.
+    k-NN means are over the candidate frame itself (for the exact arm
+    that is the true k-NN; for the ANN arm it is the shortlist k-NN,
+    the approximation production miners ship). Decimal-quantized
+    cosine sums keep the means order-independent; the best-mate pick
+    is the portable lexicographic struct max."""
     q12 = F.expr("cast(round(cs, 12) as decimal(20,12))")
     topx = salted_topn(
         pairs,
@@ -1983,4 +2002,158 @@ def x_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.y").alias("doc_id_y"),
         F.round("b.c", 6).alias("cos_sim"),
         F.round("b.m", 6).alias("margin"),
+    )
+
+
+_BITEXT_EXACT_DUCK_CERT = (
+    "SELECT *, TRUE AS bitext_ann_recall_certified FROM ("
+    + _BITEXT_EXACT_DUCK
+    + ")"
+)
+
+
+@query(
+    "x_bitext_mine_ann",
+    None,  # the coarse quantizer is runtime-fitted k-means (rows not
+    # static-SQL-expressible); certified by x_bitext_mine_ann_recall_cert
+    # against the fully-oracled exact arm.
+    survey_ids=(
+        "beyond-ref: bitext mining at the 100TB shape — candidates from "
+        "IVF coarse probes of the pivot-side index instead of the "
+        "all-pairs broadcast; shortlist k-NN means (the approximation "
+        "production miners ship), same margin/argmax tail as the exact "
+        "arm (shared verbatim)"
+    ),
+)
+def x_bitext_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x_bitext_mine with the documented ANN swap made real: the pivot
+    ('en') side is IVF-assigned under the shared frozen coarse
+    quantizer (the same inverted lists every ANN tier uses), each
+    non-pivot document probes its n_probe closest clusters, and only
+    the probed lists' pairs are scored — the pairs frame shrinks from
+    |A| x |B| to |A| x (probed fraction). k-NN means and margins come
+    from the shortlist (the standard production approximation); the
+    margin/argmax tail is _bitext_margin_tail, shared verbatim with
+    the exact arm, so any divergence is attributable to the candidate
+    tier alone — which is exactly what
+    x_bitext_mine_ann_recall_cert measures and bounds in-plan."""
+    cents = _ivf_centroids(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        "embedding",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    from ..operators.similarity import _cluster_scores
+
+    def probed(df, id_col, emb_col, n_probe=_BT_NPROBE):
+        """Explode a side to its n_probe cosine-closest coarse clusters."""
+        qscores = F.transform(
+            _cluster_scores(F.col("__f"), cents),
+            lambda sc, i: F.struct(sc.alias("s"), i.alias("cl")),
+        )
+        probes = F.slice(F.reverse(F.array_sort(qscores)), 1, n_probe)
+        return (
+            df.withColumn("__f", F.col(emb_col))
+            .withColumn("p", F.explode(probes))
+            .drop("__f")
+            .withColumn("cluster", F.col("p.cl").cast("long"))
+            .drop("p")
+        )
+
+    a_raw = e.filter(F.col("lang") != _BT_PIVOT).select(
+        F.col("doc_id").alias("xid"),
+        F.col("lang").alias("xlang"),
+        F.col("embedding").alias("xemb_f"),
+        F.col("emb").alias("xemb"),
+    )
+    b_raw = e.filter(F.col("lang") == _BT_PIVOT).select(
+        F.col("doc_id").alias("bid"), F.col("embedding").alias("bemb")
+    )
+    # Both sides get inverted lists under the SAME frozen coarse
+    # quantizer; mining probes BOTH directions (forward: x into the
+    # pivot index; backward: y into the non-pivot index) — the
+    # published miners' symmetric search. One-directional probing
+    # biases the y-side k-NN mean high (only close x's reach y),
+    # which deflates margins and switches mates (measured recall 0.53
+    # forward-only vs 0.94 symmetric-n_probe-8 at sf0.001).
+    b_idx = ivf_assign(b_raw, "bid", "bemb", cents).select(
+        F.col("cid").alias("yid"),
+        F.expr("transform(cvec, x -> cast(x as double))").alias("yemb"),
+        "cluster",
+    )
+    a_idx = ivf_assign(a_raw.select("xid", "xemb_f"), "xid", "xemb_f", cents).select(
+        F.col("cid").alias("xid"), F.col("cluster").alias("cluster")
+    ).join(a_raw.select("xid", "xlang", "xemb"), "xid")
+    fwd = (
+        b_idx.join(
+            F.broadcast(
+                probed(a_raw.select("xid", "xlang", "xemb", F.col("xemb_f")), "xid", "xemb_f")
+                .select("xid", "xlang", "xemb", "cluster")
+            ),
+            "cluster",
+        )
+        .select("xid", "xlang", "yid", "xemb", "yemb")
+    )
+    bwd = (
+        a_idx.join(
+            F.broadcast(
+                probed(
+                    b_raw.select(
+                        F.col("bid").alias("yid"),
+                        F.expr("transform(bemb, x -> cast(x as double))").alias("yemb"),
+                        F.col("bemb").alias("yemb_f"),
+                    ),
+                    "yid",
+                    "yemb_f",
+                ).select("yid", "yemb", "cluster")
+            ),
+            "cluster",
+        )
+        .select("xid", "xlang", "yid", "xemb", "yemb")
+    )
+    pairs = (
+        fwd.unionByName(bwd)
+        .dropDuplicates(["xid", "yid"])
+        .withColumn("cs", cosine(F.col("xemb"), F.col("yemb")))
+        .select("xid", "xlang", "yid", "cs")
+    )
+    return _bitext_margin_tail(pairs)
+
+
+@query(
+    "x_bitext_mine_ann_recall_cert",
+    # oracle = the exact arm's full SQL + the a5-pattern literal TRUE
+    _BITEXT_EXACT_DUCK_CERT,
+    survey_ids=(
+        "beyond-ref: the ANN bitext tier certified in-plan (a5 "
+        "pattern) — pooled recall of the IVF-shortlist miner's pairs "
+        "vs the exact arm's >= 0.9 boolean; oracle = exact arm + "
+        "literal TRUE"
+    ),
+)
+def x_bitext_mine_ann_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan certification of x_bitext_mine_ann: runs BOTH arms,
+    computes pooled recall of the ANN miner's (x, y) pairs against the
+    exact arm's inside the plan, and emits the exact arm's rows with a
+    `recall >= 0.9` boolean (the dd_edit_lsh_recall_cert pattern; the
+    pooled-recall law is adversarially pinned). A probe-loss regression
+    — bad centroids, under-probing — flips the boolean and fails the
+    value hash. Measured pooled recall on the frozen corpora: 0.938 /
+    0.928 at sf0.001/0.01 with n_probe=8 (forward-only probing read
+    0.53 and symmetric n_probe=4 read 0.72-0.75 — the shortlist's
+    k-NN-mean bias is real and the cert is what caught it)."""
+    truth = x_bitext_mine(spark, sf_dir)
+    approx = x_bitext_mine_ann(spark, sf_dir).select("doc_id_x", "doc_id_y")
+    hits = certs.hit_flags(truth, approx, ["doc_id_x", "doc_id_y"])
+    recall = certs.pooled_recall(hits)
+    return hits.crossJoin(F.broadcast(recall)).select(
+        "doc_id_x",
+        "lang_x",
+        "doc_id_y",
+        "cos_sim",
+        "margin",
+        (F.col("recall") >= 0.9).alias("bitext_ann_recall_certified"),
     )
