@@ -65,13 +65,23 @@ APPROX_ADJACENT = [
     "x_pack_sequences_salted",
     "x_reservoir_sample_topk",
 ]
+# ...plus every round-9 oracle family (first value-check at this scale).
+ROUND9 = [
+    "dd_edit_distance",
+    "dd_edit_lsh_recall_cert",
+    "st9_hdr_percentile_rollup",
+    "dd_cluster_keep_best",
+    "x_source_quality_gate",
+    "x_bitext_mine",
+    "x_bitext_mine_ann_recall_cert",
+]
 
 qs = E.queries()
 oracles = E.oracle_sql()
 con = duck_connection(SF)
 
 fails = []
-for name in TOP_COST + APPROX_ADJACENT:
+for name in TOP_COST + APPROX_ADJACENT + ROUND9:
     assert name in oracles, f"{name} has no oracle"
     t0 = time.perf_counter()
     problems = compare(qs[name](spark, SF), con, oracles[name])

@@ -78,7 +78,15 @@ tiny — Heaps' law at work); the 3-encoder bake-off 34.3s (+3.4s over
 the 2-encoder round-8 number: the BPE 12-fold still dominates);
 dd_edit_distance 37.3s over ~22M length-band candidates (see the
 in-list caveat: the salad corpus collides lengths ~100x harder than a
-real one; cost is linear in candidates x d, no blowup).
+real one; cost is linear in candidates x d, no blowup). Bitext at 10x
+(5k vectors): exact arm 16.7s (brute pairs + two salted top-k means);
+ANN arm 76.4s — SLOWER than exact at this scale and honestly so: with
+only 16 coarse lists and the certified n_probe=8, symmetric probing
+still scores ~half of all pairs while paying a fresh k-means fit, two
+assigns and a union-dedup on top; the tier's win arrives when
+n_lists grows with the corpus (4096 lists / probe 64 touches 1/64 of
+pairs — the knob a deployment sets; the cert, not the smoke corpus,
+is what pins its recall).
 
 NOISE CAVEAT: this script is single-pass (unlike bench.py's best-of-4
 passes); the box's co-resident agent process bursts for tens of
@@ -193,6 +201,12 @@ EMB_QUERIES = [
     "ann_ivfopq_topk",
     "ann_sq8_topk",
     "ann_ivfsq8_topk",
+    # Round-9 bitext miners: the 10x probe pairs the 5k synthetic
+    # vectors with the doc table's lang column (ids 0..4999 align);
+    # the exact arm broadcasts the pivot side, the ANN arm probes both
+    # directions of the shared coarse quantizer.
+    "x_bitext_mine",
+    "x_bitext_mine_ann",
 ]
 
 
