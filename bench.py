@@ -173,6 +173,8 @@ HEADLINE = [
     "x_bitext_mine",
     "x_bitext_mine_ann",
     "x_bitext_mine_ann_recall_cert",
+    "x_unigram_margin",
+    "x_unigram_margin_cert",
 ]
 
 

@@ -715,3 +715,90 @@ def _viterbi_freq_distributed(vocab: DataFrame, max_len: int):
         }
 
     return run
+
+
+# --- 2-best Viterbi (segmentation-margin audit) -------------------------------
+
+
+def _viterbi2_py(
+    word: str, scores: dict[str, Decimal], max_len: int
+) -> tuple[Decimal, Decimal | None, list[str]]:
+    """Exact-decimal 2-best segmentation DP: (best score, second-best
+    PATH score or None, best pieces). The top candidate is chosen by
+    the module's 1-best law — (score, longest last piece) — so the
+    best pieces are bit-identical to _viterbi_py's; the second score is
+    over DISTINCT PATHS (two different segmentations with equal scores
+    count as rank 1 and 2), the standard k-best lattice semantics."""
+    n = len(word)
+    # per position: list of up to 2 (score, last_len, prev_rank)
+    table: list[list[tuple[Decimal, int, int]]] = [[(Decimal(0), 0, 0)]]
+    for i in range(1, n + 1):
+        cands: list[tuple[Decimal, int, int]] = []
+        for piece_len in range(1, min(max_len, i) + 1):
+            s = scores.get(word[i - piece_len : i])
+            if s is None and piece_len == 1:
+                s = UNK_LOGP
+            if s is None:
+                continue
+            for rank, (ps, _, _) in enumerate(table[i - piece_len]):
+                cands.append((ps + s, piece_len, rank))
+        # top by the 1-best comparator (score, then longer piece); the
+        # remainder ordered the same way — element 2 is the runner-up
+        cands.sort(key=lambda c: (c[0], c[1]), reverse=True)
+        table.append(cands[:2])
+    best = table[n][0]
+    second = table[n][1][0] if len(table[n]) > 1 else None
+    pieces: list[str] = []
+    pos, rank = n, 0
+    while pos > 0:
+        _, piece_len, prev_rank = table[pos][rank]
+        pieces.insert(0, word[pos - piece_len : pos])
+        pos, rank = pos - piece_len, prev_rank
+    return best[0], second, pieces
+
+
+def unigram_margin_udf(scores: list[tuple[str, Decimal]], max_len: int = 4):
+    """Arrow-batched segmentation-margin scorer: text -> struct of
+    (pieces = the 1-best segmentation, min_margin = the smallest
+    best-vs-second-best score gap over the text's words as a 9dp
+    decimal string, n_ambiguous = words whose margin is 0, i.e. a
+    tie-broken segmentation). Words with a single complete path
+    contribute no margin (unambiguous by construction)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    table = dict(scores)
+
+    def one(text: str):
+        pieces: list[str] = []
+        min_m: Decimal | None = None
+        n_amb = 0
+        for w in " ".join(text.lower().split()).split(" "):
+            if not w:
+                continue
+            b, s2, ps = _viterbi2_py(w, table, max_len)
+            pieces.extend(ps)
+            if s2 is not None:
+                m = b - s2
+                if m == 0:
+                    n_amb += 1
+                if min_m is None or m < min_m:
+                    min_m = m
+        return {
+            "pieces": pieces,
+            "min_margin": str(min_m) if min_m is not None else None,
+            "n_ambiguous": n_amb,
+        }
+
+    empty = {"pieces": None, "min_margin": None, "n_ambiguous": None}
+
+    @pandas_udf(
+        "struct<pieces: array<string>, min_margin: string, n_ambiguous: int>"
+    )
+    def f(texts):  # type: ignore[no-untyped-def]
+        # a top-level StructType pandas_udf must return a DataFrame
+        return pd.DataFrame(
+            [one(t) if isinstance(t, str) else empty for t in texts]
+        )
+
+    return f

@@ -1302,3 +1302,71 @@ def x_unigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("oov_frac"),
     )
+
+
+@query(
+    "x_unigram_margin",
+    None,  # the 2-best lattice walk is an Arrow UDF (iterative DP with
+    # rank backpointers — not static-SQL-expressible); its 1-best arm is
+    # oracled via x_unigram_margin_cert and the margin law is
+    # golden-tested vs path enumeration in tests/test_unigram_margin.py.
+    survey_ids=(
+        "beyond-ref: tokenizer SEGMENTATION-MARGIN audit — per document, "
+        "the smallest best-vs-second-best Viterbi score gap over its "
+        "words (2-best lattice DP, exact decimals) + the count of "
+        "tie-broken words; the confidence metric a tokenizer QA pass "
+        "reads before freezing a model (low margin = segmentation "
+        "decided by a hair, the subword-regularization signal of "
+        "Kudo 2018)"
+    ),
+)
+def x_unigram_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document segmentation confidence under the frozen unigram
+    model: (doc_id, n_pieces, min_margin DECIMAL(18,9), n_ambiguous).
+    min_margin is the smallest (best - second best) exact-decimal path
+    score gap across the document's words — 0 means some word's
+    segmentation was decided only by the tie-break; NULL means every
+    word had a single complete path. n_ambiguous counts the zero-margin
+    words.
+
+    Scale shape: map-only Arrow pass (the production-vocab tier; the
+    2-best DP is O(len x max_len x 2) per word), no shuffle. The
+    1-best arm inside the same UDF is pinned equal to the codegen
+    Viterbi by x_unigram_margin_cert's full oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = ugm.unigram_margin_udf(_FROZEN_UNIGRAM, _UG_MAXLEN)(F.col("text"))
+    return docs.select("doc_id", m.alias("m")).select(
+        "doc_id",
+        F.size("m.pieces").cast("bigint").alias("n_pieces"),
+        F.col("m.min_margin").cast("decimal(18,9)").alias("min_margin"),
+        F.col("m.n_ambiguous").cast("bigint").alias("n_ambiguous"),
+    )
+
+
+@query(
+    "x_unigram_margin_cert",
+    """
+    SELECT COUNT(*) AS n_docs, COUNT(*) AS n_agree FROM documents
+    """,
+    survey_ids=(
+        "beyond-ref: the 2-best lattice's rank-1 arm certified against "
+        "the codegen Viterbi (tier agreement, oracle states n_agree == "
+        "n_docs as fact) — a k-best DP whose top path diverged from the "
+        "1-best law would fail the hash"
+    ),
+)
+def x_unigram_margin_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies x_unigram_margin's lattice: the 2-best DP's rank-1
+    segmentation must equal the frozen codegen Viterbi on EVERY
+    document (shared certs.tier_agreement law — adversarially pinned;
+    the greedy-encoder plant in tests/test_unigram.py proves the law
+    discriminates). Any k-best bookkeeping bug that corrupts the top
+    path flips a row and fails the value hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    via_expr = _ug_pieces_col()
+    via_2best = ugm.unigram_margin_udf(_FROZEN_UNIGRAM, _UG_MAXLEN)(
+        F.col("text")
+    )["pieces"]
+    return certs.tier_agreement(
+        docs.select(via_expr.alias("e"), via_2best.alias("u")), "e", "u"
+    )
