@@ -2087,29 +2087,29 @@ def x_bitext_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_idx = ivf_assign(a_raw.select("xid", "xemb_f"), "xid", "xemb_f", cents).select(
         F.col("cid").alias("xid"), F.col("cluster").alias("cluster")
     ).join(a_raw.select("xid", "xlang", "xemb"), "xid")
+    # Probe joins SHUFFLE on the cluster key: unlike the point-lookup
+    # serving paths (bounded query side -> broadcast), BOTH bitext
+    # sides are corpus-proportional, so the join must hash-partition on
+    # cluster — the layout the bucketed index directory gives for free.
     fwd = (
         b_idx.join(
-            F.broadcast(
-                probed(a_raw.select("xid", "xlang", "xemb", F.col("xemb_f")), "xid", "xemb_f")
-                .select("xid", "xlang", "xemb", "cluster")
-            ),
+            probed(a_raw.select("xid", "xlang", "xemb", F.col("xemb_f")), "xid", "xemb_f")
+            .select("xid", "xlang", "xemb", "cluster"),
             "cluster",
         )
         .select("xid", "xlang", "yid", "xemb", "yemb")
     )
     bwd = (
         a_idx.join(
-            F.broadcast(
-                probed(
-                    b_raw.select(
-                        F.col("bid").alias("yid"),
-                        F.expr("transform(bemb, x -> cast(x as double))").alias("yemb"),
-                        F.col("bemb").alias("yemb_f"),
-                    ),
-                    "yid",
-                    "yemb_f",
-                ).select("yid", "yemb", "cluster")
-            ),
+            probed(
+                b_raw.select(
+                    F.col("bid").alias("yid"),
+                    F.expr("transform(bemb, x -> cast(x as double))").alias("yemb"),
+                    F.col("bemb").alias("yemb_f"),
+                ),
+                "yid",
+                "yemb_f",
+            ).select("yid", "yemb", "cluster"),
             "cluster",
         )
         .select("xid", "xlang", "yid", "xemb", "yemb")
