@@ -314,7 +314,19 @@ NOTES = (
     "windows), dd_cluster_keep_best 1.83s (the canonical plan + one "
     "struct-max groupBy), x_source_quality_gate 0.41s, "
     "dd_edit_lsh_verify 2.22s / recall cert 3.06s (the LSH tier "
-    "dominates; verify adds two id joins + map-side DP)."
+    "dominates; verify adds two id joins + map-side DP). "
+    "Final r9 probe (147-query registry, elevated run — loadavg 17.0 "
+    "at end): r01-comparable 43.79s, in-band; the tripwire flagged "
+    "q1_pricing_summary 1.68x and x_semantic_decontaminate 1.73x "
+    "(both untouched this round, both ratios against the best-ever "
+    "37.35s baseline) — focused idle best-of-4 re-probe read 0.40s "
+    "(FASTER than baseline) and 1.95s (1.29x, inside the documented "
+    "spread): environmental, adjudicated same-session. Round-9 tail "
+    "prices: x_bitext_mine 4.41s (exact arm: broadcast-NLJ pairs + "
+    "two salted top-k means), x_bitext_mine_ann 14.40s / cert 17.76s "
+    "(fit-per-run k-means + both arms — deployed, centroids freeze "
+    "and the probe joins read the bucketed index), x_unigram_margin "
+    "1.80s (Arrow 2-best DP, map-only), margin cert 1.43s."
 )
 
 
