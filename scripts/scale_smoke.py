@@ -86,7 +86,9 @@ still scores ~half of all pairs while paying a fresh k-means fit, two
 assigns and a union-dedup on top; the tier's win arrives when
 n_lists grows with the corpus (4096 lists / probe 64 touches 1/64 of
 pairs — the knob a deployment sets; the cert, not the smoke corpus,
-is what pins its recall).
+is what pins its recall). x_unigram_margin 5.0s @ 50k docs — the
+Arrow 2-best DP is map-only linear (10x docs ~= 5.5x the sf0.1 time;
+partition-parallel, no shuffle).
 
 NOISE CAVEAT: this script is single-pass (unlike bench.py's best-of-4
 passes); the box's co-resident agent process bursts for tens of
@@ -183,6 +185,7 @@ DOC_QUERIES = [
     # candidates x d.
     "x_unigram_train_pruned",
     "dd_edit_distance",
+    "x_unigram_margin",
 ]
 
 # Embedding family on a 10x synthetic vector table (5k vectors, 64-dim,
