@@ -35,10 +35,16 @@ are value-identical — certified in-plan by x_bpe_encode_cert).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 END_OF_WORD = "</w>"
+# Java-regex \s (the textan.tokens split law) = this ASCII class — NOT
+# Python str.split()'s Unicode whitespace; Python tiers split with it
+# so \xa0/NEL documents can't diverge from the codegen arm.
+_ASCII_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
 def word_symbols(word: Column) -> Column:
@@ -305,9 +311,11 @@ def _encode_word_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
 def encode_text_py(text: str, merges: list[tuple[str, str]]) -> list[str]:
     """Pure-Python row encoder — the UDF kernel AND the golden-test
     reference. Same scan as merge_pair/encode_word_expr by
-    construction; x_bpe_encode_cert proves the agreement in-plan."""
+    construction; x_bpe_encode_cert proves the agreement in-plan.
+    Splits on the Java-regex ASCII \\s class (the textan.tokens law),
+    not Python's Unicode whitespace — \\xa0/NEL stay inside words."""
     pieces: list[str] = []
-    for w in text.lower().split():
+    for w in _ASCII_WS.split(text.lower()):
         if w:
             pieces.extend(_encode_word_py(w, merges))
     return pieces

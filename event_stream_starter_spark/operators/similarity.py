@@ -1067,6 +1067,27 @@ def sq8_code_expr(vec_col: str, mn: list[float], mx: list[float]) -> Column:
     )
 
 
+def sq8_dequant_expr(
+    codes_col: str, mn: list[float], mx: list[float]
+) -> Column:
+    """De-quantize a stored SQ8 `codes_col` back to the serving doubles:
+    dv[i] = mn[i] + code[i] * (mx[i] - mn[i]) / 255.
+
+    THE single copy of the float-association recipe (r9 ADVICE): both
+    sq8_serve and the streaming sinks (StreamingIvfSq8Index.query)
+    splice this helper, so the bit-equality between stream-built and
+    one-shot distances can never drift out of sync via a hand-edited
+    twin."""
+    dim = len(mn)
+    mns = ", ".join(repr(float(x)) + "D" for x in mn)
+    mxs = ", ".join(repr(float(x)) + "D" for x in mx)
+    return F.expr(
+        f"transform(sequence(1, {dim}),"
+        f" i -> array({mns})[i - 1] + {codes_col}[i - 1]"
+        f" * (array({mxs})[i - 1] - array({mns})[i - 1]) / 255)"
+    )
+
+
 def sq8_serve(
     codes: DataFrame,
     queries: DataFrame,
@@ -1080,17 +1101,7 @@ def sq8_serve(
     StreamingSq8Index.query. `codes` = (cid, codes array<bigint>),
     `queries` = (qid, qvec). Emits (vec_id_q, vec_id_c, sq_dist, rank).
     """
-    dim = len(mn)
-    mns = ", ".join(repr(float(x)) + "D" for x in mn)
-    mxs = ", ".join(repr(float(x)) + "D" for x in mx)
-    deq = codes.withColumn(
-        "dv",
-        F.expr(
-            f"transform(sequence(1, {dim}),"
-            f" i -> array({mns})[i - 1] + codes[i - 1]"
-            f" * (array({mxs})[i - 1] - array({mns})[i - 1]) / 255)"
-        ),
-    )
+    deq = codes.withColumn("dv", sq8_dequant_expr("codes", mn, mx))
     q = queries.select(
         "qid",
         F.expr("transform(qvec, x -> cast(x as double))").alias("qv"),

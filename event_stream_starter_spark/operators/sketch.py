@@ -84,11 +84,19 @@ HDR_SUB = 16
 
 
 def hdr_bucket_spark(v_sql: str, sub: int = HDR_SUB) -> str:
-    """Spark SQL text: HDR bucket id of the bigint expr `v_sql` (>= 1):
-    k*sub + (v - 2^k)*sub div 2^k."""
-    k = f"(length(bin({v_sql})) - 1)"
+    """Spark SQL text: HDR bucket id of the bigint expr `v_sql`:
+    k*sub + (v - 2^k)*sub div 2^k over v clamped to >= 1.
+
+    The clamp is part of the binning LAW (mirrored in the DuckDB twin
+    _hdr_bucket_sql): sub-unit and non-positive values fold into bucket
+    0 rather than producing a negative bucket id — bin(0) would yield
+    k=0, pw=1, bucket -sub, and the read path's shiftleft(bucket div
+    sub) then goes negative (DuckDB raises; Spark wraps the shift
+    mod 64 silently). Planted golden: test_hdr_sub_unit_values_clamp."""
+    v = f"greatest({v_sql}, 1L)"
+    k = f"(length(bin({v})) - 1)"
     pw = f"shiftleft(1L, {k})"
-    return f"({k} * {sub} + (({v_sql} - {pw}) * {sub}) div {pw})"
+    return f"({k} * {sub} + (({v} - {pw}) * {sub}) div {pw})"
 
 
 def hdr_percentiles(

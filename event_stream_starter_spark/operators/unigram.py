@@ -46,6 +46,7 @@ Tiers (the bpe.py pattern):
 
 from __future__ import annotations
 
+import re
 from decimal import Decimal
 from math import log
 
@@ -56,6 +57,11 @@ from .bpe import SMALL_VOCAB_LIMIT, build_word_vocab
 
 UNK_LOGP = Decimal("-20.000000000")
 _ACC = "DECIMAL(28,9)"  # path-score accumulator (word-length * |logp| headroom)
+# Java-regex \s (the _UG_WORDS_SPARK / textan.tokens split law) is the
+# ASCII class below — NOT Python str.split()'s Unicode whitespace. Every
+# Python tier splits with this so \xa0/NEL documents can't diverge from
+# the codegen arm.
+_ASCII_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
 def _q9(x: float) -> Decimal:
@@ -97,9 +103,11 @@ def encode_text_py(
     text: str, scores: dict[str, Decimal], max_len: int = 4
 ) -> list[str]:
     """Whitespace-word split (textan.tokens law: lower, collapse
-    whitespace) then per-word Viterbi — the golden-test reference."""
+    whitespace) then per-word Viterbi — the golden-test reference.
+    Splits on the Java-regex ASCII \\s class the Spark arm uses, not
+    Python's Unicode whitespace (\\xa0/NEL stay inside words)."""
     out: list[str] = []
-    for w in " ".join(text.lower().split()).split(" "):
+    for w in _ASCII_WS.split(text.lower()):
         if w:
             out.extend(_viterbi_py(w, scores, max_len))
     return out
@@ -773,7 +781,7 @@ def unigram_margin_udf(scores: list[tuple[str, Decimal]], max_len: int = 4):
         pieces: list[str] = []
         min_m: Decimal | None = None
         n_amb = 0
-        for w in " ".join(text.lower().split()).split(" "):
+        for w in _ASCII_WS.split(text.lower()):
             if not w:
                 continue
             b, s2, ps = _viterbi2_py(w, table, max_len)

@@ -1097,10 +1097,13 @@ _HDR_QS = (0.50, 0.95, 0.99)
 
 def _hdr_bucket_sql(v: str) -> str:
     """DuckDB twin of operators/sketch.hdr_bucket_spark: the bucket id
-    of bigint expr `v` (>= 1): k*16 + (v - 2^k)*16 div 2^k."""
-    k = f"(length(bin({v})) - 1)"
+    of bigint expr `v`: k*16 + (v - 2^k)*16 div 2^k over v clamped to
+    >= 1 — the clamp is part of the law (sub-micro/zero values fold
+    into bucket 0; see hdr_bucket_spark's docstring)."""
+    vc = f"greatest({v}, CAST(1 AS BIGINT))"
+    k = f"(length(bin({vc})) - 1)"
     pw = f"(CAST(1 AS BIGINT) << {k})"
-    return f"({k} * {_HDR_SUB} + ({v} - {pw}) * {_HDR_SUB} // {pw})"
+    return f"({k} * {_HDR_SUB} + ({vc} - {pw}) * {_HDR_SUB} // {pw})"
 
 
 @query(

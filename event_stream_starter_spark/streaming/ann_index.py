@@ -735,23 +735,6 @@ class StreamingSq8Index(_PointerSink, _FrozenSqStatsMixin):
         return sq8_serve(idx.select("cid", "codes"), q, mn, mx, k=k)
 
 
-def _sq8_dequant_expr(mn: list[float], mx: list[float]):
-    """De-quantize a stored `codes` column back to the serving doubles:
-    dv[i] = mn[i] + code[i] * (mx[i] - mn[i]) / 255 — the sq8_serve /
-    ann_ivfsq8_topk arithmetic (same literal association), so distances
-    over stored codes are bit-equal to the one-shot query's."""
-    from pyspark.sql import functions as F
-
-    dim = len(mn)
-    mns = ", ".join(repr(float(x)) + "D" for x in mn)
-    mxs = ", ".join(repr(float(x)) + "D" for x in mx)
-    return F.expr(
-        f"transform(sequence(1, {dim}),"
-        f" i -> array({mns})[i - 1] + codes[i - 1]"
-        f" * (array({mxs})[i - 1] - array({mns})[i - 1]) / 255)"
-    )
-
-
 class StreamingIvfSq8Index(_PointerSink, _FrozenQuantizerMixin, _FrozenSqStatsMixin):
     """foreachBatch sink: the COMPOSED probe-able int8 layout — append-
     only (cid, cluster, codes) rows under BOTH frozen models (the IVF
@@ -827,13 +810,13 @@ class StreamingIvfSq8Index(_PointerSink, _FrozenQuantizerMixin, _FrozenSqStatsMi
             return None
         from pyspark.sql import functions as F
 
-        from ..operators.similarity import ivfsq8_serve
+        from ..operators.similarity import ivfsq8_serve, sq8_dequant_expr
 
         # sidecar-wins + conflict check on BOTH frozen models.
         self.centroids = self._load_centroids()
         mn, mx = self._load_stats()
         index = idx.select(
-            "cid", "cluster", _sq8_dequant_expr(mn, mx).alias("dv")
+            "cid", "cluster", sq8_dequant_expr("codes", mn, mx).alias("dv")
         )
         q = queries.select(
             F.col(self.id_col).alias("qid"),

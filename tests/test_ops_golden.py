@@ -558,10 +558,74 @@ def test_hdr_percentile_bracket_contains_true_order_statistic(spark, sf_dir):
         v = vals[r["event_type"]]
         assert r["n"] == len(v)
         assert r["rank_r"] == math.ceil(r["q"] * len(v))
-        true_us = v[r["rank_r"] - 1]  # rank-r order statistic
+        # rank-r order statistic, clamped to the binning law's >= 1 floor
+        true_us = max(v[r["rank_r"] - 1], 1)
         lo, hi = r["est_lo_us16"] / 16, r["est_hi_us16"] / 16
         assert lo <= true_us < hi, (r["event_type"], r["q"])
         assert (hi - lo) / lo <= 1 / 16 + 1e-12  # relative width law
+
+
+def test_hdr_sub_unit_values_clamp(spark, tmp_path):
+    """PLANTED sub-microsecond golden (r9 ADVICE): events with
+    value = 0.0 / 5e-7 / negative must fold into HDR bucket 0 under
+    the clamped binning law, in BOTH engines, with agreeing brackets.
+    Pre-clamp, bin(0) yielded bucket -16: the read path's negative
+    shift crashed the DuckDB oracle ('Cannot left-shift by negative
+    number') while Spark wrapped the shift mod 64 and emitted garbage
+    bounds — this golden re-runs the full query + oracle on a corpus
+    where EVERY group's p50 rank lands in a sub-micro bucket."""
+    import datetime
+
+    from event_stream_starter_spark.queries import all_queries
+
+    from tests.oracle_utils import duck_connection  # noqa: F401  (pattern)
+    import duckdb
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    # sub: 6 sub-unit values (0, 5e-7, negative) + 2 normal -> p50 sub-micro
+    for i, v in enumerate([0.0, 0.0, 5e-7, 4e-7, -1.0, 0.0, 2.5, 7.0]):
+        rows.append((i, t0 + datetime.timedelta(minutes=i), i % 3, "sub", v, "{}"))
+    # mixed: normal values, one zero — zero must not shift anything negative
+    for i, v in enumerate([0.0, 1.5, 3.25, 9.0]):
+        rows.append((100 + i, t0 + datetime.timedelta(minutes=i), i, "mixed", v, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = tmp_path / "hdrsf"
+    df.coalesce(1).write.mode("overwrite").parquet(str(sf / "events.parquet"))
+
+    spec = all_queries()["st9_hdr_percentile_rollup"]
+    got = {
+        (r["event_type"], r["q"]): r
+        for r in spec.fn(spark, str(sf)).collect()
+    }
+    # law: every sub-micro value clamps to 1 -> bucket 0, whose exact
+    # bounds are [16, 17) in us x16 (pw=1, s=0 -> lo=16, hi=lo+pw);
+    # the planted corpus puts the p50 rank (6 of 8 rows sub-micro)
+    # squarely in that bucket
+    r = got[("sub", 0.5)]
+    assert r["bucket_id"] == 0, r
+    assert (r["est_lo_us16"], r["est_hi_us16"]) == (16, 17), r
+    assert all(v["bucket_id"] >= 0 for v in got.values())
+    # oracle twin runs (no negative-shift crash) and hash-agrees on values
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    want = {
+        (r[0], float(r[1])): r
+        for r in con.execute(spec.oracle).fetchall()
+    }
+    assert set(want) == set(got)
+    for k, r in got.items():
+        o = want[k]
+        assert (
+            r["n"], r["rank_r"], r["bucket_id"], r["est_lo_us16"], r["est_hi_us16"]
+        ) == (o[2], o[3], o[4], o[5], o[6]), (k, r, o)
 
 
 def test_source_quality_gate_flags_each_arm(spark, tmp_path):

@@ -183,6 +183,7 @@ def test_three_way_tier_agreement(spark):
         "abc abab cab",
         "the quick brown fox",
         "zürich café",  # chars outside the toy vocab -> UNK law
+        "ab\xa0c",  # NBSP is NOT Java \s: one word, UNK char inside
         "a",
         "",
     ]

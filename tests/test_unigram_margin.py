@@ -72,6 +72,41 @@ def test_single_path_word_has_no_margin():
     assert second is None and pieces == ["z"]
 
 
+def test_margin_udf_splits_on_ascii_whitespace_like_codegen_arm(spark):
+    """PLANTED Unicode-whitespace golden (r9 ADVICE): a document with
+    \\xa0 / NEL between letters must segment IDENTICALLY in the margin
+    UDF and the certified codegen 1-best arm — Python str.split() would
+    split on those (different words, different margins); the declared
+    word law (Java \\s) does not."""
+    toy = sorted(_TOY.items())
+    texts = [
+        "ab\xa0c bc",  # NBSP glues 'ab' + 'c' into ONE word under Java \s
+        "ab",  # NEL inside a word
+        "ab \t\r\n bc",  # ASCII runs still collapse
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    words_sql = (
+        "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '),"
+        " w -> length(w) > 0)"
+    )
+    fold = {
+        r["text"]: list(r["p"])
+        for r in df.select(
+            "text", ug.viterbi_encode_words_expr(words_sql, toy, 4).alias("p")
+        ).collect()
+    }
+    udf = {
+        r["text"]: list(r["m"]["pieces"])
+        for r in df.select(
+            "text", ug.unigram_margin_udf(toy, 4)(df.text).alias("m")
+        ).collect()
+    }
+    assert udf == fold
+    # the plant is live: NBSP kept 'ab' and 'c' in one word, so the UNK
+    # law (no piece spans the \xa0) must appear in the segmentation
+    assert "\xa0" in "".join(fold["ab\xa0c bc"])
+
+
 def test_margin_query_emits_sane_decimals(spark, sf_dir):
     from event_stream_starter_spark.queries import all_queries
 
