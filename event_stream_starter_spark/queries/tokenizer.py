@@ -1345,28 +1345,46 @@ def x_unigram_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x_unigram_margin_cert",
-    """
-    SELECT COUNT(*) AS n_docs, COUNT(*) AS n_agree FROM documents
+    "WITH RECURSIVE "
+    + _UG_CTES
+    + """
+    SELECT t.doc_id,
+           array_to_string(coalesce(d.pieces, CAST([] AS VARCHAR[])), ' ')
+               AS pieces_str,
+           TRUE AS codegen_agree
+    FROM ug_t t LEFT JOIN ug_doc d ON t.doc_id = d.doc_id
     """,
     survey_ids=(
-        "beyond-ref: the 2-best lattice's rank-1 arm certified against "
-        "the codegen Viterbi (tier agreement, oracle states n_agree == "
-        "n_docs as fact) — a k-best DP whose top path diverged from the "
-        "1-best law would fail the hash"
+        "beyond-ref: the 2-best lattice's rank-1 arm certified at the "
+        "PIECE level — the oracle RE-DERIVES every document's rank-1 "
+        "segmentation via the recursive-CTE Viterbi (the "
+        "x_unigram_encode_frozen fold) and value-hashes the full piece "
+        "string, plus an in-plan codegen-tier agreement boolean; a "
+        "k-best DP whose top path diverged from the 1-best law fails "
+        "the hash on the exact document"
     ),
 )
 def x_unigram_margin_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Certifies x_unigram_margin's lattice: the 2-best DP's rank-1
-    segmentation must equal the frozen codegen Viterbi on EVERY
-    document (shared certs.tier_agreement law — adversarially pinned;
-    the greedy-encoder plant in tests/test_unigram.py proves the law
-    discriminates). Any k-best bookkeeping bug that corrupts the top
-    path flips a row and fails the value hash."""
+    """Certifies x_unigram_margin's lattice at the piece level: per
+    document, the 2-best DP's rank-1 segmentation (space-joined) with
+    a boolean pinning it equal to the frozen CODEGEN Viterbi in-plan;
+    the DuckDB oracle independently re-derives the same segmentation
+    via the recursive-CTE Viterbi fold, so BOTH the Arrow lattice and
+    the codegen fold are checked against an external third
+    implementation document-by-document (upgraded r10 from the
+    agreement-as-fact COUNT(*) form — the weakest oracle shape in the
+    registry, retired per the r9 verdict). Any k-best bookkeeping bug
+    that corrupts the top path now fails the value hash on the exact
+    document that diverged."""
     docs = load_table(spark, sf_dir, "documents")
     via_expr = _ug_pieces_col()
     via_2best = ugm.unigram_margin_udf(_FROZEN_UNIGRAM, _UG_MAXLEN)(
         F.col("text")
     )["pieces"]
-    return certs.tier_agreement(
-        docs.select(via_expr.alias("e"), via_2best.alias("u")), "e", "u"
+    return docs.select(
+        "doc_id", via_expr.alias("e"), via_2best.alias("u")
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("u")).alias("pieces_str"),
+        F.col("e").eqNullSafe(F.col("u")).alias("codegen_agree"),
     )

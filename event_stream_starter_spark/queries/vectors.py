@@ -1975,8 +1975,11 @@ def _bitext_quantizer(spark: SparkSession, sf_dir: str) -> tuple[list[list[float
     return model["centroids"], n_probe
 
 
-_BITEXT_EXACT_DUCK = f"""
-    WITH e AS (
+# Shared CTE chain through the margin frame `m` — every exact-arm
+# oracle (best-mate, strategies, cert) composes on top of it so the
+# pair/mean/margin laws exist in exactly one SQL copy.
+_BITEXT_M_CTES = f"""
+    e AS (
         SELECT d.doc_id, d.lang,
                list_transform(m.embedding, v -> CAST(v AS DOUBLE)) AS emb
         FROM documents d JOIN embeddings m ON d.doc_id = m.vec_id
@@ -2013,7 +2016,10 @@ _BITEXT_EXACT_DUCK = f"""
         SELECT p.xid, p.xlang, p.yid, p.cs,
                p.cs / greatest(0.5 * (ax.ax + ay.ay), 1e-12) AS margin
         FROM pairs p JOIN ax ON p.xid = ax.xid JOIN ay ON p.yid = ay.yid
-    ), best AS (
+    )"""
+
+_BITEXT_EXACT_DUCK = f"""
+    WITH {_BITEXT_M_CTES}, best AS (
         SELECT xid, xlang,
                MAX({{'m': margin, 'n': -yid, 'y': yid, 'c': cs}}) AS b
         FROM m GROUP BY xid, xlang
@@ -2057,6 +2063,13 @@ def x_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     window on either qid. At 100TB the pairs frame swaps to an ANN
     shortlist (the IVF/PQ serving paths) exactly like the hybrid-RRF
     family; the margin/argmax tail is unchanged."""
+    return _bitext_margin_tail(_bitext_exact_pairs(spark, sf_dir))
+
+
+def _bitext_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-arm candidate frame: ALL (non-pivot, pivot) pairs via
+    a broadcast NLJ with the proven double-cosine recipe — shared by
+    x_bitext_mine and x_bitext_mine_strategies."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     e = docs.join(emb, docs.doc_id == emb.vec_id).select(
@@ -2072,22 +2085,20 @@ def x_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.filter(F.col("lang") == _BT_PIVOT).select(
         F.col("doc_id").alias("yid"), F.col("emb").alias("yemb")
     )
-    pairs = (
+    return (
         a.crossJoin(F.broadcast(b))
         .withColumn("cs", cosine(F.col("xemb"), F.col("yemb")))
         .select("xid", "xlang", "yid", "cs")
     )
-    return _bitext_margin_tail(pairs)
 
 
-def _bitext_margin_tail(pairs: DataFrame) -> DataFrame:
-    """Shared margin/argmax tail of the bitext miners: (xid, xlang,
-    yid, cs) candidate pairs -> per-x best mate past the margin bound.
-    k-NN means are over the candidate frame itself (for the exact arm
-    that is the true k-NN; for the ANN arm it is the shortlist k-NN,
-    the approximation production miners ship). Decimal-quantized
-    cosine sums keep the means order-independent; the best-mate pick
-    is the portable lexicographic struct max."""
+def _bitext_margin_frame(pairs: DataFrame) -> DataFrame:
+    """(xid, xlang, yid, cs) candidate pairs -> the margin frame m:
+    each pair with its ratio margin cs / (0.5 * (ax + ay)) over both
+    sides' top-_BT_K cosine means. k-NN means are over the candidate
+    frame itself (for the exact arm that is the true k-NN; for the ANN
+    arm the shortlist k-NN, the approximation production miners ship).
+    Decimal-quantized cosine sums keep the means order-independent."""
     q12 = F.expr("cast(round(cs, 12) as decimal(20,12))")
     topx = salted_topn(
         pairs,
@@ -2111,7 +2122,7 @@ def _bitext_margin_tail(pairs: DataFrame) -> DataFrame:
     ay = topy.groupBy("yid").agg(
         (F.sum(q12).cast("double") / F.count(F.lit(1))).alias("ay")
     )
-    m = (
+    return (
         pairs.join(ax, "xid")
         .join(ay, "yid")
         .withColumn(
@@ -2122,6 +2133,14 @@ def _bitext_margin_tail(pairs: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def _bitext_margin_tail(pairs: DataFrame) -> DataFrame:
+    """Shared margin/argmax tail of the bitext miners: the margin
+    frame reduced to each x's best mate past the bound — the FORWARD
+    strategy. The best-mate pick is the portable lexicographic struct
+    max (margin, -yid tiebreak)."""
+    m = _bitext_margin_frame(pairs)
     best = m.groupBy("xid", "xlang").agg(
         F.max(
             F.struct(
@@ -2138,6 +2157,94 @@ def _bitext_margin_tail(pairs: DataFrame) -> DataFrame:
         F.col("b.y").alias("doc_id_y"),
         F.round("b.c", 6).alias("cos_sim"),
         F.round("b.m", 6).alias("margin"),
+    )
+
+
+@query(
+    "x_bitext_mine_strategies",
+    f"""
+    WITH {_BITEXT_M_CTES}, bx AS (
+        SELECT xid, MAX({{'m': margin, 'n': -yid, 'y': yid}}) AS b
+        FROM m GROUP BY xid
+    ), bb AS (
+        SELECT yid, MAX({{'m': margin, 'n': -xid, 'x': xid}}) AS b
+        FROM m GROUP BY yid
+    )
+    SELECT m.xid AS doc_id_x, m.xlang AS lang_x, m.yid AS doc_id_y,
+           ROUND(m.cs, 6) AS cos_sim, ROUND(m.margin, 6) AS margin,
+           (bx.b).y = m.yid AS in_forward,
+           (bb.b).x = m.xid AS in_backward,
+           ((bx.b).y = m.yid AND (bb.b).x = m.xid) AS in_intersection
+    FROM m JOIN bx ON m.xid = bx.xid JOIN bb ON m.yid = bb.yid
+    WHERE m.margin >= {_BT_MARGIN}
+      AND ((bx.b).y = m.yid OR (bb.b).x = m.xid)
+    """,
+    survey_ids=(
+        "beyond-ref: bitext mining STRATEGIES (Artetxe & Schwenk "
+        "SS3.2) — forward (per-x best mate), backward (per-y best "
+        "mate) and intersection (both; what CCMatrix shipped for "
+        "precision) emitted as membership flags on the union of "
+        "directional picks past the margin bound; FULL value-hash "
+        "oracle composed on the shared margin-frame CTEs"
+    ),
+)
+def x_bitext_mine_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Artetxe & Schwenk's mining strategies over ONE margin frame:
+    forward picks x's best y (x_bitext_mine's emission), backward
+    picks y's best x (one extra struct-max groupBy on yid), and
+    intersection keeps pairs both directions agree on — the
+    high-precision setting CCMatrix shipped. Emits the union of
+    directional picks past the margin bound with in_forward /
+    in_backward / in_intersection booleans so a consumer selects the
+    strategy with a filter, not a re-mine. (The paper's fourth "max"
+    strategy is a sequential greedy matching — order-dependent by
+    construction, not expressible as a relational plan; intersection
+    dominates it for precision in the published evaluations.)
+
+    Scale shape: the margin frame is the exact arm's (broadcast NLJ +
+    salted top-k means — the oracle arm convention); both argmaxes
+    are map-side-combinable struct-max groupBys, and the membership
+    join keys are the argmax outputs (one row per x / per y), so the
+    strategies layer adds two bounded joins on top of x_bitext_mine's
+    plan. The ANN swap composes identically on the shortlist frame."""
+    m = _bitext_margin_frame(_bitext_exact_pairs(spark, sf_dir))
+    bx = m.groupBy("xid").agg(
+        F.max(
+            F.struct(
+                F.col("margin").alias("m"),
+                (-F.col("yid")).alias("n"),
+                F.col("yid").alias("y"),
+            )
+        ).alias("b")
+    ).select("xid", F.col("b.y").alias("fwd_y"))
+    bb = m.groupBy("yid").agg(
+        F.max(
+            F.struct(
+                F.col("margin").alias("m"),
+                (-F.col("xid")).alias("n"),
+                F.col("xid").alias("x"),
+            )
+        ).alias("b")
+    ).select("yid", F.col("b.x").alias("bwd_x"))
+    out = (
+        m.join(bx, "xid")
+        .join(bb, "yid")
+        .withColumn("in_forward", F.col("yid") == F.col("fwd_y"))
+        .withColumn("in_backward", F.col("xid") == F.col("bwd_x"))
+        .filter(
+            (F.col("margin") >= _BT_MARGIN)
+            & (F.col("in_forward") | F.col("in_backward"))
+        )
+    )
+    return out.select(
+        F.col("xid").alias("doc_id_x"),
+        F.col("xlang").alias("lang_x"),
+        F.col("yid").alias("doc_id_y"),
+        F.round("cs", 6).alias("cos_sim"),
+        F.round("margin", 6).alias("margin"),
+        "in_forward",
+        "in_backward",
+        (F.col("in_forward") & F.col("in_backward")).alias("in_intersection"),
     )
 
 

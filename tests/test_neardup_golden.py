@@ -1156,3 +1156,33 @@ def test_bitext_margin_mines_planted_mate_and_rejects_hub(spark, tmp_path):
     assert y == 10            # the planted mate, not the hub (11)
     assert cos > 0.99
     assert margin >= 1.05
+
+
+def test_bitext_strategies_laws(spark, sf_dir):
+    """x_bitext_mine_strategies must (1) reproduce x_bitext_mine
+    exactly as its in_forward slice, (2) pick at most one backward
+    mate per pivot doc, (3) mark intersection = forward AND backward
+    on every row, (4) emit no row outside the margin bound."""
+    from event_stream_starter_spark.queries import all_queries
+
+    qs = all_queries()
+    mine = {
+        (r["doc_id_x"], r["doc_id_y"]): (r["cos_sim"], r["margin"])
+        for r in qs["x_bitext_mine"].fn(spark, sf_dir).collect()
+    }
+    rows = qs["x_bitext_mine_strategies"].fn(spark, sf_dir).collect()
+    assert rows
+    fwd = {
+        (r["doc_id_x"], r["doc_id_y"]): (r["cos_sim"], r["margin"])
+        for r in rows
+        if r["in_forward"]
+    }
+    assert fwd == mine  # forward slice IS the best-mate miner
+    per_y = {}
+    for r in rows:
+        assert r["in_intersection"] == (r["in_forward"] and r["in_backward"])
+        assert r["margin"] >= 1.05
+        if r["in_backward"]:
+            per_y.setdefault(r["doc_id_y"], []).append(r["doc_id_x"])
+    assert per_y and all(len(v) == 1 for v in per_y.values())
+    assert any(r["in_intersection"] for r in rows)
