@@ -235,18 +235,34 @@ _FROZEN_DOCS_DUCK = f"""t AS (
     )"""
 
 
-def _frozen_pieces(docs: DataFrame) -> DataFrame:
+def _frozen_pieces(docs: DataFrame, kernel: str = "udf") -> DataFrame:
     """(doc_id, source, lang, n_words, pieces) — Spark twin of
-    _FROZEN_DOCS_DUCK's p: the pure-Column fold encoder (codegen, zero
-    Python) over the frozen merge table."""
+    _FROZEN_DOCS_DUCK's p. Two value-identical encoder kernels behind
+    one seam (x_bpe_encode_cert pins them equal, tests/test_bpe.py pins
+    both to the adversarial pure-Python reference):
+
+    - ``"fold"``: the pure-Column fold (12 chained codegen array folds
+      per word) — the zero-Python tier x_bpe_encode_frozen registers.
+    - ``"udf"``: the Arrow-batched pandas-UDF tier (bpe_encode_udf) —
+      measured 4.3x faster at sf0.1 (0.63s vs 2.74s, guide §4.2: one
+      native batch kernel beats a deep JVM expression tree), and the
+      documented production-vocab swap, so the downstream consumers
+      (export slice, manifest, fertility rollups, coverage) default to
+      it.
+    """
     clean = F.translate(F.col("text"), _SEP, "")
     words = F.filter(textan.tokens(clean), lambda w: F.length(w) > 0)
+    pieces = (
+        bpe.bpe_encode_udf(_FROZEN_MERGES)(clean)
+        if kernel == "udf"
+        else bpe.encode_text_expr(clean, _FROZEN_MERGES)
+    )
     return docs.select(
         "doc_id",
         "source",
         "lang",
         F.size(words).alias("n_words"),
-        bpe.encode_text_expr(clean, _FROZEN_MERGES).alias("pieces"),
+        pieces.alias("pieces"),
     )
 
 
@@ -288,7 +304,7 @@ def x_bpe_encode_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_encode_udf seam (x_bpe_encode_cert pins the two tiers equal).
     """
     docs = load_table(spark, sf_dir, "documents")
-    p = _frozen_pieces(docs)
+    p = _frozen_pieces(docs, kernel="fold")
     return p.select(
         "doc_id",
         "source",
@@ -1196,9 +1212,20 @@ def x_tokenizer_fertility_compare(
     one = docs.select(
         "lang",
         F.size(words).alias("n_words"),
-        F.size(bpe.encode_text_expr(clean, _FROZEN_MERGES)).alias("bp"),
-        F.size(_ug_pieces_col()).alias("up"),
-        F.size(_ug2_pieces_col()).alias("u2p"),
+        # All three encoder columns via the Arrow-UDF kernels
+        # (value-identical to the folds: x_bpe_encode_cert /
+        # x_unigram_encode_cert pin the tiers, and this query's FULL
+        # oracle re-derives every count) — measured 2.84s -> 1.51s at
+        # sf0.1 (guide §4.2).
+        F.size(bpe.bpe_encode_udf(_FROZEN_MERGES)(clean)).alias("bp"),
+        F.size(
+            ugm.unigram_encode_udf(_FROZEN_UNIGRAM, _UG_MAXLEN)(F.col("text"))
+        ).alias("up"),
+        F.size(
+            ugm.unigram_encode_udf(_FROZEN_UNIGRAM_PRUNED, _UG_MAXLEN)(
+                F.col("text")
+            )
+        ).alias("u2p"),
     )
     return one.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -1274,7 +1301,12 @@ def x_unigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: map-only frozen encode + one |langs|-group rollup —
     x_vocab_coverage's plan with the unigram encoder."""
     docs = load_table(spark, sf_dir, "documents")
-    pieces = _ug_pieces_col()
+    # Arrow-UDF encoder tier (value-identical to the codegen fold —
+    # x_unigram_encode_cert's pin; this query's full oracle re-derives
+    # the pieces anyway), the _frozen_pieces kernel note.
+    pieces = ugm.unigram_encode_udf(_FROZEN_UNIGRAM, _UG_MAXLEN)(
+        F.col("text")
+    )
     vocab = F.array(*[F.lit(p) for p, _ in _FROZEN_UNIGRAM])
     pc = docs.select(
         "lang",
