@@ -291,7 +291,17 @@ def x_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("kn_nll").cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mkn"),
-    )
+        # Plan barrier at the |sources|-row neck (the per-round
+        # localCheckpoint pattern, applied to the base table): the EG
+        # tail references dom repeatedly (tot / ex / num / den, plus
+        # x_doremi_resample's rate table) and each reference re-inlines
+        # the corpus-sized twin-LM chain into the plan — 220 Exchange
+        # nodes for x_doremi_weights, 300 for resample, before. Exchange
+        # reuse dedupes most of the runtime re-execution but the
+        # optimizer/codegen cost of the re-expanded plan is real
+        # (measured ~1s/run at sf0.1), and the barrier collapses the
+        # plans to one chain + bounded-table arithmetic (guide §3.3).
+    ).localCheckpoint(eager=True)
     tot = dom.agg(F.sum("token_mass").cast("bigint").alias("tot_mass"))
     ex = dom.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -451,7 +461,17 @@ def x_doremi_weights_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("kn_nll").cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1))
         ).alias("mkn"),
-    )
+        # Plan barrier at the |sources|-row neck (the per-round
+        # localCheckpoint pattern, applied to the base table): the EG
+        # tail references dom repeatedly (tot / ex / num / den, plus
+        # x_doremi_resample's rate table) and each reference re-inlines
+        # the corpus-sized twin-LM chain into the plan — 220 Exchange
+        # nodes for x_doremi_weights, 300 for resample, before. Exchange
+        # reuse dedupes most of the runtime re-execution but the
+        # optimizer/codegen cost of the re-expanded plan is real
+        # (measured ~1s/run at sf0.1), and the barrier collapses the
+        # plans to one chain + bounded-table arithmetic (guide §3.3).
+    ).localCheckpoint(eager=True)
     tot = dom.agg(F.sum("token_mass").cast("bigint").alias("tot_mass"))
     ex = dom.crossJoin(F.broadcast(tot)).select(
         "source",

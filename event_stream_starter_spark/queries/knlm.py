@@ -163,6 +163,14 @@ def _kn_model_tables(train_docs: DataFrame) -> dict[str, DataFrame]:
         ex.filter(F.col("doc_id") % 7 == 0)
         .groupBy("lang", "g")
         .agg(F.count("*").alias("c123"))
+        # Plan barrier on the base count table: all five derived model
+        # tables (and the scoring joins' broadcast builds) otherwise
+        # re-inline the corpus explode + sample aggregation once each —
+        # six copies of the gram subtree per scoring consumer. tri is
+        # bounded (per-lang trigram TYPES), so the barrier is
+        # model-sized; measured 2.25s -> 1.61s per KN scoring at sf0.1
+        # (guide §3.3).
+        .localCheckpoint(eager=True)
     )
     ctx2 = tri.groupBy("lang", F.substring("g", 1, 2).alias("ab")).agg(
         F.sum("c123").alias("c12"), F.count("*").alias("n1p12")

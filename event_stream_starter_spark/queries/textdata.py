@@ -1688,6 +1688,19 @@ def x_semantic_decontaminate_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " d -> coalesce(element_at(m, cast(d as bigint)), 0d))"
             ).alias("vec"),
         )
+        # Plan barrier: the assembled vectors feed the train-side scan
+        # AND the eval broadcast build — without it each branch
+        # re-executes the whole explode + 3-shuffle featurization
+        # (filter pushdown makes the branches non-identical, so
+        # exchange reuse can't dedupe them; measured 8.7s -> 2.8s at
+        # sf0.1). The repartition re-spreads the barrier output: AQE
+        # coalesces this tiny final stage to ONE partition, and a
+        # 1-partition checkpoint serializes the downstream broadcast
+        # compare (measured 9.2s — worse than no barrier). At scale the
+        # barrier materializes |docs| x 64 doubles once, far cheaper
+        # than recomputing the token chain per branch (guide §3.3/§5).
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
     nrm = F.expr(_SEM_NORM_SQL)
     ev = v.filter(F.col("source") == _EVAL_SRC).select(
@@ -3223,6 +3236,11 @@ def _ccnet_scored(docs: DataFrame) -> DataFrame:
         ex.filter(F.col("doc_id") % 7 == 0).groupBy("lang", "g").agg(
             F.count("*").alias("c")
         )
+        # Plan barrier on the sampled count table (the knlm `tri`
+        # rationale): `model` and `tot` each re-inline the corpus
+        # explode + sample aggregation into their broadcast builds
+        # without it. Bounded by per-lang trigram TYPES.
+        .localCheckpoint(eager=True)
     )
     tot = counts.groupBy("lang").agg(F.sum("c").alias("n"), F.count("*").alias("v"))
     model = counts.join(tot, "lang").select(
