@@ -822,6 +822,81 @@ def rotate_expr(vec: Column, rotation: list[list[float]]) -> Column:
     )
 
 
+_L2_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0D, (s, x) -> s + x)"
+)
+
+
+def with_codebooks(df: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Attach the PQ codebooks to `df` as a broadcast ONE-ROW model
+    frame (column ``cbs``) instead of a plan literal.
+
+    The literal form (pq_code_expr / pq_adc_sq_expr) embeds M x K x ds
+    doubles into the expression tree TWICE per consumer; at M=16, K=64
+    that is ~8k literal nodes whose construction + analysis measured
+    3.4-10s PER QUERY BUILD at sf0.1 — more than the query's execution.
+    A 1-row broadcast costs one BroadcastNestedLoopJoin row-append and
+    keeps the tree constant-size (the x_bitext_mine_ann centroid-frame
+    precedent: "plan compile was 2s+ with the literal"). Drop ``cbs``
+    after the code/ADC projection.
+    """
+    spark = df.sparkSession
+    cb = spark.createDataFrame(
+        [(codebooks,)], "cbs: array<array<array<double>>>"
+    )
+    return df.crossJoin(F.broadcast(cb))
+
+
+def pq_code_col(vec: str, m: int, ds: int) -> Column:
+    """array<int> of M subspace codes against the ``cbs`` column (see
+    with_codebooks) — value-identical to pq_code_expr: same sequential
+    L2 fold per codeword, same first-argmin tie-break, evaluated as one
+    constant-size nested-HOF expression instead of M unrolled
+    transforms over codebook literals."""
+    sub = f"slice({vec}, cast(i * {ds} + 1 as int), {ds})"
+    dists = (
+        "transform(element_at(cbs, cast(i + 1 as int)), c -> "
+        + _L2_SQL.format(a=sub, b="c")
+        + ")"
+    )
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), i -> "
+        f"cast(array_position({dists}, array_min({dists})) - 1 as int))"
+    )
+
+
+def pq_adc_sq_col(qvec: str, codes: str, m: int, ds: int) -> Column:
+    """Squared ADC distance against the ``cbs`` column — value-identical
+    to pq_adc_sq_expr: the subspace partials accumulate left-to-right
+    from 0D exactly like the unrolled chained sum (an aggregate fold is
+    the same addition sequence)."""
+    cent = (
+        "element_at(element_at(cbs, cast(i + 1 as int)),"
+        f" cast(element_at({codes}, cast(i + 1 as int)) + 1 as int))"
+    )
+    body = _L2_SQL.format(
+        a=f"slice({qvec}, cast(i * {ds} + 1 as int), {ds})", b=cent
+    )
+    return F.expr(f"aggregate(sequence(0, {m - 1}), 0D, (s, i) -> s + {body})")
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    keep: list[str],
+    out: str = "codes",
+) -> DataFrame:
+    """Encode `df[vec_col]` to PQ codes via the broadcast-codebook
+    kernel, keeping `keep` columns: the shared build-side helper for
+    the one-shot queries and the streaming index sinks."""
+    m, ds = len(codebooks), len(codebooks[0][0])
+    return with_codebooks(df, codebooks).select(
+        *keep, pq_code_col(vec_col, m, ds).alias(out)
+    )
+
+
 def pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     """array<int> of M subspace codes: per subspace, the index of the
     L2-closest codeword (first-argmin tie-break — deterministic).
@@ -908,12 +983,12 @@ def pq_adc_serve(
     qid key); the re-rank touches |Q| x `shortlist` float vectors. Emits
     (vec_id_q, vec_id_c, adc_dist, exact_dist, rank).
     """
+    m, ds = len(codebooks), len(codebooks[0][0])
     scored = (
-        codes.crossJoin(F.broadcast(queries))
+        with_codebooks(codes.crossJoin(F.broadcast(queries)), codebooks)
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn(
-            "adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), codebooks)
-        )
+        .withColumn("adc", pq_adc_sq_col("qvec", "codes", m, ds))
+        .drop("cbs")
     )
     short = salted_topn(
         scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"
@@ -951,12 +1026,12 @@ def ivfpq_serve(
         queries.withColumn("p", F.explode(probes))
         .select("qid", "qvec", F.col("p.cl").cast("long").alias("cluster"))
     )
+    m, ds = len(codebooks), len(codebooks[0][0])
     scored = (
-        index.join(F.broadcast(q), "cluster")
+        with_codebooks(index.join(F.broadcast(q), "cluster"), codebooks)
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn(
-            "adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), codebooks)
-        )
+        .withColumn("adc", pq_adc_sq_col("qvec", "codes", m, ds))
+        .drop("cbs")
     )
     short = salted_topn(
         scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"
@@ -987,12 +1062,12 @@ def opq_adc_serve(
     rq = queries.select(
         "qid", "qvec", rotate_udf(rotation)(F.col("qvec")).alias("rqvec")
     )
+    m, ds = len(codebooks), len(codebooks[0][0])
     scored = (
-        codes.crossJoin(F.broadcast(rq))
+        with_codebooks(codes.crossJoin(F.broadcast(rq)), codebooks)
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn(
-            "adc", pq_adc_sq_expr(F.col("rqvec"), F.col("codes"), codebooks)
-        )
+        .withColumn("adc", pq_adc_sq_col("rqvec", "codes", m, ds))
+        .drop("cbs")
     )
     short = salted_topn(
         scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"
@@ -1035,12 +1110,12 @@ def ivfopq_serve(
     q = rq.withColumn("p", F.explode(probes)).select(
         "qid", "qvec", "rqvec", F.col("p.cl").cast("long").alias("cluster")
     )
+    m, ds = len(codebooks), len(codebooks[0][0])
     scored = (
-        index.join(F.broadcast(q), "cluster")
+        with_codebooks(index.join(F.broadcast(q), "cluster"), codebooks)
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn(
-            "adc", pq_adc_sq_expr(F.col("rqvec"), F.col("codes"), codebooks)
-        )
+        .withColumn("adc", pq_adc_sq_col("rqvec", "codes", m, ds))
+        .drop("cbs")
     )
     short = salted_topn(
         scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"

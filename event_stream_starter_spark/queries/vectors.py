@@ -999,13 +999,20 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100TB this composes with ivf_topk's inverted lists: probe
     lists, ADC-rank inside them, re-rank the survivors.
     """
-    from ..operators.similarity import pq_adc_serve, pq_code_expr
+    from ..operators.similarity import pq_adc_serve, pq_encode
 
     cbs = _pq_codebooks(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    codes = emb.select(
-        F.col("vec_id").alias("cid"),
-        pq_code_expr(F.col("embedding"), cbs).alias("codes"),
+    # Broadcast-codebook kernel (pq_encode / pq_code_col): value-equal
+    # to the literal fold, but the codebooks ride a 1-row broadcast
+    # frame instead of ~8k literal nodes — query construction+analysis
+    # dropped from ~5.8s to ~0.35s at sf0.1 (the bitext centroid-frame
+    # precedent; golden test pins the whole path to numpy).
+    codes = pq_encode(
+        emb.select(F.col("vec_id").alias("cid"), "embedding"),
+        "embedding",
+        cbs,
+        keep=["cid"],
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -1071,7 +1078,12 @@ def ann_pq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    from ..operators.similarity import l2_sq, pq_adc_sq_expr, pq_code_expr
+    from ..operators.similarity import (
+        l2_sq,
+        pq_adc_sq_col,
+        pq_encode,
+        with_codebooks,
+    )
 
     exact_scored = (
         c.crossJoin(F.broadcast(q))
@@ -1091,14 +1103,19 @@ def ann_pq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = salted_topn(
         exact_scored, (F.col("dist").asc(), F.col("cid").asc()), _TOP_K
     )
-    codes = emb.select(
-        F.col("vec_id").alias("cid"),
-        pq_code_expr(F.col("embedding"), cbs).alias("codes"),
+    codes = pq_encode(
+        emb.select(F.col("vec_id").alias("cid"), "embedding"),
+        "embedding",
+        cbs,
+        keep=["cid"],
     )
     adc_scored = (
-        codes.crossJoin(F.broadcast(q))
+        with_codebooks(codes.crossJoin(F.broadcast(q)), cbs)
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("adc", pq_adc_sq_expr(F.col("qvec"), F.col("codes"), cbs))
+        .withColumn(
+            "adc", pq_adc_sq_col("qvec", "codes", len(cbs), len(cbs[0][0]))
+        )
+        .drop("cbs")
     )
     short = salted_topn(
         adc_scored, (F.col("adc").asc(), F.col("cid").asc()), _PQ_SHORTLIST, "srank"
@@ -1167,14 +1184,18 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one qid reducer; re-rank reads |Q| x {_PQ_SHORTLIST} float
     vectors. This is the plan a 1e9-vector deployment actually runs.
     """
-    from ..operators.similarity import ivf_assign, ivfpq_serve, pq_code_expr
+    from ..operators.similarity import ivf_assign, ivfpq_serve, pq_encode
 
     cents = _ivf_centroids(spark, sf_dir)
     cbs = _pq_codebooks(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    # Index state: cluster + codes, vectors dropped.
-    assigned = ivf_assign(emb, "vec_id", "embedding", cents).select(
-        "cid", "cluster", pq_code_expr(F.col("cvec"), cbs).alias("codes")
+    # Index state: cluster + codes, vectors dropped (broadcast-codebook
+    # kernel — the ann_pq_topk note).
+    assigned = pq_encode(
+        ivf_assign(emb, "vec_id", "embedding", cents),
+        "cvec",
+        cbs,
+        keep=["cid", "cluster"],
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -1243,20 +1264,25 @@ def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the shortlist is the salted two-phase rank (salted_topn);
     re-rank touches |Q| x {_PQ_SHORTLIST} float vectors.
     """
-    from ..operators.similarity import opq_adc_serve, pq_code_expr, rotate_udf
+    from ..operators.similarity import opq_adc_serve, pq_encode, rotate_udf
 
     rot, cbs = _opq_model(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     # materialize the rotated vector as a COLUMN before coding (one
-    # Arrow rotation pass; inlining the rotation inside pq_code_expr
+    # Arrow rotation pass; inlining the rotation inside the code kernel
     # would copy it into each of the 1024 codeword distances).
     # rotate_udf is the Arrow tier of the Column fold — BIT-IDENTICAL
     # doubles (test_rotate_udf_equals_column_fold), ~10^3 less per-row
     # interpreter overhead; certs/goldens value-prove the swap.
-    codes = emb.select(
-        F.col("vec_id").alias("cid"),
-        rotate_udf(rot)(F.col("embedding")).alias("rvec"),
-    ).select("cid", pq_code_expr(F.col("rvec"), cbs).alias("codes"))
+    codes = pq_encode(
+        emb.select(
+            F.col("vec_id").alias("cid"),
+            rotate_udf(rot)(F.col("embedding")).alias("rvec"),
+        ),
+        "rvec",
+        cbs,
+        keep=["cid"],
+    )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -1311,10 +1337,11 @@ def ann_opq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_neardup_golden.py."""
     from ..operators.similarity import (
         l2_sq,
-        pq_adc_sq_expr,
-        pq_code_expr,
+        pq_adc_sq_col,
+        pq_encode,
         rotate_udf,
         salted_topn,
+        with_codebooks,
     )
 
     rot, cbs = _opq_model(spark, sf_dir)
@@ -1341,14 +1368,22 @@ def ann_opq_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = salted_topn(
         exact_scored, (F.col("dist").asc(), F.col("cid").asc()), _TOP_K
     )
-    codes = emb.select(
-        F.col("vec_id").alias("cid"),
-        rotate_udf(rot)(F.col("embedding")).alias("rvec"),
-    ).select("cid", pq_code_expr(F.col("rvec"), cbs).alias("codes"))
+    codes = pq_encode(
+        emb.select(
+            F.col("vec_id").alias("cid"),
+            rotate_udf(rot)(F.col("embedding")).alias("rvec"),
+        ),
+        "rvec",
+        cbs,
+        keep=["cid"],
+    )
     adc_scored = (
-        codes.crossJoin(F.broadcast(q.select("qid", "rqvec")))
+        with_codebooks(codes.crossJoin(F.broadcast(q.select("qid", "rqvec"))), cbs)
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("adc", pq_adc_sq_expr(F.col("rqvec"), F.col("codes"), cbs))
+        .withColumn(
+            "adc", pq_adc_sq_col("rqvec", "codes", len(cbs), len(cbs[0][0]))
+        )
+        .drop("cbs")
     )
     short = salted_topn(
         adc_scored, (F.col("adc").asc(), F.col("cid").asc()), _PQ_SHORTLIST, "srank"
@@ -1422,19 +1457,20 @@ def ann_ivfopq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         ivf_assign,
         ivfopq_serve,
-        pq_code_expr,
+        pq_encode,
         rotate_udf,
     )
 
     cents = _ivf_centroids(spark, sf_dir)
     rot, cbs = _opq_model(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = (
-        ivf_assign(emb, "vec_id", "embedding", cents)
-        .select(
+    assigned = pq_encode(
+        ivf_assign(emb, "vec_id", "embedding", cents).select(
             "cid", "cluster", rotate_udf(rot)(F.col("cvec")).alias("rvec")
-        )
-        .select("cid", "cluster", pq_code_expr(F.col("rvec"), cbs).alias("codes"))
+        ),
+        "rvec",
+        cbs,
+        keep=["cid", "cluster"],
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")

@@ -197,7 +197,7 @@ class StreamingPqIndex(_PointerSink, _FrozenCodebooksMixin):
 
     Per micro-batch the sink appends (cid, cvec, codes): the M=16
     subspace codes are a MAP-ONLY column expression of the broadcast
-    codebook literals (operators/similarity.pq_code_expr) — O(batch),
+    broadcast codebook frame (operators/similarity.pq_encode) — O(batch),
     no history re-encode — plus the original float vector for the exact
     re-rank at query time. The codebooks follow the frozen-quantizer
     contract (fitted once on the first non-empty batch or passed in,
@@ -250,13 +250,17 @@ class StreamingPqIndex(_PointerSink, _FrozenCodebooksMixin):
             return
         from pyspark.sql import functions as F
 
-        from ..operators.similarity import pq_code_expr
+        from ..operators.similarity import pq_encode
 
         cbs = self._load_or_fit_codebooks(batch)
-        rows = batch.select(
-            F.col(self.id_col).alias("cid"),
-            F.col(self.vec_col).alias("cvec"),
-            pq_code_expr(F.col(self.vec_col), cbs).alias("codes"),
+        rows = pq_encode(
+            batch.select(
+                F.col(self.id_col).alias("cid"),
+                F.col(self.vec_col).alias("cvec"),
+            ),
+            "cvec",
+            cbs,
+            keep=["cid", "cvec"],
         )
         rows.write.mode("append").parquet(os.path.join(self.path, "codes"))
         self._commit(batch_id)
@@ -346,17 +350,12 @@ class StreamingIvfPqIndex(_PointerSink, _FrozenQuantizerMixin, _FrozenCodebooksM
             return
         from pyspark.sql import functions as F
 
-        from ..operators.similarity import pq_code_expr
+        from ..operators.similarity import pq_encode
 
         centroids = self._load_or_fit_centroids(batch)
         cbs = self._load_or_fit_codebooks(batch)
         assigned = ivf_assign(batch, self.id_col, self.vec_col, centroids)
-        rows = assigned.select(
-            "cid",
-            "cluster",
-            pq_code_expr(F.col("cvec"), cbs).alias("codes"),
-            "cvec",
-        )
+        rows = pq_encode(assigned, "cvec", cbs, keep=["cid", "cluster", "cvec"])
         rows.write.mode("append").parquet(os.path.join(self.path, "codes"))
         self._commit(batch_id)
 
@@ -536,17 +535,18 @@ class StreamingOpqIndex(_PointerSink, _FrozenRotationMixin, _FrozenCodebooksMixi
             return
         from pyspark.sql import functions as F
 
-        from ..operators.similarity import pq_code_expr, rotate_udf
+        from ..operators.similarity import pq_encode, rotate_udf
 
         rot, _ = self._load_or_require_opq_models()
-        rows = batch.select(
-            F.col(self.id_col).alias("cid"),
-            F.col(self.vec_col).alias("cvec"),
-            rotate_udf(rot)(F.col(self.vec_col)).alias("rvec"),
-        ).select(
-            "cid",
-            "cvec",
-            pq_code_expr(F.col("rvec"), self.codebooks).alias("codes"),
+        rows = pq_encode(
+            batch.select(
+                F.col(self.id_col).alias("cid"),
+                F.col(self.vec_col).alias("cvec"),
+                rotate_udf(rot)(F.col(self.vec_col)).alias("rvec"),
+            ),
+            "rvec",
+            self.codebooks,
+            keep=["cid", "cvec"],
         )
         rows.write.mode("append").parquet(os.path.join(self.path, "codes"))
         self._commit(batch_id)
@@ -892,21 +892,21 @@ class StreamingIvfOpqIndex(
             return
         from pyspark.sql import functions as F
 
-        from ..operators.similarity import pq_code_expr, rotate_udf
+        from ..operators.similarity import pq_encode, rotate_udf
 
         centroids = self._load_or_fit_centroids(batch)
         rot, cbs = self._load_or_require_opq_models()
         assigned = ivf_assign(batch, self.id_col, self.vec_col, centroids)
-        rows = assigned.select(
-            "cid",
-            "cluster",
-            rotate_udf(rot)(F.col("cvec")).alias("rvec"),
-            "cvec",
-        ).select(
-            "cid",
-            "cluster",
-            pq_code_expr(F.col("rvec"), cbs).alias("codes"),
-            "cvec",
+        rows = pq_encode(
+            assigned.select(
+                "cid",
+                "cluster",
+                rotate_udf(rot)(F.col("cvec")).alias("rvec"),
+                "cvec",
+            ),
+            "rvec",
+            cbs,
+            keep=["cid", "cluster", "cvec"],
         )
         rows.write.mode("append").parquet(os.path.join(self.path, "codes"))
         self._commit(batch_id)
