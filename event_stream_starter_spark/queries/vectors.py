@@ -2125,6 +2125,15 @@ def _bitext_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(F.broadcast(b))
         .withColumn("cs", cosine(F.col("xemb"), F.col("yemb")))
         .select("xid", "xlang", "yid", "cs")
+        # Materialized once (ids + a double per pair): the margin tail
+        # reads the pair frame three times (two k-NN means + the
+        # join-back), and each read re-ran the full broadcast-NLJ
+        # cosine pass (the ANN arm's shortlist-checkpoint rationale,
+        # applied to the exact arm — measured 5.6 -> ~2.5s for
+        # x_bitext_mine at sf0.1). The BNLJ output keeps the scan's
+        # partitioning, so no re-spread is needed. Corpus-quadratic by
+        # design: this is the declared sf-scale oracle arm.
+        .localCheckpoint(eager=True)
     )
 
 
