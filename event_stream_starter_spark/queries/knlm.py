@@ -338,7 +338,14 @@ def x_kn_lm_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the twin (shared _kn_scored); ties at a threshold take the lower
     bucket; sketch rank error <= 0.01%/lang at accuracy 10000."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = _kn_scored(docs.select("doc_id", "lang", "text"))
+    # Plan barrier on the per-doc scored frame (the x_dsir_select_approx
+    # pattern): the threshold agg and the assignment join both consume
+    # it, each re-running the corpus KN-scoring pass otherwise.
+    scored = (
+        _kn_scored(docs.select("doc_id", "lang", "text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     raw = (F.col("s") / F.col("n_grams")).alias("raw")
     sc = scored.select("doc_id", "lang", "n_grams", "s", raw)
     th = sc.groupBy("lang").agg(

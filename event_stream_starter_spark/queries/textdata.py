@@ -2018,10 +2018,19 @@ def x_quality_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     toks = textan.tokens(t)
-    q = docs.select(
-        "doc_id",
-        "lang",
-        F.round(textan.quality_score(t, toks), 6).alias("quality"),
+    # Plan barrier on the per-doc quality frame (the x_dsir_select_approx
+    # pattern): the threshold agg and the binning join both consume it,
+    # each re-running the full quality-score text pass otherwise.
+    # Re-spread first — AQE coalesces the narrow frame and a 1-partition
+    # barrier serializes the downstream join.
+    q = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.round(textan.quality_score(t, toks), 6).alias("quality"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
     th = q.groupBy("lang").agg(
         F.percentile_approx(
@@ -3275,7 +3284,15 @@ def _ccnet_bucketed(docs: DataFrame) -> DataFrame:
     """Exact per-lang head/middle/tail terciles over the CCNet scores
     (ntile(3), doc_id tie-break). Returns
     (doc_id, lang, n_grams, nll, ppl_bucket)."""
-    scored = _ccnet_scored(docs)
+    return _ccnet_bucketed_from(_ccnet_scored(docs))
+
+
+def _ccnet_bucketed_from(scored: DataFrame) -> DataFrame:
+    """The exact ntile(3) tail over a pre-built scored frame — split out
+    so the agree cert can score once and feed both arms (the DSIR
+    shared-score pattern); the window is layout-independent
+    (deterministic orderBy, decimal sums), so values match the
+    registered twin bit-for-bit."""
     w = Window.partitionBy("lang").orderBy(
         (F.col("s") / F.col("n_grams")).asc(), F.col("doc_id").asc()
     )
@@ -3358,7 +3375,21 @@ def x_ccnet_lm_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     n/accuracy rows (accuracy=10000 → ≤0.01%/lang). nll values are
     bit-identical to the twin (shared _ccnet_scored)."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = _ccnet_scored(docs.select("doc_id", "lang", "text"))
+    # Plan barrier on the per-doc scored frame (the x_dsir_select_approx
+    # pattern): the threshold agg and the assignment join both consume
+    # it, each re-running the corpus trigram-LM pass otherwise.
+    scored = (
+        _ccnet_scored(docs.select("doc_id", "lang", "text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    return _ccnet_approx_from(scored)
+
+
+def _ccnet_approx_from(scored: DataFrame) -> DataFrame:
+    """The sketch-threshold tail over a pre-built scored frame (see
+    x_ccnet_lm_buckets_approx); callers barrier `scored` — the
+    threshold agg and the assignment join both consume it."""
     raw = (F.col("s") / F.col("n_grams")).alias("raw")
     sc = scored.select("doc_id", "lang", "n_grams", "s", raw)
     th = sc.groupBy("lang").agg(
@@ -3548,7 +3579,13 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     output row in 100k docs).
     """
     docs = load_table(spark, sf_dir, "documents")
-    scored = _dsir_scored(docs)
+    return _dsir_exact_from(_dsir_scored(docs))
+
+
+def _dsir_exact_from(scored: DataFrame) -> DataFrame:
+    """Exact top-20%-per-lang selection over a (doc_id, lang, n_grams,
+    s) scored frame — split out so the agree cert can score once and
+    feed both selection arms."""
     w = Window.partitionBy("lang").orderBy(
         (F.col("s") / F.col("n_grams")).desc(), F.col("doc_id").asc()
     )
@@ -3580,7 +3617,18 @@ def _dsir_scored(docs: DataFrame) -> DataFrame:
     ex = base.select("doc_id", "lang", "source", F.explode(grams).alias("g"))
 
     def model(sample: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
-        counts = sample.groupBy("lang", "g").agg(F.count("*").alias("c"))
+        # Plan barrier on the count table (bounded by per-lang trigram
+        # TYPES — the KN-model-table pattern): tot and m both reference
+        # counts, and each reference re-inlined the corpus explode +
+        # sample aggregation; with two models and the scoring join's two
+        # broadcast builds the approx plan carried 92 Exchange nodes.
+        # Measured (with the scored barrier below) 3.40 -> 2.46s at
+        # sf0.1; exact twin 2.57 -> 2.38s; values bit-identical.
+        counts = (
+            sample.groupBy("lang", "g")
+            .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True)
+        )
         tot = counts.groupBy("lang").agg(
             F.sum("c").alias(f"n_{tag}"), F.count("*").alias(f"v_{tag}")
         )
@@ -3650,7 +3698,28 @@ def x_dsir_select_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected SET may differ from the twin at the boundary; llr values
     are bit-identical."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = _dsir_scored(docs)
+    # Plan barrier on the per-doc scored frame: the threshold agg and
+    # the final join BOTH consume it, and each consumption re-executed
+    # the whole scoring chain (the semantic-IDF vector-frame pattern —
+    # corpus-linear rows, 4 narrow columns). Re-spread first: AQE
+    # coalesces the tiny rollup to few partitions and a narrow barrier
+    # serializes the downstream join. llr is bit-identical (the decimal
+    # LLR sum is order-independent); the sketch threshold tolerates
+    # layout changes by contract and measured identical output on the
+    # frozen corpora (0 differing rows at sf0.001/0.01/0.1).
+    scored = (
+        _dsir_scored(docs)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    return _dsir_approx_from(scored)
+
+
+def _dsir_approx_from(scored: DataFrame) -> DataFrame:
+    """Sketch-threshold selection over a scored frame (see
+    x_dsir_select_approx); split out for the agree cert's shared-score
+    path. Callers barrier `scored` — both consumers below re-execute
+    it otherwise."""
     sc = scored.select(
         "doc_id", "lang", "n_grams", "s", (F.col("s") / F.col("n_grams")).alias("raw")
     )
@@ -4448,9 +4517,19 @@ def x_ccnet_buckets_agree_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     head/middle/tail agreement >= 0.98 (measured on the frozen
     corpora: 1.000 / 1.000 / 1.000 at sf0.001/0.01/0.1 — sketch
     accuracy 10000 leaves tercile boundaries exact at these n)."""
+    # Score ONCE and feed both bucketing arms (the DSIR shared-score
+    # pattern): calling the registered arms directly paid the corpus
+    # trigram-LM pass twice. Both tails are the registered queries'
+    # verbatim (_ccnet_bucketed_from / _ccnet_approx_from) over the
+    # approx arm's exact barrier construction.
     docs = load_table(spark, sf_dir, "documents")
-    exact = _ccnet_bucketed(docs.select("doc_id", "lang", "text"))
-    approx = x_ccnet_lm_buckets_approx(spark, sf_dir)
+    scored = (
+        _ccnet_scored(docs.select("doc_id", "lang", "text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    exact = _ccnet_bucketed_from(scored)
+    approx = _ccnet_approx_from(scored)
     agree = _agreement(exact, approx, "ppl_bucket")
     return exact.crossJoin(F.broadcast(agree)).select(
         *[c for c in exact.columns],
@@ -4474,8 +4553,23 @@ def x_dsir_select_agree_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     `selected` agreement >= 0.98 (measured 0.998 / 0.996 / 1.000 —
     the documented boundary-tie movement is the only divergence; llr
     itself is bit-identical by construction, shared _dsir_scored)."""
-    exact = x_dsir_select(spark, sf_dir)
-    approx = x_dsir_select_approx(spark, sf_dir)
+    # Score ONCE and feed both selection arms: each registered arm
+    # builds its own corpus-sized scoring chain, so calling them
+    # directly here paid the trigram-LM pass twice (probe 5.89s).
+    # Selection tails are identical to the registered queries
+    # (_dsir_exact_from / _dsir_approx_from), and the shared frame uses
+    # the approx arm's exact barrier construction, so both arms'
+    # values match their registered twins bit-for-bit (the exact arm's
+    # window is layout-independent: deterministic orderBy + decimal
+    # sums).
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        _dsir_scored(docs)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    exact = _dsir_exact_from(scored)
+    approx = _dsir_approx_from(scored)
     agree = _agreement(exact, approx, "selected")
     return exact.crossJoin(F.broadcast(agree)).select(
         *[c for c in exact.columns],
@@ -4506,10 +4600,18 @@ def x_quality_bins_agree_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     toks = textan.tokens(t)
-    q = docs.select(
-        "doc_id",
-        "lang",
-        F.round(textan.quality_score(t, toks), 6).alias("quality"),
+    # Plan barrier on the shared per-doc quality frame: FOUR downstream
+    # references (exact window x2 via agree+rollup, threshold agg,
+    # approx join) each re-ran the quality-score text pass otherwise
+    # (the x_dsir_select_agree_cert shared-score pattern).
+    q = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.round(textan.quality_score(t, toks), 6).alias("quality"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("lang").orderBy("quality", "doc_id")
     exact_doc = q.withColumn("bin", F.ntile(10).over(w).cast("long"))

@@ -1501,6 +1501,25 @@ def ann_ivfopq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQ_DIM = 64
 
 
+def _sq8_stats_agg(emb: DataFrame) -> DataFrame:
+    """The 1-row per-dim (mn, mx) SQ8 stats frame, built as TWO F.expr
+    strings instead of 2 x 64 F.min/F.max Column objects: the Column
+    form cost ~1.3s of py4j round trips per construction (measured;
+    one round trip per getItem/min/cast/alias), re-paid on every
+    invocation by x_sq8_quantize, ann_sq8_topk, ann_ivfsq8_topk and the
+    cert's two arms. The analyzed plan is identical modulo expr ids
+    (array[] is 0-based in both forms), so results are bit-equal."""
+    mns = ", ".join(
+        f"cast(min(embedding[{i}]) as double)" for i in range(_SQ_DIM)
+    )
+    mxs = ", ".join(
+        f"cast(max(embedding[{i}]) as double)" for i in range(_SQ_DIM)
+    )
+    return emb.agg(
+        F.expr(f"array({mns})").alias("mn"), F.expr(f"array({mxs})").alias("mx")
+    )
+
+
 def _sq8_minmax_duck() -> str:
     mins = ", ".join(
         f"min(embedding[{i + 1}]) AS mn{i}" for i in range(_SQ_DIM)
@@ -1568,14 +1587,7 @@ def x_sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registry's hash-gate hygiene.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    stats = emb.agg(
-        F.array(
-            *[F.min(F.col("embedding")[i]).cast("double") for i in range(_SQ_DIM)]
-        ).alias("mn"),
-        F.array(
-            *[F.max(F.col("embedding")[i]).cast("double") for i in range(_SQ_DIM)]
-        ).alias("mx"),
-    )
+    stats = _sq8_stats_agg(emb)
     coded = emb.crossJoin(F.broadcast(stats)).select(
         "vec_id",
         F.expr(
@@ -1682,14 +1694,7 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression here is algebraically that, folded.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    stats = emb.agg(
-        F.array(
-            *[F.min(F.col("embedding")[i]).cast("double") for i in range(_SQ_DIM)]
-        ).alias("mn"),
-        F.array(
-            *[F.max(F.col("embedding")[i]).cast("double") for i in range(_SQ_DIM)]
-        ).alias("mx"),
-    )
+    stats = _sq8_stats_agg(emb)
     deq = emb.crossJoin(F.broadcast(stats)).select(
         F.col("vec_id").alias("cid"),
         F.expr(
@@ -1756,14 +1761,7 @@ def ann_ivfsq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_assign, ivfsq8_serve
 
     emb = load_table(spark, sf_dir, "embeddings")
-    stats = emb.agg(
-        F.array(
-            *[F.min(F.col("embedding")[i]).cast("double") for i in range(_SQ_DIM)]
-        ).alias("mn"),
-        F.array(
-            *[F.max(F.col("embedding")[i]).cast("double") for i in range(_SQ_DIM)]
-        ).alias("mx"),
-    )
+    stats = _sq8_stats_agg(emb)
     centroids = _ivf_centroids(spark, sf_dir)
     assigned = ivf_assign(emb, "vec_id", "embedding", centroids)
     index = assigned.crossJoin(F.broadcast(stats)).select(
