@@ -51,8 +51,8 @@ from ..io import load_table
 from ..operators import textan
 from ..operators.similarity import salted_topn
 from . import query
-from .knlm import _KN_CTES_SQL, _kn_scored
-from .textdata import _CCNET_CTES_SQL, _TOKS_DUCK, _ccnet_scored
+from .knlm import _KN_CTES_SQL, _kn_cc_scored
+from .textdata import _CCNET_CTES_SQL, _TOKS_DUCK
 
 _ZIPF_HEAD = 1000  # types per language the slope is fitted on
 _MASS_HEAD = 100  # types per language for the head-mass stat
@@ -266,20 +266,18 @@ def x_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", "source"
     )
-    kn = _kn_scored(docs.select("doc_id", "lang", "text")).select(
+    # Both LM scores from ONE gram explode + per-doc rollup
+    # (knlm._kn_cc_scored, bit-equal to the standalone scorers by the
+    # pinned golden): the twin _kn_scored + _ccnet_scored chains paid
+    # the corpus explode twice plus a doc_id sort-merge join to zip
+    # the score frames back together.
+    per_doc = _kn_cc_scored(docs.select("doc_id", "lang", "text")).select(
         "doc_id",
         "lang",
         "n_grams",
-        F.round(F.col("s") / F.col("n_grams"), 6).alias("kn_nll"),
-    )
-    cc = _ccnet_scored(docs.select("doc_id", "lang", "text")).select(
-        "doc_id",
-        "lang",
-        F.round(F.col("s") / F.col("n_grams"), 6).alias("cc_nll"),
-    )
-    per_doc = kn.join(cc, ["doc_id", "lang"]).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+        F.round(F.col("kn_s") / F.col("n_grams"), 6).alias("kn_nll"),
+        F.round(F.col("cc_s") / F.col("n_grams"), 6).alias("cc_nll"),
+    ).join(docs.select("doc_id", "source"), "doc_id")
     dom = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_grams").cast("bigint").alias("token_mass"),
@@ -436,20 +434,18 @@ def x_doremi_weights_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text", "source"
     )
-    kn = _kn_scored(docs.select("doc_id", "lang", "text")).select(
+    # Both LM scores from ONE gram explode + per-doc rollup
+    # (knlm._kn_cc_scored, bit-equal to the standalone scorers by the
+    # pinned golden): the twin _kn_scored + _ccnet_scored chains paid
+    # the corpus explode twice plus a doc_id sort-merge join to zip
+    # the score frames back together.
+    per_doc = _kn_cc_scored(docs.select("doc_id", "lang", "text")).select(
         "doc_id",
         "lang",
         "n_grams",
-        F.round(F.col("s") / F.col("n_grams"), 6).alias("kn_nll"),
-    )
-    cc = _ccnet_scored(docs.select("doc_id", "lang", "text")).select(
-        "doc_id",
-        "lang",
-        F.round(F.col("s") / F.col("n_grams"), 6).alias("cc_nll"),
-    )
-    per_doc = kn.join(cc, ["doc_id", "lang"]).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+        F.round(F.col("kn_s") / F.col("n_grams"), 6).alias("kn_nll"),
+        F.round(F.col("cc_s") / F.col("n_grams"), 6).alias("cc_nll"),
+    ).join(docs.select("doc_id", "source"), "doc_id")
     dom = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_grams").cast("bigint").alias("token_mass"),

@@ -249,6 +249,68 @@ def _kn_scored(docs: DataFrame) -> DataFrame:
     return _kn_score_with_model(docs, _kn_model_tables(docs))
 
 
+def _kn_cc_scored(docs: DataFrame) -> DataFrame:
+    """BOTH LM scores over ONE gram explode: (doc_id, lang, n_grams,
+    kn_s, cc_s) — the KN and CCNet scorers share the exact same gram
+    law (_kn_grams == the x_ccnet explode), so every consumer that
+    needs both (the DoReMi family's twin-LM excess, x_kn_ccnet_agree)
+    was paying the corpus explode + per-doc rollup twice plus a
+    doc_id sort-merge join to zip the two score frames back together.
+    Here the CCNet model columns (p, n, v — disjoint from the KN model
+    names) join onto the same exploded stream and ONE groupBy computes
+    both decimal sums. Each sum is term-for-term the standalone
+    scorer's (same broadcast model tables, same 7dp rounding, same
+    order-independent decimal accumulation), so kn_s/cc_s are
+    bit-equal to _kn_scored().s / _ccnet_scored().s — pinned by
+    tests/test_knlm.py::test_fused_twin_scorer_matches_standalones."""
+    from .textdata import _ccnet_model, _ccnet_p_eff
+
+    ex = _kn_grams(docs)
+    m = _kn_model_tables(docs)
+    ccmodel, cctot = _ccnet_model(ex)
+    # Rename the CC columns: the KN arm assigns its own "p" below.
+    ccmodel = ccmodel.select("lang", "g", F.col("p").alias("ccp"))
+    cctot = cctot.select(
+        "lang", F.col("n").alias("ccn"), F.col("v").alias("ccv")
+    )
+    exk = ex.select(
+        "doc_id",
+        "lang",
+        "g",
+        F.substring("g", 1, 2).alias("ab"),
+        F.substring("g", 2, 2).alias("bc"),
+        F.substring("g", 2, 1).alias("b"),
+        F.substring("g", 3, 1).alias("c3"),
+    )
+    joined = (
+        exk.join(F.broadcast(m["tri"]), ["lang", "g"], "left")
+        .join(F.broadcast(m["ctx2"]), ["lang", "ab"], "left")
+        .join(F.broadcast(m["cont"]), ["lang", "bc"], "left")
+        .join(F.broadcast(m["ctxc"]), ["lang", "b"], "left")
+        .join(F.broadcast(m["uni"]), ["lang", "c3"], "left")
+        .join(F.broadcast(m["tot"]), ["lang"], "left")
+        .join(F.broadcast(ccmodel), ["lang", "g"], "left")
+        .join(F.broadcast(cctot), ["lang"], "left")
+    )
+    return (
+        joined.withColumn("p", F.expr(_P_KN))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.round(-F.log("p"), 7).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("kn_s"),
+            F.sum(
+                F.round(-F.log(_ccnet_p_eff("ccp", "ccn", "ccv")), 7).cast(
+                    "decimal(28,9)"
+                )
+            )
+            .cast("double")
+            .alias("cc_s"),
+        )
+    )
+
+
 @query(
     "x_kn_trigram_lm",
     "WITH "
@@ -404,14 +466,21 @@ def x_kn_ccnet_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy terciles, per language: (lang, n_docs, n_agree, agree_frac).
     Both arms are deterministic and fully oracled, so the agreement is
     a hash-checked VALUE, not a bounded boolean."""
-    from .textdata import _ccnet_bucketed
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    scored = _kn_scored(docs)
+    # Both scores from ONE gram explode (fused scorer, bit-equal by
+    # the pinned golden), barriered because the two tercile windows
+    # consume it independently. Each window is the registered arm's
+    # verbatim (deterministic orderBy over the shared decimal scores),
+    # so the buckets match the standalone queries bit-for-bit.
+    scored = (
+        _kn_cc_scored(docs)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("lang").orderBy(
-        (F.col("s") / F.col("n_grams")).asc(), F.col("doc_id").asc()
+        (F.col("kn_s") / F.col("n_grams")).asc(), F.col("doc_id").asc()
     )
     knb = scored.withColumn("nt3", F.ntile(3).over(w)).select(
         "doc_id",
@@ -421,7 +490,17 @@ def x_kn_ccnet_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("kb"),
     )
-    cc = _ccnet_bucketed(docs).select("doc_id", "lang", "ppl_bucket")
+    wc = Window.partitionBy("lang").orderBy(
+        (F.col("cc_s") / F.col("n_grams")).asc(), F.col("doc_id").asc()
+    )
+    cc = scored.withColumn("nt3", F.ntile(3).over(wc)).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("nt3") == 1, F.lit("head"))
+        .when(F.col("nt3") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
     j = knb.join(cc, ["doc_id", "lang"])
     agree = (F.col("kb") == F.col("ppl_bucket")).cast("int")
     return j.groupBy("lang").agg(

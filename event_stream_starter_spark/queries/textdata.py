@@ -6,7 +6,7 @@ fingerprinting (SURVEY.md §2.2, §2.4 + the 100TB training-pipeline ops).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -3241,6 +3241,25 @@ def _ccnet_scored(docs: DataFrame) -> DataFrame:
         " i -> substring(nt, i, 3))"
     )
     ex = base.select("doc_id", "lang", F.explode(grams).alias("g"))
+    model, tot = _ccnet_model(ex)
+    return (
+        ex.join(F.broadcast(model), ["lang", "g"], "left")
+        .join(F.broadcast(tot), ["lang"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.round(-F.log(_ccnet_p_eff()), 7).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("s"),
+        )
+    )
+
+
+def _ccnet_model(ex: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The add-one trigram model (lang, g, p) + per-lang (n, v) totals
+    fitted on the ``doc_id % 7 == 0`` sample of an exploded gram
+    stream — factored out of _ccnet_scored so the fused twin-LM scorer
+    (knlm._kn_cc_scored) can attach it to ONE shared gram explode."""
     counts = (
         ex.filter(F.col("doc_id") % 7 == 0).groupBy("lang", "g").agg(
             F.count("*").alias("c")
@@ -3259,24 +3278,21 @@ def _ccnet_scored(docs: DataFrame) -> DataFrame:
             (F.col("c") + 1).cast("double") / (F.col("n") + F.col("v")).cast("double")
         ).alias("p"),
     )
-    p_eff = (
-        F.when(F.col("p").isNotNull(), F.col("p"))
+    return model, tot
+
+
+def _ccnet_p_eff(p: str = "p", n: str = "n", v: str = "v") -> Column:
+    """The CCNet per-gram probability over the joined (p, n, v)
+    columns: model hit, else UNK mass 1/(N+V), else 1.0 for an
+    unsampled language (nll 0). Column names are parameters so the
+    fused twin-LM scorer can rename them away from the KN model's."""
+    return (
+        F.when(F.col(p).isNotNull(), F.col(p))
         .when(
-            F.col("n").isNotNull(),
-            F.lit(1.0) / (F.col("n") + F.col("v")).cast("double"),
+            F.col(n).isNotNull(),
+            F.lit(1.0) / (F.col(n) + F.col(v)).cast("double"),
         )
         .otherwise(F.lit(1.0))
-    )
-    return (
-        ex.join(F.broadcast(model), ["lang", "g"], "left")
-        .join(F.broadcast(tot), ["lang"], "left")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.round(-F.log(p_eff), 7).cast("decimal(28,9)"))
-            .cast("double")
-            .alias("s"),
-        )
     )
 
 

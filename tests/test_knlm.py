@@ -100,3 +100,34 @@ def test_kn_plans_have_scale_shape(spark, sf_dir):
     )
     assert "Window" not in approx_plan
     assert "ntile(" not in approx_plan
+
+
+def test_fused_twin_scorer_matches_standalones(spark, sf_dir):
+    """_kn_cc_scored (one gram explode, one rollup) must be bit-equal
+    to the standalone _kn_scored / _ccnet_scored frames it replaces in
+    the DoReMi family and x_kn_ccnet_agree — same (doc_id, lang) set,
+    same n_grams, same decimal score sums."""
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries.knlm import (
+        _kn_cc_scored,
+        _kn_scored,
+    )
+    from event_stream_starter_spark.queries.textdata import _ccnet_scored
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    kn = {
+        (r["doc_id"], r["lang"]): (r["n_grams"], r["s"])
+        for r in _kn_scored(docs).collect()
+    }
+    cc = {
+        (r["doc_id"], r["lang"]): (r["n_grams"], r["s"])
+        for r in _ccnet_scored(docs).collect()
+    }
+    fused = _kn_cc_scored(docs).collect()
+    assert {(r["doc_id"], r["lang"]) for r in fused} == set(kn) == set(cc)
+    for r in fused:
+        k = (r["doc_id"], r["lang"])
+        assert kn[k] == (r["n_grams"], r["kn_s"]), k
+        assert cc[k] == (r["n_grams"], r["cc_s"]), k
