@@ -2018,19 +2018,18 @@ def x_quality_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     toks = textan.tokens(t)
-    # Plan barrier on the per-doc quality frame (the x_dsir_select_approx
-    # pattern): the threshold agg and the binning join both consume it,
-    # each re-running the full quality-score text pass otherwise.
-    # Re-spread first — AQE coalesces the narrow frame and a 1-partition
-    # barrier serializes the downstream join.
-    q = (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.round(textan.quality_score(t, toks), 6).alias("quality"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
+    # No plan barrier here (r10 A/B): the threshold agg and the binning
+    # join both consume the per-doc quality frame, but the quality-score
+    # text pass is one cheap map stage — the barrier's fixed cost
+    # (eager job + repartition shuffle) measured MORE than the saved
+    # recompute at sf0.1 (1.58s with barrier vs 1.07s without, focused
+    # best-of-4; the r9 no-barrier form restored). The heavier scoring
+    # chains (DSIR/CCNet/KN) keep their barriers — there the saved
+    # corpus pass is multi-second.
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.round(textan.quality_score(t, toks), 6).alias("quality"),
     )
     th = q.groupBy("lang").agg(
         F.percentile_approx(
@@ -4616,18 +4615,14 @@ def x_quality_bins_agree_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     toks = textan.tokens(t)
-    # Plan barrier on the shared per-doc quality frame: FOUR downstream
-    # references (exact window x2 via agree+rollup, threshold agg,
-    # approx join) each re-ran the quality-score text pass otherwise
-    # (the x_dsir_select_agree_cert shared-score pattern).
-    q = (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.round(textan.quality_score(t, toks), 6).alias("quality"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
+    # No plan barrier here (r10 A/B, the x_quality_bins_approx note):
+    # four downstream references re-run the quality pass, but it is one
+    # cheap map stage and the barrier measured slower at sf0.1
+    # (1.42s -> 1.19s without).
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.round(textan.quality_score(t, toks), 6).alias("quality"),
     )
     w = Window.partitionBy("lang").orderBy("quality", "doc_id")
     exact_doc = q.withColumn("bin", F.ntile(10).over(w).cast("long"))
