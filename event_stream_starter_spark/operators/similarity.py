@@ -881,6 +881,128 @@ def pq_adc_sq_col(qvec: str, codes: str, m: int, ds: int) -> Column:
     return F.expr(f"aggregate(sequence(0, {m - 1}), 0D, (s, i) -> s + {body})")
 
 
+def pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched PQ encoder: vec -> array<int> of M subspace codes,
+    BIT-EQUAL to pq_code_col / pq_code_expr (pinned by
+    tests/test_neardup_golden.py::test_pq_encode_udf_equals_hof_kernel):
+
+    - per (row, codeword) the squared distance is the DIM-SEQUENTIAL
+      fold acc_{d+1} = acc_d + (x_d - c_d)^2 — the exact association of
+      ``aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0D, (s,x) -> s+x)``
+      (float32 inputs widen to double exactly, as zip_with promotes);
+    - the code is the FIRST argmin (np.argmin == array_position of
+      array_min — both first-match);
+    - a NULL vector yields an array of M NULL codes — exactly the HOF
+      form's propagation (transform over sequence(0, m-1) of NULL
+      array_position results, not a NULL array).
+
+    Why it exists: the nested-HOF kernel is interpreted per element —
+    M x K x ds lambda evaluations per row (~8M per 2k-row corpus at
+    M=16, K=64, measured ~1.7s); the same arithmetic vectorizes to
+    M x ds fused numpy ops per batch (guide §4.2), ~20x less wall.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, ds)
+    m, k, ds = cb.shape
+
+    @F.pandas_udf("array<int>")
+    def _enc(batch):  # type: ignore[no-untyped-def]
+        vals = list(batch)
+
+        def _row(v):  # None, or a vec with null elements -> all-NULL codes
+            if v is None:
+                return None
+            try:
+                return np.asarray(v, dtype=np.float64)
+            except (TypeError, ValueError):
+                return None
+
+        conv = [_row(v) for v in vals]
+        mask = [v is not None for v in conv]
+        live = [v for v in conv if v is not None]
+        out: list = [[None] * m] * len(vals)
+        if live:
+            vs = np.stack(live)  # (n, m*ds)
+            codes = np.empty((vs.shape[0], m), dtype=np.int32)
+            for i in range(m):
+                sub = vs[:, i * ds : (i + 1) * ds]
+                acc = np.zeros((vs.shape[0], k), dtype=np.float64)
+                for d in range(ds):
+                    diff = sub[:, d : d + 1] - cb[i, None, :, d]
+                    acc += diff * diff
+                codes[:, i] = np.argmin(acc, axis=1)
+            j = 0
+            for idx, ok in enumerate(mask):
+                if ok:
+                    out[idx] = codes[j].tolist()
+                    j += 1
+        return pd.Series(out, dtype=object)
+
+    return _enc
+
+
+def pq_adc_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched ADC distance: (qvec, codes) -> squared asymmetric
+    distance, BIT-EQUAL to pq_adc_sq_col / pq_adc_sq_expr (pinned by
+    tests/test_neardup_golden.py::test_pq_adc_udf_equals_hof_kernel):
+    the subspace partials accumulate LEFT-TO-RIGHT from 0.0 (the
+    ``aggregate(sequence(0, m-1), 0D, ...)`` order) and each partial is
+    the dim-sequential L2 fold of pq_encode_udf's law. NULL qvec or
+    codes yields NULL. Replaces the per-PAIR interpreted traversal of
+    the nested codebook array (the measured hot spot of the ADC scan).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, ds)
+    m, k, ds = cb.shape
+
+    @F.pandas_udf("double")
+    def _adc(qv, cd):  # type: ignore[no-untyped-def]
+        vals_q = list(qv)
+        vals_c = list(cd)
+
+        def _conv(v, as_int):  # None, or null elements inside -> NULL adc
+            if v is None:
+                return None
+            try:
+                a = np.asarray(v, dtype=np.float64)
+            except (TypeError, ValueError):
+                return None
+            if as_int:
+                # Arrow hands a null-bearing int list over as floats
+                # with NaN holes — the HOF yields NULL there.
+                if np.isnan(a).any():
+                    return None
+                return a.astype(np.int64)
+            return a
+
+        conv_q = [_conv(v, False) for v in vals_q]
+        conv_c = [_conv(v, True) for v in vals_c]
+        mask = [q is not None and c is not None for q, c in zip(conv_q, conv_c)]
+        out: list = [None] * len(vals_q)
+        live_idx = [i for i, ok in enumerate(mask) if ok]
+        if live_idx:
+            qs = np.stack([conv_q[i] for i in live_idx])  # (n, m*ds)
+            cs = np.stack([conv_c[i] for i in live_idx])  # (n, m)
+            total = np.zeros(qs.shape[0], dtype=np.float64)
+            for i in range(m):
+                cw = cb[i][cs[:, i]]  # (n, ds)
+                sub = qs[:, i * ds : (i + 1) * ds]
+                part = np.zeros(qs.shape[0], dtype=np.float64)
+                for d in range(ds):
+                    diff = sub[:, d] - cw[:, d]
+                    part += diff * diff
+                total += part
+            for j, i in enumerate(live_idx):
+                out[i] = float(total[j])
+        return pd.Series(out, dtype="float64")
+
+    return _adc
+
+
 def pq_encode(
     df: DataFrame,
     vec_col: str,
@@ -888,13 +1010,12 @@ def pq_encode(
     keep: list[str],
     out: str = "codes",
 ) -> DataFrame:
-    """Encode `df[vec_col]` to PQ codes via the broadcast-codebook
-    kernel, keeping `keep` columns: the shared build-side helper for
-    the one-shot queries and the streaming index sinks."""
-    m, ds = len(codebooks), len(codebooks[0][0])
-    return with_codebooks(df, codebooks).select(
-        *keep, pq_code_col(vec_col, m, ds).alias(out)
-    )
+    """Encode `df[vec_col]` to PQ codes, keeping `keep` columns: the
+    shared build-side helper for the one-shot queries and the streaming
+    index sinks. Uses the Arrow kernel tier (pq_encode_udf) —
+    bit-equal to the broadcast-codebook HOF kernel by the pinned test;
+    pq_code_col/pq_code_expr remain the reference implementations."""
+    return df.select(*keep, pq_encode_udf(codebooks)(F.col(vec_col)).alias(out))
 
 
 def pq_code_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
@@ -983,12 +1104,12 @@ def pq_adc_serve(
     qid key); the re-rank touches |Q| x `shortlist` float vectors. Emits
     (vec_id_q, vec_id_c, adc_dist, exact_dist, rank).
     """
-    m, ds = len(codebooks), len(codebooks[0][0])
     scored = (
-        with_codebooks(codes.crossJoin(F.broadcast(queries)), codebooks)
+        codes.crossJoin(F.broadcast(queries))
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("adc", pq_adc_sq_col("qvec", "codes", m, ds))
-        .drop("cbs")
+        # Arrow ADC kernel — bit-equal to pq_adc_sq_col (pinned test),
+        # ~20x less per-pair wall than the interpreted HOF traversal.
+        .withColumn("adc", pq_adc_udf(codebooks)(F.col("qvec"), F.col("codes")))
     )
     short = salted_topn(
         scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"
@@ -1026,12 +1147,11 @@ def ivfpq_serve(
         queries.withColumn("p", F.explode(probes))
         .select("qid", "qvec", F.col("p.cl").cast("long").alias("cluster"))
     )
-    m, ds = len(codebooks), len(codebooks[0][0])
     scored = (
-        with_codebooks(index.join(F.broadcast(q), "cluster"), codebooks)
+        index.join(F.broadcast(q), "cluster")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("adc", pq_adc_sq_col("qvec", "codes", m, ds))
-        .drop("cbs")
+        # Arrow ADC kernel (the pq_adc_serve note).
+        .withColumn("adc", pq_adc_udf(codebooks)(F.col("qvec"), F.col("codes")))
     )
     short = salted_topn(
         scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"
@@ -1062,12 +1182,11 @@ def opq_adc_serve(
     rq = queries.select(
         "qid", "qvec", rotate_udf(rotation)(F.col("qvec")).alias("rqvec")
     )
-    m, ds = len(codebooks), len(codebooks[0][0])
     scored = (
-        with_codebooks(codes.crossJoin(F.broadcast(rq)), codebooks)
+        codes.crossJoin(F.broadcast(rq))
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("adc", pq_adc_sq_col("rqvec", "codes", m, ds))
-        .drop("cbs")
+        # Arrow ADC kernel (the pq_adc_serve note).
+        .withColumn("adc", pq_adc_udf(codebooks)(F.col("rqvec"), F.col("codes")))
     )
     short = salted_topn(
         scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"
@@ -1110,12 +1229,11 @@ def ivfopq_serve(
     q = rq.withColumn("p", F.explode(probes)).select(
         "qid", "qvec", "rqvec", F.col("p.cl").cast("long").alias("cluster")
     )
-    m, ds = len(codebooks), len(codebooks[0][0])
     scored = (
-        with_codebooks(index.join(F.broadcast(q), "cluster"), codebooks)
+        index.join(F.broadcast(q), "cluster")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("adc", pq_adc_sq_col("rqvec", "codes", m, ds))
-        .drop("cbs")
+        # Arrow ADC kernel (the pq_adc_serve note).
+        .withColumn("adc", pq_adc_udf(codebooks)(F.col("rqvec"), F.col("codes")))
     )
     short = salted_topn(
         scored, (F.col("adc").asc(), F.col("cid").asc()), shortlist, "srank"

@@ -323,11 +323,21 @@ def x_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
     )
     terms = qterms.select("term").distinct()
-    tf = dl.crossJoin(F.broadcast(terms)).select(
-        "doc_id",
-        "dlen",
-        "term",
-        F.size(F.filter(F.col("toks"), lambda x: x == F.col("term"))).alias("f"),
+    # Occurrence counts via ONE token explode + broadcast semi-join
+    # instead of |terms| interpreted array-filter scans per document
+    # (higher-order functions are not codegen'd — the crossJoin form
+    # paid O(len x |terms|) interpreted element visits per doc, twice,
+    # because df_ and contrib each re-ran the chain). This form emits
+    # exactly the f > 0 rows df_/contrib consume — a term matching no
+    # document contributes to neither arm either way — so the values
+    # (and the unchanged full oracle) are identical. The groupBy
+    # exchange also makes the tf subtree reusable across both
+    # consumers.
+    tf = (
+        dl.select("doc_id", "dlen", F.explode("toks").alias("term"))
+        .join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "dlen", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("f"))
     )
     df_ = tf.groupBy("term").agg(
         F.count(F.when(F.col("f") > 0, 1)).alias("dfreq")

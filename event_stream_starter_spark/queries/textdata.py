@@ -4260,17 +4260,16 @@ def bm25_scored(docs: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.sum("dlen").cast("double") / F.count("*")).alias("avgdl"),
     )
-    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
-    tf = dl.select(
-        "doc_id",
-        "dlen",
-        F.explode(terms).alias("term"),
-        F.col("toks"),
-    ).select(
-        "doc_id",
-        "dlen",
-        "term",
-        F.size(F.filter(F.col("toks"), lambda x: x == F.col("term"))).alias("f"),
+    # Occurrence counts via ONE token explode + literal IN filter
+    # instead of |terms| interpreted array-filter scans per document
+    # (the retrieval.py batch-arm note: HOFs are interpreted, and df_ +
+    # contrib each re-ran the chain). Emits exactly the f > 0 rows both
+    # consumers use — values and the shared oracle CTEs unchanged.
+    tf = (
+        dl.select("doc_id", "dlen", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dlen", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("f"))
     )
     df_ = tf.groupBy("term").agg(
         F.count(F.when(F.col("f") > 0, 1)).alias("dfreq")
@@ -7298,7 +7297,19 @@ def e2e_export_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = gate.join(dirty, "doc_id", "left_anti")
+    # Narrow plan barrier on the CLEAN set (4 bigint/string cols, no
+    # text): the apportionment chain references it repeatedly (lc/wts
+    # via _lang_temperature_q, then the cum window) and every reference
+    # re-inlined the gate + 13-gram probe + anti-join chain — 63
+    # Exchanges / 27 parquet scans with ZERO exchange reuse. Everything
+    # downstream needs only (doc_id, lang, ntok, bytes), so the barrier
+    # is corpus-narrow; the text column never materializes.
+    clean = (
+        gate.join(dirty, "doc_id", "left_anti")
+        .select("doc_id", "lang", "ntok", "bytes")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     b = F.lit(_TEMP_BUDGET)
     rem = _lang_temperature_q(clean).select(
         "lang",

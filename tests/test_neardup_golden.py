@@ -1186,3 +1186,83 @@ def test_bitext_strategies_laws(spark, sf_dir):
             per_y.setdefault(r["doc_id_y"], []).append(r["doc_id_x"])
     assert per_y and all(len(v) == 1 for v in per_y.values())
     assert any(r["in_intersection"] for r in rows)
+
+
+def test_pq_encode_udf_equals_hof_kernel(spark, sf_dir):
+    """The Arrow PQ encoder must be BIT-IDENTICAL to the
+    broadcast-codebook HOF kernel (pq_code_col) over the whole frozen
+    corpus plus a NULL-vector plant — the contract that lets pq_encode
+    serve every build site through the kernel tier (the
+    rotate_udf/test_rotate_udf_equals_column_fold pattern)."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators.similarity import (
+        pq_code_col,
+        pq_encode_udf,
+        with_codebooks,
+    )
+    from event_stream_starter_spark.queries.vectors import _pq_codebooks
+
+    cbs = _pq_codebooks(spark, sf_dir)
+    m, ds = len(cbs), len(cbs[0][0])
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nullrow = spark.createDataFrame(
+        [(10**9, None)], "vec_id long, embedding array<float>"
+    )
+    both = with_codebooks(emb.unionByName(nullrow), cbs).select(
+        "vec_id",
+        pq_code_col("embedding", m, ds).alias("c1"),
+        pq_encode_udf(cbs)(F.col("embedding")).alias("c2"),
+    )
+    r = both.selectExpr(
+        "sum(cast(c1 <=> c2 as int)) AS eq", "count(*) AS n"
+    ).collect()[0]
+    assert r["eq"] == r["n"] and r["n"] > 1
+
+
+def test_pq_adc_udf_equals_hof_kernel(spark, sf_dir):
+    """The Arrow ADC kernel must be BIT-IDENTICAL to pq_adc_sq_col over
+    every (query, corpus) pair of the frozen corpus (the serve paths'
+    exact pair frame), including a NULL-codes plant."""
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.operators.similarity import (
+        pq_adc_sq_col,
+        pq_adc_udf,
+        pq_encode,
+        with_codebooks,
+    )
+    from event_stream_starter_spark.queries.vectors import _pq_codebooks
+
+    cbs = _pq_codebooks(spark, sf_dir)
+    m, ds = len(cbs), len(cbs[0][0])
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(
+        emb.select(F.col("vec_id").alias("cid"), "embedding"),
+        "embedding",
+        cbs,
+        keep=["cid"],
+    ).unionByName(
+        # plants: NULL codes array AND an array of NULL codes (what the
+        # encoder emits for a NULL vector) — both must yield NULL adc
+        spark.createDataFrame(
+            [(10**9, None), (10**9 + 1, [None] * m)],
+            "cid long, codes array<int>",
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    )
+    both = with_codebooks(codes.crossJoin(F.broadcast(q)), cbs).select(
+        "qid",
+        "cid",
+        pq_adc_sq_col("qvec", "codes", m, ds).alias("a1"),
+        pq_adc_udf(cbs)(F.col("qvec"), F.col("codes")).alias("a2"),
+    )
+    r = both.selectExpr(
+        "sum(cast(a1 <=> a2 as int)) AS eq", "count(*) AS n"
+    ).collect()[0]
+    assert r["eq"] == r["n"] and r["n"] > 1
