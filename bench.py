@@ -175,6 +175,8 @@ HEADLINE = [
     "x_bitext_mine_ann_recall_cert",
     "x_unigram_margin",
     "x_unigram_margin_cert",
+    # round-10 additions (outside the frozen r01-comparable subtotal)
+    "x_bitext_mine_strategies",
 ]
 
 

@@ -2250,6 +2250,12 @@ def x_bitext_mine_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keys are the argmax outputs (one row per x / per y), so the
     strategies layer adds two bounded joins on top of x_bitext_mine's
     plan. The ANN swap composes identically on the shortlist frame."""
+    # No barrier on the margin frame (r10 A/B): its three consumers
+    # (both directional argmaxes + the membership join-back) re-inline
+    # the pairs ⋈ ax ⋈ ay chain in the PLAN (3x x_bitext_mine's
+    # Exchange/Window counts), but materializing the 4M-row frame
+    # measured slower than the recompute (5.69 -> 6.46s best-of-4 at
+    # sf0.1) — the checkpointed pairs frame already caps what re-runs.
     m = _bitext_margin_frame(_bitext_exact_pairs(spark, sf_dir))
     bx = m.groupBy("xid").agg(
         F.max(
