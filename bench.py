@@ -328,7 +328,24 @@ NOTES = (
     "two salted top-k means), x_bitext_mine_ann 14.40s / cert 17.76s "
     "(fit-per-run k-means + both arms — deployed, centroids freeze "
     "and the probe joins read the bucketed index), x_unigram_margin "
-    "1.80s (Arrow 2-best DP, map-only), margin cert 1.43s."
+    "1.80s (Arrow 2-best DP, map-only), margin cert 1.43s. "
+    "r10 (optimization round; NEW, SLOWER BOX — untouched sub-second "
+    "queries read a uniform ~1.25x vs the r9 box, so cross-round totals "
+    "are not comparable; see OPTIMIZATION_r10.md): end-of-round run "
+    "242.2s over 148 queries (x_bitext_mine_strategies newly benched at "
+    "4.74s). Same-box A/Bs for every change are in OPTIMIZATION_r10.md; "
+    "headline movers: tokenizer consumers via the Arrow encode tier "
+    "(e2e_tokenize_export 4.92->1.27s probe), bitext ANN on the frozen "
+    "corpus-scaled quantizer (12.78->4.5-6.5s, recall 0.963), "
+    "semantic-IDF barrier (8.54->3.1s), PQ/OPQ broadcast codebooks + "
+    "Arrow encode/ADC kernels (ann_pq_topk 13.1s cold construct -> "
+    "1.69s; ann_ivfopq_topk 4.22->2.15s), DSIR/CCNet/KN scored-frame "
+    "barriers, fused KN+CCNet twin scorer, narrow e2e_export_prep "
+    "barrier (2.95->2.36s), BM25 tf explode, quality-bins barriers "
+    "REMOVED (cheap-chain barriers cost more than the saved pass: "
+    "1.58->1.07s). Four end-of-round tripwire flags (q1, a12, both "
+    "unweighted semantic screens — all untouched code) adjudicated "
+    "environmental by focused idle re-probes at their baselines."
 )
 
 
