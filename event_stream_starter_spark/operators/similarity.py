@@ -894,7 +894,13 @@ def pq_encode_udf(codebooks: list[list[list[float]]]):
       array_min — both first-match);
     - a NULL vector yields an array of M NULL codes — exactly the HOF
       form's propagation (transform over sequence(0, m-1) of NULL
-      array_position results, not a NULL array).
+      array_position results, not a NULL array);
+    - a vector with null ELEMENTS (Arrow hands them over as NaN holes
+      in the float array) yields a NULL code for exactly the subspaces
+      whose dims contain a hole and valid codes elsewhere — the HOF's
+      per-subspace propagation (the hole NULLs every codeword distance
+      of its own subspace only, so array_position(NULL) is NULL there
+      and the other subspaces fold normally).
 
     Why it exists: the nested-HOF kernel is interpreted per element —
     M x K x ds lambda evaluations per row (~8M per 2k-row corpus at
@@ -910,21 +916,21 @@ def pq_encode_udf(codebooks: list[list[list[float]]]):
     @F.pandas_udf("array<int>")
     def _enc(batch):  # type: ignore[no-untyped-def]
         vals = list(batch)
-
-        def _row(v):  # None, or a vec with null elements -> all-NULL codes
-            if v is None:
-                return None
-            try:
-                return np.asarray(v, dtype=np.float64)
-            except (TypeError, ValueError):
-                return None
-
-        conv = [_row(v) for v in vals]
+        conv = [
+            None if v is None else np.asarray(v, dtype=np.float64)
+            for v in vals
+        ]
         mask = [v is not None for v in conv]
         live = [v for v in conv if v is not None]
-        out: list = [[None] * m] * len(vals)
+        out: list = [[None] * m for _ in vals]
         if live:
             vs = np.stack(live)  # (n, m*ds)
+            # Null elements arrive as NaN holes: a hole NULLs exactly
+            # its own subspace's code in the HOF form (all that
+            # subspace's distances fold to NULL), other subspaces stay
+            # valid. argmin over a NaN-bearing row is garbage there;
+            # the holed entries are overwritten with None below.
+            holes = np.isnan(vs).reshape(vs.shape[0], m, ds).any(axis=2)
             codes = np.empty((vs.shape[0], m), dtype=np.int32)
             for i in range(m):
                 sub = vs[:, i * ds : (i + 1) * ds]
@@ -936,7 +942,13 @@ def pq_encode_udf(codebooks: list[list[list[float]]]):
             j = 0
             for idx, ok in enumerate(mask):
                 if ok:
-                    out[idx] = codes[j].tolist()
+                    if holes[j].any():
+                        out[idx] = [
+                            None if holes[j][i] else int(codes[j, i])
+                            for i in range(m)
+                        ]
+                    else:
+                        out[idx] = codes[j].tolist()
                     j += 1
         return pd.Series(out, dtype=object)
 
@@ -971,13 +983,13 @@ def pq_adc_udf(codebooks: list[list[list[float]]]):
                 a = np.asarray(v, dtype=np.float64)
             except (TypeError, ValueError):
                 return None
-            if as_int:
-                # Arrow hands a null-bearing int list over as floats
-                # with NaN holes — the HOF yields NULL there.
-                if np.isnan(a).any():
-                    return None
-                return a.astype(np.int64)
-            return a
+            # Arrow hands a null-bearing list over as floats with NaN
+            # holes — the HOF yields NULL for either argument: a holed
+            # qvec NULLs its subspace's partial and the aggregate fold
+            # absorbs it (NULL + x = NULL), same as holed codes.
+            if np.isnan(a).any():
+                return None
+            return a.astype(np.int64) if as_int else a
 
         conv_q = [_conv(v, False) for v in vals_q]
         conv_c = [_conv(v, True) for v in vals_c]

@@ -1206,9 +1206,22 @@ def test_pq_encode_udf_equals_hof_kernel(spark, sf_dir):
 
     cbs = _pq_codebooks(spark, sf_dir)
     m, ds = len(cbs), len(cbs[0][0])
+    dim = m * ds
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Plants: a whole-NULL vector AND vectors with a null ELEMENT inside
+    # otherwise-valid data (first dim, a middle subspace, last dim) —
+    # the case where the Arrow boundary delivers NaN holes and the
+    # kernel must reproduce the HOF's per-subspace NULL propagation.
+    holed = [
+        [None] + [0.25 * (d % 7) for d in range(dim - 1)],
+        [0.1 * (d % 5) for d in range(dim)],
+        [0.2] * dim,
+    ]
+    holed[1][dim // 2] = None
+    holed[2][dim - 1] = None
     nullrow = spark.createDataFrame(
-        [(10**9, None)], "vec_id long, embedding array<float>"
+        [(10**9, None)] + [(10**9 + 1 + i, v) for i, v in enumerate(holed)],
+        "vec_id long, embedding array<float>",
     )
     both = with_codebooks(emb.unionByName(nullrow), cbs).select(
         "vec_id",
@@ -1245,16 +1258,29 @@ def test_pq_adc_udf_equals_hof_kernel(spark, sf_dir):
         cbs,
         keep=["cid"],
     ).unionByName(
-        # plants: NULL codes array AND an array of NULL codes (what the
-        # encoder emits for a NULL vector) — both must yield NULL adc
+        # plants: NULL codes array, an array of NULL codes (what the
+        # encoder emits for a NULL vector), and codes with one null
+        # ELEMENT inside otherwise-valid codes — all must yield NULL adc
         spark.createDataFrame(
-            [(10**9, None), (10**9 + 1, [None] * m)],
+            [
+                (10**9, None),
+                (10**9 + 1, [None] * m),
+                (10**9 + 2, [0] * (m - 1) + [None]),
+            ],
             "cid long, codes array<int>",
         )
     )
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"),
         F.expr("transform(embedding, x -> cast(x as double))").alias("qvec"),
+    ).unionByName(
+        # qvec plant with a null element: the HOF NULLs the holed
+        # subspace's partial and the fold absorbs it -> NULL adc; the
+        # kernel must match (the NaN-hole guard on the qvec branch).
+        spark.createDataFrame(
+            [(10**9, [None] + [0.5] * (m * ds - 1))],
+            "qid long, qvec array<double>",
+        )
     )
     both = with_codebooks(codes.crossJoin(F.broadcast(q)), cbs).select(
         "qid",
