@@ -1282,6 +1282,291 @@ _SEM_COS_SQL = (
     " / (nrm * enrm)"
 )
 
+# Arrow kernel tier for the screens' pair pass (guide §4.2): the
+# broadcast-NLJ + interpreted-HOF fold evaluates ~3·D lambda steps per
+# (train, eval) pair — |tr|·|ev|·192 interpreted steps at D=64 — while
+# the kernel ships only (vec, nrm) per train row (~520 bytes) and runs
+# the SAME dim-sequential fold vectorized over the whole batch
+# (steps/byte ≈ |ev|·D/520 — high, the PQ-kernel regime, unlike the
+# pair-frame cosine that lost in r10). The r10 attempt collected the
+# EVAL side by re-running its featurization as a separate job; here the
+# idf screen collects from the already-materialized barrier and the
+# unweighted screen's eval collect is a source-pruned map job — both
+# the same bounded side the JVM form broadcasts anyway.
+_SEM_PAIR_KERNEL = True
+
+
+def _sem_pair_stats_udf(ev_rows, thresh: float):
+    """pandas UDF (vec, nrm) -> struct<mc double, hits bigint>:
+    max cosine to any eval row and the >= thresh count, BIT-EQUAL to
+    the crossJoin(broadcast(ev)) + groupBy(max, sum) form (pinned by
+    tests/test_ops_golden.py::test_sem_pair_kernel_equals_hof_tier):
+
+    - the dot is the dim-sequential left fold acc += vec[d] * evec[d]
+      — the exact association of ``aggregate(zip_with(...), 0D, s+x)``;
+    - the cosine divides by the PRODUCT (nrm * enrm), both norms
+      computed JVM-side with _SEM_NORM_SQL (identical by construction);
+    - Spark's ANSI-off division law replicated: x / 0.0 is NULL, so a
+      zero-norm vector's cosines are NULL — they drop out of the max
+      (NULL-skipping) and never count as hits; a row whose every
+      cosine is NULL keeps its output row with mc = NULL (the JVM
+      groupBy emits the group);
+    - Spark NaN law kept for completeness: a NaN cosine would compare
+      GREATER than any double (hit + max winner) — numpy's >= is false
+      on NaN, hence the isnan() OR;
+    - an EMPTY eval side yields NULL structs (callers drop them — the
+      JVM groupBy over an empty pair frame emits no rows).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if ev_rows:
+        E = np.array([list(r[0]) for r in ev_rows], dtype=np.float64)
+        en = np.array([r[1] for r in ev_rows], dtype=np.float64)
+    else:
+        E = en = None
+
+    @F.pandas_udf("struct<mc: double, hits: bigint>")
+    def _stats(vec, nrm):  # type: ignore[no-untyped-def]
+        n = len(vec)
+        if E is None or n == 0:
+            return pd.DataFrame({"mc": [None] * n, "hits": [None] * n})
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
+        dots = np.zeros((n, E.shape[0]), dtype=np.float64)
+        for d in range(V.shape[1]):
+            dots += V[:, d : d + 1] * E[None, :, d]
+        den = np.asarray(nrm, dtype=np.float64)[:, None] * en[None, :]
+        valid = den != 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = dots / den
+        hits = (
+            (((c >= thresh) | np.isnan(c)) & valid)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        any_valid = valid.any(axis=1)
+        mcs = np.max(np.where(valid, c, -np.inf), axis=1)
+        mc = [
+            float(mcs[i]) if any_valid[i] else None for i in range(n)
+        ]
+        return pd.DataFrame({"mc": mc, "hits": hits})
+
+    return _stats
+
+
+def _sem_dims_stats_udf(ev_rows, thresh: float, dd: int):
+    """pandas UDF dims -> struct<mc double, hits bigint> — the
+    unweighted screens' kernel tier: featurization (np.bincount of the
+    hashed token dims — exact integer counts, identical to the JVM's
+    64 size(filter(...)) passes) AND the pair stats in one boundary
+    crossing. The norm is the same dim-sequential v*v fold as
+    _SEM_NORM_SQL; everything else follows _sem_pair_stats_udf's laws
+    (dot fold order, NaN-as-greatest, product-of-norms divisor)."""
+    import numpy as np
+    import pandas as pd
+
+    E = np.array([list(r[0]) for r in ev_rows], dtype=np.float64)
+    en = np.array([r[1] for r in ev_rows], dtype=np.float64)
+
+    @F.pandas_udf("struct<mc: double, hits: bigint>")
+    def _stats(dims):  # type: ignore[no-untyped-def]
+        n = len(dims)
+        if n == 0:
+            return pd.DataFrame({"mc": [], "hits": []})
+        V = np.zeros((n, dd), dtype=np.float64)
+        for i, d in enumerate(dims):
+            if d is not None and len(d):
+                V[i] = np.bincount(
+                    np.asarray(d, dtype=np.int64), minlength=dd
+                )
+        nrm = np.zeros(n, dtype=np.float64)
+        for d in range(dd):
+            nrm += V[:, d] * V[:, d]
+        nrm = np.sqrt(nrm)
+        dots = np.zeros((n, E.shape[0]), dtype=np.float64)
+        for d in range(dd):
+            dots += V[:, d : d + 1] * E[None, :, d]
+        den = nrm[:, None] * en[None, :]
+        valid = den != 0.0  # Spark ANSI-off: x / 0.0 is NULL
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = dots / den
+        hits = (
+            (((c >= thresh) | np.isnan(c)) & valid)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        any_valid = valid.any(axis=1)
+        mcs = np.max(np.where(valid, c, -np.inf), axis=1)
+        mc = [
+            float(mcs[i]) if any_valid[i] else None for i in range(n)
+        ]
+        return pd.DataFrame({"mc": mc, "hits": hits})
+
+    return _stats
+
+
+def _sem_dims_stats(hd_tr: DataFrame, ev: DataFrame, thresh: float) -> DataFrame:
+    """Train frame carrying the hashed token ``dims`` x bounded eval
+    frame (evec + enrm) -> (keys..., mc, hits). Kernel tier featurizes
+    AND scores in one boundary crossing (_sem_dims_stats_udf); the JVM
+    reference tier assembles the count vector with the 64-pass
+    size(filter(...)) expression and goes through _sem_pair_stats."""
+    keys = [c for c in hd_tr.columns if c != "dims"]
+    if _SEM_PAIR_KERNEL:
+        ev_rows = [(list(r["evec"]), r["enrm"]) for r in ev.collect()]
+        if not ev_rows:
+            return hd_tr.filter(F.lit(False)).select(
+                *keys,
+                F.lit(None).cast("double").alias("mc"),
+                F.lit(None).cast("bigint").alias("hits"),
+            )
+        stats = _sem_dims_stats_udf(ev_rows, thresh, _SEMDECON_D)
+        st = hd_tr.select(*keys, stats(F.col("dims")).alias("_st"))
+        return st.select(
+            *keys,
+            F.col("_st.mc").alias("mc"),
+            F.col("_st.hits").alias("hits"),
+        )
+    vec = F.expr(
+        f"transform(sequence(0, {_SEMDECON_D - 1}),"
+        f" d -> cast(size(filter(dims, h -> h = cast(d as bigint)))"
+        f" as double))"
+    )
+    tr = hd_tr.select(*keys, vec.alias("vec")).withColumn(
+        "nrm", F.expr(_SEM_NORM_SQL)
+    )
+    return _sem_pair_stats(tr, ev, thresh)
+
+
+def _sem_exposure_stats(
+    hd_tr: DataFrame, ev: DataFrame, thresh: float
+) -> DataFrame:
+    """The exposure direction: per EVAL doc, (mc, hits) over every
+    train doc. The streamed side is the corpus, so the kernel emits
+    per-batch PARTIALS — |eval| rows of (eid, pmax, phits) per Arrow
+    batch — and a bounded groupBy(eid) combines them (guide §2.3
+    aggregate-before-shuffle; max is order-independent, Spark's
+    NaN-greatest final max matches numpy's NaN-propagating partial,
+    and hit counts are exact integer partial sums)."""
+    if _SEM_PAIR_KERNEL:
+        ev_rows = [
+            (r["eid"], list(r["evec"]), r["enrm"]) for r in ev.collect()
+        ]
+        if not ev_rows:
+            return hd_tr.filter(F.lit(False)).select(
+                F.lit(None).cast("long").alias("eid"),
+                F.lit(None).cast("double").alias("mc"),
+                F.lit(None).cast("bigint").alias("hits"),
+            )
+        eids = [r[0] for r in ev_rows]
+        dd = _SEMDECON_D
+
+        def _partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            E = np.array([list(r[1]) for r in ev_rows], dtype=np.float64)
+            en = np.array([r[2] for r in ev_rows], dtype=np.float64)
+            for pdf in batches:
+                dims = pdf["dims"]
+                n = len(dims)
+                if n == 0:
+                    continue
+                V = np.zeros((n, dd), dtype=np.float64)
+                for i, d in enumerate(dims):
+                    if d is not None and len(d):
+                        V[i] = np.bincount(
+                            np.asarray(d, dtype=np.int64), minlength=dd
+                        )
+                nrm = np.zeros(n, dtype=np.float64)
+                for d in range(dd):
+                    nrm += V[:, d] * V[:, d]
+                nrm = np.sqrt(nrm)
+                dots = np.zeros((n, E.shape[0]), dtype=np.float64)
+                for d in range(dd):
+                    dots += V[:, d : d + 1] * E[None, :, d]
+                den = nrm[:, None] * en[None, :]
+                valid = den != 0.0  # Spark ANSI-off: x / 0.0 is NULL
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = dots / den
+                any_valid = valid.any(axis=0)
+                pmaxs = np.max(np.where(valid, c, -np.inf), axis=0)
+                pmax = [
+                    float(pmaxs[j]) if any_valid[j] else None
+                    for j in range(E.shape[0])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "eid": eids,
+                        "pmax": pd.Series(pmax, dtype=object),
+                        "phits": (((c >= thresh) | np.isnan(c)) & valid)
+                        .sum(axis=0)
+                        .astype(np.int64),
+                    }
+                )
+
+        part = hd_tr.select("dims").mapInPandas(
+            _partials, "eid long, pmax double, phits long"
+        )
+        return part.groupBy("eid").agg(
+            F.max("pmax").alias("mc"),
+            F.sum("phits").cast("bigint").alias("hits"),
+        )
+    vec = F.expr(
+        f"transform(sequence(0, {_SEMDECON_D - 1}),"
+        f" d -> cast(size(filter(dims, h -> h = cast(d as bigint)))"
+        f" as double))"
+    )
+    nrm = F.expr(_SEM_NORM_SQL)
+    tr = hd_tr.select(vec.alias("vec")).withColumn("nrm", nrm)
+    cos = F.expr(
+        "aggregate(zip_with(evec, vec, (a, b) -> a * b), 0D,"
+        " (s, x) -> s + x) / (enrm * nrm)"
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select("eid", cos.alias("c"))
+    return scored.groupBy("eid").agg(
+        F.max("c").alias("mc"),
+        F.sum(F.when(F.col("c") >= thresh, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits"),
+    )
+
+
+def _sem_pair_stats(tr: DataFrame, ev: DataFrame, thresh: float) -> DataFrame:
+    """tr (vec + nrm per row) x ev (evec + enrm, bounded) -> tr with
+    (mc, hits) appended — the screens' pair pass. Kernel tier by
+    default (_SEM_PAIR_KERNEL); the JVM broadcast-NLJ + HOF tier is the
+    reference implementation both tiers are pinned against."""
+    keys = [c for c in tr.columns if c not in ("vec", "nrm")]
+    if _SEM_PAIR_KERNEL:
+        ev_rows = [(list(r["evec"]), r["enrm"]) for r in ev.collect()]
+        if not ev_rows:
+            # The JVM form's crossJoin against an empty eval side emits
+            # no rows; the emptiness is build-time knowledge here, so no
+            # filter ever touches the UDF output (a filter on a Python-
+            # UDF column is the guide §4.4 duplication/pushdown trap).
+            return tr.filter(F.lit(False)).select(
+                *keys,
+                F.lit(None).cast("double").alias("mc"),
+                F.lit(None).cast("bigint").alias("hits"),
+            )
+        stats = _sem_pair_stats_udf(ev_rows, thresh)
+        st = tr.select(*keys, stats(F.col("vec"), F.col("nrm")).alias("_st"))
+        return st.select(
+            *keys,
+            F.col("_st.mc").alias("mc"),
+            F.col("_st.hits").alias("hits"),
+        )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        *keys, F.expr(_SEM_COS_SQL).alias("c")
+    )
+    return scored.groupBy(*keys).agg(
+        F.max("c").alias("mc"),
+        F.sum(F.when(F.col("c") >= thresh, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits"),
+    )
+
 
 @query(
     "x_semantic_decontaminate",
@@ -1356,36 +1641,26 @@ def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" d -> cast(size(filter(dims, h -> h = cast(d as bigint)))"
         f" as double))"
     )
-    v = docs.select(
-        "doc_id", "source", dims.alias("dims")
-    ).select("doc_id", "source", vec.alias("vec"))
-    # Hoist each side's L2 norm out of the pair expression: computed
-    # once per ROW instead of once per PAIR (same sqrt over the same
-    # dot — bit-identical cosines, the oracle hash proves it), so the
-    # broadcast compare runs one 64-wide dot per pair, not three.
-    nrm = F.expr(_SEM_NORM_SQL)
-    ev = v.filter(F.col("source") == _EVAL_SRC).select(
-        F.col("vec").alias("evec"), nrm.alias("enrm")
-    )
-    tr = v.filter(F.col("source") != _EVAL_SRC).withColumn("nrm", nrm)
-    scored = tr.crossJoin(F.broadcast(ev)).select(
-        "doc_id", "source", F.expr(_SEM_COS_SQL).alias("c")
-    )
-    return (
-        scored.groupBy("doc_id", "source")
-        .agg(
-            F.max("c").alias("mc"),
-            F.sum(F.when(F.col("c") >= _SEMDECON_T, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_eval_hits"),
-        )
+    hd = docs.select("doc_id", "source", dims.alias("dims"))
+    # Eval side: JVM-featurized (bounded, source-pruned scan) with the
+    # hoisted norm; train side ships only the hashed dims through the
+    # kernel, which featurizes (bincount) and scores in one crossing.
+    ev = (
+        hd.filter(F.col("source") == _EVAL_SRC)
+        .select(vec.alias("vec"))
         .select(
-            "doc_id",
-            "source",
-            F.round("mc", 6).alias("max_eval_cos"),
-            "n_eval_hits",
-            (F.col("mc") >= _SEMDECON_T).alias("contaminated"),
+            F.col("vec").alias("evec"),
+            F.expr(_SEM_NORM_SQL).alias("enrm"),
         )
+    )
+    tr = hd.filter(F.col("source") != _EVAL_SRC)
+    st = _sem_dims_stats(tr, ev, _SEMDECON_T)
+    return st.select(
+        "doc_id",
+        "source",
+        F.round("mc", 6).alias("max_eval_cos"),
+        F.col("hits").alias("n_eval_hits"),
+        (F.col("mc") >= _SEMDECON_T).alias("contaminated"),
     )
 
 
@@ -1457,39 +1732,23 @@ def x_semantic_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" d -> cast(size(filter(dims, h -> h = cast(d as bigint)))"
         f" as double))"
     )
-    v = docs.select("doc_id", "source", dims.alias("dims")).select(
-        "doc_id", "source", vec.alias("vec")
-    )
-    nrm = F.expr(_SEM_NORM_SQL)
-    ev = v.filter(F.col("source") == _EVAL_SRC).select(
-        F.col("doc_id").alias("eid"),
-        F.col("vec").alias("evec"),
-        nrm.alias("enrm"),
-    )
-    tr = v.filter(F.col("source") != _EVAL_SRC).select(
-        "vec", nrm.alias("nrm")
-    )
-    # norm-hoisted cosine (see _SEM_COS_SQL): dot/(enrm*nrm) associates
-    # exactly like the inline sqrt form — bit-identical values.
-    cos = F.expr(
-        "aggregate(zip_with(evec, vec, (a, b) -> a * b), 0D, (s, x) -> s + x)"
-        " / (enrm * nrm)"
-    )
-    scored = tr.crossJoin(F.broadcast(ev)).select("eid", cos.alias("c"))
-    return (
-        scored.groupBy("eid")
-        .agg(
-            F.max("c").alias("mc"),
-            F.sum(F.when(F.col("c") >= _SEMDECON_T, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_exposing_train_docs"),
-        )
+    hd = docs.select("doc_id", "source", dims.alias("dims"))
+    ev = (
+        hd.filter(F.col("source") == _EVAL_SRC)
+        .select(F.col("doc_id").alias("eid"), vec.alias("vec"))
         .select(
-            F.col("eid").alias("doc_id"),
-            F.round("mc", 6).alias("max_train_cos"),
-            "n_exposing_train_docs",
-            (F.col("mc") >= _SEMDECON_T).alias("compromised"),
+            "eid",
+            F.col("vec").alias("evec"),
+            F.expr(_SEM_NORM_SQL).alias("enrm"),
         )
+    )
+    tr = hd.filter(F.col("source") != _EVAL_SRC).select("dims")
+    st = _sem_exposure_stats(tr, ev, _SEMDECON_T)
+    return st.select(
+        F.col("eid").alias("doc_id"),
+        F.round("mc", 6).alias("max_train_cos"),
+        F.col("hits").alias("n_exposing_train_docs"),
+        (F.col("mc") >= _SEMDECON_T).alias("compromised"),
     )
 
 
@@ -1706,25 +1965,20 @@ def x_semantic_decontaminate_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = v.filter(F.col("source") == _EVAL_SRC).select(
         F.col("vec").alias("evec"), nrm.alias("enrm")
     )
-    tr = v.filter(F.col("source") != _EVAL_SRC).withColumn("nrm", nrm)
-    scored = tr.crossJoin(F.broadcast(ev)).select(
-        "doc_id", "source", F.expr(_SEM_COS_SQL).alias("c")
+    tr = v.filter(F.col("source") != _EVAL_SRC).select(
+        "doc_id", "source", "vec", nrm.alias("nrm")
     )
-    return (
-        scored.groupBy("doc_id", "source")
-        .agg(
-            F.max("c").alias("mc"),
-            F.sum(F.when(F.col("c") >= _SEMDECON_T, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_eval_hits"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            (F.round("mc", 6) + 0).alias("max_eval_cos"),
-            "n_eval_hits",
-            (F.col("mc") >= _SEMDECON_T).alias("contaminated"),
-        )
+    # Pair pass through the Arrow kernel tier: the eval side collects
+    # off the BARRIER above (a checkpoint read, not a featurization
+    # re-run — what sank the r10 attempt), the train side ships only
+    # (vec, nrm) per row (guide §4.2).
+    st = _sem_pair_stats(tr, ev, _SEMDECON_T)
+    return st.select(
+        "doc_id",
+        "source",
+        (F.round("mc", 6) + 0).alias("max_eval_cos"),
+        F.col("hits").alias("n_eval_hits"),
+        (F.col("mc") >= _SEMDECON_T).alias("contaminated"),
     )
 
 

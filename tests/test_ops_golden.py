@@ -672,3 +672,64 @@ def test_source_quality_gate_flags_each_arm(spark, tmp_path):
     # the median arm specifically (its share arm must NOT be what fired)
     if med["low_q_share"] < 0.25:
         assert med["p50_quality"] < 0.58
+
+
+def test_sem_pair_kernel_equals_hof_tier(spark, sf_dir):
+    """The semantic screens' Arrow kernel tier (featurize + pair stats
+    in one boundary crossing) must be BIT-IDENTICAL to the JVM
+    broadcast-NLJ + interpreted-HOF reference tier on the frozen corpus
+    plus plants that force the NaN law (an empty doc -> zero vector ->
+    NaN cosine, which Spark counts as a hit and wins the max) — over
+    all three screen shapes (train-keyed, idf-weighted, eval-keyed)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from event_stream_starter_spark.io import load_table
+    from event_stream_starter_spark.queries import all_queries
+    from event_stream_starter_spark.queries import textdata as td
+
+    # Plant an empty train doc (zero vector) and an eval doc, on top of
+    # the frozen corpus, in a scratch sf dir.
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="semkern_")
+    docs = load_table(spark, sf_dir, "documents")
+    plants = spark.createDataFrame(
+        [(10**9, "   ", "en", "src5")],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text"))
+    docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        plants
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    qs = all_queries()
+    try:
+        for name in (
+            "x_semantic_decontaminate",
+            "x_semantic_exposure",
+            "x_semantic_decontaminate_idf",
+        ):
+            key = "doc_id"
+            old = td._SEM_PAIR_KERNEL
+            td._SEM_PAIR_KERNEL = True
+            kern = qs[name].fn(spark, tmp)
+            td._SEM_PAIR_KERNEL = False
+            ref = qs[name].fn(spark, tmp)
+            td._SEM_PAIR_KERNEL = old
+            cols = [c for c in kern.columns if c != key]
+            j = kern.alias("a").join(ref.alias("b"), key, "full_outer")
+            checks = [
+                F.sum(
+                    (~F.expr(f"a.{c} <=> b.{c}")).cast("int")
+                ).alias(c)
+                for c in cols
+            ]
+            bad = j.agg(
+                F.count(F.lit(1)).alias("n"), *checks
+            ).collect()[0]
+            assert bad["n"] > 0
+            for c in cols:
+                assert bad[c] == 0, f"{name}.{c}: {bad[c]} mismatches"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
