@@ -3495,6 +3495,36 @@ def _ccnet_scored(docs: DataFrame) -> DataFrame:
     )
     ex = base.select("doc_id", "lang", F.explode(grams).alias("g"))
     model, tot = _ccnet_model(ex)
+    from .knlm import _KN_TYPE_TERMS
+
+    if _KN_TYPE_TERMS:
+        # Per-TYPE term table (the knlm._kn_score_with_model
+        # rationale): round(-ln(p_eff), 7) is a pure function of
+        # (lang, g), so the model probes + ln/round run once per
+        # distinct gram type (charset³-bounded) and the occurrence
+        # stream pays one broadcast probe + one decimal add per gram.
+        # Identical term multiset per doc -> bit-equal decimal sum.
+        terms = (
+            ex.select("lang", "g")
+            .distinct()
+            .join(F.broadcast(model), ["lang", "g"], "left")
+            .join(F.broadcast(tot), ["lang"], "left")
+            .select(
+                "lang",
+                "g",
+                F.round(-F.log(_ccnet_p_eff()), 7)
+                .cast("decimal(28,9)")
+                .alias("t"),
+            )
+        )
+        return (
+            ex.join(F.broadcast(terms), ["lang", "g"])
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.count("*").alias("n_grams"),
+                F.sum("t").cast("double").alias("s"),
+            )
+        )
     return (
         ex.join(F.broadcast(model), ["lang", "g"], "left")
         .join(F.broadcast(tot), ["lang"], "left")
