@@ -2358,18 +2358,18 @@ def x_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = g.select(
         "doc_id", F.size("g").cast("long").alias("n_grams"), F.explode("g").alias("gram")
     )
-    dup = (
-        e.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("gram")
-    )
+    # Gram df as ONE window over the exploded stream (the r10
+    # exact-substr rewrite, applied here): each doc's gram set is
+    # distinct, so count(*) per gram partition IS the document
+    # frequency — no groupBy + join-back that re-executes the explode
+    # subtree (guide §2.4; plan 10 -> 6 Exchanges, one explode).
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     return (
-        e.join(dup.withColumn("dup", F.lit(1)), "gram", "left")
+        e.withColumn("df", df_w)
         .groupBy("doc_id")
         .agg(
             F.min("n_grams").alias("n_grams"),
-            F.count("dup").alias("n_dup_grams"),
+            F.count(F.when(F.col("df") >= 2, 1)).alias("n_dup_grams"),
         )
         .withColumn(
             "boilerplate_frac",
@@ -2458,49 +2458,55 @@ def x_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("sg.start").alias("start"), F.col("sg.gram").alias("gram"))
     )
-    dup = (
-        g.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("gram")
-    )
+    # Duplicated-gram detection as ONE window over the positional gram
+    # stream (the r10 exact-substr rewrite): df = distinct docs per
+    # gram via collect_set, computed on the SAME pass that carries the
+    # positions — the old shape ran the posexplode subtree twice
+    # (distinct+groupBy to build the dup set, then the join-back) and
+    # shuffled it three times. Killed POSITIONS then aggregate to one
+    # per-doc array, and the surviving text reassembles MAP-SIDE with
+    # array_except over the position sequence — the per-token explode,
+    # its (doc, pos) anti-join shuffle and the collect_list/array_sort
+    # reassembly all disappear (guide §2.3/§2.4: the corpus token
+    # stream never enters a shuffle as rows; plan 22 -> 8 Exchanges).
     kill = (
-        g.join(dup, "gram")
+        g.withColumn(
+            "df",
+            F.size(
+                F.collect_set("doc_id").over(Window.partitionBy("gram"))
+            ),
+        )
+        .filter(F.col("df") >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.sequence(F.col("start").cast("long"), F.col("start").cast("long") + 2)
             ).alias("pos"),
         )
-        .distinct()
-    )
-    tok = t.select(
-        "doc_id", F.posexplode("toks").alias("_p", "tok")
-    ).select("doc_id", (F.col("_p") + 1).cast("long").alias("pos"), "tok")
-    kept = (
-        tok.join(kill, ["doc_id", "pos"], "left_anti")
         .groupBy("doc_id")
-        .agg(
+        .agg(F.collect_set("pos").alias("kill_pos"))
+    )
+    return (
+        t.join(kill, "doc_id", "left")
+        .select(
+            "doc_id",
+            "toks",
+            F.expr(
+                "array_except(sequence(1L, cast(size(toks) as long)),"
+                " coalesce(kill_pos, array()))"
+            ).alias("keep_pos"),
+        )
+        .select(
+            "doc_id",
             F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
+                F.expr("transform(keep_pos, p -> element_at(toks, cast(p as int)))"),
                 " ",
             ).alias("clean_text"),
-            F.count(F.lit(1)).alias("n_kept"),
+            F.size("keep_pos").cast("long").alias("n_kept"),
+            (F.size("toks") - F.size("keep_pos"))
+            .cast("long")
+            .alias("n_removed"),
         )
-    )
-    base = t.select("doc_id", F.size("toks").alias("n_tokens"))
-    return base.join(kept, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
     )
 
 
@@ -4127,6 +4133,21 @@ _LINES_DUCK = f"""t AS (
     )"""
 
 
+def _doc_nlines(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_lines) computed MAP-SIDE: the hard-wrap law makes the
+    line count a pure function of the filtered token count
+    (ceil(|toks| / W); 0 when token-less), so consumers that only need
+    the per-doc total skip re-executing the line explode + a groupBy +
+    a join (guide §2.4)."""
+    toks = F.filter(textan.tokens(F.col("text")), lambda w: F.length(w) > 0)
+    return docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.expr(f"(size(toks) + {_LINE_W - 1}) div {_LINE_W}").alias(
+            "n_lines"
+        ),
+    )
+
+
 def _doc_lines(docs: DataFrame) -> DataFrame:
     """(doc_id, line_idx, line, line_hash) — the Spark twin of
     _LINES_DUCK's h: filtered whitespace tokens hard-wrapped into
@@ -4187,16 +4208,21 @@ def x_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix-sum family.
     """
     docs = load_table(spark, sf_dir, "documents")
-    h = _doc_lines(docs)
-    g = h.groupBy("line_hash").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    # Per-line df as ONE window over the (narrow) occurrence stream —
+    # countDistinct == size(collect_set), and the old groupBy +
+    # join-back re-executed the line explode and shuffled it twice
+    # (guide §2.4). The line text never enters the shuffle (projected
+    # away first; the output doesn't carry it).
+    h = _doc_lines(docs).select("doc_id", "line_idx", "line_hash")
+    n_docs = F.size(
+        F.collect_set("doc_id").over(Window.partitionBy("line_hash"))
     )
-    return h.join(g, "line_hash").select(
+    return h.select(
         "doc_id",
         "line_idx",
         "line_hash",
-        F.col("n_docs").cast("bigint").alias("n_docs_with_line"),
-        (F.col("n_docs") >= _LINE_K).alias("is_boilerplate"),
+        n_docs.cast("bigint").alias("n_docs_with_line"),
+        (n_docs >= _LINE_K).alias("is_boilerplate"),
     )
 
 
@@ -4260,11 +4286,12 @@ def x_line_dedup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    tot = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    # n_lines map-side from the token count (== the number of exploded
+    # lines: ceil(|toks| / W), 0 for token-less docs) — the third
+    # execution of the line explode and its groupBy + join are gone.
     return (
-        docs.select("doc_id")
+        _doc_nlines(docs)
         .join(agg, "doc_id", "left")
-        .join(tot, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(
@@ -4273,13 +4300,8 @@ def x_line_dedup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.lit(""),
             ).alias("text_clean"),
-            F.coalesce(F.col("n_lines"), F.lit(0))
-            .cast("bigint")
-            .alias("n_lines"),
-            (
-                F.coalesce(F.col("n_lines"), F.lit(0))
-                - F.coalesce(F.col("n_kept"), F.lit(0))
-            )
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
             .cast("bigint")
             .alias("n_lines_removed"),
         )
@@ -4338,13 +4360,16 @@ def x_line_dedup_strip_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     docs = load_table(spark, sf_dir, "documents")
     h = _doc_lines(docs)
-    g = h.groupBy("line_hash").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    w_occ = Window.partitionBy("line_hash").orderBy("doc_id", "line_idx")
-    rk = h.join(g, "line_hash").withColumn(
-        "occ", F.row_number().over(w_occ)
-    )
+    # Per-line df and occurrence rank from ONE line_hash shuffle: the
+    # countDistinct groupBy + join-back re-executed the line explode
+    # and shuffled both sides; size(collect_set(..)) over the same
+    # window partitioning shares the occ window's exchange (guide
+    # §2.4). n_lines comes map-side from the token count.
+    w_hash = Window.partitionBy("line_hash")
+    w_occ = w_hash.orderBy("doc_id", "line_idx")
+    rk = h.withColumn(
+        "n_docs", F.size(F.collect_set("doc_id").over(w_hash))
+    ).withColumn("occ", F.row_number().over(w_occ))
     kept = rk.filter(
         (F.col("n_docs") < _LINE_K) | (F.col("occ") == 1)
     )
@@ -4354,24 +4379,17 @@ def x_line_dedup_strip_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    tot = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
     return (
-        docs.select("doc_id")
+        _doc_nlines(docs)
         .join(agg, "doc_id", "left")
-        .join(tot, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(
                 F.concat_ws(" ", F.expr("transform(arr, x -> x.line)")),
                 F.lit(""),
             ).alias("text_clean"),
-            F.coalesce(F.col("n_lines"), F.lit(0))
-            .cast("bigint")
-            .alias("n_lines"),
-            (
-                F.coalesce(F.col("n_lines"), F.lit(0))
-                - F.coalesce(F.col("n_kept"), F.lit(0))
-            )
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
             .cast("bigint")
             .alias("n_lines_removed"),
         )
