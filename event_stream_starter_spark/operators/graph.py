@@ -205,8 +205,14 @@ def connected_components(
         .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .localCheckpoint(eager=True)
     )
-    if p.count() <= small_graph_limit:
-        labels = _driver_union_find([(r["s"], r["d"]) for r in p.collect()])
+    # ONE probe job decides the path AND feeds the driver union-find:
+    # limit(n+1) returns every row iff the graph is small enough, so
+    # the separate count() job (plus its scheduling overhead, paid by
+    # every caller) folds into the collect it preceded (guide §1 —
+    # measure what each driver job costs; the big path never collects).
+    head = p.limit(small_graph_limit + 1).collect()
+    if len(head) <= small_graph_limit:
+        labels = _driver_union_find([(r["s"], r["d"]) for r in head])
         node_type = p.schema["s"].dataType.simpleString()
         return p.sparkSession.createDataFrame(
             list(labels.items()), f"node {node_type}, label {node_type}"

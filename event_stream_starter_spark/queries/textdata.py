@@ -988,18 +988,33 @@ def e2e_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = gate.withColumn("min_id", F.min("doc_id").over(w)).filter(
         F.col("doc_id") == F.col("min_id")
     )
+    # TEXT-FREE barrier at the gated/deduped neck: the survivor set is
+    # consumed by BOTH the near-dup pair chain and the final canonical
+    # join, and each reference re-executed the tokenize + quality + fp
+    # window chain (the r10 A/B that barriered `ex` WITH the text
+    # column was neutral — the text materialization offset the saved
+    # pass; this one carries the shingle hashes the pair join needs
+    # plus (source, quality), never the text — the e2e_export_prep
+    # corpus-NARROW precedent, guide §3.3). A/B (same-session best-of-3
+    # each): sf0.1 3.32 -> 2.73s; sf1 a wash inside run noise
+    # ({5.94, 8.49} old vs {6.36, 6.54} new).
     sh = ex.select(
         "doc_id",
         "lang",
         "source",
+        "quality",
         F.transform(token_shingles(t, 3), lambda s: F.xxhash64(s)).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     pairs = jaccard_prefix_join(
-        sh, "doc_id", "sh", threshold=0.5, block_cols=("lang", "source")
+        sh.select("doc_id", "lang", "source", "sh"),
+        "doc_id",
+        "sh",
+        threshold=0.5,
+        block_cols=("lang", "source"),
     ).select("id_a", "id_b")
     cc = connected_components(pairs)
     return (
-        ex.join(cc, ex["doc_id"] == cc["node"], "left")
+        sh.join(cc, sh["doc_id"] == cc["node"], "left")
         .filter(F.coalesce("label", F.col("doc_id")) == F.col("doc_id"))
         .filter(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.lit("8000")

