@@ -1331,21 +1331,35 @@ def _sem_pair_stats_udf(ev_rows, thresh: float):
       on NaN, hence the isnan() OR;
     - an EMPTY eval side yields NULL structs (callers drop them — the
       JVM groupBy over an empty pair frame emits no rows).
+
+    `ev_rows` is a Spark broadcast (ships once per executor, not once
+    per task closure — at a few thousand eval docs x 64 doubles the
+    closure form re-serializes MBs per task); the numpy matrices build
+    lazily once per worker (guide §4.5).
     """
-    import numpy as np
     import pandas as pd
 
-    if ev_rows:
-        E = np.array([list(r[0]) for r in ev_rows], dtype=np.float64)
-        en = np.array([r[1] for r in ev_rows], dtype=np.float64)
-    else:
-        E = en = None
+    state: dict = {}
+
+    def _mats():
+        import numpy as np
+
+        if "E" not in state:
+            rows = ev_rows.value
+            state["E"] = np.array(
+                [list(r[0]) for r in rows], dtype=np.float64
+            )
+            state["en"] = np.array([r[1] for r in rows], dtype=np.float64)
+        return state["E"], state["en"]
 
     @F.pandas_udf("struct<mc: double, hits: bigint>")
     def _stats(vec, nrm):  # type: ignore[no-untyped-def]
+        import numpy as np
+
         n = len(vec)
-        if E is None or n == 0:
+        if n == 0:
             return pd.DataFrame({"mc": [None] * n, "hits": [None] * n})
+        E, en = _mats()
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vec])
         dots = np.zeros((n, E.shape[0]), dtype=np.float64)
         for d in range(V.shape[1]):
@@ -1376,18 +1390,32 @@ def _sem_dims_stats_udf(ev_rows, thresh: float, dd: int):
     64 size(filter(...)) passes) AND the pair stats in one boundary
     crossing. The norm is the same dim-sequential v*v fold as
     _SEM_NORM_SQL; everything else follows _sem_pair_stats_udf's laws
-    (dot fold order, NaN-as-greatest, product-of-norms divisor)."""
-    import numpy as np
+    (dot fold order, NaN-as-greatest, product-of-norms divisor);
+    `ev_rows` is a Spark broadcast with per-worker lazy matrix init
+    (guide §4.5)."""
     import pandas as pd
 
-    E = np.array([list(r[0]) for r in ev_rows], dtype=np.float64)
-    en = np.array([r[1] for r in ev_rows], dtype=np.float64)
+    state: dict = {}
+
+    def _mats():
+        import numpy as np
+
+        if "E" not in state:
+            rows = ev_rows.value
+            state["E"] = np.array(
+                [list(r[0]) for r in rows], dtype=np.float64
+            )
+            state["en"] = np.array([r[1] for r in rows], dtype=np.float64)
+        return state["E"], state["en"]
 
     @F.pandas_udf("struct<mc: double, hits: bigint>")
     def _stats(dims):  # type: ignore[no-untyped-def]
+        import numpy as np
+
         n = len(dims)
         if n == 0:
             return pd.DataFrame({"mc": [], "hits": []})
+        E, en = _mats()
         V = np.zeros((n, dd), dtype=np.float64)
         for i, d in enumerate(dims):
             if d is not None and len(d):
@@ -1435,7 +1463,8 @@ def _sem_dims_stats(hd_tr: DataFrame, ev: DataFrame, thresh: float) -> DataFrame
                 F.lit(None).cast("double").alias("mc"),
                 F.lit(None).cast("bigint").alias("hits"),
             )
-        stats = _sem_dims_stats_udf(ev_rows, thresh, _SEMDECON_D)
+        bc = hd_tr.sparkSession.sparkContext.broadcast(ev_rows)
+        stats = _sem_dims_stats_udf(bc, thresh, _SEMDECON_D)
         st = hd_tr.select(*keys, stats(F.col("dims")).alias("_st"))
         return st.select(
             *keys,
@@ -1475,13 +1504,15 @@ def _sem_exposure_stats(
             )
         eids = [r[0] for r in ev_rows]
         dd = _SEMDECON_D
+        bc = hd_tr.sparkSession.sparkContext.broadcast(ev_rows)
 
         def _partials(batches):
             import numpy as np
             import pandas as pd
 
-            E = np.array([list(r[1]) for r in ev_rows], dtype=np.float64)
-            en = np.array([r[2] for r in ev_rows], dtype=np.float64)
+            rows = bc.value
+            E = np.array([list(r[1]) for r in rows], dtype=np.float64)
+            en = np.array([r[2] for r in rows], dtype=np.float64)
             for pdf in batches:
                 dims = pdf["dims"]
                 n = len(dims)
@@ -1565,7 +1596,8 @@ def _sem_pair_stats(tr: DataFrame, ev: DataFrame, thresh: float) -> DataFrame:
                 F.lit(None).cast("double").alias("mc"),
                 F.lit(None).cast("bigint").alias("hits"),
             )
-        stats = _sem_pair_stats_udf(ev_rows, thresh)
+        bc = tr.sparkSession.sparkContext.broadcast(ev_rows)
+        stats = _sem_pair_stats_udf(bc, thresh)
         st = tr.select(*keys, stats(F.col("vec"), F.col("nrm")).alias("_st"))
         return st.select(
             *keys,
